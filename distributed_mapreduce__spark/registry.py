@@ -1,0 +1,57 @@
+"""Named-query registry: the engine's public query surface.
+
+Every implemented operator from SURVEY.md §2 is registered here as a
+named query ``f(spark, sf_dir) -> DataFrame``, optionally paired with an
+ANSI-SQL oracle string that DuckDB runs over the same parquet tables.
+``__spark_entry__.py`` (the driver contract) simply re-exports this
+registry. Ops whose semantics are not SQL-expressible (streaming state,
+ML-pipeline LSH) register without an oracle → driver runs a rows-only
+check.
+
+Column-name discipline: the driver's comparator sorts columns by name
+and hashes values, so every computed column is aliased identically in
+the Spark callable and the oracle SQL.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+    """Decorator: register ``fn(spark, sf_dir)`` under ``name``.
+
+    ``oracle`` is the equivalent DuckDB SQL (tables pre-registered as
+    views: region nation customer supplier part orders lineitem events
+    documents embeddings). None → rows-only check.
+    """
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in QUERIES:
+            raise ValueError(f"duplicate query name {name!r}")
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def load_all() -> None:
+    """Import every query module so registrations run (idempotent)."""
+    from .queries import (  # noqa: F401
+        wordcount_q,
+        relational_q,
+        window_q,
+        events_q,
+        dedup_q,
+        similarity_q,
+        textstats_q,
+    )

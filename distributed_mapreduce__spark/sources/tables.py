@@ -1,0 +1,51 @@
+"""Parquet table sources for the star-schema test fixtures.
+
+Columnar parquet scans are the engine's primary source: Catalyst pushes
+filters and prunes columns into the scan (verify with
+``df.explain('formatted')`` → ``PushedFilters`` / ``ReadSchema``), which
+is the 100 TB-scale replacement for the reference's whole-file text reads
+(mapreduce/mapreduce.go:59-65 reads each input file fully into memory —
+the anti-pattern we avoid).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension tables small enough to broadcast at any realistic scale factor
+# (region=5 rows, nation=25, supplier/part/customer grow slowly with sf).
+BROADCAST_DIMS = ("region", "nation", "supplier", "part", "customer")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table: ``{sf_dir}/{name}.parquet``."""
+    if name not in TABLE_NAMES:
+        raise ValueError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    """Load several tables at once; all of them when ``names`` is empty."""
+    wanted = names or TABLE_NAMES
+    return {n: load_table(spark, sf_dir, n) for n in wanted}
+
+
+def register_views(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    """Register fixture tables as temp views for the SQL entry points."""
+    for name, df in load_tables(spark, sf_dir, *names).items():
+        df.createOrReplaceTempView(name)
