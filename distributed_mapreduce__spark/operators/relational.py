@@ -1,0 +1,89 @@
+"""Relational core operators (SURVEY.md §2.2 E5/E6).
+
+The reference's data-processing capability is one generalized
+map→shuffle→reduce (mapreduce/mapreduce.go DoMap/DoReduce); the
+relational surface here is that capability expressed natively: scans,
+projections, filters, hash aggregations, the join family, windows,
+sort/limit — all declarative so Catalyst plans the physical strategy.
+
+Scale notes (100 TB):
+- Dimension tables (region/nation/supplier/part/customer) are broadcast
+  explicitly — no shuffle of the fact side for star joins.
+- Fact-fact joins (orders⋈lineitem) shuffle on the join key; at scale
+  both sides would be bucketed on orderkey to co-locate (sort-merge
+  without exchange). AQE handles skew.
+- Top-k-per-group uses a window + row_number: one shuffle on the group
+  key, per-partition sort, no global sort. Global top-k uses
+  orderBy+limit which plans as TakeOrderedAndProject (per-partition
+  heaps, k rows to driver).
+
+Numeric discipline: money aggregates cast to DECIMAL before summing —
+exact, order-independent arithmetic so results are bit-identical across
+engines and across partitionings (a correctness property the DuckDB
+oracle gate depends on; doubles would drift with partition order).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# All fixture money/rate columns carry exactly 2 decimal digits.
+MONEY = "decimal(18,2)"
+
+
+def dec(col: Column | str, typ: str = MONEY) -> Column:
+    """Exact-decimal view of a 2-dp double column (order-independent sums)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(typ)
+
+
+def disc_price() -> Column:
+    """l_extendedprice * (1 - l_discount), exact: DECIMAL(18,2)×DECIMAL(18,2)."""
+    return dec("l_extendedprice") * dec(F.lit(1) - F.col("l_discount"))
+
+
+def charge() -> Column:
+    """l_extendedprice * (1-disc) * (1+tax), exact via a 4-dp factor cast.
+
+    The (1-d)(1+t) double product has ≤4 decimal digits by construction
+    (both inputs 2-dp); casting it to DECIMAL(8,4) recovers the exact
+    value, keeping the final multiply inside DECIMAL(38,·) in every
+    engine.
+    """
+    factor = ((F.lit(1) - F.col("l_discount")) * (F.lit(1) + F.col("l_tax"))).cast(
+        "decimal(8,4)"
+    )
+    return dec("l_extendedprice") * factor
+
+
+def top_k_per_group(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order_cols: Sequence[Column],
+    k: int,
+    rn_col: str = "rn",
+) -> DataFrame:
+    """E5: deterministic top-k within each group (generalizes O12+O13).
+
+    ``order_cols`` must be a total order within the group (include a key
+    tie-break) or results are nondeterministic. Plans as one shuffle on
+    the group key + per-partition sort — no global sort, scales linearly.
+    """
+    w = Window.partitionBy(*group_cols).orderBy(*order_cols)
+    return (
+        df.withColumn(rn_col, F.row_number().over(w))
+        .filter(F.col(rn_col) <= k)
+    )
+
+
+def semi_join(left: DataFrame, right: DataFrame, on) -> DataFrame:
+    """EXISTS — rows of ``left`` with ≥1 match; never duplicates left rows."""
+    return left.join(right, on, "left_semi")
+
+
+def anti_join(left: DataFrame, right: DataFrame, on) -> DataFrame:
+    """NOT EXISTS — rows of ``left`` with no match in ``right``."""
+    return left.join(right, on, "left_anti")

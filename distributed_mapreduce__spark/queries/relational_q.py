@@ -1,1 +1,453 @@
-"""Placeholder — queries registered in a later milestone."""
+"""Relational-core registered queries (SURVEY.md §2.2 E6 + §7 step 2).
+
+TPC-H-flavored coverage of the star schema: scan/filter/project with
+parquet pushdown, the join family (broadcast inner, semi, anti, outer),
+single- and multi-key aggregation, distinct, rollup, pivot, set ops,
+scalar-aggregate subquery, sort/limit.
+
+Money arithmetic is decimal-exact in BOTH engines (see
+operators/relational.py): sums are order-independent, so the driver's
+value-hash is stable under any partitioning. Averages divide the exact
+decimal sum cast to double by the count — identical IEEE operands →
+identical doubles in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.relational import anti_join, charge, dec, disc_price, semi_join
+from ..registry import register
+from ..sources.tables import load_table
+
+
+# --- O1/O4 analog: pushdown scan ------------------------------------------
+
+
+@register(
+    "scan_filter_project",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_extendedprice, l_discount, l_shipdate
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+      AND l_discount > 0.05
+    """,
+)
+def scan_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection + predicate, both pushed into the parquet scan
+    (verify: PushedFilters/ReadSchema in explain)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", "l_discount", "l_shipdate"
+    ).filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_discount") > 0.05)
+    )
+
+
+# --- TPC-H Q1 flavor: multi-agg groupBy -----------------------------------
+
+
+@register(
+    "pricing_summary",
+    oracle="""
+    SELECT
+      l_returnflag, l_linestatus,
+      CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2))      AS sum_qty,
+      CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
+      CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+               * CAST(1 - l_discount AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS sum_disc_price,
+      CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+               * CAST((1 - l_discount) * (1 + l_tax) AS DECIMAL(8,4))) AS DECIMAL(38,6)) AS sum_charge,
+      CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*)      AS avg_qty,
+      CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
+      CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*)      AS avg_disc,
+      count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-style pricing summary: 2-key groupBy, 8 aggregates.
+
+    One shuffle (partial→final HashAggregate); 6 groups total so the
+    exchange moves ~6 rows per input partition regardless of fact size.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp")
+    )
+    n = F.count("*")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(dec("l_quantity")).cast("decimal(38,2)").alias("sum_qty"),
+        F.sum(dec("l_extendedprice")).cast("decimal(38,2)").alias("sum_base_price"),
+        F.sum(disc_price()).cast("decimal(38,4)").alias("sum_disc_price"),
+        F.sum(charge()).cast("decimal(38,6)").alias("sum_charge"),
+        (F.sum(dec("l_quantity")).cast("double") / n).alias("avg_qty"),
+        (F.sum(dec("l_extendedprice")).cast("double") / n).alias("avg_price"),
+        (F.sum(dec("l_discount")).cast("double") / n).alias("avg_disc"),
+        n.alias("count_order"),
+    )
+
+
+# --- TPC-H Q5 flavor: broadcast star join ---------------------------------
+
+
+@register(
+    "revenue_by_nation",
+    oracle="""
+    SELECT n_name,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(1 - l_discount AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS revenue
+    FROM region
+    JOIN nation   ON n_regionkey = r_regionkey
+    JOIN customer ON c_nationkey = n_nationkey
+    JOIN orders   ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1999-01-01'
+    GROUP BY n_name
+    """,
+)
+def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Five-table star join, dims broadcast → the fact tables never
+    shuffle for the dim joins; only orders⋈lineitem exchanges (bucket
+    both on orderkey at real scale to remove even that)."""
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = load_table(spark, sf_dir, "nation")
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp"))
+    )
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    cust_dim = (
+        customer.join(
+            F.broadcast(nation.join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+    ).select("c_custkey", "n_name")
+    return (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust_dim), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("n_name")
+        .agg(F.sum(disc_price()).cast("decimal(38,4)").alias("revenue"))
+    )
+
+
+# --- global top-k with join (O12+O13 generalized) -------------------------
+
+
+@register(
+    "top_customers",
+    oracle="""
+    SELECT c_custkey, c_name,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS spend,
+           count(*) AS n_orders
+    FROM customer JOIN orders ON o_custkey = c_custkey
+    GROUP BY c_custkey, c_name
+    ORDER BY spend DESC, c_custkey ASC
+    LIMIT 10
+    """,
+)
+def top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join + aggregate + deterministic global top-k
+    (TakeOrderedAndProject: k rows per partition reach the driver)."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.sum(dec("o_totalprice")).cast("decimal(38,2)").alias("spend"),
+            F.count("*").alias("n_orders"),
+        )
+        .orderBy(F.desc("spend"), F.asc("c_custkey"))
+        .limit(10)
+    )
+
+
+# --- join family: semi / anti / outer -------------------------------------
+
+
+@register(
+    "customers_with_open_orders",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+    """,
+)
+def customers_with_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS): no duplication of the left side."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    return semi_join(
+        customer, orders, customer.c_custkey == orders.o_custkey
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+@register(
+    "customers_without_orders",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (NOT EXISTS)."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return anti_join(
+        customer, orders, customer.c_custkey == orders.o_custkey
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "order_item_counts_outer",
+    oracle="""
+    SELECT o_orderkey, coalesce(n_items, 0) AS n_items,
+           coalesce(items_qty, CAST(0 AS DECIMAL(38,2))) AS items_qty
+    FROM orders
+    LEFT JOIN (
+      SELECT l_orderkey, count(*) AS n_items,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS items_qty
+      FROM lineitem GROUP BY l_orderkey
+    ) li ON l_orderkey = o_orderkey
+    """,
+)
+def order_item_counts_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-outer join against a pre-aggregated fact (aggregate-below-join
+    keeps the joined cardinality at one row per order)."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(dec("l_quantity")).cast("decimal(38,2)").alias("items_qty"),
+        )
+    )
+    return orders.join(li, orders.o_orderkey == li.l_orderkey, "left").select(
+        "o_orderkey",
+        F.coalesce("n_items", F.lit(0)).alias("n_items"),
+        F.coalesce("items_qty", F.lit(0).cast("decimal(38,2)")).alias("items_qty"),
+    )
+
+
+# --- multi-key aggregation (fan-out groups) -------------------------------
+
+
+@register(
+    "part_supp_activity",
+    oracle="""
+    SELECT l_partkey, l_suppkey,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+           count(*) AS n_lines,
+           min(l_shipdate) AS first_ship,
+           max(l_shipdate) AS last_ship
+    FROM lineitem
+    GROUP BY l_partkey, l_suppkey
+    """,
+)
+def part_supp_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """High-cardinality 2-key groupBy (many groups → real shuffle work;
+    AQE coalesces post-shuffle partitions at small sf)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(dec("l_quantity")).cast("decimal(38,2)").alias("sum_qty"),
+        F.count("*").alias("n_lines"),
+        F.min("l_shipdate").alias("first_ship"),
+        F.max("l_shipdate").alias("last_ship"),
+    )
+
+
+# --- distinct / count-distinct --------------------------------------------
+
+
+@register(
+    "nation_segment_stats",
+    oracle="""
+    SELECT n_name,
+           count(DISTINCT c_mktsegment) AS n_segments,
+           count(*) AS n_customers
+    FROM customer JOIN nation ON n_nationkey = c_nationkey
+    GROUP BY n_name
+    """,
+)
+def nation_segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count(distinct) — Catalyst plans expand+two-phase aggregate."""
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        customer.join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.countDistinct("c_mktsegment").alias("n_segments"),
+            F.count("*").alias("n_customers"),
+        )
+    )
+
+
+# --- rollup ----------------------------------------------------------------
+
+
+@register(
+    "rollup_returns",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def rollup_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotals (grouping sets); NULL marks the rolled-up
+    level in both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.sum(dec("l_quantity")).cast("decimal(38,2)").alias("sum_qty"),
+        F.count("*").alias("n"),
+    )
+
+
+# --- pivot -----------------------------------------------------------------
+
+
+@register(
+    "pivot_status_by_flag",
+    oracle="""
+    SELECT l_returnflag,
+           count(*) FILTER (WHERE l_linestatus = 'O') AS cnt_o,
+           count(*) FILTER (WHERE l_linestatus = 'F') AS cnt_f
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def pivot_status_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot = groupBy + conditional aggregation (one shuffle)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    piv = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.count(F.lit(1)))
+    )
+    return piv.select(
+        "l_returnflag",
+        F.coalesce(F.col("O"), F.lit(0)).alias("cnt_o"),
+        F.coalesce(F.col("F"), F.lit(0)).alias("cnt_f"),
+    )
+
+
+# --- set operations --------------------------------------------------------
+
+
+@register(
+    "repeat_buyers_intersect",
+    oracle="""
+    SELECT o_custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+    INTERSECT
+    SELECT o_custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+    """,
+)
+def repeat_buyers_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct semantics in both engines)."""
+    orders = load_table(spark, sf_dir, "orders")
+    y96 = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select("o_custkey")
+    y97 = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("o_custkey")
+    return y96.intersect(y97)
+
+
+@register(
+    "churned_buyers_except",
+    oracle="""
+    SELECT o_custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+    EXCEPT
+    SELECT o_custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+    """,
+)
+def churned_buyers_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct semantics in both engines)."""
+    orders = load_table(spark, sf_dir, "orders")
+    y96 = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select("o_custkey")
+    y97 = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("o_custkey")
+    return y96.subtract(y97)  # subtract == EXCEPT (distinct)
+
+
+# --- scalar-aggregate subquery --------------------------------------------
+
+
+@register(
+    "orders_above_avg",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE CAST(o_totalprice AS DECIMAL(18,2)) * (SELECT count(*) FROM orders)
+          > (SELECT sum(CAST(o_totalprice AS DECIMAL(18,2))) FROM orders)
+    """,
+)
+def orders_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders above the mean price. Phrased as price×N > ΣP — exact
+    integer/decimal arithmetic, so the cut is identical in every engine
+    (a double mean would make boundary rows engine-dependent)."""
+    orders = load_table(spark, sf_dir, "orders")
+    stats = orders.agg(
+        F.sum(dec("o_totalprice")).alias("total_spend"),
+        F.count("*").alias("n_orders"),
+    )
+    return (
+        orders.join(F.broadcast(stats))
+        .filter(dec("o_totalprice") * F.col("n_orders") > F.col("total_spend"))
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+# --- date-part aggregation -------------------------------------------------
+
+
+@register(
+    "orders_per_month",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+           CAST(month(o_orderdate) AS INTEGER) AS o_month,
+           count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS revenue
+    FROM orders
+    GROUP BY 1, 2
+    """,
+)
+def orders_per_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar rollup via date-part extraction (at scale: partition the
+    sink by o_year/o_month so downstream scans prune)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.year("o_orderdate").alias("o_year"),
+            F.month("o_orderdate").alias("o_month"),
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(dec("o_totalprice")).cast("decimal(38,2)").alias("revenue"),
+        )
+    )
