@@ -1,1 +1,140 @@
-"""Placeholder — queries registered in a later milestone."""
+"""Event-time window + JSON queries over ``events`` (SURVEY.md §2.2 E7).
+
+Oracle notes: DuckDB has no window()/session_window(), so the oracles
+spell out the semantics — epoch-aligned integer bucketing for tumbling
+(Spark windows are epoch-aligned by default), a UNION ALL of the
+duration/slide shifted buckets for sliding, and classic gaps-and-islands
+(lag + running sum of session breaks) for session windows. Matching these
+closed forms IS the semantic check.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.timeseries import sessionized, sliding, tumbling
+from ..registry import register
+from ..sources.tables import load_table
+
+_AGGS_SQL = """
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_value,
+           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_value
+"""
+
+
+@register(
+    "events_tumbling",
+    oracle=f"""
+    SELECT make_timestamp((epoch_us(ts) // 600000000) * 600000000) AS window_start,
+           make_timestamp((epoch_us(ts) // 600000000) * 600000000 + 600000000) AS window_end,
+           event_type,
+           {_AGGS_SQL}
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-minute tumbling windows per event type."""
+    return tumbling(load_table(spark, sf_dir, "events"), "10 minutes", "event_type")
+
+
+@register(
+    "events_sliding",
+    oracle=f"""
+    SELECT window_start,
+           window_start + INTERVAL 10 MINUTE AS window_end,
+           {_AGGS_SQL}
+    FROM (
+      SELECT make_timestamp((epoch_us(ts) // 300000000) * 300000000) AS window_start, value
+      FROM events
+      UNION ALL
+      SELECT make_timestamp((epoch_us(ts) // 300000000) * 300000000 - 300000000), value
+      FROM events
+    )
+    GROUP BY 1, 2
+    """,
+)
+def events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-minute windows sliding every 5 — each event in exactly 2 windows
+    (the oracle materializes that expansion explicitly)."""
+    return sliding(load_table(spark, sf_dir, "events"), "10 minutes", "5 minutes")
+
+
+@register(
+    "events_sessions",
+    oracle=f"""
+    WITH breaks AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), tagged AS (
+      SELECT user_id, ts, value,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM breaks
+    )
+    SELECT min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           user_id,
+           {_AGGS_SQL}
+    FROM tagged
+    GROUP BY user_id, sid
+    """,
+)
+def events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-minute-gap sessionization per user; end = last event + gap."""
+    return sessionized(load_table(spark, sf_dir, "events"), "30 minutes", "user_id")
+
+
+@register(
+    "events_json_stats",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_events,
+           sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def events_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar extraction from the props payload (string column →
+    typed field), aggregated per event type. get_json_object stays
+    JVM-side (Jackson) — no Python in the path."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(k).alias("sum_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+@register(
+    "user_activity",
+    oracle="""
+    SELECT user_id,
+           count(*) AS n_events,
+           count(DISTINCT event_type) AS n_types,
+           min(ts) AS first_seen,
+           max(ts) AS last_seen,
+           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS total_value
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user profile rollup (count-distinct + time bounds + exact sum)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("event_type").alias("n_types"),
+        F.min("ts").alias("first_seen"),
+        F.max("ts").alias("last_seen"),
+        F.sum(F.col("value").cast("decimal(18,4)")).cast("decimal(38,4)").alias("total_value"),
+    )

@@ -1,0 +1,91 @@
+"""Structured Streaming variants of the E7 window operators.
+
+Same operator shapes as ``operators/timeseries.py`` with a watermark for
+late-data bounds and state eviction. Batch/stream parity is the test
+contract (tests/test_streaming.py): a tumbling aggregation in complete
+mode over a replayed file equals the batch aggregation; append-mode
+results are the closed-window prefix.
+
+Scale: streaming state lives per (window, key) in the state store; the
+watermark bounds state size (windows older than watermark are evicted).
+At production scale the file source below becomes Kafka — the operator
+definitions don't change.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..operators.timeseries import sessionized, sliding, tumbling
+
+# Raw parquet schema (ts is TIMESTAMP(NANOS) → read as long, see
+# sources/tables.py).
+_EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-replay streaming source over the events fixture, with the
+    same ns→µs timestamp normalization as the batch reader."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # The file source wants a directory; select just events.parquet out of
+    # the fixture dir with a glob (works the same when events.parquet is
+    # itself a directory of part-files).
+    raw = (
+        spark.readStream.schema(_EVENTS_RAW_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def stream_tumbling(
+    events: DataFrame, duration: str = "10 minutes", watermark: str = "30 minutes"
+) -> DataFrame:
+    return tumbling(events.withWatermark("ts", watermark), duration, "event_type")
+
+
+def stream_sliding(
+    events: DataFrame,
+    duration: str = "10 minutes",
+    slide: str = "5 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    return sliding(events.withWatermark("ts", watermark), duration, slide)
+
+
+def stream_sessionized(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "30 minutes"
+) -> DataFrame:
+    return sessionized(events.withWatermark("ts", watermark), gap, "user_id")
+
+
+def run_to_memory_sink(
+    df: DataFrame, query_name: str, output_mode: str = "append"
+) -> None:
+    """Drive a streaming aggregation synchronously to a memory sink.
+
+    ``processAllAvailable`` drains the file source; the no-data final
+    micro-batch (on by default) advances the watermark so closed windows
+    flush in append mode. Results land in the temp view ``query_name``.
+    """
+    q = (
+        df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
