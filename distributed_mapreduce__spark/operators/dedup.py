@@ -1,0 +1,216 @@
+"""Deduplication operators (SURVEY.md §2.2 E1/E2 + north-star list).
+
+Four tiers, all built from DataFrame ops (no Python in the hot path):
+
+- exact            — hash-groupBy on (normalized) text.
+- minhash + LSH    — word-3-gram shingles → 16 md5 minhashes → 8 bands
+                     of 2 → band-bucket self-join → exact-Jaccard verify.
+                     md5 is bit-identical in DuckDB, so the WHOLE LSH
+                     pipeline (not just the final pairs) is oracle-checked.
+- simhash          — 16-bit sign-of-sums fingerprint over token hashes.
+- n-gram Jaccard   — exact pairwise similarity via shared-shingle join
+                     (the small-scale baseline the LSH path approximates).
+
+Scale (100 TB): exact dedup is one shuffle on the text hash (group on
+md5(text), not the text itself, to keep shuffle rows small). MinHash
+cost is rows × shingles × seeds before partial aggregation collapses to
+(doc, seed); band join moves only (doc, band_key) pairs — candidates,
+not the corpus, dominate the output. The exact-Jaccard join is the piece
+that does NOT scale (shared-shingle fanout is quadratic in docs-per-
+shingle) — at scale it runs only on LSH candidates, which is exactly how
+``minhash_dedup_pairs`` composes it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+N_SEEDS = 16
+BAND_ROWS = 2  # 8 bands of 2 → s-curve threshold ≈ (1/8)^(1/2) ≈ 0.35
+
+
+def normalized_text(col: str = "text") -> F.Column:
+    """lower + trim + collapse whitespace runs: the canonicalization used
+    by normalized exact-dedup."""
+    return F.regexp_replace(F.trim(F.lower(F.col(col))), r"\s+", " ")
+
+
+def exact_dedup_groups(docs: DataFrame, text_expr: F.Column) -> DataFrame:
+    """Group identical texts: (text_hash, canonical_id=min doc_id, n_copies).
+
+    Grouping key is md5(text) so the shuffle carries 32-byte keys instead
+    of documents (hash collisions are immaterial for md5 at any corpus
+    size that fits in 2^64)."""
+    return (
+        docs.select(F.md5(text_expr).alias("text_hash"), "doc_id")
+        .groupBy("text_hash")
+        .agg(
+            F.min("doc_id").alias("canonical_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+def doc_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per document → (doc_id, shingle).
+
+    Documents with < n tokens yield no shingles (excluded from fuzzy
+    dedup — they have no n-gram support)."""
+    # Split a whitespace-collapsed text on a literal space: identical
+    # token arrays in Spark and DuckDB (regex-split keeps/drops edge
+    # empties differently across engines).
+    toks = docs.select(
+        "doc_id",
+        F.split(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "), " ").alias("toks"),
+    )
+    grams = ", ".join(f"toks[i+{j}]" for j in range(n))
+    return (
+        toks.filter(F.size("toks") >= n)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, size(toks)-{n}), i -> concat_ws(' ', {grams}))"
+                )
+            ).alias("shingle"),
+        )
+        .distinct()
+    )
+
+
+def minhash_signatures(shingles: DataFrame, n_seeds: int = N_SEEDS) -> DataFrame:
+    """(doc_id, seed, mh): per-seed minhash = lexicographic min of
+    md5('<seed>:'||shingle). Hex-string min is portable across engines;
+    partial aggregation collapses each partition to one row per
+    (doc, seed) before the shuffle."""
+    return (
+        shingles.select(
+            "doc_id", F.explode(F.expr(f"sequence(0, {n_seeds - 1})")).alias("seed"), "shingle"
+        )
+        .select(
+            "doc_id",
+            "seed",
+            F.md5(F.concat_ws(":", F.col("seed"), F.col("shingle"))).alias("h"),
+        )
+        .groupBy("doc_id", "seed")
+        .agg(F.min("h").alias("mh"))
+    )
+
+
+def lsh_bands(signatures: DataFrame, band_rows: int = BAND_ROWS) -> DataFrame:
+    """(doc_id, band, band_key): hash each band's concatenated minhashes."""
+    return (
+        signatures.withColumn("band", F.expr(f"seed div {band_rows}"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("seed", "mh"))),
+                        lambda x: x["mh"],
+                    ),
+                    ",",
+                )
+            ).alias("band_key")
+        )
+    )
+
+
+def lsh_candidate_pairs(bands: DataFrame) -> DataFrame:
+    """Distinct (doc_a < doc_b) sharing ≥1 band bucket. The self-join is
+    on (band, band_key) — only same-bucket rows meet, so output size
+    tracks true-near-dup density, not corpus size²."""
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def exact_jaccard(shingles: DataFrame, pairs: DataFrame | None = None) -> DataFrame:
+    """(doc_a, doc_b, jaccard) over distinct shingle sets.
+
+    With ``pairs`` given, computes only those pairs (the scale path:
+    verify LSH candidates). Without, all pairs sharing ≥1 shingle (the
+    exact small-scale baseline). jaccard = |∩| / (|A|+|B|-|∩|) — integer
+    inputs, so the double is engine-identical."""
+    sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    sa = shingles.alias("sa")
+    sb = shingles.alias("sb")
+    inter = (
+        sa.join(
+            sb,
+            (F.col("sa.shingle") == F.col("sb.shingle"))
+            & (F.col("sa.doc_id") < F.col("sb.doc_id")),
+        )
+        .select(F.col("sa.doc_id").alias("doc_a"), F.col("sb.doc_id").alias("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    if pairs is not None:
+        inter = inter.join(pairs, ["doc_a", "doc_b"], "left_semi")
+    za = sizes.alias("za")
+    zb = sizes.alias("zb")
+    return (
+        inter.join(za, F.col("doc_a") == F.col("za.doc_id"))
+        .join(zb, F.col("doc_b") == F.col("zb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("n_inter")
+                / (F.col("za.n_sh") + F.col("zb.n_sh") - F.col("n_inter"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+def simhash16(docs: DataFrame) -> DataFrame:
+    """16-bit simhash over distinct tokens: bit j of the fingerprint is
+    the sign of Σ_tokens (±1 by bit j of the token's 60-bit md5 hash).
+
+    All-integer arithmetic → engine-identical. 16 bits keeps the
+    bit-explode fanout (tokens × 16) modest; widen for production use."""
+    toks = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.split(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "), " ")
+            ).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+        .distinct()
+        .select(
+            "doc_id",
+            F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long").alias("h"),
+        )
+    )
+    bits = toks.select(
+        "doc_id", "h", F.explode(F.expr("sequence(0, 15)")).alias("j")
+    ).select(
+        "doc_id",
+        "j",
+        F.when(F.expr("(h div cast(pow(2, j) as bigint)) % 2 = 1"), 1)
+        .otherwise(-1)
+        .alias("w"),
+    )
+    return (
+        bits.groupBy("doc_id", "j")
+        .agg(F.sum("w").alias("s"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(F.col("s") > 0, F.expr("cast(pow(2, j) as bigint)")).otherwise(0)
+            )
+            .cast("long")
+            .alias("simhash")
+        )
+    )

@@ -1,1 +1,197 @@
-"""Placeholder — queries registered in a later milestone."""
+"""Dedup queries over ``documents`` (SURVEY.md §2.2 E1/E2).
+
+The md5-based minhash/simhash operators are deliberately engine-portable,
+so the oracles replicate the ENTIRE pipeline (shingling, signatures,
+banding, candidate join, exact-Jaccard verify) — the strongest possible
+correctness check for fuzzy dedup. The Spark-ML MinHashLSH variant (the
+conventional scale path) registers rows-only: its hash family is
+Spark-internal.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dedup import (
+    doc_shingles,
+    exact_dedup_groups,
+    exact_jaccard,
+    lsh_bands,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    normalized_text,
+    simhash16,
+)
+from ..registry import register
+from ..sources.tables import load_table
+
+# Shared oracle fragments ---------------------------------------------------
+
+# Whitespace-normalized token array (identical in both engines).
+_TOKS = "string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ')"
+
+_SHINGLES_CTE = f"""
+    tarr AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    tpos AS (SELECT doc_id, unnest(t) AS tok, generate_subscripts(t, 1) AS pos FROM tarr),
+    sh AS (
+      SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS shingle
+      FROM tpos a
+      JOIN tpos b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+      JOIN tpos c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+    ),
+    szs AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+"""
+
+_JACCARD = "CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter)"
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text) AS text_hash,
+           min(doc_id) AS canonical_id,
+           count(*) AS n_copies
+    FROM documents
+    GROUP BY md5(text)
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1: exact dedup via hash-groupBy; shuffle carries md5 keys only."""
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_dedup_groups(docs, F.col("text"))
+
+
+@register(
+    "dedup_exact_normalized",
+    oracle="""
+    SELECT md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS text_hash,
+           min(doc_id) AS canonical_id,
+           count(*) AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1 variant: case/whitespace-insensitive exact dedup."""
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_dedup_groups(docs, normalized_text("text"))
+
+
+@register(
+    "dedup_minhash_pairs",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    sig AS (
+      SELECT doc_id, seed, min(md5(seed || ':' || shingle)) AS mh
+      FROM sh CROSS JOIN unnest(generate_series(0, 15)) AS s(seed)
+      GROUP BY doc_id, seed
+    ),
+    bands AS (
+      SELECT doc_id, seed // 2 AS band,
+             md5(string_agg(mh, ',' ORDER BY seed)) AS band_key
+      FROM sig GROUP BY doc_id, seed // 2
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a
+      JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+                   AND a.doc_id < b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b, {_JACCARD} AS jaccard
+    FROM cand c
+    JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+    JOIN szs sa ON sa.doc_id = c.doc_a
+    JOIN szs sb ON sb.doc_id = c.doc_b
+    WHERE {_JACCARD} >= 0.5
+    """,
+)
+def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 scale path: MinHash(16 seeds) → LSH(8 bands × 2) candidates →
+    exact-Jaccard verification at 0.5. Oracle replays every stage."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = doc_shingles(docs)
+    cands = lsh_candidate_pairs(lsh_bands(minhash_signatures(sh)))
+    return exact_jaccard(sh, pairs=cands).filter(F.col("jaccard") >= 0.5)
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH {_SHINGLES_CTE}
+    SELECT doc_a, doc_b, {_JACCARD} AS jaccard
+    FROM inter
+    JOIN szs sa ON sa.doc_id = doc_a
+    JOIN szs sb ON sb.doc_id = doc_b
+    WHERE {_JACCARD} >= 0.5
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 exact baseline: all-pairs 3-gram Jaccard ≥ 0.5 via the
+    shared-shingle join (quadratic in docs-per-shingle — small-scale
+    ground truth for the LSH path's recall)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_jaccard(doc_shingles(docs)).filter(F.col("jaccard") >= 0.5)
+
+
+@register(
+    "dedup_simhash",
+    oracle=f"""
+    WITH toks AS (
+      SELECT DISTINCT doc_id, unnest({_TOKS}) AS tok FROM documents
+    ),
+    th AS (SELECT doc_id, md5(tok) AS hx FROM toks WHERE tok <> ''),
+    bits AS (
+      SELECT doc_id, j,
+             CASE WHEN ((strpos('0123456789abcdef', substring(hx, 15 - j // 4, 1)) - 1)
+                        // CAST(pow(2, j % 4) AS BIGINT)) % 2 = 1
+                  THEN 1 ELSE -1 END AS w
+      FROM th CROSS JOIN unnest(generate_series(0, 15)) AS t(j)
+    ),
+    sums AS (SELECT doc_id, j, sum(w) AS s FROM bits GROUP BY 1, 2)
+    SELECT doc_id,
+           CAST(sum(CASE WHEN s > 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END) AS BIGINT)
+             AS simhash
+    FROM sums GROUP BY doc_id
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2/fingerprint: 16-bit simhash per document. The oracle extracts
+    the same bits straight from the md5 hex digits (bit j of the 60-bit
+    prefix = bit j%4 of hex digit 15 - j/4)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash16(docs)
+
+
+@register("dedup_minhash_ml")  # rows-only: Spark-ML hash family is internal
+def dedup_minhash_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 via pyspark.ml MinHashLSH (the stock scale path):
+    shingles → HashingTF vectors → approxSimilarityJoin at distance 0.5.
+
+    Registered without an oracle (driver does a rows-only check); the
+    portable-md5 variant above carries the cross-engine correctness
+    burden for LSH semantics."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    docs = load_table(spark, sf_dir, "documents")
+    sets = doc_shingles(docs).groupBy("doc_id").agg(
+        F.collect_set("shingle").alias("shingles")
+    )
+    tf = HashingTF(inputCol="shingles", outputCol="features", numFeatures=1 << 18)
+    feats = tf.transform(sets)
+    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42)
+    model = lsh.fit(feats)
+    pairs = model.approxSimilarityJoin(feats, feats, 0.5, distCol="jaccard_dist")
+    return (
+        pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("doc_a"),
+            F.col("datasetB.doc_id").alias("doc_b"),
+            F.col("jaccard_dist"),
+        )
+    )
