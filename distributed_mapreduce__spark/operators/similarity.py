@@ -1,0 +1,134 @@
+"""Vector similarity search (SURVEY.md §2.2 E3).
+
+Brute-force cosine top-k as the exact baseline; random-hyperplane LSH
+bucketing as the approximate scale path. Everything is built-in column
+algebra (zip_with/aggregate folds) — JVM-side, no Python in the hot path.
+
+Determinism contract: dot products are explicit LEFT-TO-RIGHT folds in
+double precision. Floating-point addition isn't associative, so a
+"sum in any order" dot product would differ across engines/partitionings
+in the last bits; a fixed fold order makes the doubles bit-identical to
+the DuckDB oracle (which uses list_reduce, also a left fold). That lets
+the driver hash raw similarity values, not just ranks.
+
+Scale (100 TB): brute-force is O(Q×N×d) — fine when Q is small and N
+is partitioned (each executor scores its shard; the window top-k moves
+only k rows per query per partition). The LSH path buckets vectors by
+sign-pattern against P shared hyperplanes (the planes are a tiny
+broadcast constant), so candidate scoring touches ~N/2^P per query.
+For production ANN, raise P and probe multiple buckets (multi-probe) or
+switch to IVF with learned centroids — same pipeline shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .relational import top_k_per_group
+
+N_PLANES = 8
+
+
+def dot_fold(a: Column, b: Column) -> Column:
+    """Σ a[i]·b[i] as a left fold in double (deterministic, portable)."""
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Attach ‖v‖ once per vector (computed pre-join, not per pair)."""
+    v = F.col(vec_col)
+    return df.withColumn("vnorm", F.sqrt(dot_fold(v, v)))
+
+
+def hyperplanes(spark, n_planes: int = N_PLANES, dim: int = 64) -> DataFrame:
+    """(plane, r): deterministic pseudo-random hyperplanes derived from
+    md5 — portable to the SQL oracle. Component j of plane p =
+    (hex32(md5('plane:p:j')) % 2001 - 1000) / 1000 ∈ [-1, 1]."""
+    return spark.range(n_planes).select(
+        F.col("id").cast("int").alias("plane"),
+        F.expr(
+            f"""
+            transform(sequence(0, {dim - 1}), j ->
+              (cast(conv(substring(md5(concat('plane:', id, ':', j)), 1, 8), 16, 10)
+                    as bigint) % 2001 - 1000) / 1000.0)
+            """
+        ).alias("r"),
+    )
+
+
+def lsh_buckets(
+    vectors: DataFrame, planes: DataFrame, vec_col: str = "embedding"
+) -> DataFrame:
+    """(vec_id, bucket): bucket = Σ_p [dot(v, r_p) > 0]·2^p.
+
+    The planes side is 8 tiny rows — broadcast; each vector is scored
+    against all planes with no shuffle of the vector table."""
+    scored = vectors.join(F.broadcast(planes)).select(
+        "vec_id",
+        "plane",
+        (dot_fold(F.col(vec_col), F.col("r")) > 0).cast("int").alias("bit"),
+    )
+    return scored.groupBy("vec_id").agg(
+        F.sum(F.expr("shiftleft(bit, plane)")).cast("long").alias("bucket")
+    )
+
+
+def cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    ``queries``/``corpus`` need (vec_id, embedding); self-matches are
+    excluded. Output: (query_id, neighbor_id, sim, rank) with a
+    deterministic (sim desc, neighbor asc) tie-break."""
+    q = with_norm(queries, vec_col).select(
+        F.col("vec_id").alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.col("vnorm").alias("q_norm"),
+    )
+    c = with_norm(corpus, vec_col).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        F.col("vnorm").alias("c_norm"),
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (dot_fold(F.col("q_vec"), F.col("c_vec")) / (F.col("q_norm") * F.col("c_norm"))).alias("sim"),
+        )
+    )
+    return top_k_per_group(
+        scored, ["query_id"], [F.desc("sim"), F.asc("neighbor_id")], k=k, rn_col="rank"
+    ).select("query_id", "neighbor_id", "sim", F.col("rank").cast("int").alias("rank"))
+
+
+def cosine_pairs_above(
+    vectors: DataFrame, threshold: float, vec_col: str = "embedding"
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: all (a < b) with sim ≥ t.
+
+    Brute force (N²/2 scoring) — the exact baseline; compose with
+    ``lsh_buckets`` equality to prune at scale (see the LSH query)."""
+    n = with_norm(vectors, vec_col)
+    a = n.select(
+        F.col("vec_id").alias("id_a"), F.col(vec_col).alias("va"), F.col("vnorm").alias("na")
+    )
+    b = n.select(
+        F.col("vec_id").alias("id_b"), F.col(vec_col).alias("vb"), F.col("vnorm").alias("nb")
+    )
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            (dot_fold(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+    )

@@ -1,1 +1,198 @@
-"""Placeholder — queries registered in a later milestone."""
+"""Similarity-search queries over ``embeddings`` (SURVEY.md §2.2 E3).
+
+Query set = vectors with vec_id % 50 == 0 (a deterministic sample).
+Similarities are left-fold double dot products (see
+operators/similarity.py) — bit-identical to the DuckDB list_reduce
+oracle, so raw sims participate in the value hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.similarity import (
+    cosine_pairs_above,
+    cosine_topk,
+    hyperplanes,
+    lsh_buckets,
+)
+from ..registry import register
+from ..sources.tables import load_table
+
+# --- shared oracle fragments ----------------------------------------------
+
+_DOT = (
+    "list_reduce(list_transform(generate_series(1, 64), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (x, y) -> x + y)"
+)
+
+_NV = f"""
+    nv AS (
+      SELECT vec_id, embedding,
+             sqrt({_DOT.format(a='embedding', b='embedding')}) AS vnorm
+      FROM embeddings
+    )
+"""
+
+_SIM_QC = (
+    _DOT.format(a="q.embedding", b="c.embedding") + " / (q.vnorm * c.vnorm)"
+)
+
+
+@register(
+    "similarity_topk",
+    oracle=f"""
+    WITH {_NV},
+    sims AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {_SIM_QC} AS sim
+      FROM nv q JOIN nv c ON c.vec_id <> q.vec_id
+      WHERE q.vec_id % 50 = 0
+    )
+    SELECT query_id, neighbor_id, sim, CAST(rn AS INTEGER) AS rank
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY sim DESC, neighbor_id ASC) AS rn
+      FROM sims
+    ) WHERE rn <= 10
+    """,
+)
+def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-10 per query (broadcast queries;
+    corpus scored shard-local, window moves k rows per partition)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return cosine_topk(queries, emb, k=10)
+
+
+@register(
+    "similarity_topk_lsh",
+    oracle=f"""
+    WITH {_NV},
+    planes AS (
+      SELECT p AS plane,
+             list_transform(generate_series(0, 63), j ->
+               (list_reduce(list_transform(generate_series(1, 8),
+                  i -> CAST(strpos('0123456789abcdef',
+                                   substring(md5('plane:' || p || ':' || j), i, 1)) - 1
+                            AS BIGINT)),
+                 (a, b) -> a * 16 + b) % 2001 - 1000) / 1000.0) AS r
+      FROM unnest(generate_series(0, 7)) AS t(p)
+    ),
+    scored AS (
+      SELECT vec_id, plane,
+             CASE WHEN list_reduce(list_transform(generate_series(1, 64),
+                        i -> CAST(embedding[i] AS DOUBLE) * r[i]), (x, y) -> x + y) > 0
+                  THEN 1 ELSE 0 END AS bit
+      FROM embeddings CROSS JOIN planes
+    ),
+    buckets AS (
+      SELECT vec_id, CAST(sum(bit * CAST(pow(2, plane) AS BIGINT)) AS BIGINT) AS bucket
+      FROM scored GROUP BY vec_id
+    ),
+    sims AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {_SIM_QC} AS sim
+      FROM nv q
+      JOIN buckets bq ON bq.vec_id = q.vec_id
+      JOIN buckets bc ON bc.bucket = bq.bucket
+      JOIN nv c ON c.vec_id = bc.vec_id AND c.vec_id <> q.vec_id
+      WHERE q.vec_id % 50 = 0
+    )
+    SELECT query_id, neighbor_id, sim, CAST(rn AS INTEGER) AS rank
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY sim DESC, neighbor_id ASC) AS rn
+      FROM sims
+    ) WHERE rn <= 10
+    """,
+)
+def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-10: random-hyperplane LSH (8 planes → 256 buckets)
+    prunes candidates to the query's bucket before exact scoring — the
+    scale path (≈N/256 scored per query instead of N)."""
+    from ..operators.relational import top_k_per_group
+    from ..operators.similarity import dot_fold, with_norm
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    planes = hyperplanes(spark, n_planes=8, dim=64)
+    buckets = lsh_buckets(emb, planes)
+    emb_b = with_norm(emb).join(buckets, "vec_id")
+    q = emb_b.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_vec"),
+        F.col("vnorm").alias("q_norm"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    scored = emb_b.join(
+        F.broadcast(q),
+        (F.col("bucket") == F.col("q_bucket")) & (F.col("vec_id") != F.col("query_id")),
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        (dot_fold(F.col("q_vec"), F.col("embedding")) / (F.col("q_norm") * F.col("vnorm"))).alias("sim"),
+    )
+    return top_k_per_group(
+        scored, ["query_id"], [F.desc("sim"), F.asc("neighbor_id")], k=10, rn_col="rank"
+    ).select("query_id", "neighbor_id", "sim", F.col("rank").cast("int").alias("rank"))
+
+
+@register(
+    "embedding_neardup",
+    oracle=f"""
+    WITH {_NV},
+    sims AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             {_DOT.format(a='a.embedding', b='b.embedding')} / (a.vnorm * b.vnorm) AS sim
+      FROM nv a JOIN nv b ON a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, sim FROM sims WHERE sim >= 0.95
+    """,
+)
+def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (≥ 0.95): the vector-space
+    member of the dedup family (north-star E2 list)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_pairs_above(emb, 0.95)
+
+
+@register("similarity_topk_pandas")  # rows-only: BLAS sum order ≠ fold order
+def similarity_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force top-10 via an Arrow-batched pandas UDF (numpy matmul).
+
+    The vectorized fast path: one BLAS GEMM per Arrow batch instead of
+    per-element column algebra. Registered rows-only — BLAS accumulates
+    in a different order than the portable fold, so last-bit sims differ
+    from the oracle (ranks agree; values can't hash-match)."""
+    import numpy as np
+    import pandas as pd
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qrows = emb.filter(F.col("vec_id") % 50 == 0).select("vec_id", "embedding").collect()
+    q_ids = np.array([r.vec_id for r in qrows])
+    q_mat = np.array([r.embedding for r in qrows], dtype=np.float64)
+    q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
+    b_q = spark.sparkContext.broadcast((q_ids, q_mat))
+
+    def score(batches):
+        ids, qm = b_q.value
+        for pdf in batches:
+            c_mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            c_mat /= np.linalg.norm(c_mat, axis=1, keepdims=True)
+            sims = qm @ c_mat.T  # (Q, B)
+            out = pd.DataFrame(
+                {
+                    "query_id": np.repeat(ids, len(pdf)),
+                    "neighbor_id": np.tile(pdf["vec_id"].to_numpy(), len(ids)),
+                    "sim": sims.ravel(),
+                }
+            )
+            yield out[out.query_id != out.neighbor_id]
+
+    scored = emb.select("vec_id", "embedding").mapInPandas(
+        score, schema="query_id long, neighbor_id long, sim double"
+    )
+    from ..operators.relational import top_k_per_group
+
+    return top_k_per_group(
+        scored, ["query_id"], [F.desc("sim"), F.asc("neighbor_id")], k=10, rn_col="rank"
+    ).select("query_id", "neighbor_id", "sim", F.col("rank").cast("int").alias("rank"))
