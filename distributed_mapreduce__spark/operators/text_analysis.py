@@ -1,0 +1,132 @@
+"""Text-analysis operators (north-star E4): language ID, quality
+scoring, token counting, document fingerprinting.
+
+All pure column algebra (regexp/array/fold built-ins) — JVM-side,
+codegen-friendly, no Python UDFs. Ratios divide exact integer counts, so
+the doubles are engine-identical (same two ints → same IEEE quotient).
+
+Scale: every operator here is embarrassingly parallel (per-document,
+no shuffle at all until an aggregation is requested) — the ideal shape
+for a 100 TB corpus scan: one pass, predicate/column pruning applies,
+and the only exchanges are the small per-group rollups.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language signature-word profiles for the n-gram/word heuristic
+# language identifier. Deliberately minimal — the operator's shape (profile
+# join + per-doc argmax) is what scales; production swaps in real profiles.
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "is", "and", "of"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "es": ("el", "la", "los", "es", "y"),
+    "fr": ("le", "la", "les", "est", "et"),
+}
+
+# Rolling-hash parameters (fingerprinting): h = (h*131 + ord(ch)) mod (2^31-1).
+# The modulus keeps every intermediate < 2^63 so 64-bit arithmetic never
+# overflows in any engine.
+FP_BASE = 131
+FP_MOD = 2_147_483_647
+
+
+def ws_tokens(col: str = "text") -> Column:
+    """Whitespace tokenization (normalized split — engine-portable)."""
+    return F.split(F.regexp_replace(F.trim(F.col(col)), r"\s+", " "), " ")
+
+
+def token_stats(docs: DataFrame) -> DataFrame:
+    """Per-doc token/char statistics + a composite quality score.
+
+    quality = alpha_ratio × min(1, n_tokens/20) — penalizes symbol soup
+    and very short documents; formula is fixed left-to-right arithmetic
+    on exact counts."""
+    toks = ws_tokens()
+    n_tokens = F.size(toks)
+    n_chars = F.length("text")
+    n_alpha = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[A-Za-z]"), 0))
+    n_punct = F.size(
+        F.regexp_extract_all(F.col("text"), F.lit(r"[^A-Za-z0-9\s]"), 0)
+    )
+    total_tok_len = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    )
+    return docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        n_tokens.alias("n_tokens"),
+        n_chars.alias("n_chars"),
+        (total_tok_len / n_tokens).alias("avg_token_len"),
+        (n_alpha / n_chars).alias("alpha_ratio"),
+        (n_punct / n_chars).alias("punct_ratio"),
+        (
+            (n_alpha / n_chars)
+            * F.least(F.lit(1.0), n_tokens / F.lit(20.0))
+        ).alias("quality_score"),
+    )
+
+
+def bpe_ish_token_count(col: str = "text") -> Column:
+    """Sub-word-ish token count: letter runs, digit runs, and single
+    non-alnum marks (a BPE pre-tokenizer's coarse upper bound)."""
+    return F.size(
+        F.regexp_extract_all(F.col(col), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0)
+    )
+
+
+def language_profiles_df(spark) -> DataFrame:
+    """(plang, pword) long-form profile table (broadcast-sized)."""
+    rows = [(lang, w) for lang, words in LANG_PROFILES.items() for w in words]
+    return spark.createDataFrame(rows, ["plang", "pword"])
+
+
+def lang_id(docs: DataFrame, profiles: DataFrame) -> DataFrame:
+    """Heuristic language ID: count profile-word hits per language, pick
+    the argmax (count desc, language asc tie-break); docs with zero hits
+    → 'und' (undetermined). One broadcast join + one small shuffle."""
+    from pyspark.sql import Window
+
+    tokens = docs.select(
+        "doc_id", "lang", F.explode(ws_tokens()).alias("tok")
+    )
+    hits = (
+        tokens.join(F.broadcast(profiles), F.col("tok") == F.col("pword"))
+        .groupBy("doc_id", "plang")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("n_hits"), F.asc("plang"))
+    best = (
+        hits.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("plang").alias("pred_lang"), "n_hits")
+    )
+    return (
+        docs.select("doc_id", "lang")
+        .join(best, "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            F.coalesce("pred_lang", F.lit("und")).alias("pred_lang"),
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+        )
+    )
+
+
+def rolling_fingerprint(docs: DataFrame, col: str = "text") -> DataFrame:
+    """Per-doc polynomial rolling hash over characters (left fold):
+    h_i = (h_{i-1}·131 + ord(ch_i)) mod (2^31-1). Order-sensitive by
+    construction (unlike md5-of-text it extends to windowed winnowing:
+    the same fold over k-char windows)."""
+    chars = F.split(F.col(col), "")
+    return docs.select(
+        "doc_id",
+        F.aggregate(
+            chars,
+            F.lit(0).cast("long"),
+            lambda acc, ch: (acc * FP_BASE + F.ascii(ch)) % FP_MOD,
+        ).alias("fingerprint"),
+    )

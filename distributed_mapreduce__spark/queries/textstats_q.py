@@ -1,1 +1,147 @@
-"""Placeholder — queries registered in a later milestone."""
+"""Text-analysis queries over ``documents`` (north-star E4).
+
+Ratios and scores divide exact integer counts (identical doubles across
+engines); per-language rollups aggregate only ints and min/max of
+doubles (both order-independent), never sums of doubles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.text_analysis import (
+    LANG_PROFILES,
+    bpe_ish_token_count,
+    lang_id,
+    language_profiles_df,
+    rolling_fingerprint,
+    token_stats,
+    ws_tokens,
+)
+from ..registry import register
+from ..sources.tables import load_table
+
+_TOKS = "string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ')"
+
+_PROFILE_VALUES = ", ".join(
+    f"('{lang}', '{w}')" for lang, words in LANG_PROFILES.items() for w in words
+)
+
+
+@register(
+    "text_quality",
+    oracle=f"""
+    SELECT doc_id, lang, source,
+           len({_TOKS}) AS n_tokens,
+           length(text) AS n_chars,
+           list_reduce(list_transform({_TOKS}, t -> CAST(length(t) AS BIGINT)),
+                       (a, b) -> a + b) / len({_TOKS}) AS avg_token_len,
+           len(regexp_extract_all(text, '[A-Za-z]')) / length(text) AS alpha_ratio,
+           len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) / length(text) AS punct_ratio,
+           (len(regexp_extract_all(text, '[A-Za-z]')) / length(text))
+             * least(1.0, len({_TOKS}) / 20.0) AS quality_score
+    FROM documents
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc quality profile: token/char counts, ratios, composite
+    score — one shuffle-free scan."""
+    return token_stats(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "lang_id_pred",
+    oracle=f"""
+    WITH profiles(plang, pword) AS (VALUES {_PROFILE_VALUES}),
+    tokens AS (
+      SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+    ),
+    hits AS (
+      SELECT doc_id, plang, count(*) AS n_hits
+      FROM tokens JOIN profiles ON tok = pword
+      GROUP BY doc_id, plang
+    ),
+    best AS (
+      SELECT doc_id, plang AS pred_lang, n_hits
+      FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                         ORDER BY n_hits DESC, plang ASC) AS rn
+            FROM hits)
+      WHERE rn = 1
+    )
+    SELECT d.doc_id, d.lang,
+           coalesce(b.pred_lang, 'und') AS pred_lang,
+           coalesce(b.n_hits, 0) AS n_hits
+    FROM documents d LEFT JOIN best b ON b.doc_id = d.doc_id
+    """,
+)
+def lang_id_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID: signature-word profile hits → per-doc
+    argmax (broadcast profile join; deterministic tie-break)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return lang_id(docs, language_profiles_df(spark))
+
+
+@register(
+    "token_counts",
+    oracle=f"""
+    SELECT source,
+           count(*) AS n_docs,
+           sum(CAST(len({_TOKS}) AS BIGINT)) AS ws_tokens,
+           sum(CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
+                    AS BIGINT)) AS bpe_tokens
+    FROM documents
+    GROUP BY source
+    """,
+)
+def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token budget per source under whitespace and BPE-ish
+    tokenizations (the 'how many training tokens do I have' query)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(ws_tokens()).cast("long")).alias("ws_tokens"),
+        F.sum(bpe_ish_token_count().cast("long")).alias("bpe_tokens"),
+    )
+
+
+@register(
+    "doc_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+                          list_transform(string_split(text, ''),
+                                         ch -> CAST(ord(ch) AS BIGINT))),
+             (acc, c) -> (acc * 131 + c) % 2147483647) AS fingerprint
+    FROM documents
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive rolling-hash fingerprint per document (the
+    char-fold that generalizes to winnowing windows)."""
+    return rolling_fingerprint(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "lang_quality_summary",
+    oracle=f"""
+    SELECT lang,
+           count(*) AS n_docs,
+           sum(CAST(len({_TOKS}) AS BIGINT)) AS total_tokens,
+           min(length(text)) AS min_chars,
+           max(length(text)) AS max_chars
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def lang_quality_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus rollup (int sums and min/max only — both
+    order-independent, so safe to hash)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(ws_tokens()).cast("long")).alias("total_tokens"),
+        F.min(F.length("text")).alias("min_chars"),
+        F.max(F.length("text")).alias("max_chars"),
+    )

@@ -54,4 +54,5 @@ def load_all() -> None:
         dedup_q,
         similarity_q,
         textstats_q,
+        multimodal_q,
     )

@@ -1,0 +1,77 @@
+"""Multimodal plumbing tests: schema, batch shape, determinism, explode
+counts (the decode itself is a documented stub — the Spark-side contract
+is what's under test)."""
+
+from __future__ import annotations
+
+import pytest
+
+from distributed_mapreduce__spark.operators.multimodal import (
+    extract_features,
+    resize_images,
+    sample_frames,
+    synthesize_media,
+    transcode,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    df = synthesize_media(spark, SF)
+    df.cache().count()
+    return df
+
+
+def test_media_schema_and_counts(spark, media):
+    assert [f.name for f in media.schema.fields] == ["media_id", "kind", "payload", "meta"]
+    assert media.schema["payload"].dataType.typeName() == "binary"
+    n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+    assert media.count() == n_docs
+    kinds = {r["kind"] for r in media.select("kind").distinct().collect()}
+    assert kinds == {"image", "audio", "video"}
+
+
+def test_features_align_one_to_one(media):
+    feats = extract_features(media)
+    assert feats.count() == media.count()
+    row = feats.filter(feats.media_id == 0).collect()[0]
+    assert len(row["histogram"]) == 8
+    assert abs(sum(row["histogram"]) - 1.0) < 1e-9
+    assert 0 <= row["mean_val"] <= 255
+
+
+def test_features_deterministic(media):
+    a = {r["media_id"]: r["mean_val"] for r in extract_features(media).collect()}
+    b = {r["media_id"]: r["mean_val"] for r in extract_features(media).collect()}
+    assert a == b
+
+
+def test_resize_shape(media):
+    out = resize_images(media, 8, 8)
+    rows = out.collect()
+    n_images = media.filter(media.kind == "image").count()
+    assert len(rows) == n_images
+    assert all(len(r["pixels"]) == 64 for r in rows)
+
+
+def test_frame_sampling_explodes(spark, media):
+    frames = sample_frames(media, every_k=2)
+    from pyspark.sql import functions as F
+
+    vids = media.filter(media.kind == "video").select(
+        "media_id", F.col("meta.n_frames").alias("n"), F.col("meta.width").alias("w"),
+        F.col("meta.height").alias("h")
+    ).collect()
+    expected = sum((v["n"] + 1) // 2 for v in vids)
+    assert frames.count() == expected
+    # frame slices carry exactly one frame of bytes
+    sizes = {v["media_id"]: v["w"] * v["h"] for v in vids}
+    for r in frames.limit(20).collect():
+        assert len(r["frame_payload"]) == sizes[r["media_id"]]
+
+
+def test_transcode_is_explicit_stub(media):
+    with pytest.raises(NotImplementedError):
+        transcode(media, "image/png")
