@@ -57,6 +57,9 @@ def doc_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
 
     Documents with < n tokens yield no shingles (excluded from fuzzy
     dedup — they have no n-gram support)."""
+    from ..plans.partitioning import spread
+
+    docs = spread(docs)
     # Split a whitespace-collapsed text on a literal space: identical
     # token arrays in Spark and DuckDB (regex-split keeps/drops edge
     # empties differently across engines).
@@ -79,41 +82,51 @@ def doc_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
     )
 
 
+# Minhash universe: affine transforms of one 60-bit md5 value modulo a
+# Mersenne prime (Carter-Wegman family) — ONE md5 per shingle, 16 cheap
+# integer hashes derived from it, each minimized in the same single
+# aggregation pass (16 min() columns — no seed explode, no extra rows).
+MH_PRIME = 2_147_483_647
+
+
+def _seed_hash(s: int) -> F.Column:
+    """h_s(shingle) = (H·(2s+1) + s) mod p with H = md5-int mod p."""
+    return (F.col("hm") * F.lit(2 * s + 1) + F.lit(s)) % F.lit(MH_PRIME)
+
+
 def minhash_signatures(shingles: DataFrame, n_seeds: int = N_SEEDS) -> DataFrame:
-    """(doc_id, seed, mh): per-seed minhash = lexicographic min of
-    md5('<seed>:'||shingle). Hex-string min is portable across engines;
-    partial aggregation collapses each partition to one row per
-    (doc, seed) before the shuffle."""
-    return (
-        shingles.select(
-            "doc_id", F.explode(F.expr(f"sequence(0, {n_seeds - 1})")).alias("seed"), "shingle"
-        )
-        .select(
-            "doc_id",
-            "seed",
-            F.md5(F.concat_ws(":", F.col("seed"), F.col("shingle"))).alias("h"),
-        )
-        .groupBy("doc_id", "seed")
-        .agg(F.min("h").alias("mh"))
+    """(doc_id, mh0..mh{n-1}): all minhashes in one aggregation pass.
+
+    Shuffle volume is one row per document (n_seeds longs wide) —
+    independent of shingle count; partial aggregation does the mins
+    map-side."""
+    hm = (
+        F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("long")
+        % F.lit(MH_PRIME)
+    ).alias("hm")
+    hashed = shingles.select("doc_id", hm)
+    return hashed.groupBy("doc_id").agg(
+        *[F.min(_seed_hash(s)).alias(f"mh{s}") for s in range(n_seeds)]
     )
 
 
 def lsh_bands(signatures: DataFrame, band_rows: int = BAND_ROWS) -> DataFrame:
-    """(doc_id, band, band_key): hash each band's concatenated minhashes."""
-    return (
-        signatures.withColumn("band", F.expr(f"seed div {band_rows}"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.md5(
-                F.array_join(
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("seed", "mh"))),
-                        lambda x: x["mh"],
-                    ),
-                    ",",
-                )
-            ).alias("band_key")
-        )
+    """(doc_id, band, band_key): md5 over each band's minhash columns,
+    unpivoted to long form with stack() — pure projection, no shuffle."""
+    n_seeds = sum(1 for f in signatures.schema.fields if f.name.startswith("mh"))
+    n_bands = n_seeds // band_rows
+    keys = [
+        F.md5(
+            F.concat_ws(
+                ",", *[F.col(f"mh{b * band_rows + r}") for r in range(band_rows)]
+            )
+        ).alias(f"k{b}")
+        for b in range(n_bands)
+    ]
+    wide = signatures.select("doc_id", *keys)
+    stack_args = ", ".join(f"{b}, k{b}" for b in range(n_bands))
+    return wide.selectExpr(
+        "doc_id", f"stack({n_bands}, {stack_args}) as (band, band_key)"
     )
 
 
@@ -143,20 +156,33 @@ def exact_jaccard(shingles: DataFrame, pairs: DataFrame | None = None) -> DataFr
     exact small-scale baseline). jaccard = |∩| / (|A|+|B|-|∩|) — integer
     inputs, so the double is engine-identical."""
     sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    sa = shingles.alias("sa")
-    sb = shingles.alias("sb")
-    inter = (
-        sa.join(
-            sb,
-            (F.col("sa.shingle") == F.col("sb.shingle"))
-            & (F.col("sa.doc_id") < F.col("sb.doc_id")),
-        )
-        .select(F.col("sa.doc_id").alias("doc_a"), F.col("sb.doc_id").alias("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_inter"))
-    )
     if pairs is not None:
-        inter = inter.join(pairs, ["doc_a", "doc_b"], "left_semi")
+        # Candidate-restricted path: fan the (small) pair list out to the
+        # two shingle sets instead of materializing every shared-shingle
+        # pair in the corpus — the all-pairs join is quadratic in
+        # docs-per-shingle and is exactly what LSH exists to avoid.
+        sa = shingles.select(F.col("doc_id").alias("doc_a"), "shingle")
+        sb = shingles.select(F.col("doc_id").alias("doc_b"), "shingle")
+        inter = (
+            F.broadcast(pairs)
+            .join(sa, "doc_a")
+            .join(sb, ["doc_b", "shingle"])
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count("*").alias("n_inter"))
+        )
+    else:
+        sa = shingles.alias("sa")
+        sb = shingles.alias("sb")
+        inter = (
+            sa.join(
+                sb,
+                (F.col("sa.shingle") == F.col("sb.shingle"))
+                & (F.col("sa.doc_id") < F.col("sb.doc_id")),
+            )
+            .select(F.col("sa.doc_id").alias("doc_a"), F.col("sb.doc_id").alias("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count("*").alias("n_inter"))
+        )
     za = sizes.alias("za")
     zb = sizes.alias("zb")
     return (
@@ -179,8 +205,11 @@ def simhash16(docs: DataFrame) -> DataFrame:
 
     All-integer arithmetic → engine-identical. 16 bits keeps the
     bit-explode fanout (tokens × 16) modest; widen for production use."""
+    from ..plans.partitioning import spread
+
     toks = (
-        docs.select(
+        spread(docs)
+        .select(
             "doc_id",
             F.explode(
                 F.split(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "), " ")

@@ -61,7 +61,9 @@ def synthesize_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     payload bytes = repeated md5 of the text, sized by the (fake) meta.
     Exists so the multimodal plumbing is exercised against driver
     fixtures without binary test data."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from ..plans.partitioning import spread
+
+    docs = spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
     def gen(batches):
         import pandas as pd

@@ -37,9 +37,15 @@ def dot_fold(a: Column, b: Column) -> Column:
 
 
 def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
-    """Attach ‖v‖ once per vector (computed pre-join, not per pair)."""
+    """Attach ‖v‖ once per vector (computed pre-join, not per pair).
+
+    Spreads the input first: the fixture parquet arrives as one scan
+    partition, and everything downstream (norms, pair scoring) is
+    per-row compute that must parallelize."""
+    from ..plans.partitioning import spread
+
     v = F.col(vec_col)
-    return df.withColumn("vnorm", F.sqrt(dot_fold(v, v)))
+    return spread(df).withColumn("vnorm", F.sqrt(dot_fold(v, v)))
 
 
 def hyperplanes(spark, n_planes: int = N_PLANES, dim: int = 64) -> DataFrame:

@@ -44,6 +44,9 @@ def token_stats(docs: DataFrame) -> DataFrame:
     quality = alpha_ratio × min(1, n_tokens/20) — penalizes symbol soup
     and very short documents; formula is fixed left-to-right arithmetic
     on exact counts."""
+    from ..plans.partitioning import spread
+
+    docs = spread(docs)
     toks = ws_tokens()
     n_tokens = F.size(toks)
     n_chars = F.length("text")
@@ -90,7 +93,9 @@ def lang_id(docs: DataFrame, profiles: DataFrame) -> DataFrame:
     → 'und' (undetermined). One broadcast join + one small shuffle."""
     from pyspark.sql import Window
 
-    tokens = docs.select(
+    from ..plans.partitioning import spread
+
+    tokens = spread(docs).select(
         "doc_id", "lang", F.explode(ws_tokens()).alias("tok")
     )
     hits = (
@@ -121,8 +126,10 @@ def rolling_fingerprint(docs: DataFrame, col: str = "text") -> DataFrame:
     h_i = (h_{i-1}·131 + ord(ch_i)) mod (2^31-1). Order-sensitive by
     construction (unlike md5-of-text it extends to windowed winnowing:
     the same fold over k-char windows)."""
+    from ..plans.partitioning import spread
+
     chars = F.split(F.col(col), "")
-    return docs.select(
+    return spread(docs).select(
         "doc_id",
         F.aggregate(
             chars,

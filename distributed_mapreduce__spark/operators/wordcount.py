@@ -36,8 +36,11 @@ DEFAULT_TOP_K = 5
 
 def words(df: DataFrame, text_col: str = "value") -> DataFrame:
     """O2-O4: tokenize → normalize → drop empties. → DataFrame[word]."""
+    from ..plans.partitioning import spread
+
     return (
-        df.select(F.explode(tokenize(text_col)).alias("tok"))
+        spread(df)
+        .select(F.explode(tokenize(text_col)).alias("tok"))
         .select(normalize_word("tok").alias("word"))
         .filter(F.col("word") != "")
     )

@@ -1,0 +1,28 @@
+"""Plan-inspection helpers: programmatic access to the physical plan for
+tests and tuning (broadcast-join presence, pushdown checks, codegen
+coverage) — the engine's replacement for eyeballing the Spark UI."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def explain_str(df: DataFrame, mode: str = "formatted") -> str:
+    """The explain output as a string (instead of stdout)."""
+    return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+        df._jdf.queryExecution(), mode
+    )
+
+
+def physical_summary(df: DataFrame) -> dict[str, int]:
+    """Counts of scale-relevant physical operators in the executed plan."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return {
+        "broadcast_hash_join": plan.count("BroadcastHashJoin"),
+        "sort_merge_join": plan.count("SortMergeJoin"),
+        "shuffle_exchange": plan.count("Exchange hashpartitioning")
+        + plan.count("Exchange rangepartitioning")
+        + plan.count("Exchange RoundRobinPartitioning"),
+        "wholestage_codegen": plan.count("WholeStageCodegen"),
+        "pushed_filters": plan.count("PushedFilters: ["),
+    }

@@ -50,6 +50,17 @@ _SHINGLES_CTE = f"""
 
 _JACCARD = "CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter)"
 
+# MinHash oracle pieces mirroring operators/dedup.py: one 60-bit md5 value
+# per shingle (hex-digit fold), 16 affine seed-hashes minimized per doc,
+# 8 band keys from adjacent minhash pairs.
+_MH_SIG_COLS = ",\n             ".join(
+    f"min((hm * {2 * s + 1} + {s}) % 2147483647) AS mh{s}" for s in range(16)
+)
+_MH_BANDS_UNION = "\n      UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band, md5(mh{2 * b} || ',' || mh{2 * b + 1}) AS band_key FROM sig"
+    for b in range(8)
+)
+
 
 @register(
     "dedup_exact",
@@ -87,15 +98,21 @@ def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_minhash_pairs",
     oracle=f"""
     WITH {_SHINGLES_CTE},
+    hmv AS (
+      SELECT doc_id,
+             list_reduce(list_transform(generate_series(1, 15),
+                i -> CAST(strpos('0123456789abcdef', substring(md5(shingle), i, 1)) - 1
+                          AS BIGINT)),
+               (a, b) -> a * 16 + b) % 2147483647 AS hm
+      FROM sh
+    ),
     sig AS (
-      SELECT doc_id, seed, min(md5(seed || ':' || shingle)) AS mh
-      FROM sh CROSS JOIN unnest(generate_series(0, 15)) AS s(seed)
-      GROUP BY doc_id, seed
+      SELECT doc_id,
+             {_MH_SIG_COLS}
+      FROM hmv GROUP BY doc_id
     ),
     bands AS (
-      SELECT doc_id, seed // 2 AS band,
-             md5(string_agg(mh, ',' ORDER BY seed)) AS band_key
-      FROM sig GROUP BY doc_id, seed // 2
+      {_MH_BANDS_UNION}
     ),
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -115,7 +132,11 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E2 scale path: MinHash(16 seeds) → LSH(8 bands × 2) candidates →
     exact-Jaccard verification at 0.5. Oracle replays every stage."""
     docs = load_table(spark, sf_dir, "documents")
-    sh = doc_shingles(docs)
+    # The distinct shingle set feeds signatures, both jaccard sides, and
+    # the size table — persist it once instead of recomputing the
+    # tokenize/explode/distinct subtree four times. (At 100 TB this is a
+    # disk-backed persist or an explicit intermediate table.)
+    sh = doc_shingles(docs).persist()
     cands = lsh_candidate_pairs(lsh_bands(minhash_signatures(sh)))
     return exact_jaccard(sh, pairs=cands).filter(F.col("jaccard") >= 0.5)
 
@@ -136,7 +157,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared-shingle join (quadratic in docs-per-shingle — small-scale
     ground truth for the LSH path's recall)."""
     docs = load_table(spark, sf_dir, "documents")
-    return exact_jaccard(doc_shingles(docs)).filter(F.col("jaccard") >= 0.5)
+    return exact_jaccard(doc_shingles(docs).persist()).filter(
+        F.col("jaccard") >= 0.5
+    )
 
 
 @register(

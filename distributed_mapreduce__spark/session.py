@@ -65,6 +65,14 @@ def build_session(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
+        # Local-fixture knob: the test parquet files are ~1-20 MB, so the
+        # default 128 MB split yields ONE scan partition and serializes
+        # the map stage. 4 MB splits let row groups parallelize. On a
+        # real cluster with TB-scale inputs, raise this back to 128 MB+.
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", str(4 * 1024 * 1024)),
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "12g"))
         .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
     )

@@ -8,6 +8,9 @@ import pytest
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
+# Tiny fixtures: 8-way parallelism beats 32 tasks of overhead per stage.
+os.environ.setdefault("SPARK_GRAFT_CPUS", "8")
+
 from distributed_mapreduce__spark.session import build_session  # noqa: E402
 
 SF_SMOKE = "/root/testdata/sf0.001"
