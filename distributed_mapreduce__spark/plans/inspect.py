@@ -4,6 +4,8 @@ coverage) — the engine's replacement for eyeballing the Spark UI."""
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 
 
@@ -23,6 +25,9 @@ def physical_summary(df: DataFrame) -> dict[str, int]:
         "shuffle_exchange": plan.count("Exchange hashpartitioning")
         + plan.count("Exchange rangepartitioning")
         + plan.count("Exchange RoundRobinPartitioning"),
-        "wholestage_codegen": plan.count("WholeStageCodegen"),
+        # codegen spans print as "WholeStageCodegen (n)" in formatted mode
+        # and as "*(n) " stage markers in tree mode
+        "wholestage_codegen": plan.count("WholeStageCodegen")
+        + len(set(re.findall(r"\*\((\d+)\)", plan))),
         "pushed_filters": plan.count("PushedFilters: ["),
     }

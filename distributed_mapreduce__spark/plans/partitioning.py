@@ -16,6 +16,8 @@ from pyspark.sql import DataFrame
 def spread(df: DataFrame, min_factor: float = 1.0) -> DataFrame:
     """Repartition up to session parallelism iff the plan currently has
     fewer partitions (round-robin; one cheap narrow-input shuffle)."""
+    if df.isStreaming:  # micro-batch sizing is the stream scheduler's job
+        return df
     cores = df.sparkSession.sparkContext.defaultParallelism
     target = max(1, int(cores * min_factor))
     if df.rdd.getNumPartitions() >= target:

@@ -317,6 +317,55 @@ def rollup_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- cube ------------------------------------------------------------------
+
+
+@register(
+    "cube_status_priority",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS revenue
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all 2^n grouping-set combinations in one pass (Catalyst
+    plans a single Expand + aggregate — not n² scans)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(dec("o_totalprice")).cast("decimal(38,2)").alias("revenue"),
+    )
+
+
+# --- exact quantiles -------------------------------------------------------
+
+
+@register(
+    "quantile_quantity",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.5) AS median_qty,
+           quantile_cont(l_quantity, [0.25, 0.5, 0.75]) AS qty_quartiles
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def quantile_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (both engines use the same
+    (1-g)·a + g·b linear interpolation over the sorted values). For
+    100 TB use approx_percentile — sketches merge; exact sorts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", F.lit(0.5)).alias("median_qty"),
+        F.percentile("l_quantity", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))).alias(
+            "qty_quartiles"
+        ),
+    )
+
+
 # --- pivot -----------------------------------------------------------------
 
 

@@ -55,4 +55,5 @@ def load_all() -> None:
         similarity_q,
         textstats_q,
         multimodal_q,
+        asof_q,
     )

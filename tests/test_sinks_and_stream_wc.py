@@ -1,0 +1,64 @@
+"""Sink round-trips + streaming word-count parity (SURVEY.md §2.1
+O7/O10/O14 and Q1-as-a-stream)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from distributed_mapreduce__spark.operators.wordcount import word_counts
+from distributed_mapreduce__spark.plans.inspect import physical_summary
+from distributed_mapreduce__spark.sources.sinks import (
+    write_json_lines,
+    write_partitioned_parquet,
+)
+from distributed_mapreduce__spark.sources.tables import load_table
+from distributed_mapreduce__spark.streaming.windows import run_to_memory_sink
+from distributed_mapreduce__spark.streaming.wordcount import stream_word_counts
+
+SF = "/root/testdata/sf0.001"
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_json_lines_roundtrip(spark, tmp_path):
+    docs = load_table(spark, SF, "documents")
+    out = str(tmp_path / "docs_json")
+    write_json_lines(docs.select("doc_id", "text", "lang"), out)
+    back = spark.read.json(out)
+    assert back.count() == docs.count()
+    assert _rows(back.select("doc_id", "lang")) == _rows(docs.select("doc_id", "lang"))
+
+
+def test_partitioned_parquet_prunes(spark, tmp_path):
+    docs = load_table(spark, SF, "documents")
+    out = str(tmp_path / "docs_part")
+    write_partitioned_parquet(docs, out, "lang")
+    back = spark.read.parquet(out)
+    one = back.filter(F.col("lang") == "en")
+    assert _rows(one.select("doc_id")) == _rows(
+        docs.filter(F.col("lang") == "en").select("doc_id")
+    )
+    # partition pruning: the physical scan must carry a PartitionFilters
+    # entry on lang (not a post-scan filter over all partitions)
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "lang" in plan.split("PartitionFilters:")[1][:200]
+
+
+def test_stream_wordcount_equals_batch(spark):
+    batch = word_counts(load_table(spark, SF, "documents"), text_col="text")
+    stream = stream_word_counts(spark, SF)
+    run_to_memory_sink(stream, "wc_out", output_mode="complete")
+    assert _rows(spark.table("wc_out")) == _rows(batch)
+
+
+def test_wordcount_plan_shape(spark):
+    """The word-count plan must be the two-phase aggregate + single
+    exchange Spark-native form (SURVEY.md §2.1 O5-O9)."""
+    df = word_counts(load_table(spark, SF, "documents"), text_col="text")
+    df.collect()  # finalize the AQE plan so codegen spans are visible
+    s = physical_summary(df)
+    assert s["shuffle_exchange"] >= 1
+    assert s["wholestage_codegen"] >= 1
+    assert s["sort_merge_join"] == 0 and s["broadcast_hash_join"] == 0
