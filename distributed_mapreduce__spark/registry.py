@@ -56,4 +56,7 @@ def load_all() -> None:
         textstats_q,
         multimodal_q,
         asof_q,
+        mapreduce_q,
+        sql_q,
+        functions_q,
     )
