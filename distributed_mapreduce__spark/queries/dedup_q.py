@@ -132,11 +132,12 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E2 scale path: MinHash(16 seeds) → LSH(8 bands × 2) candidates →
     exact-Jaccard verification at 0.5. Oracle replays every stage."""
     docs = load_table(spark, sf_dir, "documents")
-    # The distinct shingle set feeds signatures, both jaccard sides, and
-    # the size table — persist it once instead of recomputing the
-    # tokenize/explode/distinct subtree four times. (At 100 TB this is a
-    # disk-backed persist or an explicit intermediate table.)
-    sh = doc_shingles(docs).persist()
+    # The shingle subtree feeds signatures, both jaccard sides, and the
+    # size table; measured, recomputing it (parallel, ReusedExchange
+    # where plans align) beats persisting — blocking materialization
+    # cost more than it saved. At 100 TB, revisit with a disk-backed
+    # persist or an explicit intermediate table.
+    sh = doc_shingles(docs)
     cands = lsh_candidate_pairs(lsh_bands(minhash_signatures(sh)))
     return exact_jaccard(sh, pairs=cands).filter(F.col("jaccard") >= 0.5)
 
@@ -157,9 +158,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared-shingle join (quadratic in docs-per-shingle — small-scale
     ground truth for the LSH path's recall)."""
     docs = load_table(spark, sf_dir, "documents")
-    return exact_jaccard(doc_shingles(docs).persist()).filter(
-        F.col("jaccard") >= 0.5
-    )
+    return exact_jaccard(doc_shingles(docs)).filter(F.col("jaccard") >= 0.5)
 
 
 @register(
