@@ -125,7 +125,8 @@ def rolling_fingerprint(docs: DataFrame, col: str = "text") -> DataFrame:
     """Per-doc polynomial rolling hash over characters (left fold):
     h_i = (h_{i-1}·131 + ord(ch_i)) mod (2^31-1). Order-sensitive by
     construction (unlike md5-of-text it extends to windowed winnowing:
-    the same fold over k-char windows)."""
+    the same fold over k-char windows; see :func:`winnow_fingerprints`
+    for that generalization)."""
     from ..plans.partitioning import spread
 
     chars = F.split(F.col(col), "")
@@ -136,4 +137,54 @@ def rolling_fingerprint(docs: DataFrame, col: str = "text") -> DataFrame:
             F.lit(0).cast("long"),
             lambda acc, ch: (acc * FP_BASE + F.ascii(ch)) % FP_MOD,
         ).alias("fingerprint"),
+    )
+
+
+def winnow_fingerprints(docs: DataFrame, k: int = 3, w: int = 4) -> DataFrame:
+    """Winnowing (Schleimer/Wilkerson/Aiken): per document, hash the
+    positional k-gram shingles, then keep the MIN hash of every window
+    of ``w`` consecutive shingles; the distinct mins are the document's
+    fingerprint set. Guarantees any shared run of ≥ w+k-1 tokens yields
+    a shared fingerprint — the local-similarity detector that a single
+    whole-document hash can't provide.
+
+    Pure window algebra (one shuffle on doc_id); hashes are the portable
+    60-bit-md5-mod-p family, so the oracle replays it exactly.
+    """
+    from pyspark.sql import Window
+
+    from ..plans.partitioning import spread
+
+    toks = spread(docs).select(
+        "doc_id",
+        F.split(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "), " ").alias("toks"),
+    )
+    grams = ", ".join(f"toks[i+{j}]" for j in range(k))
+    hashed = (
+        toks.filter(F.size("toks") >= k)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(0, size(toks)-{k}), i -> concat_ws(' ', {grams}))"
+                )
+            ).alias("pos", "shingle"),
+        )
+        .select(
+            "doc_id",
+            "pos",
+            (
+                F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("long")
+                % F.lit(FP_MOD)
+            ).alias("h"),
+        )
+    )
+    per_doc = Window.partitionBy("doc_id")
+    win = per_doc.orderBy("pos").rowsBetween(0, w - 1)
+    return (
+        hashed.withColumn("n", F.count("*").over(per_doc))
+        .withColumn("fp", F.min("h").over(win))
+        .filter(F.col("pos") <= F.col("n") - w)  # full windows only (0-based)
+        .select("doc_id", "fp")
+        .distinct()
     )

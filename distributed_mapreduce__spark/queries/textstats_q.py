@@ -124,6 +124,45 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_winnow",
+    oracle=f"""
+    WITH tarr AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    tpos AS (SELECT doc_id, unnest(t) AS tok, generate_subscripts(t, 1) AS pos FROM tarr),
+    sh AS (
+      SELECT a.doc_id, a.pos - 1 AS pos,
+             a.tok || ' ' || b.tok || ' ' || c.tok AS shingle
+      FROM tpos a
+      JOIN tpos b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+      JOIN tpos c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+    ),
+    hashed AS (
+      SELECT doc_id, pos,
+             list_reduce(list_transform(generate_series(1, 15),
+                i -> CAST(strpos('0123456789abcdef', substring(md5(shingle), i, 1)) - 1
+                          AS BIGINT)),
+               (a, b) -> a * 16 + b) % 2147483647 AS h
+      FROM sh
+    ),
+    winned AS (
+      SELECT doc_id, pos,
+             min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+             count(*) OVER (PARTITION BY doc_id) AS n
+      FROM hashed
+    )
+    SELECT DISTINCT doc_id, fp FROM winned WHERE pos <= n - 4
+    """,
+)
+def doc_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint sets (k=3 shingles, w=4 windows): the
+    local-similarity fingerprint — shared token runs of ≥ 6 guarantee a
+    shared fingerprint. Oracle replays hash + window min exactly."""
+    from ..operators.text_analysis import winnow_fingerprints
+
+    return winnow_fingerprints(load_table(spark, sf_dir, "documents"), k=3, w=4)
+
+
+@register(
     "lang_quality_summary",
     oracle=f"""
     SELECT lang,
