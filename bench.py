@@ -21,18 +21,26 @@ sys.path.insert(0, REPO)
 from distributed_mapreduce__spark import registry
 from distributed_mapreduce__spark.session import build_session
 
-# Headline set: one per capability area (kept in sync as areas land).
+# Headline set: at least one query per capability area.
 HEADLINE = [
     "wordcount_full",
     "wordcount_topk",
+    "wordcount_salted",
     "pricing_summary",
     "revenue_by_nation",
     "topk_parts_per_brand",
+    "sql_unshipped_revenue",
+    "quantile_quantity",
+    "customer_order_timeline",
     "dedup_exact",
     "dedup_minhash_pairs",
     "similarity_topk",
+    "similarity_topk_lsh_multiprobe",
     "text_quality",
+    "doc_winnow",
     "events_tumbling",
+    "events_sessions",
+    "events_asof_orders",
 ]
 
 
