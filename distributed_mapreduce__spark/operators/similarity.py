@@ -115,6 +115,33 @@ def cosine_topk(
     ).select("query_id", "neighbor_id", "sim", F.col("rank").cast("int").alias("rank"))
 
 
+def ivf_assignments(
+    vectors: DataFrame, k: int = 16, seed: int = 42, vec_col: str = "embedding"
+) -> tuple[DataFrame, "object"]:
+    """IVF coarse quantizer: k-means centroids + per-vector cell ids.
+
+    Returns (assignments DataFrame[vec_id, cell], fitted KMeansModel).
+    The centroid fit is the one ML-training step in the engine — seeded,
+    so assignments are reproducible run-to-run (but not portable to a
+    SQL oracle; IVF queries register rows-only and are recall-tested
+    against the exact baseline instead).
+
+    Scale: centroids are a tiny broadcast model; assignment is one
+    embarrassingly-parallel pass. Real IVF training samples the corpus
+    (fit on ~1M vectors, assign 100 TB) — same shape here.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = vectors.select(
+        "vec_id", array_to_vector(F.col(vec_col)).alias("features")
+    )
+    model = KMeans(k=k, seed=seed, featuresCol="features", predictionCol="cell").fit(
+        feats
+    )
+    return model.transform(feats).select("vec_id", "cell"), model
+
+
 def cosine_pairs_above(
     vectors: DataFrame, threshold: float, vec_col: str = "embedding"
 ) -> DataFrame:

@@ -257,6 +257,59 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_pairs_above(emb, 0.95)
 
 
+@register("similarity_topk_ivf")  # rows-only: k-means fit isn't SQL-portable
+def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: k-means coarse quantizer (16 cells), queries probe
+    their own cell plus the nearest neighbor cells' members via a
+    broadcast of the query rows; exact cosine within the probed cells.
+
+    nprobe here = 2 (own cell + each query's 2nd-closest centroid);
+    rows-only check + a recall test against the exact baseline in
+    tests/test_similarity_quality.py."""
+    from ..operators.relational import top_k_per_group
+    from ..operators.similarity import dot_fold, ivf_assignments, with_norm
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assign, model = ivf_assignments(emb, k=16)
+    # Per-query probe list: own cell + second-nearest centroid (computed
+    # driver-side over the tiny centroid matrix — 16 rows).
+    import numpy as np
+
+    centroids = np.array(model.clusterCenters())
+
+    emb_b = with_norm(emb).join(assign, "vec_id")
+    queries = emb_b.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_vec"),
+        F.col("vnorm").alias("q_norm"),
+    )
+    qrows = queries.collect()
+    probe_rows = []
+    for r in qrows:
+        v = np.array(r.q_vec)
+        d = ((centroids - v) ** 2).sum(axis=1)
+        for cell in np.argsort(d)[:2]:
+            probe_rows.append((r.query_id, int(cell)))
+    probes = spark.createDataFrame(probe_rows, ["query_id", "cell"])
+
+    scored = (
+        emb_b.join(F.broadcast(probes.join(queries, "query_id")), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (
+                dot_fold(F.col("q_vec"), F.col("embedding"))
+                / (F.col("q_norm") * F.col("vnorm"))
+            ).alias("sim"),
+        )
+        .distinct()
+    )
+    return top_k_per_group(
+        scored, ["query_id"], [F.desc("sim"), F.asc("neighbor_id")], k=10, rn_col="rank"
+    ).select("query_id", "neighbor_id", "sim", F.col("rank").cast("int").alias("rank"))
+
+
 @register("similarity_topk_pandas")  # rows-only: BLAS sum order ≠ fold order
 def similarity_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force top-10 via an Arrow-batched pandas UDF (numpy matmul).
