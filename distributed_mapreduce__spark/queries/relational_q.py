@@ -472,6 +472,154 @@ def orders_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- two-sided dimension join (TPC-H Q7 shape) -----------------------------
+
+
+@register(
+    "trade_volume_by_nations",
+    oracle="""
+    SELECT n1.n_name AS cust_nation, n2.n_name AS supp_nation,
+           CAST(year(l_shipdate) AS INTEGER) AS l_year,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(1 - l_discount AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS volume
+    FROM lineitem
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation n1 ON n1.n_nationkey = c_nationkey
+    JOIN nation n2 ON n2.n_nationkey = s_nationkey
+    WHERE n1.n_name <> n2.n_name
+      AND l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY 1, 2, 3
+    """,
+)
+def trade_volume_by_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q7 shape: the same dimension (nation) joined twice under
+    different roles — both sides broadcast, fact tables never shuffle
+    for the dimension lookups."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("cust_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
+    )
+    cust = customer.join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+    supp = supplier.join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+    return (
+        li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .filter(F.col("cust_nation") != F.col("supp_nation"))
+        .groupBy(
+            "cust_nation",
+            "supp_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(F.sum(disc_price()).cast("decimal(38,4)").alias("volume"))
+    )
+
+
+# --- correlated subquery (TPC-H Q2 shape) ----------------------------------
+
+
+@register(
+    "max_line_per_order",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_extendedprice
+    FROM lineitem l1
+    WHERE l_extendedprice = (
+      SELECT max(l_extendedprice) FROM lineitem l2
+      WHERE l2.l_orderkey = l1.l_orderkey
+    )
+    """,
+)
+def max_line_per_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-subquery shape (TPC-H Q2's min-cost pattern): rows
+    matching their group's extremum. DataFrame form is the standard
+    decorrelation — aggregate once, join back (one extra shuffle instead
+    of a per-row subquery; ties keep all rows in both engines)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    mx = li.groupBy(F.col("l_orderkey").alias("mk")).agg(
+        F.max("l_extendedprice").alias("max_price")
+    )
+    return (
+        li.join(
+            mx,
+            (F.col("l_orderkey") == F.col("mk"))
+            & (F.col("l_extendedprice") == F.col("max_price")),
+        )
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+    )
+
+
+# --- range (band) join -----------------------------------------------------
+
+
+@register(
+    "orders_price_bands",
+    oracle="""
+    WITH bands(band_name, lo, hi) AS (
+      VALUES ('small', 0.0, 50000.0),
+             ('mid', 50000.0, 200000.0),
+             ('big', 200000.0, 1000000000.0)
+    )
+    SELECT band_name, count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS revenue
+    FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
+    GROUP BY band_name
+    """,
+)
+def orders_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (band) join: fact rows matched to interval dimension rows
+    by BETWEEN predicates. The band side is tiny → broadcast
+    nested-loop, each fact row tests 3 intervals — the right plan when
+    the interval table is small. (Many/overlapping intervals at scale:
+    bucketize the range key and equi-join on bucket first.)"""
+    orders = load_table(spark, sf_dir, "orders")
+    bands = spark.createDataFrame(
+        [("small", 0.0, 50_000.0), ("mid", 50_000.0, 200_000.0), ("big", 200_000.0, 1e9)],
+        ["band_name", "lo", "hi"],
+    )
+    return (
+        orders.join(
+            F.broadcast(bands),
+            (F.col("o_totalprice") >= F.col("lo")) & (F.col("o_totalprice") < F.col("hi")),
+        )
+        .groupBy("band_name")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(dec("o_totalprice")).cast("decimal(38,2)").alias("revenue"),
+        )
+    )
+
+
+# --- approximate sketches --------------------------------------------------
+
+
+@register("approx_stats")  # rows-only: HLL/KLL sketches are engine-specific
+def approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch aggregates — the 100 TB substitutes for exact distinct /
+    percentiles (HyperLogLog++ and KLL merge across partitions; exact
+    forms sort or expand). Engine-specific estimates → rows-only check;
+    tests/test_approx_tolerance.py bounds the error vs exact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.percentile_approx("l_extendedprice", 0.5, 10_000).alias("approx_median_price"),
+        F.percentile("l_extendedprice", F.lit(0.5)).alias("exact_median_price"),
+    )
+
+
 # --- date-part aggregation -------------------------------------------------
 
 
