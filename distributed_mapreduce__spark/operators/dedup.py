@@ -52,9 +52,12 @@ def exact_dedup_groups(docs: DataFrame, text_expr: F.Column) -> DataFrame:
     )
 
 
-def doc_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
-    """Distinct word n-gram shingles per document → (doc_id, shingle).
+def doc_shingles(docs: DataFrame, n: int = 3, distinct: bool = True) -> DataFrame:
+    """Word n-gram shingles per document → (doc_id, shingle).
 
+    ``distinct=True`` (set semantics) is required for Jaccard;
+    minhash minima are identical with or without duplicates, so the
+    signature path passes ``distinct=False`` and skips that shuffle.
     Documents with < n tokens yield no shingles (excluded from fuzzy
     dedup — they have no n-gram support)."""
     from ..plans.partitioning import spread
@@ -68,18 +71,15 @@ def doc_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
         F.split(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "), " ").alias("toks"),
     )
     grams = ", ".join(f"toks[i+{j}]" for j in range(n))
-    return (
-        toks.filter(F.size("toks") >= n)
-        .select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    f"transform(sequence(0, size(toks)-{n}), i -> concat_ws(' ', {grams}))"
-                )
-            ).alias("shingle"),
-        )
-        .distinct()
+    out = toks.filter(F.size("toks") >= n).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, size(toks)-{n}), i -> concat_ws(' ', {grams}))"
+            )
+        ).alias("shingle"),
     )
+    return out.distinct() if distinct else out
 
 
 # Minhash universe: affine transforms of one 60-bit md5 value modulo a

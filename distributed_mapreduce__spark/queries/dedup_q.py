@@ -138,7 +138,10 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cost more than it saved. At 100 TB, revisit with a disk-backed
     # persist or an explicit intermediate table.
     sh = doc_shingles(docs)
-    cands = lsh_candidate_pairs(lsh_bands(minhash_signatures(sh)))
+    # signatures take the non-distinct stream: min() is duplicate-
+    # insensitive, so the distinct shuffle is pure cost there
+    sig = minhash_signatures(doc_shingles(docs, distinct=False))
+    cands = lsh_candidate_pairs(lsh_bands(sig))
     return exact_jaccard(sh, pairs=cands).filter(F.col("jaccard") >= 0.5)
 
 
