@@ -17,8 +17,12 @@ def explain_str(df: DataFrame, mode: str = "formatted") -> str:
 
 
 def physical_summary(df: DataFrame) -> dict[str, int]:
-    """Counts of scale-relevant physical operators in the executed plan."""
+    """Counts of scale-relevant physical operators in the executed plan.
+
+    After AQE finalization the plan string carries BOTH '== Final Plan =='
+    and '== Initial Plan ==' sections — only the final one is counted."""
     plan = df._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
     return {
         "broadcast_hash_join": plan.count("BroadcastHashJoin"),
         "sort_merge_join": plan.count("SortMergeJoin"),

@@ -247,14 +247,85 @@ def similarity_topk_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFram
              {_DOT.format(a='a.embedding', b='b.embedding')} / (a.vnorm * b.vnorm) AS sim
       FROM nv a JOIN nv b ON a.vec_id < b.vec_id
     )
-    SELECT id_a, id_b, sim FROM sims WHERE sim >= 0.95
+    SELECT id_a, id_b, sim FROM sims WHERE sim >= 0.45
     """,
 )
 def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (≥ 0.95): the vector-space
-    member of the dedup family (north-star E2 list)."""
+    """Embedding-cosine near-duplicate pairs: the vector-space member of
+    the dedup family (north-star E2 list). Threshold calibrated to 0.45
+    because the synthetic embeddings contain no true near-dups (max
+    pairwise sim ≈ 0.6) — at 0.95 the check would be vacuously empty;
+    production near-dup uses 0.9+."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return cosine_pairs_above(emb, 0.95)
+    return cosine_pairs_above(emb, 0.45)
+
+
+@register(
+    "embedding_neardup_lsh",
+    oracle=f"""
+    WITH {_NV},
+    planes AS (
+      SELECT p AS plane,
+             list_transform(generate_series(0, 63), j ->
+               (list_reduce(list_transform(generate_series(1, 8),
+                  i -> CAST(strpos('0123456789abcdef',
+                                   substring(md5('plane:' || p || ':' || j), i, 1)) - 1
+                            AS BIGINT)),
+                 (a, b) -> a * 16 + b) % 2001 - 1000) / 1000.0) AS r
+      FROM unnest(generate_series(0, 7)) AS t(p)
+    ),
+    scored AS (
+      SELECT vec_id, plane,
+             CASE WHEN list_reduce(list_transform(generate_series(1, 64),
+                        i -> CAST(embedding[i] AS DOUBLE) * r[i]), (x, y) -> x + y) > 0
+                  THEN 1 ELSE 0 END AS bit
+      FROM embeddings CROSS JOIN planes
+    ),
+    buckets AS (
+      SELECT vec_id, CAST(sum(bit * CAST(pow(2, plane) AS BIGINT)) AS BIGINT) AS bucket
+      FROM scored GROUP BY vec_id
+    ),
+    sims AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             {_DOT.format(a='a.embedding', b='b.embedding')} / (a.vnorm * b.vnorm) AS sim
+      FROM nv a
+      JOIN buckets ba ON ba.vec_id = a.vec_id
+      JOIN buckets bb ON bb.bucket = ba.bucket
+      JOIN nv b ON b.vec_id = bb.vec_id AND a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, sim FROM sims WHERE sim >= 0.45
+    """,
+)
+def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale path for embedding near-dup: only same-bucket pairs are
+    scored (near-identical vectors agree on all 8 hyperplane signs with
+    overwhelming probability), turning the N²/2 scoring into per-bucket
+    blocks — the vector-space mirror of MinHash-LSH for text. At the
+    fixture's 0.45 calibration (no true near-dups exist in the data) the
+    bucket filter honestly prunes nearly everything — the oracle replays
+    the same pruning, so the check is exact either way."""
+    from ..operators.similarity import dot_fold, with_norm
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    buckets = lsh_buckets(emb, hyperplanes(spark, n_planes=8, dim=64))
+    nb = with_norm(emb).join(buckets, "vec_id")
+    a = nb.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"),
+        F.col("vnorm").alias("na"), "bucket",
+    )
+    b = nb.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"),
+        F.col("vnorm").alias("nb_"), F.col("bucket").alias("bucket_b"),
+    )
+    return (
+        a.join(b, (F.col("bucket") == F.col("bucket_b")) & (F.col("id_a") < F.col("id_b")))
+        .select(
+            "id_a",
+            "id_b",
+            (dot_fold(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb_"))).alias("sim"),
+        )
+        .filter(F.col("sim") >= 0.45)
+    )
 
 
 @register("similarity_topk_ivf")  # rows-only: k-means fit isn't SQL-portable
