@@ -24,7 +24,7 @@ def _agg_exprs() -> list[Column]:
     value_dec = F.col("value").cast("decimal(18,4)")
     return [
         F.count("*").alias("n_events"),
-        F.sum(value_dec).cast("decimal(38,4)").alias("sum_value"),
+        F.sum(value_dec).cast("double").alias("sum_value"),
         (F.sum(value_dec).cast("double") / F.count("*")).alias("avg_value"),
     ]
 

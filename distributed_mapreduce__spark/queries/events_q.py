@@ -19,7 +19,7 @@ from ..sources.tables import load_table
 
 _AGGS_SQL = """
            count(*) AS n_events,
-           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_value,
+           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
            CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_value
 """
 
@@ -96,7 +96,7 @@ def events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            count(*) AS n_events,
-           sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
            max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
     FROM events
     GROUP BY event_type
@@ -123,7 +123,7 @@ def events_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(DISTINCT event_type) AS n_types,
            min(ts) AS first_seen,
            max(ts) AS last_seen,
-           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS total_value
+           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
     FROM events
     GROUP BY user_id
     """,
@@ -136,5 +136,5 @@ def user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("event_type").alias("n_types"),
         F.min("ts").alias("first_seen"),
         F.max("ts").alias("last_seen"),
-        F.sum(F.col("value").cast("decimal(18,4)")).cast("decimal(38,4)").alias("total_value"),
+        F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
     )

@@ -55,12 +55,12 @@ def scan_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT
       l_returnflag, l_linestatus,
-      CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2))      AS sum_qty,
-      CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
+      CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)      AS sum_qty,
+      CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-               * CAST(1 - l_discount AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS sum_disc_price,
+               * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc_price,
       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-               * CAST((1 - l_discount) * (1 + l_tax) AS DECIMAL(8,4))) AS DECIMAL(38,6)) AS sum_charge,
+               * CAST((1 - l_discount) * (1 + l_tax) AS DECIMAL(8,4))) AS DOUBLE) AS sum_charge,
       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*)      AS avg_qty,
       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
       CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*)      AS avg_disc,
@@ -75,16 +75,20 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     One shuffle (partial→final HashAggregate); 6 groups total so the
     exchange moves ~6 rows per input partition regardless of fact size.
+
+    Sums accumulate in exact DECIMAL (order-independent) and only the
+    final 6-row result casts to DOUBLE — same in the oracle, so the
+    driver's value hash sees identical IEEE doubles.
     """
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp")
     )
     n = F.count("*")
     return li.groupBy("l_returnflag", "l_linestatus").agg(
-        F.sum(dec("l_quantity")).cast("decimal(38,2)").alias("sum_qty"),
-        F.sum(dec("l_extendedprice")).cast("decimal(38,2)").alias("sum_base_price"),
-        F.sum(disc_price()).cast("decimal(38,4)").alias("sum_disc_price"),
-        F.sum(charge()).cast("decimal(38,6)").alias("sum_charge"),
+        F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+        F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+        F.sum(disc_price()).cast("double").alias("sum_disc_price"),
+        F.sum(charge()).cast("double").alias("sum_charge"),
         (F.sum(dec("l_quantity")).cast("double") / n).alias("avg_qty"),
         (F.sum(dec("l_extendedprice")).cast("double") / n).alias("avg_price"),
         (F.sum(dec("l_discount")).cast("double") / n).alias("avg_disc"),
@@ -100,7 +104,7 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT n_name,
            CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-                    * CAST(1 - l_discount AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS revenue
+                    * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
     FROM region
     JOIN nation   ON n_regionkey = r_regionkey
     JOIN customer ON c_nationkey = n_nationkey
@@ -134,7 +138,7 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(cust_dim), F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("n_name")
-        .agg(F.sum(disc_price()).cast("decimal(38,4)").alias("revenue"))
+        .agg(F.sum(disc_price()).cast("double").alias("revenue"))
     )
 
 
@@ -145,7 +149,7 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     "top_customers",
     oracle="""
     SELECT c_custkey, c_name,
-           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS spend,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend,
            count(*) AS n_orders
     FROM customer JOIN orders ON o_custkey = c_custkey
     GROUP BY c_custkey, c_name
@@ -162,7 +166,7 @@ def top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("c_custkey", "c_name")
         .agg(
-            F.sum(dec("o_totalprice")).cast("decimal(38,2)").alias("spend"),
+            F.sum(dec("o_totalprice")).cast("double").alias("spend"),
             F.count("*").alias("n_orders"),
         )
         .orderBy(F.desc("spend"), F.asc("c_custkey"))
@@ -212,11 +216,11 @@ def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "order_item_counts_outer",
     oracle="""
     SELECT o_orderkey, coalesce(n_items, 0) AS n_items,
-           coalesce(items_qty, CAST(0 AS DECIMAL(38,2))) AS items_qty
+           coalesce(items_qty, CAST(0 AS DOUBLE)) AS items_qty
     FROM orders
     LEFT JOIN (
       SELECT l_orderkey, count(*) AS n_items,
-             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS items_qty
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS items_qty
       FROM lineitem GROUP BY l_orderkey
     ) li ON l_orderkey = o_orderkey
     """,
@@ -230,13 +234,13 @@ def order_item_counts_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_orderkey")
         .agg(
             F.count("*").alias("n_items"),
-            F.sum(dec("l_quantity")).cast("decimal(38,2)").alias("items_qty"),
+            F.sum(dec("l_quantity")).cast("double").alias("items_qty"),
         )
     )
     return orders.join(li, orders.o_orderkey == li.l_orderkey, "left").select(
         "o_orderkey",
         F.coalesce("n_items", F.lit(0)).alias("n_items"),
-        F.coalesce("items_qty", F.lit(0).cast("decimal(38,2)")).alias("items_qty"),
+        F.coalesce("items_qty", F.lit(0.0)).alias("items_qty"),
     )
 
 
@@ -247,7 +251,7 @@ def order_item_counts_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     "part_supp_activity",
     oracle="""
     SELECT l_partkey, l_suppkey,
-           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
            count(*) AS n_lines,
            min(l_shipdate) AS first_ship,
            max(l_shipdate) AS last_ship
@@ -260,7 +264,7 @@ def part_supp_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     AQE coalesces post-shuffle partitions at small sf)."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_partkey", "l_suppkey").agg(
-        F.sum(dec("l_quantity")).cast("decimal(38,2)").alias("sum_qty"),
+        F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
         F.count("*").alias("n_lines"),
         F.min("l_shipdate").alias("first_ship"),
         F.max("l_shipdate").alias("last_ship"),
@@ -301,7 +305,7 @@ def nation_segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rollup_returns",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
            count(*) AS n
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
@@ -312,7 +316,7 @@ def rollup_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
     level in both engines."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.rollup("l_returnflag", "l_linestatus").agg(
-        F.sum(dec("l_quantity")).cast("decimal(38,2)").alias("sum_qty"),
+        F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
         F.count("*").alias("n"),
     )
 
@@ -325,7 +329,7 @@ def rollup_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderstatus, o_orderpriority,
            count(*) AS n_orders,
-           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS revenue
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
     FROM orders
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
     """,
@@ -336,7 +340,7 @@ def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     return orders.cube("o_orderstatus", "o_orderpriority").agg(
         F.count("*").alias("n_orders"),
-        F.sum(dec("o_totalprice")).cast("decimal(38,2)").alias("revenue"),
+        F.sum(dec("o_totalprice")).cast("double").alias("revenue"),
     )
 
 
@@ -347,22 +351,24 @@ def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "quantile_quantity",
     oracle="""
     SELECT l_returnflag,
-           quantile_cont(l_quantity, 0.5) AS median_qty,
-           quantile_cont(l_quantity, [0.25, 0.5, 0.75]) AS qty_quartiles
+           quantile_cont(l_quantity, 0.25) AS q25_qty,
+           quantile_cont(l_quantity, 0.5)  AS median_qty,
+           quantile_cont(l_quantity, 0.75) AS q75_qty
     FROM lineitem
     GROUP BY l_returnflag
     """,
 )
 def quantile_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles (both engines use the same
-    (1-g)·a + g·b linear interpolation over the sorted values). For
-    100 TB use approx_percentile — sketches merge; exact sorts."""
+    (1-g)·a + g·b linear interpolation over the sorted values), emitted
+    as scalar columns — array results aren't hashable by the driver's
+    canonicalizer. For 100 TB use approx_percentile — sketches merge;
+    exact sorts."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", F.lit(0.25)).alias("q25_qty"),
         F.percentile("l_quantity", F.lit(0.5)).alias("median_qty"),
-        F.percentile("l_quantity", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))).alias(
-            "qty_quartiles"
-        ),
+        F.percentile("l_quantity", F.lit(0.75)).alias("q75_qty"),
     )
 
 
@@ -481,7 +487,7 @@ def orders_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT n1.n_name AS cust_nation, n2.n_name AS supp_nation,
            CAST(year(l_shipdate) AS INTEGER) AS l_year,
            CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-                    * CAST(1 - l_discount AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS volume
+                    * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS volume
     FROM lineitem
     JOIN orders   ON o_orderkey = l_orderkey
     JOIN customer ON c_custkey = o_custkey
@@ -524,7 +530,7 @@ def trade_volume_by_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
             "supp_nation",
             F.year("l_shipdate").alias("l_year"),
         )
-        .agg(F.sum(disc_price()).cast("decimal(38,4)").alias("volume"))
+        .agg(F.sum(disc_price()).cast("double").alias("volume"))
     )
 
 
@@ -573,7 +579,7 @@ def max_line_per_order(spark: SparkSession, sf_dir: str) -> DataFrame:
              ('big', 200000.0, 1000000000.0)
     )
     SELECT band_name, count(*) AS n_orders,
-           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS revenue
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
     FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
     GROUP BY band_name
     """,
@@ -597,7 +603,7 @@ def orders_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("band_name")
         .agg(
             F.count("*").alias("n_orders"),
-            F.sum(dec("o_totalprice")).cast("decimal(38,2)").alias("revenue"),
+            F.sum(dec("o_totalprice")).cast("double").alias("revenue"),
         )
     )
 
@@ -629,7 +635,7 @@ def approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
            CAST(month(o_orderdate) AS INTEGER) AS o_month,
            count(*) AS n_orders,
-           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS revenue
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
     FROM orders
     GROUP BY 1, 2
     """,
@@ -645,6 +651,6 @@ def orders_per_month(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count("*").alias("n_orders"),
-            F.sum(dec("o_totalprice")).cast("decimal(38,2)").alias("revenue"),
+            F.sum(dec("o_totalprice")).cast("double").alias("revenue"),
         )
     )

@@ -13,7 +13,7 @@ from ..sources.tables import register_views
 _SQL = """
     SELECT o_orderkey,
            CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-                    * CAST(1 - l_discount AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS revenue,
+                    * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
            o_orderdate, o_orderpriority
     FROM customer
     JOIN orders   ON c_custkey = o_custkey

@@ -87,9 +87,9 @@ def lang_id_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT source,
            count(*) AS n_docs,
-           sum(CAST(len({_TOKS}) AS BIGINT)) AS ws_tokens,
-           sum(CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
-                    AS BIGINT)) AS bpe_tokens
+           CAST(sum(CAST(len({_TOKS}) AS BIGINT)) AS BIGINT) AS ws_tokens,
+           CAST(sum(CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
+                    AS BIGINT)) AS BIGINT) AS bpe_tokens
     FROM documents
     GROUP BY source
     """,
@@ -167,7 +167,7 @@ def doc_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT lang,
            count(*) AS n_docs,
-           sum(CAST(len({_TOKS}) AS BIGINT)) AS total_tokens,
+           CAST(sum(CAST(len({_TOKS}) AS BIGINT)) AS BIGINT) AS total_tokens,
            min(length(text)) AS min_chars,
            max(length(text)) AS max_chars
     FROM documents

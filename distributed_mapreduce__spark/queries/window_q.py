@@ -30,7 +30,7 @@ from ..sources.tables import load_table
       FROM (
         SELECT p_brand, l_partkey,
                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-                        * CAST(1 - l_discount AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS revenue
+                        * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
         FROM lineitem JOIN part ON p_partkey = l_partkey
         GROUP BY p_brand, l_partkey
       )
@@ -45,7 +45,7 @@ def topk_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_part = (
         li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
         .groupBy("p_brand", "l_partkey")
-        .agg(F.sum(disc_price()).cast("decimal(38,4)").alias("revenue"))
+        .agg(F.sum(disc_price()).cast("double").alias("revenue"))
     )
     return top_k_per_group(
         per_part,
@@ -63,7 +63,7 @@ def topk_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
            lag(o_totalprice) OVER w AS prev_price,
            CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER
                 (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,2))
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
              AS running_spend
     FROM orders
     WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
@@ -81,7 +81,7 @@ def customer_order_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         F.row_number().over(w).alias("order_seq"),
         F.lag("o_totalprice").over(w).alias("prev_price"),
-        F.sum(dec("o_totalprice")).over(running).cast("decimal(38,2)").alias("running_spend"),
+        F.sum(dec("o_totalprice")).over(running).cast("double").alias("running_spend"),
     )
 
 
