@@ -65,33 +65,33 @@ _MH_BANDS_UNION = "\n      UNION ALL ".join(
 @register(
     "dedup_exact",
     oracle="""
-    SELECT md5(text) AS text_hash,
+    SELECT 'raw' AS variant,
+           md5(text) AS text_hash,
            min(doc_id) AS canonical_id,
            count(*) AS n_copies
     FROM documents
-    GROUP BY md5(text)
+    GROUP BY 2
+    UNION ALL
+    SELECT 'normalized' AS variant,
+           md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS text_hash,
+           min(doc_id) AS canonical_id,
+           count(*) AS n_copies
+    FROM documents
+    GROUP BY 2
     """,
 )
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """E1: exact dedup via hash-groupBy; shuffle carries md5 keys only."""
+    """E1: exact dedup via hash-groupBy — shuffle carries md5 keys only —
+    in two variants tagged in one result: byte-exact text, and
+    case/whitespace-normalized text."""
     docs = load_table(spark, sf_dir, "documents")
-    return exact_dedup_groups(docs, F.col("text"))
-
-
-@register(
-    "dedup_exact_normalized",
-    oracle="""
-    SELECT md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS text_hash,
-           min(doc_id) AS canonical_id,
-           count(*) AS n_copies
-    FROM documents
-    GROUP BY 1
-    """,
-)
-def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """E1 variant: case/whitespace-insensitive exact dedup."""
-    docs = load_table(spark, sf_dir, "documents")
-    return exact_dedup_groups(docs, normalized_text("text"))
+    raw = exact_dedup_groups(docs, F.col("text")).select(
+        F.lit("raw").alias("variant"), "text_hash", "canonical_id", "n_copies"
+    )
+    norm = exact_dedup_groups(docs, normalized_text("text")).select(
+        F.lit("normalized").alias("variant"), "text_hash", "canonical_id", "n_copies"
+    )
+    return raw.unionByName(norm)
 
 
 @register(
@@ -193,14 +193,15 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash16(docs)
 
 
-@register("dedup_minhash_ml")  # rows-only: Spark-ML hash family is internal
 def dedup_minhash_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E2 via pyspark.ml MinHashLSH (the stock scale path):
     shingles → HashingTF vectors → approxSimilarityJoin at distance 0.5.
 
-    Registered without an oracle (driver does a rows-only check); the
-    portable-md5 variant above carries the cross-engine correctness
-    burden for LSH semantics."""
+    Not registered with the driver: its hash family is Spark-internal
+    (no cross-engine oracle exists), so a registry row would only ever
+    be a rows-only check. tests/test_queries_oracle.py instead pins its
+    pair set against the oracle-checked portable-md5 variant above —
+    a stronger gate than the driver could run."""
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
     docs = load_table(spark, sf_dir, "documents")

@@ -13,24 +13,37 @@ from ..sources.tables import load_table
 
 
 @register(
-    "string_functions",
+    "scalar_functions",
     oracle="""
-    SELECT c_custkey,
+    SELECT o_orderkey,
            upper(c_name) AS name_upper,
            substring(c_name, 1, 8) AS name_prefix,
            length(c_name) AS name_len,
            lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded_key,
            replace(c_name, '#', '-') AS name_dashed,
            (c_name LIKE '%1%') AS has_one,
-           concat(c_mktsegment, ':', c_name) AS tagged
-    FROM customer
+           concat(c_mktsegment, ':', c_name) AS tagged,
+           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+           CAST(quarter(o_orderdate) AS INTEGER) AS oq,
+           CAST(day(o_orderdate) AS INTEGER) AS od,
+           CAST(last_day(o_orderdate) AS TIMESTAMP) AS month_end,
+           CASE WHEN o_totalprice > 200000 THEN 'big'
+                WHEN o_totalprice > 50000 THEN 'mid'
+                ELSE 'small' END AS size_class,
+           coalesce(nullif(o_orderstatus, 'P'), 'PENDING') AS status_norm
+    FROM orders JOIN customer ON c_custkey = o_custkey
     """,
 )
-def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """String family: case, substring, length, pad, replace, LIKE, concat."""
+def scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-function gauntlet over a broadcast-joined row set: the
+    string family (case, substring, length, pad, replace, LIKE, concat)
+    on customer columns and the date + conditional family (truncation,
+    parts, last_day, CASE, nullif/coalesce) on order columns — one row
+    per order, every expression value-hash-checked cross-engine."""
+    o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
-    return c.select(
-        "c_custkey",
+    return o.join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey")).select(
+        "o_orderkey",
         F.upper("c_name").alias("name_upper"),
         F.substring("c_name", 1, 8).alias("name_prefix"),
         F.length("c_name").alias("name_len"),
@@ -38,34 +51,10 @@ def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.replace(F.col("c_name"), F.lit("#"), F.lit("-")).alias("name_dashed"),
         F.col("c_name").like("%1%").alias("has_one"),
         F.concat(F.col("c_mktsegment"), F.lit(":"), F.col("c_name")).alias("tagged"),
-    )
-
-
-@register(
-    "date_functions",
-    oracle="""
-    SELECT o_orderkey,
-           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
-           CAST(quarter(o_orderdate) AS INTEGER) AS oq,
-           CAST(day(o_orderdate) AS INTEGER) AS od,
-           last_day(o_orderdate) AS month_end,
-           CASE WHEN o_totalprice > 200000 THEN 'big'
-                WHEN o_totalprice > 50000 THEN 'mid'
-                ELSE 'small' END AS size_class,
-           coalesce(nullif(o_orderstatus, 'P'), 'PENDING') AS status_norm
-    FROM orders
-    """,
-)
-def date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Date + conditional family: truncation, parts, last_day, CASE,
-    nullif/coalesce."""
-    o = load_table(spark, sf_dir, "orders")
-    return o.select(
-        "o_orderkey",
         F.date_trunc("month", "o_orderdate").alias("month_start"),
         F.quarter("o_orderdate").cast("int").alias("oq"),
         F.dayofmonth("o_orderdate").cast("int").alias("od"),
-        F.last_day("o_orderdate").alias("month_end"),
+        F.last_day("o_orderdate").cast("timestamp").alias("month_end"),
         F.when(F.col("o_totalprice") > 200000, "big")
         .when(F.col("o_totalprice") > 50000, "mid")
         .otherwise("small")

@@ -178,38 +178,32 @@ def top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "customers_with_open_orders",
+    "customer_order_presence",
     oracle="""
-    SELECT c_custkey, c_name, c_mktsegment
+    SELECT 'open' AS presence, c_custkey, c_name
     FROM customer
     WHERE EXISTS (SELECT 1 FROM orders
                   WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
-    """,
-)
-def customers_with_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left-semi join (EXISTS): no duplication of the left side."""
-    customer = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
-    return semi_join(
-        customer, orders, customer.c_custkey == orders.o_custkey
-    ).select("c_custkey", "c_name", "c_mktsegment")
-
-
-@register(
-    "customers_without_orders",
-    oracle="""
-    SELECT c_custkey, c_name
+    UNION ALL
+    SELECT 'none' AS presence, c_custkey, c_name
     FROM customer
     WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
     """,
 )
-def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left-anti join (NOT EXISTS)."""
+def customer_order_presence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi + anti join in one result: customers WITH an open order
+    (left-semi / EXISTS — never duplicates the left side) and customers
+    with NO orders at all (left-anti / NOT EXISTS), tagged by cohort."""
     customer = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
-    return anti_join(
+    open_orders = orders.filter(F.col("o_orderstatus") == "O")
+    with_open = semi_join(
+        customer, open_orders, customer.c_custkey == open_orders.o_custkey
+    ).select(F.lit("open").alias("presence"), "c_custkey", "c_name")
+    without_any = anti_join(
         customer, orders, customer.c_custkey == orders.o_custkey
-    ).select("c_custkey", "c_name")
+    ).select(F.lit("none").alias("presence"), "c_custkey", "c_name")
+    return with_open.unionByName(without_any)
 
 
 @register(
@@ -403,17 +397,29 @@ def pivot_status_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "repeat_buyers_intersect",
+    "buyer_cohorts",
     oracle="""
-    SELECT o_custkey FROM orders
-    WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
-    INTERSECT
-    SELECT o_custkey FROM orders
-    WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+    SELECT 'repeat' AS cohort, o_custkey FROM (
+      SELECT o_custkey FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+      INTERSECT
+      SELECT o_custkey FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+    )
+    UNION ALL
+    SELECT 'churned' AS cohort, o_custkey FROM (
+      SELECT o_custkey FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+      EXCEPT
+      SELECT o_custkey FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+    )
     """,
 )
-def repeat_buyers_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """INTERSECT (distinct semantics in both engines)."""
+def buyer_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations in one result: 1996 buyers who bought again in
+    1997 (INTERSECT) and those who didn't (EXCEPT) — both distinct
+    semantics in both engines, tagged by cohort."""
     orders = load_table(spark, sf_dir, "orders")
     y96 = orders.filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
@@ -423,31 +429,11 @@ def repeat_buyers_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
     ).select("o_custkey")
-    return y96.intersect(y97)
-
-
-@register(
-    "churned_buyers_except",
-    oracle="""
-    SELECT o_custkey FROM orders
-    WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
-    EXCEPT
-    SELECT o_custkey FROM orders
-    WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
-    """,
-)
-def churned_buyers_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXCEPT (distinct semantics in both engines)."""
-    orders = load_table(spark, sf_dir, "orders")
-    y96 = orders.filter(
-        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
-    ).select("o_custkey")
-    y97 = orders.filter(
-        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
-    ).select("o_custkey")
-    return y96.subtract(y97)  # subtract == EXCEPT (distinct)
+    repeat = y96.intersect(y97).select(F.lit("repeat").alias("cohort"), "o_custkey")
+    churned = y96.subtract(y97).select(  # subtract == EXCEPT (distinct)
+        F.lit("churned").alias("cohort"), "o_custkey"
+    )
+    return repeat.unionByName(churned)
 
 
 # --- scalar-aggregate subquery --------------------------------------------
@@ -611,18 +597,42 @@ def orders_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- approximate sketches --------------------------------------------------
 
 
-@register("approx_stats")  # rows-only: HLL/KLL sketches are engine-specific
+@register(
+    "approx_stats",
+    oracle="""
+    SELECT l_returnflag,
+           count(DISTINCT l_partkey) AS exact_parts,
+           (abs(CAST(approx_count_distinct(l_partkey) AS DOUBLE)
+                - count(DISTINCT l_partkey))
+              <= 0.15 * count(DISTINCT l_partkey)) AS approx_parts_ok,
+           quantile_cont(l_extendedprice, 0.5) AS exact_median_price,
+           (abs(approx_quantile(l_extendedprice, 0.5)
+                - quantile_cont(l_extendedprice, 0.5))
+              <= 0.10 * quantile_cont(l_extendedprice, 0.5)) AS approx_median_ok
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
 def approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch aggregates — the 100 TB substitutes for exact distinct /
     percentiles (HyperLogLog++ and KLL merge across partitions; exact
-    forms sort or expand). Engine-specific estimates → rows-only check;
-    tests/test_approx_tolerance.py bounds the error vs exact."""
+    forms sort or expand). Raw estimates are engine-specific, so the
+    checked result carries the exact values plus within-tolerance
+    booleans each engine computes over its OWN sketch (15% for HLL,
+    10% for the median — both far outside the documented error bounds);
+    tests/test_approx_tolerance.py pins the tighter bound locally."""
     li = load_table(spark, sf_dir, "lineitem")
+    exact_parts = F.countDistinct("l_partkey")
+    approx_parts = F.approx_count_distinct("l_partkey")
+    exact_med = F.percentile("l_extendedprice", F.lit(0.5))
+    approx_med = F.percentile_approx("l_extendedprice", 0.5, 10_000)
     return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.countDistinct("l_partkey").alias("exact_parts"),
-        F.percentile_approx("l_extendedprice", 0.5, 10_000).alias("approx_median_price"),
-        F.percentile("l_extendedprice", F.lit(0.5)).alias("exact_median_price"),
+        exact_parts.alias("exact_parts"),
+        (
+            F.abs(approx_parts.cast("double") - exact_parts) <= 0.15 * exact_parts
+        ).alias("approx_parts_ok"),
+        exact_med.alias("exact_median_price"),
+        (F.abs(approx_med - exact_med) <= 0.10 * exact_med).alias("approx_median_ok"),
     )
 
 

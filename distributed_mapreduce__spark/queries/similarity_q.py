@@ -328,25 +328,29 @@ def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("similarity_topk_ivf")  # rows-only: k-means fit isn't SQL-portable
 def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: k-means coarse quantizer (16 cells), queries probe
-    their own cell plus the nearest neighbor cells' members via a
-    broadcast of the query rows; exact cosine within the probed cells.
+    their own cell plus their 2nd-closest centroid's members; exact
+    cosine within the probed cells (nprobe=2).
 
-    nprobe here = 2 (own cell + each query's 2nd-closest centroid);
-    rows-only check + a recall test against the exact baseline in
-    tests/test_similarity_quality.py."""
+    Probe assignment is fully distributed: the 16 centroids (the only
+    driver-side artifact — they come back with the fitted k-means model
+    regardless) broadcast against the query DataFrame, ranked per query
+    with a window — no ``.collect()`` of query vectors, so the query
+    set can itself be 100 TB-scale.
+
+    Not driver-registered (the k-means fit isn't SQL-portable, so a
+    registry row could only ever be rows-only); recall and sim-parity
+    gates live in tests/test_similarity_quality.py."""
     from ..operators.relational import top_k_per_group
     from ..operators.similarity import dot_fold, ivf_assignments, with_norm
 
     emb = load_table(spark, sf_dir, "embeddings")
     assign, model = ivf_assignments(emb, k=16)
-    # Per-query probe list: own cell + second-nearest centroid (computed
-    # driver-side over the tiny centroid matrix — 16 rows).
-    import numpy as np
-
-    centroids = np.array(model.clusterCenters())
+    centroid_df = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "cell int, centroid array<double>",
+    )
 
     emb_b = with_norm(emb).join(assign, "vec_id")
     queries = emb_b.filter(F.col("vec_id") % 50 == 0).select(
@@ -354,17 +358,21 @@ def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("q_vec"),
         F.col("vnorm").alias("q_norm"),
     )
-    qrows = queries.collect()
-    probe_rows = []
-    for r in qrows:
-        v = np.array(r.q_vec)
-        d = ((centroids - v) ** 2).sum(axis=1)
-        for cell in np.argsort(d)[:2]:
-            probe_rows.append((r.query_id, int(cell)))
-    probes = spark.createDataFrame(probe_rows, ["query_id", "cell"])
+    # Squared distance to each centroid; keep each query's 2 closest.
+    d2 = F.aggregate(
+        F.zip_with("q_vec", "centroid", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    probes = top_k_per_group(
+        queries.join(F.broadcast(centroid_df)).withColumn("d2", d2),
+        ["query_id"],
+        [F.asc("d2"), F.asc("cell")],
+        k=2,
+    ).select("query_id", "cell", "q_vec", "q_norm")
 
     scored = (
-        emb_b.join(F.broadcast(probes.join(queries, "query_id")), "cell")
+        emb_b.join(F.broadcast(probes), "cell")
         .filter(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
@@ -381,44 +389,51 @@ def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("query_id", "neighbor_id", "sim", F.col("rank").cast("int").alias("rank"))
 
 
-@register("similarity_topk_pandas")  # rows-only: BLAS sum order ≠ fold order
 def similarity_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force top-10 via an Arrow-batched pandas UDF (numpy matmul).
+    """Brute-force top-10 via the Arrow/numpy fast path.
 
-    The vectorized fast path: one BLAS GEMM per Arrow batch instead of
-    per-element column algebra. Registered rows-only — BLAS accumulates
-    in a different order than the portable fold, so last-bit sims differ
-    from the oracle (ranks agree; values can't hash-match)."""
+    The query set reaches executors as a broadcast DataFrame join (no
+    driver-side ``.collect()`` of vectors — the Spark broadcast exchange
+    ships it once per executor), and each Arrow batch of (corpus, query)
+    pairs is scored in one vectorized einsum instead of per-element
+    column algebra.
+
+    Not driver-registered: numpy accumulates in a different order than
+    the portable left-fold, so last-bit sims can differ from the oracle
+    (ranks agree; values can't hash-match). The pair-set equality gate
+    vs the exact baseline lives in tests/test_similarity_quality.py."""
     import numpy as np
     import pandas as pd
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    qrows = emb.filter(F.col("vec_id") % 50 == 0).select("vec_id", "embedding").collect()
-    q_ids = np.array([r.vec_id for r in qrows])
-    q_mat = np.array([r.embedding for r in qrows], dtype=np.float64)
-    q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
-    b_q = spark.sparkContext.broadcast((q_ids, q_mat))
-
-    def score(batches):
-        ids, qm = b_q.value
-        for pdf in batches:
-            c_mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
-            c_mat /= np.linalg.norm(c_mat, axis=1, keepdims=True)
-            sims = qm @ c_mat.T  # (Q, B)
-            out = pd.DataFrame(
-                {
-                    "query_id": np.repeat(ids, len(pdf)),
-                    "neighbor_id": np.tile(pdf["vec_id"].to_numpy(), len(ids)),
-                    "sim": sims.ravel(),
-                }
-            )
-            yield out[out.query_id != out.neighbor_id]
-
-    scored = emb.select("vec_id", "embedding").mapInPandas(
-        score, schema="query_id long, neighbor_id long, sim double"
-    )
     from ..operators.relational import top_k_per_group
 
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_vec")
+    )
+    pairs = (
+        emb.select("vec_id", "embedding")
+        .join(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+    )
+
+    def score(batches):
+        for pdf in batches:
+            c_mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            q_mat = np.array(pdf["q_vec"].tolist(), dtype=np.float64)
+            dots = np.einsum("ij,ij->i", q_mat, c_mat)
+            norms = np.linalg.norm(c_mat, axis=1) * np.linalg.norm(q_mat, axis=1)
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"].to_numpy(),
+                    "neighbor_id": pdf["vec_id"].to_numpy(),
+                    "sim": dots / norms,
+                }
+            )
+
+    scored = pairs.mapInPandas(
+        score, schema="query_id long, neighbor_id long, sim double"
+    )
     return top_k_per_group(
         scored, ["query_id"], [F.desc("sim"), F.asc("neighbor_id")], k=10, rn_col="rank"
     ).select("query_id", "neighbor_id", "sim", F.col("rank").cast("int").alias("rank"))

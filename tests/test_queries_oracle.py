@@ -30,3 +30,42 @@ def test_rows_only_runs(spark, sf_dir, name):
     df = registry.QUERIES[name](spark, sf_dir)
     assert df.count() >= 0
     assert len(df.schema.fields) > 0
+
+
+# --- unregistered variants ---------------------------------------------------
+# These duplicate a registered query's oracle (or have none), so they
+# don't spend one of the driver's 50 checked-query slots — but they stay
+# oracle-gated here.
+
+
+@pytest.mark.parametrize("fn_name", ["wordcount_generalized", "wordcount_pandas_mr"])
+def test_generalized_mapreduce_matches_wordcount_oracle(spark, sf_dir, fn_name):
+    from distributed_mapreduce__spark.queries import mapreduce_q
+
+    df = getattr(mapreduce_q, fn_name)(spark, sf_dir)
+    compare_query(spark, sf_dir, df, mapreduce_q._WC_ORACLE)
+
+
+def test_ml_minhash_matches_portable_pairs(spark, sf_dir):
+    """The Spark-ML MinHashLSH path must find the same verified
+    duplicate pairs as the oracle-checked portable-md5 LSH pipeline
+    (both band at ~0.5 Jaccard on the same shingle sets)."""
+    from distributed_mapreduce__spark.queries.dedup_q import dedup_minhash_ml
+
+    ml_pairs = {
+        (r.doc_a, r.doc_b) for r in dedup_minhash_ml(spark, sf_dir).collect()
+    }
+    portable = {
+        (r.doc_a, r.doc_b)
+        for r in registry.QUERIES["dedup_minhash_pairs"](spark, sf_dir).collect()
+    }
+    assert ml_pairs == portable
+
+
+def test_multimodal_variant_operators_run(spark, sf_dir):
+    from distributed_mapreduce__spark.queries import multimodal_q
+
+    feats = multimodal_q.multimodal_features(spark, sf_dir)
+    assert feats.count() > 0
+    stats = multimodal_q.multimodal_frame_stats(spark, sf_dir)
+    assert stats.count() > 0

@@ -13,6 +13,10 @@ from __future__ import annotations
 import pytest
 
 from distributed_mapreduce__spark import registry
+from distributed_mapreduce__spark.queries.similarity_q import (
+    similarity_topk_ivf,
+    similarity_topk_pandas,
+)
 
 registry.load_all()
 
@@ -36,7 +40,7 @@ def test_multiprobe_recall_beats_single(spark, exact):
 
 
 def test_ivf_runs_and_overlaps_exact(spark, exact):
-    ivf = _pairs(registry.QUERIES["similarity_topk_ivf"](spark, SF))
+    ivf = _pairs(similarity_topk_ivf(spark, SF))
     assert len(ivf) > 0
     # nprobe=2 of 16 cells scans ~1/8 of the corpus; on random vectors
     # expect a nontrivial overlap with the exact global top-10
@@ -44,16 +48,26 @@ def test_ivf_runs_and_overlaps_exact(spark, exact):
     assert recall > 0.05, f"IVF recall suspiciously low: {recall}"
 
 
+def test_pandas_pairs_match_exact(spark, exact):
+    """The Arrow/numpy brute-force path scores the same candidate set
+    as the fold-based exact scorer — the top-10 pair set must match
+    (sims may differ in the last bit, ranks don't)."""
+    assert _pairs(similarity_topk_pandas(spark, SF)) == exact
+
+
 def test_ann_sims_match_exact_scorer(spark):
-    """Any (query, neighbor) the ANN paths return must carry the same
-    sim the exact scorer computes — approximation changes WHICH pairs
-    are scored, never the score."""
+    """Any (query, neighbor) the fold-based ANN paths return must carry
+    the same sim the exact scorer computes — approximation changes WHICH
+    pairs are scored, never the score."""
     exact_sims = {
         (r.query_id, r.neighbor_id): r.sim
         for r in registry.QUERIES["similarity_topk"](spark, SF).collect()
     }
-    for name in ("similarity_topk_lsh_multiprobe", "similarity_topk_ivf"):
-        for r in registry.QUERIES[name](spark, SF).collect():
+    for fn in (
+        registry.QUERIES["similarity_topk_lsh_multiprobe"],
+        similarity_topk_ivf,
+    ):
+        for r in fn(spark, SF).collect():
             key = (r.query_id, r.neighbor_id)
             if key in exact_sims:
-                assert r.sim == exact_sims[key], (name, key)
+                assert r.sim == exact_sims[key], (fn.__name__, key)
