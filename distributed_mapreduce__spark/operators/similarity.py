@@ -81,6 +81,31 @@ def lsh_buckets(
     )
 
 
+def banded_lsh_buckets(
+    vectors: DataFrame,
+    planes: DataFrame,
+    planes_per_band: int = 8,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, band, bucket): MinHash-style banding for hyperplane LSH.
+
+    A single P-plane signature ANDs all P sign bits, so recall collapses
+    unless vectors are near-identical on every plane; banding ORs B
+    independent bands of ``planes_per_band`` planes each — near-dups
+    collide in ≥1 band with probability 1-(1-p^b)^B. Same plan shape as
+    ``lsh_buckets``: planes broadcast, one aggregation, no vector
+    shuffle."""
+    scored = vectors.join(F.broadcast(planes)).select(
+        "vec_id",
+        (F.col("plane") / planes_per_band).cast("int").alias("band"),
+        (F.col("plane") % planes_per_band).alias("slot"),
+        (dot_fold(F.col(vec_col), F.col("r")) > 0).cast("int").alias("bit"),
+    )
+    return scored.groupBy("vec_id", "band").agg(
+        F.sum(F.expr("shiftleft(bit, slot)")).cast("long").alias("bucket")
+    )
+
+
 def cosine_topk(
     queries: DataFrame,
     corpus: DataFrame,

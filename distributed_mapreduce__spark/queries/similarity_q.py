@@ -260,10 +260,53 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_pairs_above(emb, 0.45)
 
 
+def augment_with_neardups(emb: DataFrame) -> DataFrame:
+    """Corpus + planted near-duplicates: every 25th vector gets a copy
+    with each component scaled by 1 + ((i % 7) - 3)/1000 (±0.3%,
+    cosine ≈ 0.99999), under vec_id + 1000000.
+
+    The perturbation is plain double arithmetic on the index, so the
+    DuckDB oracle replays it bit-identically — giving the near-dup
+    fixture a ground-truth pair set the raw synthetic embeddings lack
+    (their max pairwise sim is ~0.6)."""
+    base = emb.select(
+        "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("embedding")
+    )
+    planted = emb.filter(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.expr(
+            "transform(embedding, (x, i) -> cast(x as double)"
+            " * (1.0 + (cast(i % 7 as double) - 3.0) / 1000.0))"
+        ).alias("embedding"),
+    )
+    return base.unionByName(planted)
+
+
+_AUG = """
+    aug AS (
+      SELECT vec_id,
+             list_transform(generate_series(1, 64),
+                            i -> CAST(embedding[i] AS DOUBLE)) AS embedding
+      FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000,
+             list_transform(generate_series(1, 64),
+               i -> CAST(embedding[i] AS DOUBLE)
+                    * (1.0 + (CAST((i - 1) % 7 AS DOUBLE) - 3.0) / 1000.0))
+      FROM embeddings WHERE vec_id % 25 = 0
+    )
+"""
+
+
 @register(
     "embedding_neardup_lsh",
     oracle=f"""
-    WITH {_NV},
+    WITH {_AUG},
+    nv AS (
+      SELECT vec_id, embedding,
+             sqrt({_DOT.format(a='embedding', b='embedding')}) AS vnorm
+      FROM aug
+    ),
     planes AS (
       SELECT p AS plane,
              list_transform(generate_series(0, 63), j ->
@@ -272,59 +315,84 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    substring(md5('plane:' || p || ':' || j), i, 1)) - 1
                             AS BIGINT)),
                  (a, b) -> a * 16 + b) % 2001 - 1000) / 1000.0) AS r
-      FROM unnest(generate_series(0, 7)) AS t(p)
+      FROM unnest(generate_series(0, 63)) AS t(p)
     ),
     scored AS (
-      SELECT vec_id, plane,
+      SELECT vec_id, plane // 8 AS band, plane % 8 AS slot,
              CASE WHEN list_reduce(list_transform(generate_series(1, 64),
-                        i -> CAST(embedding[i] AS DOUBLE) * r[i]), (x, y) -> x + y) > 0
+                        i -> embedding[i] * r[i]), (x, y) -> x + y) > 0
                   THEN 1 ELSE 0 END AS bit
-      FROM embeddings CROSS JOIN planes
+      FROM aug CROSS JOIN planes
     ),
     buckets AS (
-      SELECT vec_id, CAST(sum(bit * CAST(pow(2, plane) AS BIGINT)) AS BIGINT) AS bucket
-      FROM scored GROUP BY vec_id
+      SELECT vec_id, band,
+             CAST(sum(bit * CAST(pow(2, slot) AS BIGINT)) AS BIGINT) AS bucket
+      FROM scored GROUP BY vec_id, band
+    ),
+    cands AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM buckets a
+      JOIN buckets b ON b.band = a.band AND b.bucket = a.bucket
+                     AND a.vec_id < b.vec_id
     ),
     sims AS (
-      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      SELECT id_a, id_b,
              {_DOT.format(a='a.embedding', b='b.embedding')} / (a.vnorm * b.vnorm) AS sim
-      FROM nv a
-      JOIN buckets ba ON ba.vec_id = a.vec_id
-      JOIN buckets bb ON bb.bucket = ba.bucket
-      JOIN nv b ON b.vec_id = bb.vec_id AND a.vec_id < b.vec_id
+      FROM cands
+      JOIN nv a ON a.vec_id = id_a
+      JOIN nv b ON b.vec_id = id_b
     )
-    SELECT id_a, id_b, sim FROM sims WHERE sim >= 0.45
+    SELECT id_a, id_b, sim FROM sims WHERE sim >= 0.9
     """,
 )
 def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scale path for embedding near-dup: only same-bucket pairs are
-    scored (near-identical vectors agree on all 8 hyperplane signs with
-    overwhelming probability), turning the N²/2 scoring into per-bucket
-    blocks — the vector-space mirror of MinHash-LSH for text. At the
-    fixture's 0.45 calibration (no true near-dups exist in the data) the
-    bucket filter honestly prunes nearly everything — the oracle replays
-    the same pruning, so the check is exact either way."""
-    from ..operators.similarity import dot_fold, with_norm
+    """Scale path for embedding near-dup, run against a corpus with
+    planted perturbed copies (see ``augment_with_neardups``): banded
+    hyperplane LSH (8 bands × 8 planes) buckets the vectors, only
+    same-(band, bucket) pairs are scored, and candidates are verified
+    at cosine ≥ 0.9 — the vector-space mirror of MinHash-LSH banding.
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    buckets = lsh_buckets(emb, hyperplanes(spark, n_planes=8, dim=64))
-    nb = with_norm(emb).join(buckets, "vec_id")
-    a = nb.select(
-        F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"),
-        F.col("vnorm").alias("na"), "bucket",
+    A single 8-plane signature ANDs all 8 sign bits (collision prob
+    p^8 → near-zero recall below sim ≈ 0.99); ORing 8 independent bands
+    recovers ~certain recall on the planted near-dups while still
+    pruning the N²/2 scoring to per-bucket blocks.
+    tests/test_similarity_quality.py pins recall ≥ 0.8 against the
+    exact O(N²) baseline on the same corpus."""
+    from ..operators.similarity import banded_lsh_buckets, dot_fold, with_norm
+
+    corpus = augment_with_neardups(load_table(spark, sf_dir, "embeddings"))
+    buckets = banded_lsh_buckets(
+        corpus, hyperplanes(spark, n_planes=64, dim=64), planes_per_band=8
     )
-    b = nb.select(
+    cands = (
+        buckets.alias("a")
+        .join(
+            buckets.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"))
+        .distinct()  # a pair can collide in several bands — score once
+    )
+    nv = with_norm(corpus)
+    a = nv.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"),
+        F.col("vnorm").alias("na"),
+    )
+    b = nv.select(
         F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"),
-        F.col("vnorm").alias("nb_"), F.col("bucket").alias("bucket_b"),
+        F.col("vnorm").alias("nb_"),
     )
     return (
-        a.join(b, (F.col("bucket") == F.col("bucket_b")) & (F.col("id_a") < F.col("id_b")))
+        cands.join(a, "id_a")
+        .join(b, "id_b")
         .select(
             "id_a",
             "id_b",
             (dot_fold(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb_"))).alias("sim"),
         )
-        .filter(F.col("sim") >= 0.45)
+        .filter(F.col("sim") >= 0.9)
     )
 
 

@@ -55,6 +55,32 @@ def test_pandas_pairs_match_exact(spark, exact):
     assert _pairs(similarity_topk_pandas(spark, SF)) == exact
 
 
+def test_neardup_lsh_recall_on_planted_pairs(spark):
+    """The banded-LSH near-dup path must recover ≥80% of the TRUE
+    near-dup pairs (exact O(N²) cosine ≥ 0.9 over the planted-copy
+    corpus) — and, since candidates are exact-verified, return no pair
+    the exact baseline doesn't."""
+    from pyspark.sql import functions as F
+
+    from distributed_mapreduce__spark.operators.similarity import cosine_pairs_above
+    from distributed_mapreduce__spark.queries.similarity_q import augment_with_neardups
+    from distributed_mapreduce__spark.sources.tables import load_table
+
+    corpus = augment_with_neardups(load_table(spark, SF, "embeddings"))
+    truth = {
+        (r.id_a, r.id_b) for r in cosine_pairs_above(corpus, 0.9).collect()
+    }
+    n_planted = corpus.filter(F.col("vec_id") >= 1_000_000).count()
+    assert len(truth) >= n_planted > 0  # fixture is non-vacuous
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in registry.QUERIES["embedding_neardup_lsh"](spark, SF).collect()
+    }
+    assert lsh <= truth  # exact verify ⇒ perfect precision
+    recall = len(lsh & truth) / len(truth)
+    assert recall >= 0.8, f"banded-LSH near-dup recall too low: {recall}"
+
+
 def test_ann_sims_match_exact_scorer(spark):
     """Any (query, neighbor) the fold-based ANN paths return must carry
     the same sim the exact scorer computes — approximation changes WHICH
