@@ -157,14 +157,17 @@ def exact_jaccard(shingles: DataFrame, pairs: DataFrame | None = None) -> DataFr
     inputs, so the double is engine-identical."""
     sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     if pairs is not None:
-        # Candidate-restricted path: fan the (small) pair list out to the
-        # two shingle sets instead of materializing every shared-shingle
+        # Candidate-restricted path: fan the pair list out to the two
+        # shingle sets instead of materializing every shared-shingle
         # pair in the corpus — the all-pairs join is quadratic in
         # docs-per-shingle and is exactly what LSH exists to avoid.
+        # No broadcast hint: the candidate list is usually small, but a
+        # skewed corpus can produce millions of pairs — let AQE pick
+        # broadcast vs shuffle from the measured size at runtime.
         sa = shingles.select(F.col("doc_id").alias("doc_a"), "shingle")
         sb = shingles.select(F.col("doc_id").alias("doc_b"), "shingle")
         inter = (
-            F.broadcast(pairs)
+            pairs
             .join(sa, "doc_a")
             .join(sb, ["doc_b", "shingle"])
             .groupBy("doc_a", "doc_b")

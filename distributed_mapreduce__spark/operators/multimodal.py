@@ -105,7 +105,11 @@ def _fake_decode(payload: bytes, width: int, height: int):
     import numpy as np
 
     need = width * height
-    buf = (payload * (need // max(1, len(payload)) + 1))[:need]
+    if need <= 0 or len(payload) == 0:
+        # Degenerate media (zero-dim or empty payload): an all-zero grid
+        # keeps downstream stats well-defined instead of a reshape error.
+        return np.zeros((max(0, height), max(0, width)), dtype=np.uint8)
+    buf = (payload * (need // len(payload) + 1))[:need]
     return np.frombuffer(bytes(buf), dtype=np.uint8).reshape(height, width)
 
 

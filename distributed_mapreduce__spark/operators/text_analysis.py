@@ -126,7 +126,12 @@ def rolling_fingerprint(docs: DataFrame, col: str = "text") -> DataFrame:
     h_i = (h_{i-1}·131 + ord(ch_i)) mod (2^31-1). Order-sensitive by
     construction (unlike md5-of-text it extends to windowed winnowing:
     the same fold over k-char windows; see :func:`winnow_fingerprints`
-    for that generalization)."""
+    for that generalization).
+
+    Unicode contract: ``split('')`` and ``ascii()`` operate on full
+    code points (astral-plane chars included), matching DuckDB's
+    string_split/ord — tests/test_text_analysis.py pins the cross-engine
+    equality on non-ASCII and emoji inputs."""
     from ..plans.partitioning import spread
 
     chars = F.split(F.col(col), "")

@@ -112,7 +112,7 @@ def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
            list_reduce(
              list_prepend(CAST(0 AS BIGINT),
                           list_transform(string_split(text, ''),
-                                         ch -> CAST(ord(ch) AS BIGINT))),
+                                         ch -> CAST(greatest(ord(ch), 0) AS BIGINT))),
              (acc, c) -> (acc * 131 + c) % 2147483647) AS fingerprint
     FROM documents
     """,

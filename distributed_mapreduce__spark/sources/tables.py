@@ -33,20 +33,31 @@ TABLE_NAMES = (
 BROADCAST_DIMS = ("region", "nation", "supplier", "part", "customer")
 
 
+# events.parquet in file-column order, with the TIMESTAMP(NANOS) column
+# declared as its physical INT64 so the scan needs no schema inference.
+_EVENTS_RAW_SCHEMA = (
+    "event_id BIGINT, ts BIGINT, user_id BIGINT, "
+    "event_type STRING, value DOUBLE, props STRING"
+)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table: ``{sf_dir}/{name}.parquet``.
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    reader rejects (PARQUET_TYPE_ILLEGAL). We read it as raw nanos
-    (``nanosAsLong``) and truncate to microseconds — byte-identical to
-    how DuckDB/Arrow convert ns→µs, verified against raw pyarrow values.
+    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark's schema
+    inference rejects (PARQUET_TYPE_ILLEGAL). Supplying an explicit
+    read schema with ts as BIGINT sidesteps inference — scoped to this
+    one read, no session-wide conf flips (the earlier ``nanosAsLong``
+    approach silently changed NANOS handling for every other read in
+    the session) — and we truncate nanos to microseconds, byte-identical
+    to how DuckDB/Arrow convert ns→µs (verified against raw pyarrow
+    values).
     """
     if name not in TABLE_NAMES:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path)
+        df = spark.read.schema(_EVENTS_RAW_SCHEMA).parquet(path)
         return df.withColumn(
             "ts", F.timestamp_micros(F.expr("ts div 1000"))
         )

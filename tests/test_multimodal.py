@@ -75,3 +75,15 @@ def test_frame_sampling_explodes(spark, media):
 def test_transcode_is_explicit_stub(media):
     with pytest.raises(NotImplementedError):
         transcode(media, "image/png")
+
+
+def test_fake_decode_degenerate_inputs():
+    """Empty payloads and zero dimensions must yield a well-defined
+    zero grid, not a reshape error."""
+    from distributed_mapreduce__spark.operators.multimodal import _fake_decode
+
+    assert _fake_decode(b"", 4, 3).shape == (3, 4)
+    assert _fake_decode(b"", 4, 3).sum() == 0
+    assert _fake_decode(b"xyz", 0, 5).size == 0
+    assert _fake_decode(b"xyz", 5, 0).size == 0
+    assert _fake_decode(b"xyz", 4, 3).shape == (3, 4)

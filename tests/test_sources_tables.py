@@ -1,0 +1,40 @@
+"""Source contracts: the events reader must not mutate session state.
+
+The TIMESTAMP(NANOS) workaround is an explicit per-read schema; flipping
+``spark.sql.legacy.parquet.nanosAsLong`` session-wide would silently
+change NANOS handling for every other read sharing the session."""
+
+from __future__ import annotations
+
+from distributed_mapreduce__spark.sources.tables import load_table
+
+NANOS_CONF = "spark.sql.legacy.parquet.nanosAsLong"
+
+
+def test_events_load_leaves_session_conf_alone(spark, sf_dir):
+    before = spark.conf.get(NANOS_CONF, None)
+    df = load_table(spark, sf_dir, "events")
+    rows = df.limit(5).collect()
+    assert len(rows) == 5
+    assert dict(df.dtypes)["ts"] == "timestamp"
+    assert spark.conf.get(NANOS_CONF, None) == before
+
+
+def test_events_ts_is_nanos_truncated_to_micros(spark, sf_dir):
+    import pyarrow.parquet as pq
+    import os
+
+    from pyspark.sql import functions as F
+
+    raw = pq.read_table(os.path.join(sf_dir, "events.parquet"), columns=["event_id", "ts"])
+    want = {
+        i.as_py(): t.value // 1000  # ns → µs, matching Arrow/DuckDB truncation
+        for i, t in zip(raw["event_id"], raw["ts"])
+    }
+    df = load_table(spark, sf_dir, "events").select(
+        "event_id", F.unix_micros("ts").alias("us")
+    )
+    got = {r.event_id: r.us for r in df.limit(100).collect()}
+    assert got
+    for k, v in got.items():
+        assert want[k] == v
