@@ -55,16 +55,18 @@ def word_counts(df: DataFrame, text_col: str = "value") -> DataFrame:
     return words(df, text_col).groupBy("word").agg(F.count("*").alias("cnt"))
 
 
+def top_k_from_counts(counts: DataFrame, k: int = DEFAULT_TOP_K) -> DataFrame:
+    """O12+O13 on pre-aggregated counts: order by count desc, word asc
+    (byte-order tie-break, master/master.go:294-299), keep k rows.
+    Plans as TakeOrderedAndProject — k rows per partition to the driver."""
+    return counts.orderBy(F.desc("cnt"), F.asc("word")).limit(k)
+
+
 def top_k_words(
     df: DataFrame, text_col: str = "value", k: int = DEFAULT_TOP_K
 ) -> DataFrame:
-    """O12+O13: order by count desc, word asc (byte-order tie-break,
-    master/master.go:294-299), keep k rows. Fully deterministic."""
-    return (
-        word_counts(df, text_col)
-        .orderBy(F.desc("cnt"), F.asc("word"))
-        .limit(k)
-    )
+    """O12+O13 from raw text: fully deterministic top-k word counts."""
+    return top_k_from_counts(word_counts(df, text_col), k)
 
 
 def write_final_text(df: DataFrame, path: str) -> None:
