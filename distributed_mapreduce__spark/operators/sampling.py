@@ -1,0 +1,103 @@
+"""Deterministic sampling / dataset splitting (LLM-pipeline surface).
+
+Training-data pipelines need *reproducible* sampling: re-running the
+pipeline (or re-executing a failed task — Spark retries tasks at will)
+must select the same rows. ``df.sample()`` does not guarantee that
+across retries/partitionings, so everything here derives from a
+content hash of a key column (:mod:`..functions.hashing`, md5-based
+and engine-portable, so every operator is DuckDB-oracle-checkable):
+
+- ``hash_uniform``       — U[0,1) per row from md5(key), the primitive.
+- ``deterministic_sample`` — Bernoulli(p) sample, stable under retries.
+- ``hash_split``         — named train/val/test splits by cumulative
+                           fractions; a row's split NEVER changes when
+                           other rows come or go (unlike randomSplit).
+- ``stratified_quota``   — exactly-n-per-group sample in hash order
+                           (per-language / per-source quotas).
+
+Scale: all are one projection (+ for quotas, one shuffle on the group
+key); no RNG state, no driver coordination, no sort of the full data.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import md5_long
+
+#: Denominator for the hash→uniform mapping. 2^20 buckets keeps the
+#: integer arithmetic exact in both engines while giving ~1e-6 grain.
+_GRAIN = 1 << 20
+
+
+def hash_uniform(key: Column | str, seed: int = 0) -> Column:
+    """U[0,1) from the key's md5 — deterministic, partition-independent,
+    identical in Spark and DuckDB (integer mod then one exact division)."""
+    return (md5_long(key, seed) % F.lit(_GRAIN)).cast("double") / F.lit(
+        float(_GRAIN)
+    )
+
+
+def deterministic_sample(
+    df: DataFrame, key: Column | str, fraction: float, seed: int = 0
+) -> DataFrame:
+    """Keep rows with hash_uniform(key) < fraction. Content-addressed:
+    the same row is kept in every run, retry, and partitioning."""
+    return df.filter(hash_uniform(key, seed) < F.lit(fraction))
+
+
+def hash_split(
+    df: DataFrame,
+    key: Column | str,
+    fractions: Mapping[str, float],
+    seed: int = 0,
+    split_col: str = "split",
+) -> DataFrame:
+    """Tag each row with a named split by cumulative hash ranges.
+
+    ``fractions`` maps name → fraction (must sum to ~1; the last split
+    absorbs rounding). Stable membership: a document's split depends
+    only on its own key, so growing the corpus never reshuffles
+    existing rows between train and test — the property randomSplit
+    lacks and leakage audits need."""
+    total = sum(fractions.values())
+    if not 0.999 <= total <= 1.001:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    u = hash_uniform(key, seed)
+    names = list(fractions)
+    expr: Column | None = None
+    cum = 0.0
+    for name in names[:-1]:
+        cum += fractions[name]
+        branch = F.when(u < F.lit(cum), F.lit(name))
+        expr = branch if expr is None else expr.when(u < F.lit(cum), F.lit(name))
+    expr = F.lit(names[-1]) if expr is None else expr.otherwise(F.lit(names[-1]))
+    return df.withColumn(split_col, expr)
+
+
+def stratified_quota(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    key: Column | str,
+    n_per_group: int,
+    seed: int = 0,
+) -> DataFrame:
+    """Exactly min(n, |group|) rows per group, chosen in hash order.
+
+    The hash rank is a deterministic total order (ties broken by the
+    60-bit hash itself being unique per key in practice; collisions
+    would only swap which of two rows is picked). One shuffle on the
+    group key + per-partition sort — same shape as top-k per group,
+    linear at 100 TB."""
+    from .relational import top_k_per_group
+
+    ranked = df.withColumn("_h", md5_long(key, seed))
+    return (
+        top_k_per_group(
+            ranked, list(group_cols), [F.asc("_h")], k=n_per_group, rn_col="_rn"
+        )
+        .drop("_h", "_rn")
+    )

@@ -36,12 +36,17 @@ def write_bucketed_table(
     n_buckets: int,
     *bucket_cols: str,
     mode: str = "overwrite",
+    path: str | None = None,
 ) -> None:
-    """Bucketed + sorted managed table: co-locates rows by key so a
-    later join/agg on ``bucket_cols`` reads shuffle-free."""
-    (
+    """Bucketed + sorted table: co-locates rows by key so a later
+    join/agg on ``bucket_cols`` reads shuffle-free (pinned by
+    tests/test_sinks_and_stream_wc.py on the physical plan). ``path``
+    makes it external (data at ``path``, metadata in the catalog)."""
+    w = (
         df.write.mode(mode)
         .bucketBy(n_buckets, *bucket_cols)
         .sortBy(*bucket_cols)
-        .saveAsTable(table)
     )
+    if path is not None:
+        w = w.option("path", path)
+    w.saveAsTable(table)

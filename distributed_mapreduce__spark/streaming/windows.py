@@ -36,8 +36,9 @@ _EVENTS_RAW_SCHEMA = T.StructType(
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-replay streaming source over the events fixture, with the
-    same ns→µs timestamp normalization as the batch reader."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    same ns→µs timestamp normalization as the batch reader (explicit
+    BIGINT schema for the NANOS column — no session-wide conf, see
+    sources/tables.py)."""
     # The file source wants a directory; select just events.parquet out of
     # the fixture dir with a glob (works the same when events.parquet is
     # itself a directory of part-files).

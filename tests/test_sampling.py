@@ -1,0 +1,116 @@
+"""Deterministic sampling: DuckDB-oracle value parity + the stability
+properties that motivate content-addressed sampling (membership must
+not depend on partitioning or on other rows)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from distributed_mapreduce__spark.operators.sampling import (
+    deterministic_sample,
+    hash_split,
+    hash_uniform,
+    stratified_quota,
+)
+from distributed_mapreduce__spark.sources.tables import load_table
+from tests.oracle_utils import compare_query
+
+SF = "/root/testdata/sf0.01"
+
+# DuckDB mirror of functions/hashing.md5_long: 60-bit hex-digit fold of
+# md5('<seed>:' || key) — no conv() in DuckDB (see oracle playbook).
+_MD5_LONG = """
+  list_reduce(list_transform(generate_series(1, 15),
+      i -> CAST(strpos('0123456789abcdef',
+                substring(md5('{seed}:' || {key}), i, 1)) - 1 AS BIGINT)),
+    (a, b) -> a * 16 + b)
+"""
+_UNIFORM = f"CAST(({_MD5_LONG}) % 1048576 AS DOUBLE) / 1048576.0"
+
+
+def test_deterministic_sample_matches_oracle(spark, sf_dir):
+    docs = load_table(spark, SF, "documents")
+    got = deterministic_sample(docs, F.col("doc_id").cast("string"), 0.25).select(
+        "doc_id"
+    )
+    u = _UNIFORM.format(seed=0, key="CAST(doc_id AS VARCHAR)")
+    compare_query(
+        spark, SF, got, f"SELECT doc_id FROM documents WHERE {u} < 0.25"
+    )
+
+
+def test_hash_split_matches_oracle_and_covers(spark):
+    docs = load_table(spark, SF, "documents")
+    got = hash_split(
+        docs,
+        F.col("doc_id").cast("string"),
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+    ).select("doc_id", "split")
+    u = _UNIFORM.format(seed=0, key="CAST(doc_id AS VARCHAR)")
+    compare_query(
+        spark,
+        SF,
+        got,
+        f"""
+        SELECT doc_id,
+               CASE WHEN {u} < 0.8 THEN 'train'
+                    WHEN {u} < 0.9 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+        """,
+    )
+    # Rough proportions (hash uniformity) + total coverage.
+    counts = {r["split"]: r["n"] for r in got.groupBy("split").agg(
+        F.count("*").alias("n")).collect()}
+    total = sum(counts.values())
+    assert total == docs.count()
+    assert 0.7 < counts["train"] / total < 0.9
+
+
+def test_split_membership_is_stable_under_corpus_growth(spark):
+    """A row's split must depend only on its own key: the split column
+    computed on half the corpus equals the one computed on all of it."""
+    docs = load_table(spark, SF, "documents")
+    frac = {"train": 0.8, "test": 0.2}
+    key = F.col("doc_id").cast("string")
+    full = {
+        r.doc_id: r.split for r in hash_split(docs, key, frac).collect()
+    }
+    half = {
+        r.doc_id: r.split
+        for r in hash_split(docs.filter(F.col("doc_id") % 2 == 0), key, frac).collect()
+    }
+    assert half and all(full[k] == v for k, v in half.items())
+
+
+def test_sample_is_partition_independent(spark):
+    docs = load_table(spark, SF, "documents")
+    key = F.col("doc_id").cast("string")
+    a = {r.doc_id for r in deterministic_sample(docs, key, 0.3).collect()}
+    b = {
+        r.doc_id
+        for r in deterministic_sample(docs.repartition(17), key, 0.3).collect()
+    }
+    assert a == b and 0 < len(a) < docs.count()
+
+
+def test_stratified_quota_matches_oracle(spark):
+    docs = load_table(spark, SF, "documents")
+    got = stratified_quota(
+        docs, ["lang"], F.col("doc_id").cast("string"), n_per_group=20
+    ).select("lang", "doc_id")
+    h = _MD5_LONG.format(seed=0, key="CAST(doc_id AS VARCHAR)")
+    compare_query(
+        spark,
+        SF,
+        got,
+        f"""
+        SELECT lang, doc_id FROM (
+          SELECT lang, doc_id,
+                 row_number() OVER (PARTITION BY lang ORDER BY {h}) AS rn
+          FROM documents
+        ) WHERE rn <= 20
+        """,
+    )
+    per_group = got.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    assert all(r.n <= 20 for r in per_group)

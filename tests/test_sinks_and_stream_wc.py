@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 from distributed_mapreduce__spark.operators.wordcount import word_counts
 from distributed_mapreduce__spark.plans.inspect import physical_summary
 from distributed_mapreduce__spark.sources.sinks import (
+    write_bucketed_table,
     write_json_lines,
     write_partitioned_parquet,
 )
@@ -44,6 +45,57 @@ def test_partitioned_parquet_prunes(spark, tmp_path):
     # entry on lang (not a post-scan filter over all partitions)
     plan = one._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [" in plan and "lang" in plan.split("PartitionFilters:")[1][:200]
+
+
+def test_bucketed_join_skips_exchange(spark, tmp_path):
+    """THE at-scale shuffle removal: orders ⋈ lineitem on o_orderkey with
+    both sides bucketed on the key must plan with ZERO shuffle exchanges
+    — the join reads co-located buckets directly. This is the claim
+    relational_q.py makes for the fact-fact join at 100 TB; here it is
+    pinned on the physical plan. (Broadcast is disabled for the test so
+    the small fixtures can't sidestep the bucketed sort-merge path.)"""
+    orders = load_table(spark, SF, "orders").select("o_orderkey", "o_totalprice")
+    lineitem = load_table(spark, SF, "lineitem").select("l_orderkey", "l_quantity")
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS bucket_demo")
+    spark.catalog.setCurrentDatabase("bucket_demo")
+    threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        for df, name in (
+            (orders, "orders_b"),
+            (lineitem.withColumnRenamed("l_orderkey", "o_orderkey"), "lineitem_b"),
+        ):
+            write_bucketed_table(
+                df, name, 4, "o_orderkey", path=str(tmp_path / name)
+            )
+
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = (
+            spark.table("orders_b")
+            .join(spark.table("lineitem_b"), "o_orderkey")
+            .groupBy("o_orderkey")
+            .agg(F.sum("l_quantity").alias("qty"))
+        )
+        joined.collect()
+        s = physical_summary(joined)
+        assert s["shuffle_exchange"] == 0, s  # join AND agg reuse bucketing
+        assert s["sort_merge_join"] == 1, s
+
+        # Same query on the unbucketed frames shuffles both sides.
+        plain = (
+            orders.join(
+                lineitem.withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey"
+            )
+            .groupBy("o_orderkey")
+            .agg(F.sum("l_quantity").alias("qty"))
+        )
+        plain.collect()
+        assert physical_summary(plain)["shuffle_exchange"] >= 2
+        assert _rows(joined) == _rows(plain)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+        spark.sql("DROP DATABASE IF EXISTS bucket_demo CASCADE")
+        spark.catalog.setCurrentDatabase("default")
 
 
 def test_stream_wordcount_equals_batch(spark):
