@@ -87,6 +87,27 @@ def tfidf(docs: DataFrame, col: str = "text") -> DataFrame:
     )
 
 
+def inverted_index(docs: DataFrame, col: str = "text") -> DataFrame:
+    """(term, df, postings): per-term document frequency + the sorted
+    posting list of (doc_id, tf) structs.
+
+    Postings are ``array_sort``-ed so the result is deterministic and
+    partition-independent. One explode + one shuffle on term. At
+    100 TB a single term's postings can exceed a task's memory
+    (stop-word-like terms) — production layout keeps the EXPLODED
+    (term, doc_id, tf) relation bucketed by term instead and treats
+    this collected form as an export format for bounded vocabularies
+    (our fixtures: ~31 terms). Term lookups against the exploded form
+    are one pruned scan, no list materialization."""
+    tf = term_frequencies(docs, col)
+    return tf.groupBy("term").agg(
+        F.count("*").alias("df"),
+        F.array_sort(
+            F.collect_list(F.struct("doc_id", "tf"))
+        ).alias("postings"),
+    )
+
+
 def bm25(
     docs: DataFrame,
     query: str,

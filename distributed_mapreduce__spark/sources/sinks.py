@@ -30,6 +30,38 @@ def write_partitioned_parquet(
     df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
 
 
+def compact_parquet(
+    spark,
+    src_path: str,
+    dst_path: str,
+    target_file_mb: int = 256,
+) -> int:
+    """Rewrite a parquet dataset into ~``target_file_mb`` files; returns
+    the output file count.
+
+    The 100 TB housekeeping operator: streaming/incremental writers leave
+    thousands of small files per partition, and scan cost at scale is
+    dominated by file-open/footer overhead, not bytes. Sizing comes from
+    the source's actual on-disk bytes (driver-side file listing — a
+    metadata operation, not data movement); the rewrite itself is one
+    round-robin repartition, no key shuffle."""
+    import math
+
+    # Hadoop FS listing via the JVM gateway — works for any scheme the
+    # session can read (local, HDFS, s3a), unlike os.walk.
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(src_path)
+    fs = p.getFileSystem(conf)
+    total_bytes = fs.getContentSummary(p).getLength()
+    n_files = max(1, math.ceil(total_bytes / (target_file_mb * 1024 * 1024)))
+
+    spark.read.parquet(src_path).repartition(n_files).write.mode(
+        "overwrite"
+    ).parquet(dst_path)
+    return n_files
+
+
 def write_bucketed_table(
     df: DataFrame,
     table: str,

@@ -35,7 +35,9 @@ BROADCAST_DIMS = ("region", "nation", "supplier", "part", "customer")
 
 # events.parquet in file-column order, with the TIMESTAMP(NANOS) column
 # declared as its physical INT64 so the scan needs no schema inference.
-_EVENTS_RAW_SCHEMA = (
+# Shared by the batch reader here and the streaming reader
+# (streaming/windows.py).
+EVENTS_RAW_SCHEMA = (
     "event_id BIGINT, ts BIGINT, user_id BIGINT, "
     "event_type STRING, value DOUBLE, props STRING"
 )
@@ -57,7 +59,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        df = spark.read.schema(_EVENTS_RAW_SCHEMA).parquet(path)
+        df = spark.read.schema(EVENTS_RAW_SCHEMA).parquet(path)
         return df.withColumn(
             "ts", F.timestamp_micros(F.expr("ts div 1000"))
         )

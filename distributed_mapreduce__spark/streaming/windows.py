@@ -16,22 +16,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 from ..operators.timeseries import sessionized, sliding, tumbling
-
-# Raw parquet schema (ts is TIMESTAMP(NANOS) → read as long, see
-# sources/tables.py).
-_EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+from ..sources.tables import EVENTS_RAW_SCHEMA
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -43,7 +30,7 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the fixture dir with a glob (works the same when events.parquet is
     # itself a directory of part-files).
     raw = (
-        spark.readStream.schema(_EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )

@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 from distributed_mapreduce__spark.operators.wordcount import word_counts
 from distributed_mapreduce__spark.plans.inspect import physical_summary
 from distributed_mapreduce__spark.sources.sinks import (
+    compact_parquet,
     write_bucketed_table,
     write_json_lines,
     write_partitioned_parquet,
@@ -45,6 +46,25 @@ def test_partitioned_parquet_prunes(spark, tmp_path):
     # entry on lang (not a post-scan filter over all partitions)
     plan = one._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [" in plan and "lang" in plan.split("PartitionFilters:")[1][:200]
+
+
+def test_compact_parquet_reduces_file_count(spark, tmp_path):
+    """A fragmented dataset (64 files for ~1 MB of data) compacts to the
+    byte-budgeted file count with identical content."""
+    docs = load_table(spark, SF, "documents")
+    frag = str(tmp_path / "frag")
+    docs.repartition(64).write.parquet(frag)
+    import os
+
+    n_frag = sum(f.endswith(".parquet") for f in os.listdir(frag))
+    assert n_frag == 64
+
+    out = str(tmp_path / "compact")
+    n = compact_parquet(spark, frag, out, target_file_mb=256)
+    assert n == 1  # ~1 MB of data → one 256 MB-budget file
+    n_out = sum(f.endswith(".parquet") for f in os.listdir(out))
+    assert n_out == 1
+    assert _rows(spark.read.parquet(out)) == _rows(docs)
 
 
 def test_bucketed_join_skips_exchange(spark, tmp_path):

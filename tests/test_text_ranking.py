@@ -86,6 +86,26 @@ def test_bm25_matches_oracle(spark):
     )
 
 
+def test_inverted_index_matches_oracle(spark):
+    from distributed_mapreduce__spark.operators.text_ranking import (
+        inverted_index,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    got = inverted_index(docs)
+    compare_query(
+        spark,
+        SF,
+        got,
+        f"""
+        WITH {_TF_CTE}
+        SELECT term, count(*) AS df,
+               list_sort(list((doc_id, tf))) AS postings
+        FROM t GROUP BY term
+        """,
+    )
+
+
 def test_bm25_ranks_matching_docs_first(spark):
     """Every scored doc must actually contain a query term, and a doc
     containing both terms should outscore one with a single rarer-free
