@@ -79,6 +79,46 @@ def top_k_per_group(
     )
 
 
+def salted_join(
+    skewed: DataFrame,
+    other: DataFrame,
+    on: str,
+    salt_by: str,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Equi-join resilient to hot keys: the skewed side gets a
+    deterministic salt in [0, n_salts), the other side is replicated
+    ``n_salts`` ways, and the join runs on (key, salt) — a hot key's
+    rows spread over ``n_salts`` tasks instead of one straggler.
+
+    ``salt_by`` must be a column that VARIES WITHIN the hot key on the
+    skewed side (e.g., the fact row's own primary key) — salting by the
+    join key itself would give every hot-key row the same salt and
+    spread nothing. Hashing a column (rather than rand()) keeps the
+    salt deterministic: task retries re-derive the same value — same
+    rationale as content-addressed sampling.
+
+    Cost: the other side shuffles ``n_salts``× its size — worth it when
+    that side is above the broadcast threshold but far smaller than the
+    skewed side, the exact regime where one hot key otherwise pins a
+    single task. AQE's skew-join splitting handles moderate skew
+    without this; salting is the explicit treatment for extreme
+    single-key skew.
+
+    Companion to ``salted_sum`` (operators/mapreduce.py) which treats
+    skewed AGGREGATION; this treats the skewed JOIN.
+    """
+    from ..functions.hashing import stable_bucket
+
+    salted = skewed.withColumn(
+        "_salt", stable_bucket(F.col(salt_by).cast("string"), n_salts, seed=7)
+    )
+    replicated = other.withColumn(
+        "_salt", F.explode(F.lit(list(range(n_salts))))
+    )
+    return salted.join(replicated, [on, "_salt"]).drop("_salt")
+
+
 def semi_join(left: DataFrame, right: DataFrame, on) -> DataFrame:
     """EXISTS — rows of ``left`` with ≥1 match; never duplicates left rows."""
     return left.join(right, on, "left_semi")
