@@ -38,12 +38,21 @@ def ws_tokens(col: str = "text") -> Column:
     return F.split(F.regexp_replace(F.trim(F.col(col)), r"\s+", " "), " ")
 
 
-def token_stats(docs: DataFrame) -> DataFrame:
-    """Per-doc token/char statistics + a composite quality score.
+def quality_expr(col: str = "text") -> Column:
+    """Composite quality score as a pure column expression:
+    alpha_ratio × min(1, n_tokens/20) — penalizes symbol soup and very
+    short documents; fixed left-to-right arithmetic on exact counts.
+    Shared by :func:`token_stats` and the corpus pipeline."""
+    toks = ws_tokens(col)
+    n_tokens = F.size(toks)
+    n_chars = F.length(col)
+    n_alpha = F.size(F.regexp_extract_all(F.col(col), F.lit(r"[A-Za-z]"), 0))
+    return (n_alpha / n_chars) * F.least(F.lit(1.0), n_tokens / F.lit(20.0))
 
-    quality = alpha_ratio × min(1, n_tokens/20) — penalizes symbol soup
-    and very short documents; formula is fixed left-to-right arithmetic
-    on exact counts."""
+
+def token_stats(docs: DataFrame) -> DataFrame:
+    """Per-doc token/char statistics + a composite quality score
+    (:func:`quality_expr`)."""
     from ..plans.partitioning import spread
 
     docs = spread(docs)
@@ -66,10 +75,7 @@ def token_stats(docs: DataFrame) -> DataFrame:
         (total_tok_len / n_tokens).alias("avg_token_len"),
         (n_alpha / n_chars).alias("alpha_ratio"),
         (n_punct / n_chars).alias("punct_ratio"),
-        (
-            (n_alpha / n_chars)
-            * F.least(F.lit(1.0), n_tokens / F.lit(20.0))
-        ).alias("quality_score"),
+        quality_expr().alias("quality_score"),
     )
 
 

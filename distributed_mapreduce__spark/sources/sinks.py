@@ -30,6 +30,26 @@ def write_partitioned_parquet(
     df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
 
 
+def overwrite_partitions(
+    df: DataFrame, path: str, *partition_cols: str
+) -> None:
+    """Idempotent partition-level backfill: rewrite ONLY the partitions
+    present in ``df``, leaving sibling partitions untouched.
+
+    ``partitionOverwriteMode=dynamic`` scoped to this one write (the
+    static default would wipe the whole dataset root). This is the
+    re-run/backfill primitive for partitioned pipeline outputs: a day's
+    recompute replaces that day's directory atomically-per-partition
+    and can be re-executed safely — the poor man's transactional merge
+    when no table format (Delta/Iceberg) is available."""
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_cols)
+        .parquet(path)
+    )
+
+
 def compact_parquet(
     spark,
     src_path: str,
