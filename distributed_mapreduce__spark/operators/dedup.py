@@ -202,6 +202,33 @@ def exact_jaccard(shingles: DataFrame, pairs: DataFrame | None = None) -> DataFr
     )
 
 
+def ngram_contamination(
+    train: DataFrame, eval_docs: DataFrame, n: int = 3
+) -> DataFrame:
+    """(train_doc, eval_doc, n_shared): training documents sharing ≥1
+    word n-gram with an evaluation document — the decontamination scan
+    run before pre-training (benchmark leakage detection).
+
+    The eval set is benchmarks — thousands of rows against a 100 TB
+    corpus — so its shingles broadcast; the train side streams through
+    one equi-join on the shingle string, no shuffle of the corpus.
+    Production uses n=13 (the conventional leakage window); the default
+    n=3 suits the tiny fixture vocabulary where longer grams never
+    collide. Follow with a threshold on ``n_shared`` or join back to
+    doc length for an overlap ratio."""
+    t = doc_shingles(train, n=n).select(
+        F.col("doc_id").alias("train_doc"), "shingle"
+    )
+    e = doc_shingles(eval_docs, n=n).select(
+        F.col("doc_id").alias("eval_doc"), "shingle"
+    )
+    return (
+        t.join(F.broadcast(e), "shingle")
+        .groupBy("train_doc", "eval_doc")
+        .agg(F.count("*").alias("n_shared"))
+    )
+
+
 def simhash16(docs: DataFrame) -> DataFrame:
     """16-bit simhash over distinct tokens: bit j of the fingerprint is
     the sign of Σ_tokens (±1 by bit j of the token's 60-bit md5 hash).
