@@ -87,6 +87,59 @@ def tfidf(docs: DataFrame, col: str = "text") -> DataFrame:
     )
 
 
+def doc_bigrams(docs: DataFrame, col: str = "text") -> DataFrame:
+    """(doc_id, w1, w2): consecutive token pairs per document (docs with
+    < 2 tokens contribute none)."""
+    from ..plans.partitioning import spread
+
+    toks = spread(docs).select(
+        "doc_id",
+        F.filter(_tokens(col), lambda t: t != "").alias("ts"),
+    )
+    pair = F.expr(
+        "transform(sequence(0, size(ts) - 2), i -> struct(ts[i] AS w1, ts[i+1] AS w2))"
+    )
+    return (
+        toks.filter(F.size("ts") >= 2)
+        .select("doc_id", F.explode(pair).alias("bg"))
+        .select("doc_id", "bg.w1", "bg.w2")
+    )
+
+
+def bigram_lm_scores(
+    docs: DataFrame, col: str = "text", alpha: float = 0.5
+) -> DataFrame:
+    """(doc_id, n_bigrams, avg_logprob): add-α bigram language-model
+    score of each document under the model trained on the SAME corpus —
+    the count-based perplexity proxy used for quality filtering (low
+    average log-probability ⇒ unusual/garbled text).
+
+    logP(w2|w1) = ln((c(w1,w2) + α) / (c(w1) + α·V)), V = unigram
+    vocabulary size. Two aggregations train the model; both count
+    tables are vocabulary-sized (V, V²-bounded) and broadcast back onto
+    the corpus-sized bigram relation — at a bounded vocabulary this
+    scales to any corpus size with one shuffle for the counts and one
+    for the final per-doc average."""
+    bg = doc_bigrams(docs, col)
+    bg_counts = bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    uni_counts = bg.groupBy("w1").agg(F.count("*").alias("c1"))
+    vocab = uni_counts.agg(F.count("*").alias("v"))
+    logp = F.log(
+        (F.col("c12") + F.lit(alpha))
+        / (F.col("c1") + F.lit(alpha) * F.col("v"))
+    )
+    return (
+        bg.join(F.broadcast(bg_counts), ["w1", "w2"])
+        .join(F.broadcast(uni_counts), "w1")
+        .join(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.avg(logp).alias("avg_logprob"),
+        )
+    )
+
+
 def inverted_index(docs: DataFrame, col: str = "text") -> DataFrame:
     """(term, df, postings): per-term document frequency + the sorted
     posting list of (doc_id, tf) structs.

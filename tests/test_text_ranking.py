@@ -106,6 +106,61 @@ def test_inverted_index_matches_oracle(spark):
     )
 
 
+def test_bigram_lm_matches_oracle(spark):
+    from distributed_mapreduce__spark.operators.text_ranking import (
+        bigram_lm_scores,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    got = bigram_lm_scores(docs, alpha=0.5)
+    compare_query(
+        spark,
+        SF,
+        got,
+        f"""
+        WITH tarr AS (
+          SELECT doc_id,
+                 list_filter({_TOKS}, t -> t <> '') AS ts
+          FROM documents
+        ),
+        bg AS (
+          SELECT doc_id, ts[i] AS w1, ts[i+1] AS w2
+          FROM tarr, unnest(generate_series(1, len(ts) - 1)) AS u(i)
+          WHERE len(ts) >= 2
+        ),
+        c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+        c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1),
+        v AS (SELECT count(*) AS v FROM c1)
+        SELECT bg.doc_id,
+               count(*) AS n_bigrams,
+               avg(ln((c12 + 0.5) / (c1 + 0.5 * v))) AS avg_logprob
+        FROM bg
+        JOIN c12 ON bg.w1 = c12.w1 AND bg.w2 = c12.w2
+        JOIN c1 ON bg.w1 = c1.w1
+        CROSS JOIN v
+        GROUP BY 1
+        """,
+    )
+
+
+def test_bigram_lm_penalizes_garbled_text(spark):
+    """On a corpus with consistent word order, a garbled document (same
+    words, order the corpus never produces) must score below every
+    natural document. (The parquet fixture is near-random word soup, so
+    this property needs a constructed corpus where order carries
+    signal.)"""
+    from distributed_mapreduce__spark.operators.text_ranking import (
+        bigram_lm_scores,
+    )
+
+    sent = "the quick brown fox jumps over the lazy dog"
+    garbled = "dog the over fox lazy brown jumps quick the"
+    rows = [(i, sent) for i in range(50)] + [(99, garbled)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    scores = {r.doc_id: r.avg_logprob for r in bigram_lm_scores(docs).collect()}
+    assert all(scores[i] > scores[99] for i in range(50))
+
+
 def test_bm25_ranks_matching_docs_first(spark):
     """Every scored doc must actually contain a query term, and a doc
     containing both terms should outscore one with a single rarer-free
