@@ -56,6 +56,19 @@ def test_prepare_corpus_matches_end_to_end_oracle(spark):
     compare_query(spark, SF, got, ORACLE)
 
 
+def test_pipeline_plan_has_single_shuffle(spark):
+    """SCALE.md's claim for the composite: dedup's window is the ONLY
+    exchange; quality, language, and split are projections."""
+    from distributed_mapreduce__spark.plans.inspect import physical_summary
+
+    docs = load_table(spark, SF, "documents")
+    df = prepare_corpus(docs)
+    df.collect()  # finalize AQE
+    s = physical_summary(df)
+    assert s["shuffle_exchange"] == 1, s
+    assert s["sort_merge_join"] == 0 and s["broadcast_hash_join"] == 0
+
+
 def test_language_filter_applies(spark):
     docs = load_table(spark, SF, "documents")
     got = prepare_corpus(docs, min_quality=0.0, languages=["en", "fr"])
