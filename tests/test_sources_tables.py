@@ -20,6 +20,25 @@ def test_events_load_leaves_session_conf_alone(spark, sf_dir):
     assert spark.conf.get(NANOS_CONF, None) == before
 
 
+def test_schema_evolution_merge_read(spark, tmp_path):
+    """Pipelines evolve schemas in place: new files gain columns. A
+    mergeSchema read must surface the union schema with nulls for
+    old files — the contract long-lived partitioned datasets rely on."""
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path / "evolving")
+    spark.range(0, 10).select(F.col("id").alias("k")).write.parquet(out)
+    spark.range(10, 20).select(
+        F.col("id").alias("k"), F.lit("new").alias("extra")
+    ).write.mode("append").parquet(out)
+
+    merged = spark.read.option("mergeSchema", "true").parquet(out)
+    assert set(merged.columns) == {"k", "extra"}
+    assert merged.count() == 20
+    nulls = merged.filter(F.col("extra").isNull()).count()
+    assert nulls == 10  # the pre-evolution files
+
+
 def test_events_ts_is_nanos_truncated_to_micros(spark, sf_dir):
     import pyarrow.parquet as pq
     import os
