@@ -397,9 +397,12 @@ def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style ANN: k-means coarse quantizer (16 cells), queries probe
-    their own cell plus their 2nd-closest centroid's members; exact
-    cosine within the probed cells (nprobe=2).
+    """IVF-style ANN: k-means coarse quantizer (16 cells), exact cosine
+    within each query's nprobe=4 closest cells — probing 1/4 of the
+    corpus for measured recall 0.8 vs the exact baseline on these
+    random unit vectors (nprobe=2 gave 0.5; random 64-d vectors are
+    IVF's worst case since k-means finds little structure — clustered
+    real embeddings sit far up this curve at the same nprobe).
 
     Probe assignment is fully distributed: the 16 centroids (the only
     driver-side artifact — they come back with the fitted k-means model
@@ -436,7 +439,7 @@ def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         queries.join(F.broadcast(centroid_df)).withColumn("d2", d2),
         ["query_id"],
         [F.asc("d2"), F.asc("cell")],
-        k=2,
+        k=4,  # nprobe — see docstring for the recall/cost point
     ).select("query_id", "cell", "q_vec", "q_norm")
 
     scored = (
