@@ -1,0 +1,63 @@
+"""Dataset profiler: DuckDB-oracle parity on a real table and a
+planted-nulls check that the null accounting is right."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from distributed_mapreduce__spark.operators.profile import profile_table
+from distributed_mapreduce__spark.sources.tables import load_table
+from tests.oracle_utils import compare_query
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_profile_documents_matches_oracle(spark):
+    docs = load_table(spark, SF, "documents")
+    got = profile_table(docs)
+    pieces = []
+    for col, has_minmax in [
+        ("doc_id", True),
+        ("text", True),
+        ("lang", True),
+        ("source", True),
+        ("n_chars", True),
+    ]:
+        pieces.append(f"""
+        SELECT '{col}' AS "column", 'n_nulls' AS metric,
+               CAST(count(*) FILTER ({col} IS NULL) AS VARCHAR) AS value FROM documents
+        UNION ALL
+        SELECT '{col}', 'n_distinct',
+               CAST(count(DISTINCT {col}) AS VARCHAR) FROM documents
+        """)
+        if has_minmax:
+            pieces.append(f"""
+            UNION ALL SELECT '{col}', 'min', CAST(min({col}) AS VARCHAR) FROM documents
+            UNION ALL SELECT '{col}', 'max', CAST(max({col}) AS VARCHAR) FROM documents
+            """)
+        pieces.append(" UNION ALL " if col != "n_chars" else "")
+    compare_query(spark, SF, got, "".join(pieces))
+
+
+def test_profile_counts_planted_nulls(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, None), (4, "b")], "id long, s string"
+    )
+    prof = {
+        (r.column, r.metric): r.value for r in profile_table(df).collect()
+    }
+    assert prof[("s", "n_nulls")] == "2"
+    assert prof[("s", "n_distinct")] == "2"
+    assert prof[("id", "n_nulls")] == "0"
+    assert prof[("id", "min")] == "1" and prof[("id", "max")] == "4"
+
+
+def test_profile_approx_mode_runs(spark):
+    docs = load_table(spark, SF, "documents")
+    prof = {
+        (r.column, r.metric): r.value
+        for r in profile_table(docs, approx=True).collect()
+    }
+    exact = 500
+    est = int(prof[("doc_id", "n_distinct")])
+    assert abs(est - exact) / exact < 0.1  # HLL default ~2% rsd
