@@ -1,0 +1,85 @@
+"""Model-based document quality classifier (MLlib logistic regression).
+
+The standard corpus-curation pattern (CCNet / LLaMA-style): a cheap
+heuristic labels an anchor set, a linear model is trained to generalize
+it, and the MODEL — not the heuristic — scores the full corpus. Here the
+anchor labels come from :func:`..operators.text_analysis.quality_expr`
+(alpha-ratio × length ramp) and the model sees only the raw per-document
+statistics, so it must learn the decision surface rather than copy it.
+
+Scale notes (100 TB):
+- Featurization is the same zero-shuffle column algebra as
+  ``token_stats`` — one corpus pass.
+- ``LogisticRegression`` trains with distributed L-BFGS: each iteration
+  is one map-side gradient pass + a treeAggregate reduce of a
+  5-element gradient — no per-row state on the driver. Training on a
+  deterministic hash-sample (``sampling.hash_uniform``) rather than the
+  full corpus is the intended 100 TB form; scoring is an
+  embarrassingly-parallel map of a 5-weight dot product.
+- The fitted model is a handful of doubles broadcast to executors —
+  ``score_documents`` adds zero shuffles.
+
+Reference parity: the reference engine (mapreduce/mapreduce.go:24-58)
+has no ML surface; this extends the E4 text-analysis family with the
+model-scoring step a real training-data pipeline needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+FEATURE_COLS = ("n_tokens", "avg_token_len", "alpha_ratio", "punct_ratio")
+
+
+def quality_training_frame(
+    docs: DataFrame, good_threshold: float = 0.5
+) -> DataFrame:
+    """Per-doc raw features + heuristic anchor label (1 = good).
+
+    The label is ``quality_expr() >= good_threshold``; the feature set
+    deliberately EXCLUDES the composite score itself."""
+    from .text_analysis import token_stats
+
+    stats = token_stats(docs)
+    return stats.select(
+        "doc_id",
+        *[F.col(c).cast("double").alias(c) for c in FEATURE_COLS],
+        (F.col("quality_score") >= good_threshold)
+        .cast("double")
+        .alias("label"),
+    )
+
+
+def train_quality_classifier(train_df: DataFrame):
+    """Fit LR on a :func:`quality_training_frame`-shaped DataFrame.
+
+    Returns a PipelineModel (assembler + scaler + LR). Deterministic:
+    L-BFGS from a zero init on fixed data has no randomized step."""
+    from pyspark.ml import Pipeline
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import StandardScaler, VectorAssembler
+
+    assembler = VectorAssembler(
+        inputCols=list(FEATURE_COLS), outputCol="raw_features"
+    )
+    scaler = StandardScaler(
+        inputCol="raw_features", outputCol="features", withMean=True
+    )
+    lr = LogisticRegression(maxIter=50, regParam=0.01)
+    return Pipeline(stages=[assembler, scaler, lr]).fit(train_df)
+
+
+def score_documents(model, docs: DataFrame) -> DataFrame:
+    """(doc_id, quality_prob, pred): model scores for every document.
+
+    One corpus pass; the model weights ride the closure (broadcast)."""
+    from pyspark.ml.functions import vector_to_array
+
+    feats = quality_training_frame(docs).drop("label")
+    scored = model.transform(feats)
+    return scored.select(
+        "doc_id",
+        vector_to_array("probability")[1].alias("quality_prob"),
+        F.col("prediction").alias("pred"),
+    )
