@@ -49,6 +49,7 @@ def run_master(
     out_dir: str = ".",
     dashboard_port: int | None = 8080,
     spark=None,
+    port_callback=None,
 ) -> list[tuple[str, int]]:
     """Run the reference job end-to-end; return the top-k (word, count).
 
@@ -91,6 +92,10 @@ def run_master(
     if dashboard_port is not None:
         with serve_dashboard(spark, port=dashboard_port) as port:
             print(f"Dashboard: http://127.0.0.1:{port}/")
+            if port_callback is not None:
+                # Lets a supervisor (or test) learn the bound port when
+                # an ephemeral port=0 was requested.
+                port_callback(port)
             top = _run()
     else:
         top = _run()

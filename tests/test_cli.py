@@ -67,6 +67,49 @@ def test_worker_attaches_to_master_dashboard(spark):
     assert len(lines) == 2 and all(line.startswith("progress") for line in lines)
 
 
+def test_worker_tails_live_master_job(spark, tmp_path):
+    """End-to-end master+worker concurrency: the worker attaches while
+    the master's job is actually running (reference operation: workers
+    poll the master for tasks while the job executes) and both finish
+    cleanly — master with artifacts, worker with progress lines."""
+    import queue
+    import threading
+
+    inputs = _write_inputs(tmp_path)
+    out = tmp_path / "out"
+    out.mkdir()
+    port_q: queue.Queue = queue.Queue()
+    result: dict = {}
+
+    def _master():
+        result["top"] = run_master(
+            inputs,
+            out_dir=str(out),
+            dashboard_port=0,
+            spark=spark,
+            port_callback=port_q.put,
+        )
+
+    t = threading.Thread(target=_master)
+    t.start()
+    try:
+        port = port_q.get(timeout=60)
+        buf = io.StringIO()
+        rc = run_worker(
+            f"127.0.0.1:{port}", max_polls=3, poll_interval=0.2, out=buf
+        )
+    finally:
+        t.join(timeout=120)
+    assert not t.is_alive()
+    assert rc == 0
+    lines = buf.getvalue().splitlines()
+    # The master may finish between polls — "master gone; exiting" is a
+    # normal tail; at least one live progress line must have landed.
+    assert lines and lines[0].startswith("progress")
+    assert result["top"][0] == ("the", 4)
+    assert (out / "mr-final.txt").exists()
+
+
 def test_worker_unreachable_master_fails_fast():
     buf = io.StringIO()
     rc = run_worker("127.0.0.1:1", max_polls=1, out=buf)
