@@ -30,6 +30,7 @@ from __future__ import annotations
 
 from collections.abc import Callable, Iterable, Iterator
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -65,11 +66,9 @@ def map_reduce_pandas(
     per key after the shuffle. Schema of the shuffled pairs (and result)
     is ``pair_schema``.
     """
-    import pandas as pd
-
     pairs = df.mapInPandas(map_f, schema=pair_schema)
 
-    def reduce_group(key_tuple, pdf: "pd.DataFrame") -> "pd.DataFrame":
+    def reduce_group(key_tuple: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
             {"key": [key_tuple[0]], "value": [reduce_f(key_tuple[0], pdf["value"])]}
         )

@@ -48,7 +48,7 @@ MEDIA_SCHEMA = T.StructType(
 
 FEATURE_SCHEMA = (
     "media_id long, kind string, n_bytes int, mean_val double, std_val double, "
-    "histogram array<double>"
+    "histogram array<double>, hist_counts array<long>"
 )
 
 FRAME_SCHEMA = "media_id long, frame_idx int, frame_payload binary"
@@ -129,9 +129,20 @@ def extract_features(media: DataFrame) -> DataFrame:
     """Per-item features (byte stats + 8-bin histogram) via mapInPandas.
 
     Batch contract: each Arrow batch is processed as one pandas frame;
-    output rows align 1:1 with input rows."""
+    output rows align 1:1 with input rows.
+
+    Numeric contract: ``mean_val``/``std_val`` are derived from EXACT
+    integer sums with a pinned IEEE op order (``mean = s/n``;
+    ``var = sq/n - mean*mean``; ``sqrt(max(var, 0))``) so a SQL oracle
+    performing the same three float ops reproduces them bit-exactly —
+    the same discipline the relational queries use for money math.
+    ``hist_counts`` carries the raw integer bin counts (engine-portable
+    scalars when CSV-joined); ``histogram`` is the normalized fraction
+    view (each entry a single ``count/n`` division)."""
 
     def op(batches):
+        import math
+
         import numpy as np
         import pandas as pd
 
@@ -142,16 +153,25 @@ def extract_features(media: DataFrame) -> DataFrame:
                 grid = _fake_decode(
                     r["payload"], int(meta["width"]), int(meta["height"])
                 )
-                vals = grid.astype(np.float64).ravel()
-                hist, _ = np.histogram(vals, bins=8, range=(0, 256))
+                vals = grid.astype(np.int64).ravel()
+                n = int(vals.size)
+                counts, _ = np.histogram(vals, bins=8, range=(0, 256))
+                if n:
+                    s = int(vals.sum())
+                    sq = int((vals * vals).sum())
+                    mean = s / n
+                    std = math.sqrt(max(sq / n - mean * mean, 0.0))
+                else:
+                    mean = std = float("nan")
                 out.append(
                     {
                         "media_id": r["media_id"],
                         "kind": r["kind"],
                         "n_bytes": len(r["payload"]),
-                        "mean_val": float(vals.mean()),
-                        "std_val": float(vals.std()),
-                        "histogram": (hist / vals.size).tolist(),
+                        "mean_val": mean,
+                        "std_val": std,
+                        "histogram": [c / n if n else 0.0 for c in counts.tolist()],
+                        "hist_counts": counts.tolist(),
                     }
                 )
             yield pd.DataFrame(out)

@@ -70,22 +70,31 @@ def scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT label,
            count(*) AS n_vecs,
-           list_sort(list(vec_id)) AS all_ids,
-           list_sort(list(vec_id))[1:3] AS first_ids,
+           array_to_string(list_transform(list_sort(list(vec_id)),
+                                          x -> CAST(x AS VARCHAR)), ',') AS all_ids_csv,
+           array_to_string(list_transform(list_sort(list(vec_id))[1:3],
+                                          x -> CAST(x AS VARCHAR)), ',') AS first_ids_csv,
+           list_sort(list(vec_id))[1] AS first_id,
            len(list(vec_id)) AS ids_len
     FROM embeddings
     GROUP BY label
     """,
 )
 def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Array family: collect + sort (deterministic list), slice, size.
-    collect_list order is nondeterministic — array_sort makes the value
-    comparable across engines and partitionings."""
+    """Array family: collect + sort (deterministic list), slice, index,
+    size. collect_list order is nondeterministic — array_sort makes the
+    value comparable across engines and partitionings. Array-typed
+    results are projected to CSV scalars (concat_ws / array_to_string)
+    so the cross-engine canonicalizer sees only hashable scalar cells;
+    the array ops themselves (collect, sort, slice, element_at, size)
+    still run inside the plan."""
     e = load_table(spark, sf_dir, "embeddings")
     ids = F.array_sort(F.collect_list("vec_id"))
+    as_csv = lambda arr: F.concat_ws(",", F.transform(arr, lambda x: x.cast("string")))
     return e.groupBy("label").agg(
         F.count("*").alias("n_vecs"),
-        ids.alias("all_ids"),
-        F.slice(ids, 1, 3).alias("first_ids"),
+        as_csv(ids).alias("all_ids_csv"),
+        as_csv(F.slice(ids, 1, 3)).alias("first_ids_csv"),
+        F.element_at(ids, 1).alias("first_id"),
         F.size(F.collect_list("vec_id")).cast("long").alias("ids_len"),
     )
