@@ -73,9 +73,13 @@ def run_master(
         corpus = read_text_corpus(spark, list(input_files))
         counts = word_counts(corpus).cache()
 
-        # mr-out parity: one text file per reduce partition, hash-
-        # partitioned by word exactly as the reference's shuffle assigns
-        # words to reducers (mapreduce/mapreduce.go:24-28).
+        # mr-out shape parity: one text file per reduce partition,
+        # hash-partitioned by word into n_reduce files. Partition
+        # ASSIGNMENT is Spark Murmur3, intentionally not the
+        # reference's FNV-1a (mapreduce/mapreduce.go ihash) — see
+        # functions/hashing.py for the no-FNV-parity policy — so
+        # per-file contents differ from the reference's mr-out-<r>
+        # while the file count and union of rows match.
         (
             counts.repartition(n_reduce, "word")
             .select(F.format_string("%s %d", "word", "cnt").alias("value"))

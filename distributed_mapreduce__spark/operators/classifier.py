@@ -38,14 +38,23 @@ def quality_training_frame(
     """Per-doc raw features + heuristic anchor label (1 = good).
 
     The label is ``quality_expr() >= good_threshold``; the feature set
-    deliberately EXCLUDES the composite score itself."""
+    deliberately EXCLUDES the composite score itself.
+
+    Degenerate documents (empty / whitespace-only → NULL ratios from
+    the 0/0 divisions) get all-zero features and label 0: NULLs would
+    make VectorAssembler (handleInvalid='error') throw, and
+    ``score_documents`` promises a score for EVERY document — zero
+    features is the honest encoding of "no signal, bad quality"."""
     from .text_analysis import token_stats
 
     stats = token_stats(docs)
     return stats.select(
         "doc_id",
-        *[F.col(c).cast("double").alias(c) for c in FEATURE_COLS],
-        (F.col("quality_score") >= good_threshold)
+        *[
+            F.coalesce(F.col(c).cast("double"), F.lit(0.0)).alias(c)
+            for c in FEATURE_COLS
+        ],
+        (F.coalesce(F.col("quality_score"), F.lit(0.0)) >= good_threshold)
         .cast("double")
         .alias("label"),
     )

@@ -41,8 +41,15 @@ def apply_filters(
     if len(set(names)) != len(names):
         raise ValueError(f"duplicate rule names: {names}")
     # array_position is 1-based and 0 when absent (no false → kept).
+    # NULL predicates (e.g. a comparison over a NULL column) coalesce
+    # to false FIRST: a sequential df.filter(p) chain drops NULL rows,
+    # so the funnel must attribute them to the first NULL-failing rule,
+    # not silently keep them (array_position skips NULL elements).
     idx = F.array_position(
-        F.array(*[p.cast("boolean") for _, p in rules]), F.lit(False)
+        F.array(
+            *[F.coalesce(p.cast("boolean"), F.lit(False)) for _, p in rules]
+        ),
+        F.lit(False),
     )
     # Chained CASE, not element_at(names, nullable-idx): element_at
     # with a NULL index does not return NULL here (observed returning

@@ -43,12 +43,24 @@ from .sampling import hash_uniform
 
 
 def mixture_rates(
-    df: DataFrame, group_col: str, weights: Mapping[str, float]
+    df: DataFrame,
+    group_col: str,
+    weights: Mapping[str, float],
+    validate: bool = True,
 ) -> DataFrame:
     """(group, n, rate): per-group acceptance rates for the mixture.
 
     Tiny result (one row per group in ``weights``); fully distributed
-    — the min-over-groups scalar rides a 1-row cross join."""
+    — the min-over-groups scalar rides a 1-row cross join.
+
+    ``validate=True`` (default) runs one extra group-cardinality
+    action to catch weighted groups with ZERO rows in the data: such a
+    group would silently drop out of the ``min(n/p)`` and the output
+    mixture would no longer match the requested proportions (the
+    target is unattainable — n_g·(p_h/p_g) rows of every other group
+    h would be needed per missing-group row). Raises ``ValueError``
+    naming the empty groups. Pass ``validate=False`` to skip the extra
+    pass when the group inventory is already known."""
     spark = df.sparkSession
     total = float(sum(weights.values()))
     wdf = spark.createDataFrame(
@@ -60,6 +72,15 @@ def mixture_rates(
         .agg(F.count("*").alias("n"))
         .join(F.broadcast(wdf), group_col)
     )
+    if validate:
+        present = {r[0] for r in counts.select(group_col).collect()}
+        missing = sorted(set(weights) - present)
+        if missing:
+            raise ValueError(
+                f"mixture groups with zero rows in data: {missing} — "
+                "the requested mixture is unattainable (their n/p would "
+                "be 0); drop them from weights or fix the corpus"
+            )
     t = counts.agg(F.min(F.col("n") / F.col("p")).alias("t"))
     return counts.crossJoin(F.broadcast(t)).select(
         group_col,
@@ -74,9 +95,10 @@ def resample_to_mixture(
     weights: Mapping[str, float],
     key: Column | str,
     seed: int = 0,
+    validate: bool = True,
 ) -> DataFrame:
     """Downsample ``df`` to the target group mixture (see module doc)."""
-    rates = mixture_rates(df, group_col, weights)
+    rates = mixture_rates(df, group_col, weights, validate=validate)
     return (
         df.join(F.broadcast(rates.select(group_col, "rate")), group_col)
         .filter(hash_uniform(key, seed) < F.col("rate"))

@@ -49,10 +49,15 @@ def profile_table(df: DataFrame, approx: bool = False) -> DataFrame:
         aggs.append(
             F.count(F.when(F.col(name).isNull(), 1)).alias(f"{name}|n_nulls")
         )
+        # MAP columns are not comparable in Spark (countDistinct/HLL on
+        # a map throws) — distinct-count their JSON rendering instead.
+        # NULL maps stay NULL under to_json; caveat: two maps equal up
+        # to key ORDER render differently and count as distinct.
+        dcol = F.to_json(name) if typ.startswith("map") else F.col(name)
         distinct = (
-            F.approx_count_distinct(name)
+            F.approx_count_distinct(dcol)
             if approx
-            else F.countDistinct(name)
+            else F.countDistinct(dcol)
         )
         aggs.append(distinct.alias(f"{name}|n_distinct"))
         if typ.startswith(_ORDERED_PREFIXES):

@@ -47,7 +47,11 @@ def quality_expr(col: str = "text") -> Column:
     n_tokens = F.size(toks)
     n_chars = F.length(col)
     n_alpha = F.size(F.regexp_extract_all(F.col(col), F.lit(r"[A-Za-z]"), 0))
-    return (n_alpha / n_chars) * F.least(F.lit(1.0), n_tokens / F.lit(20.0))
+    # try_divide: empty docs (n_chars=0) yield NULL instead of an ANSI
+    # DIVIDE_BY_ZERO error — same 0-divisor semantics as DuckDB.
+    return F.try_divide(n_alpha, n_chars) * F.least(
+        F.lit(1.0), n_tokens / F.lit(20.0)
+    )
 
 
 def token_stats(docs: DataFrame) -> DataFrame:
@@ -72,9 +76,9 @@ def token_stats(docs: DataFrame) -> DataFrame:
         "source",
         n_tokens.alias("n_tokens"),
         n_chars.alias("n_chars"),
-        (total_tok_len / n_tokens).alias("avg_token_len"),
-        (n_alpha / n_chars).alias("alpha_ratio"),
-        (n_punct / n_chars).alias("punct_ratio"),
+        F.try_divide(total_tok_len, n_tokens).alias("avg_token_len"),
+        F.try_divide(n_alpha, n_chars).alias("alpha_ratio"),
+        F.try_divide(n_punct, n_chars).alias("punct_ratio"),
         quality_expr().alias("quality_score"),
     )
 

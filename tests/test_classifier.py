@@ -61,3 +61,24 @@ def test_probabilities_track_label_separation(spark):
     }
     if 0.0 in means and 1.0 in means:
         assert means[1.0] > means[0.0] + 0.2
+
+
+def test_degenerate_docs_score_without_error(spark):
+    """Empty / whitespace-only docs produce NULL ratio features; the
+    training frame must coalesce them to zeros so VectorAssembler
+    (handleInvalid='error') never throws and EVERY document gets a
+    score (ADVICE r3)."""
+    docs = load_table(spark, SF, "documents").limit(50).union(
+        spark.createDataFrame(
+            [(100001, "", "en", "synth", 0), (100002, "   ", "en", "synth", 3)],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+    )
+    frame = quality_training_frame(docs)
+    degenerate = {r.doc_id: r for r in frame.filter(F.col("doc_id") > 100000).collect()}
+    assert degenerate[100001].alpha_ratio == 0.0
+    assert degenerate[100001].label == 0.0
+
+    model = train_quality_classifier(frame)
+    scored = score_documents(model, docs)
+    assert scored.count() == 52  # every document, including degenerates

@@ -116,3 +116,40 @@ def test_funnel_rejects_bad_rules(spark):
         apply_filters(
             docs, [("r", F.lit(True)), ("r", F.lit(False))]
         )
+
+
+def test_null_predicate_drops_like_sequential_filters(spark):
+    """A rule evaluating to NULL (comparison over a NULL column) must
+    drop the row AND be the attributed reason — matching what a
+    sequential df.filter(p) chain does — not silently pass it through
+    to be kept or blamed on a later rule (ADVICE r3)."""
+    docs = spark.createDataFrame(
+        [
+            (1, "long enough text with many distinct words here ok", 0.9),
+            (2, "equally long text with plenty of distinct words too", None),
+            (3, "x", None),  # fails min_chars BEFORE the NULL quality rule
+        ],
+        "doc_id long, text string, score double",
+    )
+    rules = [
+        ("min_chars", F.length("text") >= 30),
+        ("min_score", F.col("score") > 0.5),  # NULL score → NULL predicate
+    ]
+
+    reasons = {r.doc_id: r.drop_reason for r in apply_filters(docs, rules).collect()}
+    assert reasons[1] is None
+    assert reasons[2] == "min_score"  # NULL attributed to the NULL-failing rule
+    assert reasons[3] == "min_chars"  # earlier hard fail wins over later NULL
+
+    # kept() == sequential filter-chain semantics
+    seq = docs
+    for _, p in rules:
+        seq = seq.filter(p)
+    assert {r.doc_id for r in kept(docs, rules).collect()} == {
+        r.doc_id for r in seq.collect()
+    } == {1}
+
+    report = {r.rule: r for r in funnel_report(docs, rules).collect()}
+    assert report["min_chars"].n_dropped == 1
+    assert report["min_score"].n_dropped == 1
+    assert report["min_score"].n_out == 1

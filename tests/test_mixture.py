@@ -96,3 +96,19 @@ def test_mixture_is_deterministic(spark):
         .collect()
     )
     assert a == b and len(a) > 100
+
+
+def test_absent_weighted_group_raises(spark):
+    """A weighted group with ZERO rows makes the target mixture
+    unattainable — mixture_rates must raise, not silently renormalize
+    over the present groups (ADVICE r3)."""
+    import pytest
+
+    docs = load_table(spark, SF, "documents")
+    bad = dict(WEIGHTS, xx=0.1)
+    with pytest.raises(ValueError, match="xx"):
+        mixture_rates(docs, "lang", bad)
+    with pytest.raises(ValueError, match="xx"):
+        resample_to_mixture(docs, "lang", bad, F.col("doc_id").cast("string")).count()
+    # validate=False keeps the old lazy behavior for known inventories
+    assert mixture_rates(docs, "lang", bad, validate=False).count() == 4

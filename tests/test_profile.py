@@ -61,3 +61,23 @@ def test_profile_approx_mode_runs(spark):
     exact = 500
     est = int(prof[("doc_id", "n_distinct")])
     assert abs(est - exact) / exact < 0.1  # HLL default ~2% rsd
+
+
+def test_profile_handles_map_columns(spark):
+    """MAP columns are not comparable in Spark — the profiler must
+    distinct-count their JSON rendering instead of throwing
+    (ADVICE r3). Array columns stay natively comparable."""
+    df = spark.createDataFrame(
+        [(1, {"a": 1}, [1, 2]), (2, {"a": 1}, [1, 2]), (3, None, None)],
+        "id long, m map<string,int>, arr array<int>",
+    )
+    for approx in (False, True):
+        prof = {
+            (r.column, r.metric): r.value
+            for r in profile_table(df, approx=approx).collect()
+        }
+        assert prof[("m", "n_nulls")] == "1"
+        assert prof[("arr", "n_nulls")] == "1"
+        if not approx:
+            assert prof[("m", "n_distinct")] == "1"
+            assert prof[("arr", "n_distinct")] == "1"
