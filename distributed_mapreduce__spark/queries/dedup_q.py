@@ -23,7 +23,7 @@ from ..operators.dedup import (
     normalized_text,
     simhash16,
 )
-from ..registry import register
+from ..registry import register, register_local
 from ..sources.tables import load_table
 
 # Shared oracle fragments ---------------------------------------------------
@@ -164,7 +164,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_jaccard(doc_shingles(docs)).filter(F.col("jaccard") >= 0.5)
 
 
-@register(
+@register_local(
     "dedup_simhash",
     oracle=f"""
     WITH toks AS (

@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.timeseries import sessionized, sliding, tumbling
-from ..registry import register
+from ..registry import register, register_local
 from ..sources.tables import load_table
 
 _AGGS_SQL = """
@@ -115,7 +115,7 @@ def events_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@register_local(
     "user_activity",
     oracle="""
     SELECT user_id,

@@ -18,14 +18,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.relational import anti_join, charge, dec, disc_price, semi_join
-from ..registry import register
+from ..registry import register, register_local
 from ..sources.tables import load_table
 
 
 # --- O1/O4 analog: pushdown scan ------------------------------------------
 
 
-@register(
+@register_local(
     "scan_filter_project",
     oracle="""
     SELECT l_orderkey, l_linenumber, l_extendedprice, l_discount, l_shipdate
@@ -523,7 +523,7 @@ def trade_volume_by_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- correlated subquery (TPC-H Q2 shape) ----------------------------------
 
 
-@register(
+@register_local(
     "max_line_per_order",
     oracle="""
     SELECT l_orderkey, l_linenumber, l_extendedprice

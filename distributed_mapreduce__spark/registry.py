@@ -24,6 +24,13 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
 
+#: Local tier: queries oracle-gated by the test suite with the same
+#: rigor as QUERIES, but NOT exported through __spark_entry__ — the
+#: driver checks at most 50 queries, so redundant demonstrations live
+#: here to free slots for distinct operators.
+LOCAL_QUERIES: dict[str, QueryFn] = {}
+LOCAL_ORACLES: dict[str, str] = {}
+
 
 def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     """Decorator: register ``fn(spark, sf_dir)`` under ``name``.
@@ -34,11 +41,27 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
     """
 
     def deco(fn: QueryFn) -> QueryFn:
-        if name in QUERIES:
+        if name in QUERIES or name in LOCAL_QUERIES:
             raise ValueError(f"duplicate query name {name!r}")
         QUERIES[name] = fn
         if oracle is not None:
             ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def register_local(
+    name: str, oracle: str | None = None
+) -> Callable[[QueryFn], QueryFn]:
+    """Like :func:`register` but into the local (test-gated) tier."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in QUERIES or name in LOCAL_QUERIES:
+            raise ValueError(f"duplicate query name {name!r}")
+        LOCAL_QUERIES[name] = fn
+        if oracle is not None:
+            LOCAL_ORACLES[name] = oracle
         return fn
 
     return deco
@@ -59,4 +82,5 @@ def load_all() -> None:
         mapreduce_q,
         sql_q,
         functions_q,
+        curation_q,
     )

@@ -17,12 +17,22 @@ registry.load_all()
 
 ORACLE_CASES = sorted(registry.ORACLES)
 ROWS_ONLY_CASES = sorted(set(registry.QUERIES) - set(registry.ORACLES))
+# Local tier (registry.register_local): same oracle rigor, but not
+# exported to the driver — redundant demos demoted to free slots in
+# the driver's 50-query cap.
+LOCAL_ORACLE_CASES = sorted(registry.LOCAL_ORACLES)
 
 
 @pytest.mark.parametrize("name", ORACLE_CASES)
 def test_oracle_match(spark, sf_dir, name):
     df = registry.QUERIES[name](spark, sf_dir)
     compare_query(spark, sf_dir, df, registry.ORACLES[name])
+
+
+@pytest.mark.parametrize("name", LOCAL_ORACLE_CASES)
+def test_local_oracle_match(spark, sf_dir, name):
+    df = registry.LOCAL_QUERIES[name](spark, sf_dir)
+    compare_query(spark, sf_dir, df, registry.LOCAL_ORACLES[name])
 
 
 @pytest.mark.parametrize("name", ROWS_ONLY_CASES)
