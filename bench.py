@@ -6,12 +6,20 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 
 Each query is forced end-to-end with a noop sink write (full plan
 execution, no driver-side collect bottleneck).
+
+Noise defense (the box is shared; recorded round-over-round swings of
+±40% have been pure load artifacts): each query runs PASSES times
+(default 3) and reports the per-query MEDIAN; the 1-minute load average
+is stamped at start and end so a contended run is identifiable from the
+JSON alone ("load_note" calls it out when load > 2). Compare bench
+numbers like-for-like on idle boxes only.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -21,7 +29,8 @@ sys.path.insert(0, REPO)
 from distributed_mapreduce__spark import registry
 from distributed_mapreduce__spark.session import build_session
 
-# Headline set: at least one query per capability area.
+# Headline set: at least one query per capability area. Membership is
+# FROZEN across rounds so totals stay comparable.
 HEADLINE = [
     "wordcount_full",
     "wordcount_topk",
@@ -43,10 +52,13 @@ HEADLINE = [
     "events_asof_orders",
 ]
 
+PASSES = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    load_start = os.getloadavg()[0]
     spark = build_session(app_name="bench")
     registry.load_all()
 
@@ -56,23 +68,32 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in names:
-        t0 = time.perf_counter()
-        df = registry.QUERIES[name](spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        samples = []
+        for _ in range(PASSES):
+            t0 = time.perf_counter()
+            df = registry.QUERIES[name](spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            samples.append(time.perf_counter() - t0)
+        timings[name] = round(statistics.median(samples), 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf else None,
-            }
+    load_end = os.getloadavg()[0]
+    out = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf else None,
+        "passes": PASSES,
+        "load_start": round(load_start, 2),
+        "load_end": round(load_end, 2),
+    }
+    if load_start > 2.0:
+        out["load_note"] = (
+            f"box under load ({load_start:.1f} at start) — timings are "
+            "contended; rerun idle before comparing across rounds"
         )
-    )
+    print(json.dumps(out))
     spark.stop()
 
 
