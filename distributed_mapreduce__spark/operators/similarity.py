@@ -167,6 +167,77 @@ def ivf_assignments(
     return model.transform(feats).select("vec_id", "cell"), model
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    k: int = 10,
+    vec_col: str = "embedding",
+    quantizer: tuple[DataFrame, "object"] | None = None,
+) -> DataFrame:
+    """IVF ANN: exact cosine within each query's ``nprobe`` closest
+    k-means cells — probing nprobe/n_cells of the corpus instead of
+    all of it.
+
+    ``corpus``/``queries`` need (vec_id, embedding). ``quantizer``
+    optionally reuses a prior :func:`ivf_assignments` fit (so a recall
+    sweep over nprobe shares one coarse quantizer, as a production
+    index would). Output: (query_id, neighbor_id, sim, rank).
+
+    Fully distributed: centroids are the only driver-side artifact
+    (they come back with the fitted model regardless); probe selection
+    broadcasts them against the query DataFrame and ranks per query
+    with a window — no ``.collect()`` of query vectors, so the query
+    set can itself be 100 TB-scale.
+    """
+    from .relational import top_k_per_group
+
+    spark = corpus.sparkSession
+    assign, model = quantizer or ivf_assignments(
+        corpus, k=n_cells, vec_col=vec_col
+    )
+    centroid_df = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "cell int, centroid array<double>",
+    )
+
+    corpus_b = with_norm(corpus, vec_col).join(assign, "vec_id")
+    q = with_norm(queries, vec_col).select(
+        F.col("vec_id").alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.col("vnorm").alias("q_norm"),
+    )
+    d2 = F.aggregate(
+        F.zip_with("q_vec", "centroid", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    probes = top_k_per_group(
+        q.join(F.broadcast(centroid_df)).withColumn("d2", d2),
+        ["query_id"],
+        [F.asc("d2"), F.asc("cell")],
+        k=nprobe,
+    ).select("query_id", "cell", "q_vec", "q_norm")
+
+    scored = (
+        corpus_b.join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (
+                dot_fold(F.col("q_vec"), F.col(vec_col))
+                / (F.col("q_norm") * F.col("vnorm"))
+            ).alias("sim"),
+        )
+        .distinct()
+    )
+    return top_k_per_group(
+        scored, ["query_id"], [F.desc("sim"), F.asc("neighbor_id")], k=k, rn_col="rank"
+    ).select("query_id", "neighbor_id", "sim", F.col("rank").cast("int").alias("rank"))
+
+
 def cosine_pairs_above(
     vectors: DataFrame, threshold: float, vec_col: str = "embedding"
 ) -> DataFrame:

@@ -397,67 +397,24 @@ def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style ANN: k-means coarse quantizer (16 cells), exact cosine
-    within each query's nprobe=4 closest cells — probing 1/4 of the
-    corpus for measured recall 0.8 vs the exact baseline on these
-    random unit vectors (nprobe=2 gave 0.5; random 64-d vectors are
-    IVF's worst case since k-means finds little structure — clustered
-    real embeddings sit far up this curve at the same nprobe).
-
-    Probe assignment is fully distributed: the 16 centroids (the only
-    driver-side artifact — they come back with the fitted k-means model
-    regardless) broadcast against the query DataFrame, ranked per query
-    with a window — no ``.collect()`` of query vectors, so the query
-    set can itself be 100 TB-scale.
+    """IVF-style ANN over the fixture embeddings: k-means coarse
+    quantizer (16 cells), exact cosine within each query's nprobe=4
+    closest cells — probing 1/4 of the corpus
+    (:func:`..operators.similarity.ivf_topk`). Recall on these RANDOM
+    unit vectors is ~0.8 at nprobe=4 (IVF's worst case — k-means finds
+    little structure); the measured nprobe∈{1,2,4,8} recall curve on a
+    CLUSTERED fixture, where real embeddings live, is pinned by
+    tests/test_similarity_quality.py::test_ivf_recall_curve_on_clustered_vectors
+    (≥0.9 recall probing <1/2 of the corpus).
 
     Not driver-registered (the k-means fit isn't SQL-portable, so a
     registry row could only ever be rows-only); recall and sim-parity
     gates live in tests/test_similarity_quality.py."""
-    from ..operators.relational import top_k_per_group
-    from ..operators.similarity import dot_fold, ivf_assignments, with_norm
+    from ..operators.similarity import ivf_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
-    assign, model = ivf_assignments(emb, k=16)
-    centroid_df = spark.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
-        "cell int, centroid array<double>",
-    )
-
-    emb_b = with_norm(emb).join(assign, "vec_id")
-    queries = emb_b.filter(F.col("vec_id") % 50 == 0).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("q_vec"),
-        F.col("vnorm").alias("q_norm"),
-    )
-    # Squared distance to each centroid; keep each query's 2 closest.
-    d2 = F.aggregate(
-        F.zip_with("q_vec", "centroid", lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    probes = top_k_per_group(
-        queries.join(F.broadcast(centroid_df)).withColumn("d2", d2),
-        ["query_id"],
-        [F.asc("d2"), F.asc("cell")],
-        k=4,  # nprobe — see docstring for the recall/cost point
-    ).select("query_id", "cell", "q_vec", "q_norm")
-
-    scored = (
-        emb_b.join(F.broadcast(probes), "cell")
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            (
-                dot_fold(F.col("q_vec"), F.col("embedding"))
-                / (F.col("q_norm") * F.col("vnorm"))
-            ).alias("sim"),
-        )
-        .distinct()
-    )
-    return top_k_per_group(
-        scored, ["query_id"], [F.desc("sim"), F.asc("neighbor_id")], k=10, rn_col="rank"
-    ).select("query_id", "neighbor_id", "sim", F.col("rank").cast("int").alias("rank"))
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return ivf_topk(emb, queries, n_cells=16, nprobe=4, k=10)
 
 
 def similarity_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
