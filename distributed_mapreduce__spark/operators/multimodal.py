@@ -250,12 +250,101 @@ def sample_frames(media: DataFrame, every_k: int = 2) -> DataFrame:
     return media.mapInPandas(op, schema=FRAME_SCHEMA)
 
 
-def transcode(media: DataFrame, target_format: str) -> DataFrame:
-    """Transcoding requires a real codec stack — explicitly NOT faked.
+#: The deterministic fake codec family: byte-level, invertible, pure
+#: numpy — enough to make decode→transform→re-encode a REAL tested path
+#: (schema, meta rewrite, batch iteration). A real codec stack slots in
+#: by extending these two tables with PIL/ffmpeg entries.
+FAKE_FORMATS = ("fake/raw", "fake/rle", "fake/delta")
 
-    Raises ``NotImplementedError`` at plan-build time so callers fail
-    fast instead of shipping garbage bytes downstream."""
+
+def _codec_decode(payload: bytes, fmt: str) -> bytes:
+    """Fake-codec payload → raw bytes."""
+    import numpy as np
+
+    if fmt == "fake/raw":
+        return bytes(payload)
+    arr = np.frombuffer(bytes(payload), dtype=np.uint8)
+    if fmt == "fake/rle":
+        counts, vals = arr[0::2], arr[1::2]
+        return np.repeat(vals, counts).tobytes()
+    if fmt == "fake/delta":
+        return (np.cumsum(arr.astype(np.uint64)) % 256).astype(np.uint8).tobytes()
     raise NotImplementedError(
-        "transcode requires a codec stack (PIL/ffmpeg) absent from this "
-        "image; wire a real encoder into mapInPandas here"
+        f"decoding {fmt!r} requires a codec stack (PIL/ffmpeg) absent "
+        "from this image; extend _codec_decode with a real decoder"
     )
+
+
+def _codec_encode(raw: bytes, fmt: str) -> bytes:
+    """Raw bytes → fake-codec payload (exact inverse of decode)."""
+    import numpy as np
+
+    if fmt == "fake/raw":
+        return bytes(raw)
+    arr = np.frombuffer(bytes(raw), dtype=np.uint8)
+    if fmt == "fake/rle":
+        if arr.size == 0:
+            return b""
+        change = np.flatnonzero(np.diff(arr)) + 1
+        starts = np.concatenate(([0], change))
+        ends = np.concatenate((change, [arr.size]))
+        out = bytearray()
+        for s, e in zip(starts, ends):
+            v, n = int(arr[s]), int(e - s)
+            while n > 0:  # runs longer than 255 split into max-chunks
+                c = min(n, 255)
+                out += bytes((c, v))
+                n -= c
+        return bytes(out)
+    if fmt == "fake/delta":
+        if arr.size == 0:
+            return b""
+        deltas = np.diff(arr.astype(np.int16)) % 256
+        return np.concatenate(([arr[0]], deltas)).astype(np.uint8).tobytes()
+    raise NotImplementedError(
+        f"encoding {fmt!r} requires a codec stack (PIL/ffmpeg) absent "
+        "from this image; extend _codec_encode with a real encoder"
+    )
+
+
+def transcode(media: DataFrame, target_format: str) -> DataFrame:
+    """Re-encode every payload into ``target_format`` (meta.format is
+    rewritten; all other columns pass through).
+
+    Supports the deterministic :data:`FAKE_FORMATS` end-to-end —
+    decode with the row's current ``meta.format``, re-encode with the
+    target — so the full decode→re-encode plumbing (struct rewrite,
+    Arrow binary round-trip, per-batch loop) is real and tested. REAL
+    formats (image/png, audio/flac, …) still raise
+    ``NotImplementedError`` at plan-build time: faking them would ship
+    garbage bytes downstream; a codec stack drops into
+    ``_codec_decode``/``_codec_encode``."""
+    if target_format not in FAKE_FORMATS:
+        raise NotImplementedError(
+            f"transcode to {target_format!r} requires a codec stack "
+            "(PIL/ffmpeg) absent from this image; the deterministic "
+            f"fake family {FAKE_FORMATS} is supported end-to-end"
+        )
+
+    def op(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for _, r in pdf.iterrows():
+                meta = dict(r["meta"])
+                raw = _codec_decode(r["payload"], str(meta.get("format")))
+                meta["format"] = target_format
+                out.append(
+                    {
+                        "media_id": r["media_id"],
+                        "kind": r["kind"],
+                        "payload": _codec_encode(raw, target_format),
+                        "meta": meta,
+                    }
+                )
+            yield pd.DataFrame(
+                out, columns=["media_id", "kind", "payload", "meta"]
+            )
+
+    return media.mapInPandas(op, schema=MEDIA_SCHEMA)

@@ -72,9 +72,38 @@ def test_frame_sampling_explodes(spark, media):
         assert len(r["frame_payload"]) == sizes[r["media_id"]]
 
 
-def test_transcode_is_explicit_stub(media):
+def test_transcode_real_formats_are_explicit_stub(media):
     with pytest.raises(NotImplementedError):
         transcode(media, "image/png")
+
+
+def test_transcode_fake_codecs_roundtrip(spark, media):
+    """fake/raw → fake/rle → fake/delta → fake/raw must reproduce the
+    original payload byte-for-byte (the codecs are invertible), with
+    meta.format rewritten at each hop and every other column intact."""
+    rle = transcode(media, "fake/rle")
+    delta = transcode(rle, "fake/delta")
+    back = transcode(delta, "fake/raw")
+
+    orig = {r.media_id: bytes(r.payload) for r in media.collect()}
+    got_rows = back.collect()
+    assert {r.media_id: bytes(r.payload) for r in got_rows} == orig
+    assert all(r.meta.format == "fake/raw" for r in got_rows)
+    assert all(r.meta.format == "fake/rle" for r in rle.limit(5).collect())
+
+    # rle actually compresses the repeated-md5 payloads' long runs?
+    # No — md5 bytes rarely repeat; instead check rle on a constructed
+    # constant payload: 600 equal bytes → 3 (count,value) pairs.
+    from distributed_mapreduce__spark.operators.multimodal import (
+        _codec_decode,
+        _codec_encode,
+    )
+
+    blob = bytes([7]) * 600
+    enc = _codec_encode(blob, "fake/rle")
+    assert enc == bytes([255, 7, 255, 7, 90, 7])
+    assert _codec_decode(enc, "fake/rle") == blob
+    assert _codec_decode(_codec_encode(b"", "fake/delta"), "fake/delta") == b""
 
 
 def test_fake_decode_degenerate_inputs():
