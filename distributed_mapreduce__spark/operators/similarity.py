@@ -167,6 +167,80 @@ def ivf_assignments(
     return model.transform(feats).select("vec_id", "cell"), model
 
 
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    n_planes: int = 8,
+    multiprobe: bool = False,
+    k: int = 10,
+    dim: int = 64,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hyperplane-LSH approximate top-k cosine neighbors.
+
+    ``corpus``/``queries`` need (vec_id, embedding). Candidates =
+    members of each query's bucket (plus, with ``multiprobe``, the
+    ``n_planes`` buckets one bit-flip away), scored exactly, window
+    top-k per query. Probes expand via explode + equi-join on bucket —
+    never a popcount-distance non-equi join, which would plan as a
+    quadratic loop join.
+
+    SIZING RULE (the scale knob): expected bucket occupancy is
+    N / 2^n_planes, so per-query candidate work grows LINEARLY in N at
+    fixed n_planes — and the query count usually grows with N too,
+    making total work quadratic. Hold occupancy constant instead:
+    n_planes ≈ log2(N / target_bucket_size). Measured at a 10x corpus
+    step (SCALE.md): pinned 8 planes degraded 62x; log-scaled planes
+    restored ~linear total time at equal-or-better recall.
+    """
+    from .relational import top_k_per_group
+
+    spark = corpus.sparkSession
+    planes = hyperplanes(spark, n_planes=n_planes, dim=dim)
+    buckets = lsh_buckets(corpus, planes, vec_col=vec_col)
+    corpus_b = with_norm(corpus, vec_col).join(buckets, "vec_id")
+
+    masks = [0] + ([1 << b for b in range(n_planes)] if multiprobe else [])
+    q_buckets = lsh_buckets(queries, planes, vec_col=vec_col)
+    mask_df = spark.range(len(masks)).select(
+        F.expr(f"array({', '.join(str(m) for m in masks)})[cast(id as int)]")
+        .cast("long")
+        .alias("mask")
+    )
+    q = (
+        with_norm(queries, vec_col)
+        .join(q_buckets, "vec_id")
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col(vec_col).alias("q_vec"),
+            F.col("vnorm").alias("q_norm"),
+            F.col("bucket").alias("q_bucket"),
+        )
+        .join(F.broadcast(mask_df))
+        .select(
+            "query_id", "q_vec", "q_norm",
+            F.expr("q_bucket ^ mask").alias("probe_bucket"),
+        )
+    )
+    scored = corpus_b.join(
+        F.broadcast(q),
+        (F.col("bucket") == F.col("probe_bucket"))
+        & (F.col("vec_id") != F.col("query_id")),
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        (
+            dot_fold(F.col("q_vec"), F.col(vec_col))
+            / (F.col("q_norm") * F.col("vnorm"))
+        ).alias("sim"),
+    )
+    if multiprobe:
+        scored = scored.distinct()  # a neighbor can match via several probes
+    return top_k_per_group(
+        scored, ["query_id"], [F.desc("sim"), F.asc("neighbor_id")], k=k, rn_col="rank"
+    ).select("query_id", "neighbor_id", "sim", F.col("rank").cast("int").alias("rank"))
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

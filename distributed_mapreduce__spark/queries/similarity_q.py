@@ -109,31 +109,15 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-10: random-hyperplane LSH (8 planes → 256 buckets)
     prunes candidates to the query's bucket before exact scoring — the
-    scale path (≈N/256 scored per query instead of N)."""
-    from ..operators.relational import top_k_per_group
-    from ..operators.similarity import dot_fold, with_norm
+    scale path (≈N/256 scored per query instead of N). Pinned to 8
+    planes for oracle parity at fixture scale; at larger N the plane
+    count must grow like log2(N / bucket_size) — the sizing rule and
+    its 10x measurement live on :func:`..operators.similarity.lsh_topk`."""
+    from ..operators.similarity import lsh_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
-    planes = hyperplanes(spark, n_planes=8, dim=64)
-    buckets = lsh_buckets(emb, planes)
-    emb_b = with_norm(emb).join(buckets, "vec_id")
-    q = emb_b.filter(F.col("vec_id") % 50 == 0).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("q_vec"),
-        F.col("vnorm").alias("q_norm"),
-        F.col("bucket").alias("q_bucket"),
-    )
-    scored = emb_b.join(
-        F.broadcast(q),
-        (F.col("bucket") == F.col("q_bucket")) & (F.col("vec_id") != F.col("query_id")),
-    ).select(
-        "query_id",
-        F.col("vec_id").alias("neighbor_id"),
-        (dot_fold(F.col("q_vec"), F.col("embedding")) / (F.col("q_norm") * F.col("vnorm"))).alias("sim"),
-    )
-    return top_k_per_group(
-        scored, ["query_id"], [F.desc("sim"), F.asc("neighbor_id")], k=10, rn_col="rank"
-    ).select("query_id", "neighbor_id", "sim", F.col("rank").cast("int").alias("rank"))
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return lsh_topk(emb, queries, n_planes=8, multiprobe=False, k=10)
 
 
 _PROBE_MASKS = [0] + [1 << b for b in range(8)]  # self + each 1-bit flip
@@ -190,52 +174,15 @@ def similarity_topk_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFram
     bit-flip away (9 probes → ~9·N/256 candidates) — the standard
     recall/cost dial between single-probe LSH and brute force. Probes
     expand via explode + equi-join on bucket (never a popcount-distance
-    non-equi join, which would plan as a quadratic loop join)."""
-    from ..operators.relational import top_k_per_group
-    from ..operators.similarity import dot_fold, with_norm
+    non-equi join, which would plan as a quadratic loop join). Plane
+    count pinned for oracle parity; see
+    :func:`..operators.similarity.lsh_topk` for the log2(N) sizing
+    rule at scale."""
+    from ..operators.similarity import lsh_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
-    planes = hyperplanes(spark, n_planes=8, dim=64)
-    buckets = lsh_buckets(emb, planes)
-    emb_b = with_norm(emb).join(buckets, "vec_id")
-    masks = spark.range(len(_PROBE_MASKS)).select(
-        F.expr(f"array({', '.join(str(m) for m in _PROBE_MASKS)})[cast(id as int)]")
-        .cast("long")
-        .alias("mask")
-    )
-    q = (
-        emb_b.filter(F.col("vec_id") % 50 == 0)
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.col("embedding").alias("q_vec"),
-            F.col("vnorm").alias("q_norm"),
-            F.col("bucket").alias("q_bucket"),
-        )
-        .join(F.broadcast(masks))
-        .select(
-            "query_id", "q_vec", "q_norm",
-            F.expr("q_bucket ^ mask").alias("probe_bucket"),
-        )
-    )
-    scored = (
-        emb_b.join(
-            F.broadcast(q),
-            (F.col("bucket") == F.col("probe_bucket"))
-            & (F.col("vec_id") != F.col("query_id")),
-        )
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            (
-                dot_fold(F.col("q_vec"), F.col("embedding"))
-                / (F.col("q_norm") * F.col("vnorm"))
-            ).alias("sim"),
-        )
-        .distinct()  # a neighbor can match via several probes
-    )
-    return top_k_per_group(
-        scored, ["query_id"], [F.desc("sim"), F.asc("neighbor_id")], k=10, rn_col="rank"
-    ).select("query_id", "neighbor_id", "sim", F.col("rank").cast("int").alias("rank"))
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return lsh_topk(emb, queries, n_planes=8, multiprobe=True, k=10)
 
 
 @register(

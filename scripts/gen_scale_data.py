@@ -1,0 +1,147 @@
+#!/usr/bin/env python3
+"""Generate a 10x ("sf1") copy of the driver's sf0.1 fixtures for the
+local order-of-magnitude scale proof (SCALE.md appendix).
+
+TPC-H-ish tables are scaled by key-shifted replication of sf0.1 (10
+copies with disjoint key ranges — distribution-preserving, join-
+consistent; region/nation stay fixed like real TPC-H). The synthetic
+tables (documents / embeddings / events) are regenerated at 10x size
+with the same schemas, vocabularies, and physical types — notably
+events.ts stays parquet TIMESTAMP(NANOS) so the explicit-schema read
+path is exercised identically.
+
+Output: /root/repo/testdata_sf1/*.parquet (gitignored — ~500 MB).
+Deterministic (seeded); rerunning overwrites in place.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+SRC = "/root/testdata/sf0.1"
+OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                   "testdata_sf1")
+COPIES = 10
+
+# Key-space sizes at sf0.1 (max key + 1), used as per-copy shifts.
+SHIFTS = {"custkey": 15_000, "orderkey": 150_000, "partkey": 20_000,
+          "suppkey": 1_000}
+
+
+def tpch_tables(con: duckdb.DuckDBPyConnection) -> None:
+    con.execute(f"COPY (SELECT * FROM '{SRC}/region.parquet') TO "
+                f"'{OUT}/region.parquet' (FORMAT PARQUET)")
+    con.execute(f"COPY (SELECT * FROM '{SRC}/nation.parquet') TO "
+                f"'{OUT}/nation.parquet' (FORMAT PARQUET)")
+    plans = {
+        "customer": "SELECT c_custkey + {i} * {custkey} AS c_custkey, "
+                    "c_name, c_nationkey, c_acctbal, c_mktsegment "
+                    "FROM '{src}/customer.parquet'",
+        "supplier": "SELECT s_suppkey + {i} * {suppkey} AS s_suppkey, "
+                    "s_name, s_nationkey, s_acctbal "
+                    "FROM '{src}/supplier.parquet'",
+        "part": "SELECT p_partkey + {i} * {partkey} AS p_partkey, p_name, "
+                "p_brand, p_type, p_size, p_retailprice "
+                "FROM '{src}/part.parquet'",
+        "orders": "SELECT o_orderkey + {i} * {orderkey} AS o_orderkey, "
+                  "o_custkey + {i} * {custkey} AS o_custkey, o_orderstatus, "
+                  "o_totalprice, o_orderdate, o_orderpriority "
+                  "FROM '{src}/orders.parquet'",
+        "lineitem": "SELECT l_orderkey + {i} * {orderkey} AS l_orderkey, "
+                    "l_partkey + {i} * {partkey} AS l_partkey, "
+                    "l_suppkey + {i} * {suppkey} AS l_suppkey, "
+                    "l_linenumber, l_quantity, l_extendedprice, l_discount, "
+                    "l_tax, l_returnflag, l_linestatus, l_shipdate "
+                    "FROM '{src}/lineitem.parquet'",
+    }
+    for table, tmpl in plans.items():
+        selects = " UNION ALL ".join(
+            tmpl.format(i=i, src=SRC, **SHIFTS) for i in range(COPIES)
+        )
+        con.execute(f"COPY ({selects}) TO '{OUT}/{table}.parquet' "
+                    "(FORMAT PARQUET)")
+        n = con.execute(f"SELECT count(*) FROM '{OUT}/{table}.parquet'").fetchone()[0]
+        print(f"{table}: {n} rows")
+
+
+def documents(con: duckdb.DuckDBPyConnection, rng: np.random.Generator) -> None:
+    vocab = [r[0] for r in con.execute(
+        f"SELECT DISTINCT unnest(string_split(text, ' ')) FROM "
+        f"'{SRC}/documents.parquet'").fetchall() if r[0]]
+    vocab = sorted(vocab)
+    langs = ["en", "de", "es", "fr", "zh"]
+    lang_p = [0.41, 0.14, 0.15, 0.15, 0.15]
+    n_docs = 50_000
+    lengths = rng.integers(8, 101, size=n_docs)
+    lang_ix = rng.choice(len(langs), size=n_docs, p=lang_p)
+    words = rng.choice(vocab, size=int(lengths.sum()))
+    texts, pos = [], 0
+    for ln in lengths:
+        texts.append(" ".join(words[pos:pos + ln]))
+        pos += ln
+    tbl = pa.table({
+        "doc_id": pa.array(range(n_docs), pa.int64()),
+        "text": pa.array(texts),
+        "lang": pa.array([langs[i] for i in lang_ix]),
+        "source": pa.array([f"src{i % 20}" for i in range(n_docs)]),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    })
+    pq.write_table(tbl, f"{OUT}/documents.parquet")
+    print(f"documents: {n_docs} rows")
+
+
+def embeddings(rng: np.random.Generator) -> None:
+    n, dim = 20_000, 64
+    vecs = rng.standard_normal((n, dim)).astype(np.float32)
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    tbl = pa.table({
+        "vec_id": pa.array(range(n), pa.int64()),
+        "embedding": pa.array(list(vecs), pa.list_(pa.float32())),
+        "label": pa.array(rng.integers(0, 10, size=n), pa.int32()),
+    })
+    pq.write_table(tbl, f"{OUT}/embeddings.parquet")
+    print(f"embeddings: {n} rows")
+
+
+def events(rng: np.random.Generator) -> None:
+    n = 1_000_000
+    start_ns = np.datetime64("2024-01-01T00:00:00", "ns").astype(np.int64)
+    span_ns = 30 * 24 * 3600 * 10**9
+    ts = np.sort(start_ns + rng.integers(0, span_ns, size=n))
+    types = np.array(["view", "click", "purchase", "signup", "error"])
+    tbl = pa.table({
+        "event_id": pa.array(range(n), pa.int64()),
+        "ts": pa.array(ts).cast(pa.timestamp("ns")),
+        "user_id": pa.array(rng.integers(1, 15_001, size=n), pa.int64()),
+        "event_type": pa.array(types[rng.integers(0, 5, size=n)]),
+        "value": pa.array(np.round(rng.exponential(50.0, size=n), 2)),
+        "props": pa.array([f'{{"k": {int(k)}}}'
+                           for k in rng.integers(0, 100, size=n)]),
+    })
+    pq.write_table(tbl, f"{OUT}/events.parquet")
+    print(f"events: {n} rows")
+
+
+def main() -> int:
+    os.makedirs(OUT, exist_ok=True)
+    con = duckdb.connect()
+    rng = np.random.default_rng(42)
+    tpch_tables(con)
+    documents(con, rng)
+    embeddings(rng)
+    events(rng)
+    sizes = {f: round(os.path.getsize(os.path.join(OUT, f)) / 2**20, 1)
+             for f in sorted(os.listdir(OUT))}
+    print(json.dumps({"out": OUT, "mb": sizes}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
