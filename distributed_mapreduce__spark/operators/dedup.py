@@ -273,3 +273,106 @@ def simhash16(docs: DataFrame) -> DataFrame:
             .alias("simhash")
         )
     )
+
+
+# --- incremental dedup (continuously-crawled corpora) ----------------------
+
+
+def dedup_index(docs: DataFrame) -> DataFrame:
+    """(doc_id, text_md5, mh0..mh15): the per-document dedup index row.
+
+    The index a continuously-ingesting pipeline persists between
+    batches: ONE row per historical document — an exact-dup key
+    (md5 of normalized text) plus the 16-seed MinHash signature — so
+    incremental dedup needs neither historical text nor historical
+    shingle sets. Storage is O(corpus rows) × ~160 bytes: the 100 TB
+    corpus carries a ~GB-scale index.
+
+    Documents too short to shingle (<3 tokens) carry NULL signature
+    columns — they still exact-dedup; the fuzzy path skips them."""
+    sig = minhash_signatures(doc_shingles(docs, distinct=False))
+    return docs.select(
+        "doc_id", F.md5(normalized_text()).alias("text_md5")
+    ).join(sig, "doc_id", "left")
+
+
+def incremental_dedup(
+    new_docs: DataFrame, index: DataFrame, est_threshold: float = 0.5
+) -> tuple[DataFrame, DataFrame]:
+    """Deduplicate a NEW batch against a historical :func:`dedup_index`.
+
+    Returns ``(tagged, updated_index)``: ``tagged`` is ``new_docs`` +
+    ``drop_reason`` ('dup_exact' — normalized text seen before;
+    'dup_near' — estimated Jaccard vs some indexed doc ≥ threshold;
+    NULL — keep), and ``updated_index`` appends the kept docs' index
+    rows.
+
+    Estimated Jaccard = fraction of agreeing minhash seeds (the
+    unbiased MinHash estimator) — candidates come from an LSH band
+    join against the index, so the signature comparison is candidate-
+    restricted, never all-pairs. Intra-batch duplicates are out of
+    scope by design: run the batch pipeline (``exact_dedup_groups`` /
+    ``lsh_candidate_pairs``) on the batch first, then this against
+    history.
+
+    Scale shape: exact check is an equi-join on a 32-byte key;
+    fuzzy check is band-bucket join + per-candidate 16-column compare;
+    the corpus-sized text never joins anything."""
+    new_idx = dedup_index(new_docs)
+
+    exact_hits = (
+        new_idx.join(
+            index.select(F.col("text_md5").alias("_h")).distinct(),
+            F.col("text_md5") == F.col("_h"),
+            "left_semi",
+        )
+        .select("doc_id")
+        .withColumn("_ex", F.lit(1))
+    )
+
+    sig_cols = [f"mh{s}" for s in range(N_SEEDS)]
+    new_bands = lsh_bands(new_idx.filter(F.col("mh0").isNotNull()))
+    old_bands = lsh_bands(
+        index.filter(F.col("mh0").isNotNull())
+    ).withColumnRenamed("doc_id", "old_id")
+    cand = (
+        new_bands.join(old_bands, ["band", "band_key"])
+        .select("doc_id", "old_id")
+        .distinct()
+    )
+    n_sig = new_idx.select("doc_id", *sig_cols)
+    o_sig = index.select(
+        F.col("doc_id").alias("old_id"),
+        *[F.col(c).alias(f"o_{c}") for c in sig_cols],
+    )
+    est = (
+        sum(
+            (F.col(c) == F.col(f"o_{c}")).cast("int") for c in sig_cols
+        )
+        / F.lit(float(N_SEEDS))
+    ).alias("est_jaccard")
+    near_hits = (
+        cand.join(n_sig, "doc_id")
+        .join(o_sig, "old_id")
+        .select("doc_id", est)
+        .filter(F.col("est_jaccard") >= est_threshold)
+        .select("doc_id")
+        .distinct()
+        .withColumn("_nr", F.lit(1))
+    )
+
+    tagged = (
+        new_docs.join(exact_hits, "doc_id", "left")
+        .join(near_hits, "doc_id", "left")
+        .withColumn(
+            "drop_reason",
+            F.when(F.col("_ex").isNotNull(), "dup_exact").when(
+                F.col("_nr").isNotNull(), "dup_near"
+            ),
+        )
+        .drop("_ex", "_nr")
+    )
+    kept_idx = new_idx.join(
+        tagged.filter(F.col("drop_reason").isNull()).select("doc_id"), "doc_id"
+    )
+    return tagged, index.unionByName(kept_idx)
