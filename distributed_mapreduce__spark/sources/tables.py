@@ -76,3 +76,23 @@ def register_views(spark: SparkSession, sf_dir: str, *names: str) -> None:
     """Register fixture tables as temp views for the SQL entry points."""
     for name, df in load_tables(spark, sf_dir, *names).items():
         df.createOrReplaceTempView(name)
+
+
+def read_parquet_evolving(spark: SparkSession, *paths: str) -> DataFrame:
+    """Read parquet written across schema generations as ONE DataFrame.
+
+    Long-lived corpora accrete columns (a quality score added in
+    month 3, a license tag in month 7). ``mergeSchema`` unions the
+    footer schemas across all inputs; rows from files missing a column
+    read as NULL. Spark still prunes columns and pushes filters into
+    each file's scan — schema evolution costs footer reconciliation at
+    planning time, not scan time (the per-file read schema is the
+    intersection of the merged schema and that file's columns).
+
+    Caveats the caller owns (tested in tests/test_schema_evolution.py):
+    same-name columns must keep a compatible type across generations
+    (INT→LONG widens; INT→STRING fails the merge), and column RENAMES
+    are two columns to mergeSchema — migrate with an explicit select,
+    not the reader.
+    """
+    return spark.read.option("mergeSchema", "true").parquet(*paths)
