@@ -157,3 +157,19 @@ def test_ivf_recall_curve_on_clustered_vectors(spark):
     assert recalls[4] >= 0.9, f"recall curve: {recalls}"
     corpus.unpersist()
     queries.unpersist()
+
+
+def test_blas_blocked_topk_matches_exact(spark, exact):
+    """cosine_topk_blas (blocked matmul + per-batch partial top-k) must
+    return the same (query, neighbor) pair set as the fold-based exact
+    baseline — the partial cut is lossless because any global top-k row
+    is in its own batch's top-k."""
+    from pyspark.sql import functions as F
+
+    from distributed_mapreduce__spark.operators.similarity import cosine_topk_blas
+    from distributed_mapreduce__spark.sources.tables import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    got = _pairs(cosine_topk_blas(emb, queries, k=10))
+    assert got == exact
