@@ -79,3 +79,122 @@ def reconstruction_report(df: DataFrame, vec_col: str = "embedding") -> DataFram
         err.alias("max_abs_err"),
         (F.abs(dot(deq, deq) - dot(orig, orig)) / dot(orig, orig)).alias("dot_err"),
     )
+
+
+# --- product quantization (PQ) ---------------------------------------------
+#
+# Scalar int8 gives 4×; PQ gives 32×: split each vector into M
+# subvectors, learn a k-means codebook of K centroids per subspace,
+# store each vector as M small codes (M·log2(K) bits — 8 subspaces ×
+# 16 centroids = 8 nibbles = 4 bytes for a 64-d float vector). The
+# memory-bound ANN serving pattern: codes live in RAM, vectors are
+# reconstructed (or distance tables used) on the fly. Training is M
+# seeded distributed k-means fits; encoding is an embarrassingly-
+# parallel model transform; codebooks are M·K tiny rows broadcast
+# everywhere else.
+
+
+def pq_train(
+    vectors: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    seed: int = 42,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Learn PQ codebooks: (sub, code, centroid array<double>).
+
+    ``m`` subspaces of dim/m dims each, ``k`` centroids per subspace —
+    one seeded distributed KMeans fit per subspace (fit on a corpus
+    sample at real scale, exactly like IVF's coarse quantizer)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    spark = vectors.sparkSession
+    dim = len(vectors.select(vec_col).first()[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub_d = dim // m
+    rows = []
+    for sub in range(m):
+        feats = vectors.select(
+            array_to_vector(
+                F.slice(
+                    F.transform(F.col(vec_col), lambda x: x.cast("double")),
+                    sub * sub_d + 1,
+                    sub_d,
+                )
+            ).alias("features")
+        )
+        model = KMeans(k=k, seed=seed + sub, featuresCol="features").fit(feats)
+        rows += [
+            (sub, code, [float(x) for x in c])
+            for code, c in enumerate(model.clusterCenters())
+        ]
+    return spark.createDataFrame(
+        rows, "sub int, code int, centroid array<double>"
+    )
+
+
+def pq_encode(
+    vectors: DataFrame, codebooks: DataFrame, vec_col: str = "embedding"
+) -> DataFrame:
+    """(vec_id, codes array<int>): nearest-centroid code per subspace.
+
+    Codebooks broadcast (M·K rows); assignment is one explode + join +
+    min-distance window per subspace — no vector shuffle. ``codes`` is
+    ordered by subspace."""
+    from .relational import top_k_per_group
+
+    m = codebooks.agg(F.max("sub")).first()[0] + 1
+    dim_info = codebooks.select(F.size("centroid")).first()[0]
+    subs = vectors.select(
+        "vec_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda s: F.slice(
+                    F.transform(F.col(vec_col), lambda x: x.cast("double")),
+                    s * dim_info + 1,
+                    dim_info,
+                ),
+            )
+        ).alias("sub", "subvec"),
+    )
+    d2 = F.aggregate(
+        F.zip_with("subvec", "centroid", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    best = top_k_per_group(
+        subs.join(F.broadcast(codebooks), "sub").withColumn("d2", d2),
+        ["vec_id", "sub"],
+        [F.asc("d2"), F.asc("code")],
+        k=1,
+        rn_col="_rn",
+    )
+    return (
+        best.groupBy("vec_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("sub", "code"))),
+                lambda s: s["code"],
+            ).alias("codes")
+        )
+    )
+
+
+def pq_decode(encoded: DataFrame, codebooks: DataFrame) -> DataFrame:
+    """(vec_id, embedding array<double>): reconstruct from codes —
+    concatenated subspace centroids. Codebooks broadcast; pure column
+    algebra."""
+    joined = encoded.select(
+        "vec_id", F.posexplode("codes").alias("sub", "code")
+    ).join(F.broadcast(codebooks), ["sub", "code"])
+    return joined.groupBy("vec_id").agg(
+        F.flatten(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("sub", "centroid"))),
+                lambda s: s["centroid"],
+            )
+        ).alias("embedding")
+    )
