@@ -183,6 +183,56 @@ def pq_encode(
     )
 
 
+def pq_search(
+    vectors: DataFrame,
+    queries: DataFrame,
+    codebooks: DataFrame,
+    k: int = 10,
+    n_candidates: int = 50,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, neighbor_id, score): PQ ANN with exact rerank — the
+    standard two-stage serving pattern.
+
+    Stage 1 scores queries against the PQ *reconstruction* (codes
+    decode to M·K broadcast centroids — at serving scale this is the
+    memory-resident index) and keeps ``n_candidates`` per query; stage
+    2 reranks ONLY those candidates against the original vectors with
+    exact dot products. The exact pass touches |Q|·n_candidates rows —
+    candidate-restricted, never the full corpus, the same posture as
+    the LSH verify join (operators/dedup.py). With unit-norm inputs the
+    dot product is cosine similarity."""
+    from .relational import top_k_per_group
+    from .similarity import cosine_topk_blas
+
+    dec = pq_decode(pq_encode(vectors, codebooks, vec_col), codebooks)
+    cand = cosine_topk_blas(dec, queries, k=n_candidates).select(
+        "query_id", "neighbor_id"
+    )
+    pool = cand.join(
+        vectors.select(
+            F.col("vec_id").alias("neighbor_id"),
+            _as_double(F.col(vec_col)).alias("_nv"),
+        ),
+        "neighbor_id",
+    )
+    q = queries.select(
+        F.col("vec_id").alias("query_id"), _as_double(F.col(vec_col)).alias("_qv")
+    )
+    scored = pool.join(q, "query_id").withColumn(
+        "score",
+        F.aggregate(
+            F.zip_with("_nv", "_qv", lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    return top_k_per_group(
+        scored, ["query_id"], [F.desc("score"), F.asc("neighbor_id")], k=k,
+        rn_col="_rn",
+    ).select("query_id", "neighbor_id", "score")
+
+
 def pq_decode(encoded: DataFrame, codebooks: DataFrame) -> DataFrame:
     """(vec_id, embedding array<double>): reconstruct from codes —
     concatenated subspace centroids. Codebooks broadcast; pure column

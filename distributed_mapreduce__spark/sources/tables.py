@@ -33,35 +33,74 @@ TABLE_NAMES = (
 BROADCAST_DIMS = ("region", "nation", "supplier", "part", "customer")
 
 
-# events.parquet in file-column order, with the TIMESTAMP(NANOS) column
-# declared as its physical INT64 so the scan needs no schema inference.
-# Shared by the batch reader here and the streaming reader
-# (streaming/windows.py).
+# events.parquet in file-column order, with the ts column declared as
+# its physical INT64 — used ONLY when the footer says ts is
+# TIMESTAMP(NANOS), which Spark's schema inference rejects
+# (PARQUET_TYPE_ILLEGAL). Shared by the batch reader here and the
+# streaming reader (streaming/windows.py).
 EVENTS_RAW_SCHEMA = (
     "event_id BIGINT, ts BIGINT, user_id BIGINT, "
     "event_type STRING, value DOUBLE, props STRING"
 )
 
+#: Streaming needs an explicit schema even for the plain-timestamp cases.
+EVENTS_TS_SCHEMA = (
+    "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, "
+    "event_type STRING, value DOUBLE, props STRING"
+)
+EVENTS_TS_NTZ_SCHEMA = (
+    "event_id BIGINT, ts TIMESTAMP_NTZ, user_id BIGINT, "
+    "event_type STRING, value DOUBLE, props STRING"
+)
+
+
+def events_ts_type(path: str) -> tuple[str, bool]:
+    """(time unit, is-UTC-instant) of ``events.ts`` from the parquet
+    footer.
+
+    Fixture generators have emitted nanosecond (pandas default),
+    microsecond-instant, and microsecond-NTZ timestamps across rounds,
+    and each needs a different read path in Spark (NANOS breaks schema
+    inference; NTZ infers as TIMESTAMP_NTZ, which ``unix_micros`` /
+    LTZ-typed code rejects). One driver-side footer read settles it —
+    no data is scanned.
+    """
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+
+    f = path
+    if os.path.isdir(path):
+        f = sorted(_glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True))[0]
+    typ = _pq.ParquetFile(f).schema_arrow.field("ts").type
+    return getattr(typ, "unit", "us"), getattr(typ, "tz", None) is not None
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table: ``{sf_dir}/{name}.parquet``.
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark's schema
-    inference rejects (PARQUET_TYPE_ILLEGAL). Supplying an explicit
-    read schema with ts as BIGINT sidesteps inference — scoped to this
-    one read, no session-wide conf flips (the earlier ``nanosAsLong``
+    When ``events.ts`` is parquet TIMESTAMP(NANOS) — which Spark's
+    schema inference rejects (PARQUET_TYPE_ILLEGAL) — an explicit read
+    schema with ts as BIGINT sidesteps inference, scoped to this one
+    read (no session-wide conf flips: the earlier ``nanosAsLong``
     approach silently changed NANOS handling for every other read in
-    the session) — and we truncate nanos to microseconds, byte-identical
-    to how DuckDB/Arrow convert ns→µs (verified against raw pyarrow
-    values).
+    the session), and we truncate nanos to microseconds, byte-identical
+    to how DuckDB/Arrow convert ns→µs. Micro/millisecond timestamps
+    read natively; NTZ-flavored ones are cast to the session-TZ
+    TIMESTAMP (the repo-wide ts contract) — value-identical because the
+    session timezone is pinned to UTC.
     """
     if name not in TABLE_NAMES:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        df = spark.read.schema(EVENTS_RAW_SCHEMA).parquet(path)
-        return df.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        if events_ts_type(path)[0] == "ns":
+            df = spark.read.schema(EVENTS_RAW_SCHEMA).parquet(path)
+            return df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+        return spark.read.parquet(path).withColumn(
+            "ts", F.col("ts").cast("timestamp")
         )
     return spark.read.parquet(path)
 

@@ -18,23 +18,40 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.timeseries import sessionized, sliding, tumbling
-from ..sources.tables import EVENTS_RAW_SCHEMA
+from ..sources.tables import (
+    EVENTS_RAW_SCHEMA,
+    EVENTS_TS_NTZ_SCHEMA,
+    EVENTS_TS_SCHEMA,
+    events_ts_type,
+)
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-replay streaming source over the events fixture, with the
-    same ns→µs timestamp normalization as the batch reader (explicit
-    BIGINT schema for the NANOS column — no session-wide conf, see
-    sources/tables.py)."""
+    same ts normalization as the batch reader: footer-sniffed schema
+    (NANOS → explicit BIGINT read + ns→µs truncation; NTZ → TIMESTAMP_NTZ
+    read + cast; instant → TIMESTAMP read), no session-wide conf — see
+    sources/tables.py."""
+    import os
+
     # The file source wants a directory; select just events.parquet out of
     # the fixture dir with a glob (works the same when events.parquet is
     # itself a directory of part-files).
+    unit, is_instant = events_ts_type(os.path.join(sf_dir, "events.parquet"))
+    if unit == "ns":
+        schema = EVENTS_RAW_SCHEMA
+    elif is_instant:
+        schema = EVENTS_TS_SCHEMA
+    else:
+        schema = EVENTS_TS_NTZ_SCHEMA
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if unit == "ns":
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def stream_tumbling(

@@ -39,15 +39,21 @@ def test_schema_evolution_merge_read(spark, tmp_path):
     assert nulls == 10  # the pre-evolution files
 
 
-def test_events_ts_is_nanos_truncated_to_micros(spark, sf_dir):
+def test_events_ts_micros_match_raw_footer_values(spark, sf_dir):
+    """Whatever flavor the fixture generator emitted (ns / µs-instant /
+    µs-NTZ), the loaded ts must equal the raw stored value truncated to
+    microseconds, exactly as Arrow/DuckDB convert."""
     import pyarrow.parquet as pq
     import os
 
     from pyspark.sql import functions as F
 
     raw = pq.read_table(os.path.join(sf_dir, "events.parquet"), columns=["event_id", "ts"])
+    unit = raw["ts"].type.unit
+    div = {"ns": 1000, "us": 1, "ms": 1}[unit]
+    mul = 1000 if unit == "ms" else 1
     want = {
-        i.as_py(): t.value // 1000  # ns → µs, matching Arrow/DuckDB truncation
+        i.as_py(): t.value * mul // div  # → µs, matching Arrow/DuckDB truncation
         for i, t in zip(raw["event_id"], raw["ts"])
     }
     df = load_table(spark, sf_dir, "events").select(
