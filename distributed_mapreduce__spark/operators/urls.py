@@ -1,0 +1,192 @@
+"""URL / domain curation (web-corpus scrubbing surface).
+
+Web-crawl corpora are keyed by URL, and the standard curation passes
+(C4, RefinedWeb, Dolma pipelines) all start the same way: canonicalize
+the URL, extract the registered domain, then (a) dedup by canonical
+URL, (b) drop blocklisted domains, (c) cap documents per domain so a
+single forum dump can't dominate the mixture. This module is those
+passes as pure column algebra.
+
+Parsing is ``regexp_extract`` on patterns restricted to the Java∩RE2
+subset (no lookaround, no backreferences) so every operator is
+DuckDB-oracle-checkable — the same portability discipline as
+:mod:`.pii`. We deliberately do NOT use Spark's ``parse_url`` (Java
+URI semantics have no DuckDB analog, and a cross-engine oracle is
+worth more than edge-case URI pedantry for curation purposes).
+
+Registered-domain extraction is the public-suffix heuristic: the last
+two host labels, or the last three when the last two form a well-known
+multi-label suffix (co.uk, com.au, ...). A production pipeline would
+broadcast the full Mozilla public-suffix list as a dimension table —
+the join shape is identical; the embedded set keeps the operator
+self-contained and oracle-portable.
+
+Scale: parse/canonicalize/domain are one projection (zero shuffle);
+``url_dedup`` and ``domain_caps`` shuffle on a short string key
+(canonical URL / domain); ``blocklist_filter`` broadcasts the
+blocklist (tiny) for an anti-join. All linear at 100 TB.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: scheme://host[:port]/path[?query][#fragment] — each piece extracted
+#: by group from the same anchored pattern in both engines.
+_SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://"
+_HOST_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)"
+_PORT_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/:?#]+:(\d+)"
+_PATH_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(/[^?#]*)"
+_QUERY_RE = r"\?([^#]*)"
+
+#: Multi-label public suffixes for the registered-domain heuristic.
+#: Production: broadcast-join the full public-suffix list instead.
+MULTI_SUFFIXES: tuple[str, ...] = (
+    "co.uk", "org.uk", "ac.uk", "gov.uk",
+    "com.au", "net.au", "org.au",
+    "co.jp", "ne.jp", "or.jp",
+    "com.br", "com.cn", "com.mx", "co.in", "co.kr", "co.nz", "co.za",
+)
+
+#: Query parameters that never change page content — stripped during
+#: canonicalization (analytics/click-tracking junk). Anchored on the
+#: ``?``/``&`` separator (kept via group ref) so ``href=`` can't match
+#: the ``ref`` alternative mid-name.
+TRACKING_PARAM_RE = r"([?&])(utm_[a-z]+|fbclid|gclid|msclkid|ref)=[^&#]*"
+
+
+def url_scheme(col: Column | str) -> Column:
+    """Lower-cased scheme, '' when the value isn't scheme://-shaped."""
+    return F.lower(F.regexp_extract(col, _SCHEME_RE, 1))
+
+
+def url_host(col: Column | str) -> Column:
+    """Lower-cased host (no port), '' when unparseable."""
+    return F.lower(F.regexp_extract(col, _HOST_RE, 1))
+
+
+def url_path(col: Column | str) -> Column:
+    """Path starting with '/', or '' when absent."""
+    return F.regexp_extract(col, _PATH_RE, 1)
+
+
+def url_query(col: Column | str) -> Column:
+    """Query string (no '?'), '' when absent."""
+    return F.regexp_extract(col, _QUERY_RE, 1)
+
+
+def registered_domain(host: Column) -> Column:
+    """eTLD+1 heuristic from a lower-cased host column.
+
+    Last two labels, or last three when the last two are a known
+    multi-label suffix; hosts with <2 labels (``localhost``, IPs are
+    out of scope) pass through unchanged.
+    """
+    parts = F.split(host, r"\.")
+    n = F.size(parts)
+    last2 = F.concat_ws(".", F.element_at(parts, -2), F.element_at(parts, -1))
+    last3 = F.concat_ws(
+        ".", F.element_at(parts, -3), F.element_at(parts, -2), F.element_at(parts, -1)
+    )
+    is_multi = last2.isin(*MULTI_SUFFIXES)
+    return (
+        F.when(n <= 2, host)
+        .when((n >= 3) & is_multi, last3)
+        .otherwise(last2)
+    )
+
+
+def canonical_url(col: Column | str) -> Column:
+    """Canonical form for dedup keys, as one chained expression:
+
+    1. strip the ``#fragment`` (pure client-side),
+    2. strip tracking params (``utm_*``, ``fbclid``, ...), collapsing
+       leftover ``&&``/trailing ``?``/``&`` separators,
+    3. lower-case scheme and host (path/query stay case-sensitive),
+    4. drop default ports (``:80`` for http, ``:443`` for https),
+    5. drop a bare trailing ``/`` directly after the host.
+    """
+    c = F.regexp_replace(col, r"#.*$", "")
+    c = F.regexp_replace(c, TRACKING_PARAM_RE, r"$1")
+    c = F.regexp_replace(c, r"\?&+", "?")
+    c = F.regexp_replace(c, r"&&+", "&")
+    c = F.regexp_replace(c, r"[?&]$", "")
+    # Lower-case scheme://host while leaving the rest intact: rebuild
+    # from extracted parts + the original tail after the authority.
+    scheme = F.lower(F.regexp_extract(c, _SCHEME_RE, 1))
+    authority = F.regexp_extract(c, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+    tail = F.regexp_replace(c, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", "")
+    lowered = F.concat(scheme, F.lit("://"), F.lower(authority), tail)
+    c = F.when(scheme == "", c).otherwise(lowered)
+    c = F.regexp_replace(c, r"^(http://[^/:?#]+):80(/|$|\?)", r"$1$2")
+    c = F.regexp_replace(c, r"^(https://[^/:?#]+):443(/|$|\?)", r"$1$2")
+    c = F.regexp_replace(c, r"^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]+)/$", r"$1")
+    return c
+
+
+def parse_urls(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Add (scheme, host, domain, path, query, canonical) — one
+    projection, zero shuffle."""
+    host = url_host(F.col(url_col))
+    return df.select(
+        "*",
+        url_scheme(F.col(url_col)).alias("scheme"),
+        host.alias("host"),
+        registered_domain(host).alias("domain"),
+        url_path(F.col(url_col)).alias("path"),
+        url_query(F.col(url_col)).alias("query"),
+        canonical_url(F.col(url_col)).alias("canonical"),
+    )
+
+
+def url_dedup(df: DataFrame, url_col: str = "url", tie_col: str = "doc_id") -> DataFrame:
+    """One row per canonical URL — the min-``tie_col`` row wins, so the
+    survivor is deterministic under retries (same discipline as
+    :mod:`.dedup`). One shuffle on the canonical key."""
+    from .relational import top_k_per_group
+
+    withc = df.withColumn("_canon", canonical_url(F.col(url_col)))
+    return (
+        top_k_per_group(withc, ["_canon"], [F.asc(tie_col)], k=1, rn_col="_rn")
+        .drop("_canon", "_rn")
+    )
+
+
+def blocklist_filter(
+    df: DataFrame, blocked_domains: Sequence[str], url_col: str = "url"
+) -> DataFrame:
+    """Drop rows whose registered domain is blocklisted.
+
+    The blocklist ships as a broadcast DataFrame anti-join (not a giant
+    ``isin`` literal): correct plan shape for real blocklists with
+    millions of entries, zero extra shuffle of the corpus."""
+    spark = df.sparkSession
+    blk = spark.createDataFrame(
+        [(d.lower(),) for d in blocked_domains], "domain_blocked string"
+    )
+    withd = df.withColumn("_dom", registered_domain(url_host(F.col(url_col))))
+    return (
+        withd.join(
+            F.broadcast(blk),
+            withd["_dom"] == blk["domain_blocked"],
+            "left_anti",
+        ).drop("_dom")
+    )
+
+
+def domain_caps(
+    df: DataFrame, cap: int, url_col: str = "url", seed: int = 0,
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """At most ``cap`` documents per registered domain, chosen in
+    content-hash order (stable under retries and corpus growth) — the
+    single-domain-dominance guard every crawl pipeline applies.
+    Delegates to :func:`.sampling.stratified_quota`: one shuffle on the
+    domain key."""
+    from .sampling import stratified_quota
+
+    withd = df.withColumn("_dom", registered_domain(url_host(F.col(url_col))))
+    return stratified_quota(withd, ["_dom"], key_col, cap, seed=seed).drop("_dom")

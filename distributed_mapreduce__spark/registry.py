@@ -83,4 +83,5 @@ def load_all() -> None:
         sql_q,
         functions_q,
         curation_q,
+        urls_q,
     )

@@ -1,0 +1,179 @@
+"""URL curation: DuckDB replays the identical Java∩RE2 patterns over a
+planted fixture of tricky URLs and over a corpus-synthesized url
+column; plus direct behavioral assertions for canonicalization,
+blocklist filtering, and per-domain caps."""
+
+from __future__ import annotations
+
+import duckdb
+from pyspark.sql import functions as F
+
+from distributed_mapreduce__spark.operators.urls import (
+    MULTI_SUFFIXES,
+    TRACKING_PARAM_RE,
+    blocklist_filter,
+    canonical_url,
+    domain_caps,
+    parse_urls,
+    url_dedup,
+)
+from distributed_mapreduce__spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.01"
+
+PLANTED = [
+    (1, "HTTPS://WWW.Example.COM:443/Path/Page?id=7&utm_source=news#frag"),
+    (2, "http://example.com:80/"),
+    (3, "http://example.com"),
+    (4, "https://blog.sub.example.co.uk/post?utm_a=1&utm_b=2"),
+    (5, "https://example.com/search?href=keep&ref=drop&q=x"),
+    (6, "ftp://Files.Example.ORG:2121/pub/file.txt"),
+    (7, "not a url at all"),
+    (8, "https://localhost/admin"),
+    (9, "https://example.com/a?fbclid=abc"),
+    (10, "https://example.com/a?gclid=1&msclkid=2&id=3"),
+    (11, ""),
+    (12, "https://shop.example.com.au/item/9?ref=partner#top"),
+]
+
+
+def _canon_sql(col: str) -> str:
+    """DuckDB replay of canonical_url — same patterns, RE2 group refs."""
+    c = f"regexp_replace({col}, '#.*$', '', 'g')"
+    c = f"regexp_replace({c}, '{TRACKING_PARAM_RE}', '\\1', 'g')"
+    c = f"regexp_replace({c}, '\\?&+', '?', 'g')"
+    c = f"regexp_replace({c}, '&&+', '&', 'g')"
+    c = f"regexp_replace({c}, '[?&]$', '', 'g')"
+    scheme = f"lower(regexp_extract({c}, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))"
+    auth = f"regexp_extract({c}, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)"
+    tail = f"regexp_replace({c}, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', '', 'g')"
+    c = (
+        f"CASE WHEN {scheme} = '' THEN {c} "
+        f"ELSE {scheme} || '://' || lower({auth}) || {tail} END"
+    )
+    c = f"regexp_replace({c}, '^(http://[^/:?#]+):80(/|$|\\?)', '\\1\\2', 'g')"
+    c = f"regexp_replace({c}, '^(https://[^/:?#]+):443(/|$|\\?)', '\\1\\2', 'g')"
+    c = f"regexp_replace({c}, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]+)/$', '\\1', 'g')"
+    return c
+
+
+def _domain_sql(host: str) -> str:
+    """DuckDB replay of registered_domain over a lower-cased host."""
+    parts = f"string_split({host}, '.')"
+    last2 = f"({parts})[-2] || '.' || ({parts})[-1]"
+    last3 = f"({parts})[-3] || '.' || {last2}"
+    suffixes = ", ".join(f"'{s}'" for s in MULTI_SUFFIXES)
+    return (
+        f"CASE WHEN len({parts}) <= 2 THEN {host} "
+        f"WHEN len({parts}) >= 3 AND ({last2}) IN ({suffixes}) THEN {last3} "
+        f"ELSE {last2} END"
+    )
+
+
+def _parse_sql(table: str) -> str:
+    host = "lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)', 1))"
+    return f"""
+        SELECT doc_id, url,
+               lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+               {host} AS host,
+               {_domain_sql(host)} AS domain,
+               regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(/[^?#]*)', 1) AS path,
+               regexp_extract(url, '\\?([^#]*)', 1) AS query,
+               {_canon_sql('url')} AS canonical
+        FROM {table}
+    """
+
+
+def _duck_with_planted():
+    con = duckdb.connect()
+    con.execute("CREATE TABLE planted (doc_id BIGINT, url VARCHAR)")
+    con.executemany("INSERT INTO planted VALUES (?, ?)", PLANTED)
+    return con
+
+
+def test_parse_urls_matches_oracle_on_planted(spark):
+    df = spark.createDataFrame(PLANTED, "doc_id long, url string")
+    got = sorted(map(tuple, parse_urls(df).collect()))
+    want = sorted(_duck_with_planted().execute(_parse_sql("planted")).fetchall())
+    assert got == want
+
+
+def test_parse_urls_matches_oracle_on_corpus(spark):
+    """Corpus-scale parity: a deterministic url synthesized from the
+    documents table the same way in both engines."""
+    url_expr = (
+        "'https://www.' || source || '.example.com/docs/' || doc_id "
+        "|| '?utm_campaign=x&id=' || doc_id || '#s'"
+    )
+    docs = load_table(spark, SF, "documents").select(
+        "doc_id", F.expr(url_expr).alias("url")
+    )
+    got = sorted(map(tuple, parse_urls(docs).collect()))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW docs_urls AS SELECT doc_id, {url_expr} AS url "
+        f"FROM '{SF}/documents.parquet'"
+    )
+    want = sorted(con.execute(_parse_sql("docs_urls")).fetchall())
+    assert got == want
+
+
+def test_canonicalization_behavior(spark):
+    df = spark.createDataFrame(PLANTED, "doc_id long, url string")
+    canon = {
+        r.doc_id: r.c
+        for r in df.select("doc_id", canonical_url(F.col("url")).alias("c")).collect()
+    }
+    # scheme+host lowered, :443 dropped, utm + fragment stripped,
+    # path case preserved
+    assert canon[1] == "https://www.example.com/Path/Page?id=7"
+    # :80 dropped and bare trailing slash dropped → equal to the
+    # no-slash spelling
+    assert canon[2] == canon[3] == "http://example.com"
+    # consecutive tracking params collapse cleanly
+    assert canon[4] == "https://blog.sub.example.co.uk/post"
+    # 'ref' strips only as a whole param name — href= survives
+    assert canon[5] == "https://example.com/search?href=keep&q=x"
+    # non-http(s) ports are preserved
+    assert canon[6] == "ftp://files.example.org:2121/pub/file.txt"
+    # non-URLs and empty strings pass through untouched
+    assert canon[7] == PLANTED[6][1]
+    assert canon[11] == ""
+    assert canon[9] == "https://example.com/a"
+    assert canon[10] == "https://example.com/a?id=3"
+
+
+def test_url_dedup_keeps_one_per_canonical(spark):
+    dupes = [
+        (1, "https://example.com/a?utm_source=x"),
+        (2, "https://EXAMPLE.com/a"),
+        (3, "https://example.com/a#frag"),
+        (4, "https://example.com/b"),
+    ]
+    df = spark.createDataFrame(dupes, "doc_id long, url string")
+    kept = sorted(r.doc_id for r in url_dedup(df).collect())
+    assert kept == [1, 4]  # min doc_id per canonical survives
+
+
+def test_blocklist_filter_drops_subdomains_too(spark):
+    df = spark.createDataFrame(PLANTED, "doc_id long, url string")
+    kept = {r.doc_id for r in blocklist_filter(df, ["example.com"]).collect()}
+    # every *.example.com URL is gone; co.uk / com.au / org / localhost
+    # / non-URLs survive
+    assert kept == {4, 6, 7, 8, 11, 12}
+
+
+def test_domain_caps_bounds_and_determinism(spark):
+    rows = [(i, f"https://www.site{i % 3}.com/p/{i}") for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    capped = domain_caps(df, cap=5)
+    counts = (
+        capped.select(F.regexp_extract("url", r"(site\d)", 1).alias("d"))
+        .groupBy("d")
+        .count()
+        .collect()
+    )
+    assert {r.d for r in counts} == {"site0", "site1", "site2"}
+    assert all(r["count"] == 5 for r in counts)
+    again = sorted(r.doc_id for r in domain_caps(df, cap=5).collect())
+    assert again == sorted(r.doc_id for r in capped.collect())
