@@ -1,0 +1,80 @@
+"""Heavy hitters (frequent items) with bounded memory.
+
+"Which domains / templates / boilerplate strings dominate the corpus?"
+is a pre-curation staple, and the naive ``groupBy(key).count()`` at
+100 TB shuffles every distinct key — fine when the key space is small,
+ruinous for high-cardinality keys (URLs, hosts, 5-gram shingles). The
+classic fix is Misra–Gries summaries merged in two candidate-restricted
+passes:
+
+1. **Candidate pass** — each partition keeps a local Misra–Gries
+   summary of ``width`` counters (Arrow-batched ``mapInPandas``,
+   O(width) memory per task, no shuffle). The MG guarantee: any item
+   with global frequency > N/width survives SOME partition's summary,
+   because MG decrements are bounded per partition and a global heavy
+   hitter cannot be decremented away everywhere (Misra & Gries 1982;
+   the mergeability result is Agarwal et al. 2012, "Mergeable
+   summaries").
+2. **Exact pass** — re-count ONLY the union of candidates with an
+   exact broadcast-semi-join aggregation. Counts are exact, never
+   approximate; the sketch only bounds which keys are *considered* —
+   the same candidate-restrict posture as the LSH verify join.
+
+Result: exact counts for every item with frequency ≥ ``threshold``
+(guaranteed complete when threshold > N/width), with shuffle volume
+proportional to candidates · partitions, not distinct keys.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _mg_summary(values: Iterator[pd.Series], width: int) -> dict[str, int]:
+    """Misra–Gries over a stream of pandas batches: ≤ width counters."""
+    counters: dict[str, int] = {}
+    for batch in values:
+        for v, c in batch.value_counts().items():
+            if v in counters:
+                counters[v] += int(c)
+            elif len(counters) < width:
+                counters[v] = int(c)
+            else:
+                # decrement-all by the smallest deficit that frees a slot
+                dec = min(int(c), min(counters.values()))
+                counters = {
+                    k: n - dec for k, n in counters.items() if n - dec > 0
+                }
+                if int(c) - dec > 0:
+                    counters[v] = int(c) - dec
+    return counters
+
+
+def heavy_hitters(
+    df: DataFrame, key: str, threshold: int, width: int = 1024
+) -> DataFrame:
+    """(key, cnt): every value of ``key`` with exact count ≥ threshold.
+
+    Complete (no false negatives) whenever threshold > N/width; wider
+    summaries widen the guarantee at O(width) task memory. Two jobs:
+    a shuffle-free candidate scan, then one aggregation restricted to
+    the broadcast candidate set."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        mg = _mg_summary((b[key].dropna() for b in batches), width)
+        yield pd.DataFrame({key: list(mg.keys())})
+
+    # one string-typed view of the key drives both passes (the summary
+    # dict and the rejoin must agree on representation)
+    keyed = df.select(F.col(key).cast("string").alias(key))
+    candidates = keyed.mapInPandas(gen, schema=f"{key} string").distinct()
+    return (
+        keyed.join(F.broadcast(candidates), key)
+        .groupBy(key)
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") >= F.lit(threshold))
+    )

@@ -1,0 +1,92 @@
+"""Heavy hitters: the Misra–Gries candidate pass must never lose an
+item above the N/width guarantee line, the recount must be exact
+(DuckDB oracle), and the rejoin must broadcast, not sort-merge."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from distributed_mapreduce__spark.operators.sketches import (
+    _mg_summary,
+    heavy_hitters,
+)
+from distributed_mapreduce__spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_mg_summary_guarantee():
+    """Any item with frequency > N/(width+1) keeps a counter — the
+    textbook MG bound, exercised with adversarial eviction pressure."""
+    import pandas as pd
+
+    rng = np.random.default_rng(3)
+    heavy = ["h0"] * 1000 + ["h1"] * 600 + ["h2"] * 400
+    tail = [f"t{i}" for i in rng.integers(0, 5000, size=4000)]
+    stream = heavy + tail
+    rng.shuffle(stream)
+    n = len(stream)
+    width = 16
+    mg = _mg_summary(iter([pd.Series(stream)]), width)
+    assert len(mg) <= width
+    for k, freq in (("h0", 1000), ("h1", 600), ("h2", 400)):
+        assert freq > n / (width + 1)  # fixture sanity
+        assert k in mg, (k, mg)
+
+
+@pytest.mark.parametrize("n_parts", [1, 7])
+def test_heavy_hitters_match_exact_oracle(spark, n_parts):
+    """Planted heavies + a 5000-key long tail across partitions: the
+    result must EQUAL the exact filtered group-by (exact counts, no
+    false negatives above threshold, no false positives below)."""
+    rng = np.random.default_rng(7)
+    rows = (
+        [("h0",)] * 900 + [("h1",)] * 400 + [("h2",)] * 200
+        + [(f"t{i}",) for i in rng.integers(0, 5000, size=6000)]
+    )
+    perm = rng.permutation(len(rows))
+    df = spark.createDataFrame(
+        [rows[i] for i in perm], "k string"
+    ).repartition(n_parts)
+    n = len(rows)
+    width = 64
+    threshold = max(100, n // width + 1)  # inside the guarantee zone
+    got = sorted(map(tuple, heavy_hitters(df, "k", threshold, width).collect()))
+    want = sorted(
+        map(
+            tuple,
+            df.groupBy("k").count()
+            .filter(F.col("count") >= threshold)
+            .withColumnRenamed("count", "cnt")
+            .collect(),
+        )
+    )
+    assert got == want
+    assert ("h0", 900) in got
+
+
+def test_heavy_hitters_corpus_oracle(spark):
+    """Over the real documents table keyed by source, against DuckDB."""
+    docs = load_table(spark, SF, "documents")
+    # 500 docs, width=32 → guarantee line at ~15.6 < threshold 20
+    got = sorted(map(tuple, heavy_hitters(docs, "source", 20, width=32).collect()))
+    con = duckdb.connect()
+    want = sorted(
+        con.execute(
+            f"SELECT source, count(*) AS cnt FROM '{SF}/documents.parquet' "
+            "GROUP BY source HAVING count(*) >= 20"
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_rejoin_broadcasts(spark):
+    docs = load_table(spark, SF, "documents")
+    plan = (
+        heavy_hitters(docs, "source", 20, width=8)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "SortMergeJoin" not in plan
