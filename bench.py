@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import statistics
 import sys
 import time
@@ -57,7 +58,8 @@ PASSES = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    m = re.search(r"sf([\d.]+)$", os.path.basename(sf_dir.rstrip("/")))
+    sf = m.group(1) if m else ""
     load_start = os.getloadavg()[0]
     spark = build_session(app_name="bench")
     registry.load_all()

@@ -6,9 +6,10 @@ TPC-H-ish tables are scaled by key-shifted replication of sf0.1 (10
 copies with disjoint key ranges — distribution-preserving, join-
 consistent; region/nation stay fixed like real TPC-H). The synthetic
 tables (documents / embeddings / events) are regenerated at 10x size
-with the same schemas, vocabularies, and physical types — notably
-events.ts stays parquet TIMESTAMP(NANOS) so the explicit-schema read
-path is exercised identically.
+with the same schemas, vocabularies, and physical types — events.ts
+mirrors the source fixture's current timestamp flavor (the generator
+has drifted across rounds) so the footer-sniffed read path is
+exercised identically.
 
 Output: /root/repo/testdata_sf1/*.parquet (gitignored — ~500 MB).
 Deterministic (seeded); rerunning overwrites in place.
@@ -116,9 +117,15 @@ def events(rng: np.random.Generator) -> None:
     span_ns = 30 * 24 * 3600 * 10**9
     ts = np.sort(start_ns + rng.integers(0, span_ns, size=n))
     types = np.array(["view", "click", "purchase", "signup", "error"])
+    # mirror the CURRENT sf0.1 ts flavor (the generator has drifted
+    # across rounds: ns → µs-NTZ) so the scale proof exercises the same
+    # read path the driver's data does
+    src_ts_type = pq.ParquetFile(f"{SRC}/events.parquet").schema_arrow.field(
+        "ts"
+    ).type
     tbl = pa.table({
         "event_id": pa.array(range(n), pa.int64()),
-        "ts": pa.array(ts).cast(pa.timestamp("ns")),
+        "ts": pa.array(ts).cast(pa.timestamp("ns")).cast(src_ts_type, safe=False),
         "user_id": pa.array(rng.integers(1, 15_001, size=n), pa.int64()),
         "event_type": pa.array(types[rng.integers(0, 5, size=n)]),
         "value": pa.array(np.round(rng.exponential(50.0, size=n), 2)),
