@@ -15,6 +15,7 @@ so the only user-visible sinks we provide are *result* writers:
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def write_json_lines(df: DataFrame, path: str, mode: str = "overwrite") -> None:
@@ -102,3 +103,50 @@ def write_bucketed_table(
     if path is not None:
         w = w.option("path", path)
     w.saveAsTable(table)
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    rows_per_shard: int,
+    shard_key: str | None = None,
+) -> DataFrame:
+    """Export a training set as bounded-size parquet shards + manifest.
+
+    Trainers stream shards and need two guarantees: no shard exceeds
+    the loader's memory budget, and the shard list is explicit (a
+    manifest, not a directory listing race). ``maxRecordsPerFile``
+    bounds rows per file inside each write task; ``shard_key`` (e.g. a
+    doc hash) optionally repartitions first so shard membership is
+    content-determined rather than scan-order-determined — re-exports
+    after upstream re-partitioning then produce the same grouping.
+
+    Returns the manifest as a DataFrame[(shard, n_rows)] and writes it
+    next to the data at ``<path>/_manifest.json`` (single JSON-lines
+    file, written AFTER the data so its presence marks a complete
+    export — the poor man's commit protocol, same role as _SUCCESS but
+    carrying per-shard row counts for loader-side validation).
+    """
+    import os
+
+    spark = df.sparkSession
+    writer = df
+    if shard_key is not None:
+        n = max(1, df.count() // rows_per_shard)
+        writer = df.repartition(n, shard_key)
+    (
+        writer.write.mode("overwrite")
+        .option("maxRecordsPerFile", rows_per_shard)
+        .parquet(path)
+    )
+    manifest = (
+        spark.read.parquet(path)
+        .groupBy(
+            F.element_at(F.split(F.input_file_name(), "/"), -1).alias("shard")
+        )
+        .agg(F.count("*").alias("n_rows"))
+    )
+    manifest.coalesce(1).write.mode("overwrite").json(
+        os.path.join(path, "_manifest.json")
+    )
+    return manifest

@@ -43,3 +43,40 @@ def read_whole_files(spark: SparkSession, paths: Sequence[str] | str) -> DataFra
     return rdd.toDF(["path", "content"]).select(
         F.col("path"), F.col("content")
     )
+
+
+def read_jsonl_corpus(
+    spark: SparkSession,
+    paths: Sequence[str] | str,
+    schema: str,
+    corrupt_col: str = "_corrupt",
+) -> DataFrame:
+    """JSON-lines corpus reader — the interchange format LLM corpora
+    actually ship in (one document object per line).
+
+    ``schema`` is REQUIRED (e.g. ``"doc_id bigint, text string"``):
+    schema inference is a full extra pass over the data, unacceptable at
+    crawl scale, and silently widens types when shards disagree.
+
+    Malformed lines (truncated shards, stray log output, encoding
+    damage) do NOT fail the job: PERMISSIVE mode parses what it can and
+    routes the raw offending line into ``corrupt_col`` (appended to the
+    schema automatically), so the caller can count/quarantine bad rows
+    — the funnel-style accounting a curation pipeline needs — instead
+    of discovering them as a task failure three hours in. Good rows
+    have ``corrupt_col`` NULL; fully-parsed corpora can just drop it.
+
+    Scale: jsonl is line-splittable, so files parallelize at block
+    granularity exactly like ``read_text_corpus``; column pruning still
+    applies (Spark's JSON reader skips unrequested fields per row, and
+    at rest you should convert to parquet with ``compact_parquet``
+    anyway — this reader is the ingest edge, not the steady state).
+    """
+    if isinstance(paths, str):
+        paths = [paths]
+    return (
+        spark.read.schema(f"{schema}, {corrupt_col} string")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .json(list(paths))
+    )
