@@ -205,8 +205,12 @@ def pq_search(
     from .relational import top_k_per_group
     from .similarity import cosine_topk_blas
 
+    # pq_decode always reconstructs into an "embedding" column, so align
+    # the queries side to that name — otherwise a non-default vec_col
+    # would make cosine_topk_blas look up the wrong query column.
     dec = pq_decode(pq_encode(vectors, codebooks, vec_col), codebooks)
-    cand = cosine_topk_blas(dec, queries, k=n_candidates).select(
+    q_aligned = queries.select("vec_id", F.col(vec_col).alias("embedding"))
+    cand = cosine_topk_blas(dec, q_aligned, k=n_candidates).select(
         "query_id", "neighbor_id"
     )
     pool = cand.join(

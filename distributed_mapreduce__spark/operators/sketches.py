@@ -62,14 +62,17 @@ def heavy_hitters(
     Complete (no false negatives) whenever threshold > N/width; wider
     summaries widen the guarantee at O(width) task memory. Two jobs:
     a shuffle-free candidate scan, then one aggregation restricted to
-    the broadcast candidate set."""
+    the broadcast candidate set. The output ``key`` column keeps the
+    input column's type (the string view is internal to the passes)."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         mg = _mg_summary((b[key].dropna() for b in batches), width)
         yield pd.DataFrame({key: list(mg.keys())})
 
     # one string-typed view of the key drives both passes (the summary
-    # dict and the rejoin must agree on representation)
+    # dict and the rejoin must agree on representation); the original
+    # type is restored on the way out so callers can join back on key.
+    key_type = df.schema[key].dataType
     keyed = df.select(F.col(key).cast("string").alias(key))
     candidates = keyed.mapInPandas(gen, schema=f"{key} string").distinct()
     return (
@@ -77,4 +80,5 @@ def heavy_hitters(
         .groupBy(key)
         .agg(F.count("*").alias("cnt"))
         .filter(F.col("cnt") >= F.lit(threshold))
+        .select(F.col(key).cast(key_type).alias(key), "cnt")
     )

@@ -52,10 +52,12 @@ MULTI_SUFFIXES: tuple[str, ...] = (
 )
 
 #: Query parameters that never change page content — stripped during
-#: canonicalization (analytics/click-tracking junk). Anchored on the
-#: ``?``/``&`` separator (kept via group ref) so ``href=`` can't match
-#: the ``ref`` alternative mid-name.
-TRACKING_PARAM_RE = r"([?&])(utm_[a-z]+|fbclid|gclid|msclkid|ref)=[^&#]*"
+#: canonicalization (analytics/click-tracking junk). Applied to the
+#: QUERY STRING ONLY (the part after the first ``?``), anchored on
+#: start-of-query or ``&`` (kept via group ref) so ``href=`` can't
+#: match the ``ref`` alternative mid-name — and so an ``&`` inside a
+#: query-less path (``/a&ref=b``) is never mutated.
+TRACKING_PARAM_RE = r"(^|&)(utm_[a-z]+|fbclid|gclid|msclkid|ref)=[^&#]*"
 
 
 def url_scheme(col: Column | str) -> Column:
@@ -103,17 +105,23 @@ def canonical_url(col: Column | str) -> Column:
     """Canonical form for dedup keys, as one chained expression:
 
     1. strip the ``#fragment`` (pure client-side),
-    2. strip tracking params (``utm_*``, ``fbclid``, ...), collapsing
-       leftover ``&&``/trailing ``?``/``&`` separators,
+    2. strip tracking params (``utm_*``, ``fbclid``, ...) from the
+       query string ONLY — the URL is split at the first ``?`` and the
+       cleanup runs on the query part, so an ``&`` inside a query-less
+       path (``/a&ref=b``) is never mutated — collapsing leftover
+       ``&&``/leading/trailing ``&`` separators,
     3. lower-case scheme and host (path/query stay case-sensitive),
     4. drop default ports (``:80`` for http, ``:443`` for https),
     5. drop a bare trailing ``/`` directly after the host.
     """
     c = F.regexp_replace(col, r"#.*$", "")
-    c = F.regexp_replace(c, TRACKING_PARAM_RE, r"$1")
-    c = F.regexp_replace(c, r"\?&+", "?")
-    c = F.regexp_replace(c, r"&&+", "&")
-    c = F.regexp_replace(c, r"[?&]$", "")
+    head = F.regexp_replace(c, r"\?.*$", "")
+    query = F.regexp_extract(c, r"\?(.*)$", 1)
+    q = F.regexp_replace(query, TRACKING_PARAM_RE, r"$1")
+    q = F.regexp_replace(q, r"^&+", "")
+    q = F.regexp_replace(q, r"&&+", "&")
+    q = F.regexp_replace(q, r"&+$", "")
+    c = F.when(q == "", head).otherwise(F.concat(head, F.lit("?"), q))
     # Lower-case scheme://host while leaving the rest intact: rebuild
     # from extracted parts + the original tail after the authority.
     scheme = F.lower(F.regexp_extract(c, _SCHEME_RE, 1))

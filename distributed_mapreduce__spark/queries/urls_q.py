@@ -54,12 +54,19 @@ URL_EXPR = (
           '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]+)/$', '\\1', 'g') AS canonical,
         lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)', 1)) AS host
       FROM (
+        -- tracking-param strip runs on the QUERY part only (split at
+        -- the first '?'), mirroring operators/urls.py canonical_url
         SELECT doc_id, url,
-          regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-            regexp_replace(url, '#.*$', '', 'g'),
-            '([?&])(utm_[a-z]+|fbclid|gclid|msclkid|ref)=[^&#]*', '\\1', 'g'),
-            '\\?&+', '?', 'g'), '&&+', '&', 'g'), '[?&]$', '', 'g') AS c4
-        FROM urls
+          CASE WHEN q3 = '' THEN head ELSE head || '?' || q3 END AS c4
+        FROM (
+          SELECT doc_id, url,
+            regexp_replace(defrag, '\\?.*$', '', 'g') AS head,
+            regexp_replace(regexp_replace(regexp_replace(
+              regexp_replace(regexp_extract(defrag, '\\?(.*)$', 1),
+                '(^|&)(utm_[a-z]+|fbclid|gclid|msclkid|ref)=[^&#]*', '\\1', 'g'),
+              '^&+', '', 'g'), '&&+', '&', 'g'), '&+$', '', 'g') AS q3
+          FROM (SELECT doc_id, url, regexp_replace(url, '#.*$', '', 'g') AS defrag FROM urls)
+        )
       )
     ),
     domained AS (

@@ -122,11 +122,17 @@ def write_training_shards(
     after upstream re-partitioning then produce the same grouping.
 
     Returns the manifest as a DataFrame[(shard, n_rows)] and writes it
-    next to the data at ``<path>/_manifest.json`` (single JSON-lines
-    file, written AFTER the data so its presence marks a complete
-    export — the poor man's commit protocol, same role as _SUCCESS but
-    carrying per-shard row counts for loader-side validation).
+    next to the data at ``<path>/_manifest.json`` — a single REAL
+    JSON-lines file (written driver-side from the collected manifest
+    rows; one row per shard, so it is bounded by the shard count, not
+    the data). It is written AFTER the data so its presence marks a
+    complete export — the poor man's commit protocol, same role as
+    _SUCCESS but carrying per-shard row counts for loader-side
+    validation. The per-shard counts cost one metadata-cheap re-scan
+    (count(*) by input_file_name projects zero data columns, so parquet
+    answers it from footer row counts).
     """
+    import json
     import os
 
     spark = df.sparkSession
@@ -146,7 +152,7 @@ def write_training_shards(
         )
         .agg(F.count("*").alias("n_rows"))
     )
-    manifest.coalesce(1).write.mode("overwrite").json(
-        os.path.join(path, "_manifest.json")
-    )
+    with open(os.path.join(path, "_manifest.json"), "w") as fh:
+        for row in sorted(manifest.collect(), key=lambda r: r["shard"]):
+            fh.write(json.dumps({"shard": row["shard"], "n_rows": row["n_rows"]}) + "\n")
     return manifest

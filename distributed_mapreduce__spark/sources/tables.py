@@ -71,7 +71,15 @@ def events_ts_type(path: str) -> tuple[str, bool]:
 
     f = path
     if os.path.isdir(path):
-        f = sorted(_glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True))[0]
+        found = sorted(
+            _glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+        )
+        if not found:
+            raise FileNotFoundError(
+                f"no parquet data files under {path!r} — empty or "
+                "partially-written dataset (only _SUCCESS/metadata?)"
+            )
+        f = found[0]
     typ = _pq.ParquetFile(f).schema_arrow.field("ts").type
     return getattr(typ, "unit", "us"), getattr(typ, "tz", None) is not None
 

@@ -76,11 +76,13 @@ def test_training_shards_bounded_and_manifested(spark, tmp_path):
     # every shard within budget, totals conserved
     assert all(r.n_rows <= 128 for r in rows)
     assert sum(r.n_rows for r in rows) == 1000
-    # manifest on disk matches the returned one and the actual files
-    disk = []
-    for f in glob.glob(os.path.join(out, "_manifest.json", "part-*")):
-        with open(f) as fh:
-            disk += [json.loads(line) for line in fh if line.strip()]
+    # manifest on disk is ONE real JSON-lines FILE (not a directory) a
+    # loader can open at the advertised path, and it matches the
+    # returned DataFrame
+    mpath = os.path.join(out, "_manifest.json")
+    assert os.path.isfile(mpath)
+    with open(mpath) as fh:
+        disk = [json.loads(line) for line in fh if line.strip()]
     assert sorted((d["shard"], d["n_rows"]) for d in disk) == sorted(
         (r.shard, r.n_rows) for r in rows
     )

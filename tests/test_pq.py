@@ -137,6 +137,27 @@ def test_decode_then_search_recall(clustered):
     assert rr_recall >= 0.95, f"PQ+rerank recall: {rr_recall}"
 
 
+def test_pq_search_honors_vec_col(clustered):
+    """A non-default vec_col must flow into BOTH stages — stage 1 used
+    to look up a hard-coded 'embedding' on the queries side."""
+    from distributed_mapreduce__spark.operators.quantize import pq_search
+
+    cb = pq_train(clustered, m=4, k=16)
+    queries = clustered.filter(F.col("vec_id") % 97 == 0)
+    base = sorted(
+        map(tuple, pq_search(clustered, queries, cb, k=5, n_candidates=20).collect())
+    )
+    ren = clustered.withColumnRenamed("embedding", "vec")
+    qren = queries.withColumnRenamed("embedding", "vec")
+    got = sorted(
+        map(
+            tuple,
+            pq_search(ren, qren, cb, k=5, n_candidates=20, vec_col="vec").collect(),
+        )
+    )
+    assert got == base
+
+
 def test_train_is_deterministic(spark):
     emb = load_table(spark, SF, "embeddings")
     a = sorted(map(tuple, pq_train(emb, m=4, k=8).collect()))

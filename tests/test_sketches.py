@@ -83,6 +83,18 @@ def test_heavy_hitters_corpus_oracle(spark):
     assert got == want
 
 
+def test_key_type_round_trips(spark):
+    """Numeric keys keep their type in the output schema (the string
+    view is internal to the two passes), so callers can join the result
+    back on the original key without an implicit cast."""
+    rows = [(7,)] * 50 + [(8,)] * 30 + [(i,) for i in range(100, 140)]
+    df = spark.createDataFrame(rows, "k long")
+    out = heavy_hitters(df, "k", threshold=20, width=16)
+    assert dict(out.dtypes)["k"] == "bigint"
+    got = sorted(map(tuple, out.collect()))
+    assert got == [(7, 50), (8, 30)]
+
+
 def test_rejoin_broadcasts(spark):
     docs = load_table(spark, SF, "documents")
     plan = (

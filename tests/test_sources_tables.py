@@ -20,6 +20,21 @@ def test_events_load_leaves_session_conf_alone(spark, sf_dir):
     assert spark.conf.get(NANOS_CONF, None) == before
 
 
+def test_events_ts_type_empty_dir_raises_clearly(tmp_path):
+    """An empty / partially-written events.parquet directory (e.g. only
+    _SUCCESS) must raise a descriptive FileNotFoundError naming the
+    path, not an opaque IndexError."""
+    import pytest
+
+    from distributed_mapreduce__spark.sources.tables import events_ts_type
+
+    d = tmp_path / "events.parquet"
+    d.mkdir()
+    (d / "_SUCCESS").touch()
+    with pytest.raises(FileNotFoundError, match=str(d)):
+        events_ts_type(str(d))
+
+
 def test_schema_evolution_merge_read(spark, tmp_path):
     """Pipelines evolve schemas in place: new files gain columns. A
     mergeSchema read must surface the union schema with nulls for

@@ -34,16 +34,20 @@ PLANTED = [
     (10, "https://example.com/a?gclid=1&msclkid=2&id=3"),
     (11, ""),
     (12, "https://shop.example.com.au/item/9?ref=partner#top"),
+    (13, "https://example.com/a&ref=b"),
 ]
 
 
 def _canon_sql(col: str) -> str:
     """DuckDB replay of canonical_url — same patterns, RE2 group refs."""
     c = f"regexp_replace({col}, '#.*$', '', 'g')"
-    c = f"regexp_replace({c}, '{TRACKING_PARAM_RE}', '\\1', 'g')"
-    c = f"regexp_replace({c}, '\\?&+', '?', 'g')"
-    c = f"regexp_replace({c}, '&&+', '&', 'g')"
-    c = f"regexp_replace({c}, '[?&]$', '', 'g')"
+    head = f"regexp_replace({c}, '\\?.*$', '', 'g')"
+    q = f"regexp_extract({c}, '\\?(.*)$', 1)"
+    q = f"regexp_replace({q}, '{TRACKING_PARAM_RE}', '\\1', 'g')"
+    q = f"regexp_replace({q}, '^&+', '', 'g')"
+    q = f"regexp_replace({q}, '&&+', '&', 'g')"
+    q = f"regexp_replace({q}, '&+$', '', 'g')"
+    c = f"CASE WHEN {q} = '' THEN {head} ELSE {head} || '?' || {q} END"
     scheme = f"lower(regexp_extract({c}, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))"
     auth = f"regexp_extract({c}, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)"
     tail = f"regexp_replace({c}, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', '', 'g')"
@@ -141,6 +145,8 @@ def test_canonicalization_behavior(spark):
     assert canon[11] == ""
     assert canon[9] == "https://example.com/a"
     assert canon[10] == "https://example.com/a?id=3"
+    # '&' inside a query-less PATH is not a param separator — untouched
+    assert canon[13] == "https://example.com/a&ref=b"
 
 
 def test_url_dedup_keeps_one_per_canonical(spark):
