@@ -22,12 +22,132 @@ switch to IVF with learned centroids — same pipeline shape.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .relational import top_k_per_group
 
 N_PLANES = 8
+
+#: Routing thresholds for :func:`choose_strategy`. Calibrated from the
+#: measured sf0.1→sf1 scale step (SCALE.md): BLAS sustains ~1e9
+#: query·corpus score pairs per core-minute; the pair-join exact fold is
+#: ~20x slower per pair (per-pair array allocation vs one matmul).
+EXACT_BUDGET = 2e7    # Q·N pairs the pair-join fold may score
+BLAS_BUDGET = 5e9     # Q·N pairs the blocked matmul may score
+BLAS_MAX_Q = 65_536   # max collectible query set (Q·dim·8B ≈ 32 MB at dim=64)
+TARGET_BUCKET_SIZE = 32
+
+
+def resolve_n_planes(
+    n_corpus: int,
+    target_bucket_size: int = TARGET_BUCKET_SIZE,
+    min_planes: int = 4,
+    max_planes: int = 24,
+) -> int:
+    """Scale-safe hyperplane count: hold expected bucket occupancy at
+    ``target_bucket_size`` as the corpus grows.
+
+    Occupancy is N / 2^P, so P = ceil(log2(N / target)). At fixed P the
+    per-query candidate work grows linearly with N (quadratic in total
+    once Q grows with N too) — measured at the sf1 scale step: pinned 8
+    planes degraded 62x, log-scaled planes stayed ~linear (SCALE.md).
+    Clamped to [min_planes, max_planes]: 2^24 buckets ≈ 16M is plenty
+    before banding/IVF become the better index anyway."""
+    if n_corpus <= 0:
+        return min_planes
+    raw = math.ceil(math.log2(max(1.0, n_corpus / target_bucket_size)))
+    return max(min_planes, min(max_planes, raw))
+
+
+def choose_strategy(
+    n_corpus: int,
+    n_queries: int,
+    has_quantizer: bool = False,
+    exact_budget: float = EXACT_BUDGET,
+    blas_budget: float = BLAS_BUDGET,
+    blas_max_q: int = BLAS_MAX_Q,
+) -> str:
+    """Pick the scale-appropriate ANN variant from two cheap numbers.
+
+    Pure routing logic (unit-testable without Spark) used by
+    :func:`topk` with ``strategy='auto'``:
+
+    1. ``blas``  — Q collectible AND Q·N within the matmul budget:
+       exact, one Arrow pass over the corpus, per-batch partial top-k.
+       Preferred whenever affordable: exact beats approximate at equal
+       cost, and BLAS dominates the pair-join fold (~20x/pair).
+    2. ``exact`` — Q too large to collect but Q·N small: the pair-join
+       fold keeps both sides distributed.
+    3. ``ivf``   — over budget WITH a pre-trained coarse quantizer:
+       probe nprobe/n_cells of the corpus. Auto never trains k-means
+       behind the caller's back; it routes to IVF only when handed the
+       index, the way a production serving path reuses one.
+    4. ``lsh``   — over budget, no index: multi-probe hyperplane LSH
+       with log2(N)-scaled planes. Zero training, fully distributed,
+       the safe default at any N.
+    """
+    pairs = float(n_corpus) * float(n_queries)
+    if n_queries <= blas_max_q and pairs <= blas_budget:
+        return "blas"
+    if pairs <= exact_budget:
+        return "exact"
+    if has_quantizer:
+        return "ivf"
+    return "lsh"
+
+
+def topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    strategy: str = "auto",
+    vec_col: str = "embedding",
+    corpus_count: int | None = None,
+    query_count: int | None = None,
+    dim: int = 64,
+    quantizer: tuple[DataFrame, "object"] | None = None,
+    n_cells: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """THE similarity front door: top-k cosine neighbors, with the
+    engine (not the caller) picking the scale-safe variant.
+
+    ``strategy='auto'`` routes on corpus/query cardinality via
+    :func:`choose_strategy`; pass ``corpus_count``/``query_count`` from
+    a persisted profile row to skip the count jobs (at 100 TB a count
+    is cheap but not free — parquet answers it from footer metadata,
+    but the auto route shouldn't force even that when the caller
+    already knows). Explicit ``strategy`` in {'exact', 'blas', 'lsh',
+    'ivf'} forces a variant. Every branch returns the same schema
+    (query_id, neighbor_id, sim, rank) with the same deterministic
+    (sim desc, neighbor asc) tie-break; 'exact' and 'blas' are
+    bit-identical, 'lsh'/'ivf' are recall-gated approximations
+    (tests/test_similarity_quality.py)."""
+    if strategy == "auto":
+        n = corpus_count if corpus_count is not None else corpus.count()
+        q = query_count if query_count is not None else queries.count()
+        strategy = choose_strategy(n, q, has_quantizer=quantizer is not None)
+        corpus_count = n
+    if strategy == "blas":
+        return cosine_topk_blas(corpus, queries, k=k, vec_col=vec_col)
+    if strategy == "exact":
+        return cosine_topk(queries, corpus, k=k, vec_col=vec_col)
+    if strategy == "lsh":
+        return lsh_topk(
+            corpus, queries, n_planes=None, multiprobe=True, k=k, dim=dim,
+            vec_col=vec_col, corpus_count=corpus_count,
+        )
+    if strategy == "ivf":
+        return ivf_topk(
+            corpus, queries, n_cells=n_cells, nprobe=nprobe, k=k,
+            vec_col=vec_col, quantizer=quantizer,
+        )
+    raise ValueError(
+        f"unknown strategy {strategy!r}; expected auto/exact/blas/lsh/ivf"
+    )
 
 
 def dot_fold(a: Column, b: Column) -> Column:
@@ -170,11 +290,12 @@ def ivf_assignments(
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
-    n_planes: int = 8,
+    n_planes: int | None = None,
     multiprobe: bool = False,
     k: int = 10,
     dim: int = 64,
     vec_col: str = "embedding",
+    corpus_count: int | None = None,
 ) -> DataFrame:
     """Hyperplane-LSH approximate top-k cosine neighbors.
 
@@ -192,10 +313,19 @@ def lsh_topk(
     n_planes ≈ log2(N / target_bucket_size). Measured at a 10x corpus
     step (SCALE.md): pinned 8 planes degraded 62x; log-scaled planes
     restored ~linear total time at equal-or-better recall.
+
+    ``n_planes=None`` (the default) applies that rule automatically via
+    :func:`resolve_n_planes` — one corpus count (skipped when the
+    caller passes ``corpus_count`` from a persisted profile). Pass an
+    explicit ``n_planes`` only to pin a signature, e.g. for
+    cross-engine oracle parity.
     """
     from .relational import top_k_per_group
 
     spark = corpus.sparkSession
+    if n_planes is None:
+        n = corpus_count if corpus_count is not None else corpus.count()
+        n_planes = resolve_n_planes(n)
     planes = hyperplanes(spark, n_planes=n_planes, dim=dim)
     buckets = lsh_buckets(corpus, planes, vec_col=vec_col)
     corpus_b = with_norm(corpus, vec_col).join(buckets, "vec_id")

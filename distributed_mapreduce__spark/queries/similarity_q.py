@@ -174,10 +174,17 @@ def similarity_topk_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFram
     bit-flip away (9 probes → ~9·N/256 candidates) — the standard
     recall/cost dial between single-probe LSH and brute force. Probes
     expand via explode + equi-join on bucket (never a popcount-distance
-    non-equi join, which would plan as a quadratic loop join). Plane
-    count pinned for oracle parity; see
-    :func:`..operators.similarity.lsh_topk` for the log2(N) sizing
-    rule at scale."""
+    non-equi join, which would plan as a quadratic loop join).
+
+    SCALE WARNING — do NOT copy the ``n_planes=8`` pin into production
+    code. 8 planes is an ORACLE-PARITY constant (the DuckDB replay above
+    hard-codes the same 8 hyperplanes); at fixed plane count bucket
+    occupancy grows with N and candidate work goes quadratic — measured
+    62x degradation at a 10x corpus step (SCALE.md appendix). The
+    scaling default lives in :func:`..operators.similarity.lsh_topk`
+    (``n_planes=None`` → log2(N / bucket_size) via ``resolve_n_planes``)
+    and the engine-picks-for-you route is
+    :func:`..operators.similarity.topk` with ``strategy='auto'``."""
     from ..operators.similarity import lsh_topk
 
     emb = load_table(spark, sf_dir, "embeddings")

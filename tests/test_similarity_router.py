@@ -1,0 +1,146 @@
+"""The auto-routing similarity front door (VERDICT r4 item 1): pure
+routing rules, log-N plane sizing, and dispatch fidelity — each branch
+must return exactly what its underlying variant returns, so the router
+adds safety without changing any measured/gated behavior."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from distributed_mapreduce__spark.operators.similarity import (
+    cosine_topk_blas,
+    choose_strategy,
+    ivf_assignments,
+    ivf_topk,
+    lsh_topk,
+    resolve_n_planes,
+    topk,
+)
+from distributed_mapreduce__spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _pairs(df):
+    return {(r.query_id, r.neighbor_id) for r in df.collect()}
+
+
+# ---------------------------------------------------------------- pure rules
+
+
+def test_choose_strategy_routing():
+    # tiny problem → exact BLAS (exact beats approximate at equal cost)
+    assert choose_strategy(1_000, 10) == "blas"
+    # Q collectible and Q·N inside the matmul budget → still exact BLAS
+    # even though the pair-join budget is long gone
+    assert choose_strategy(10_000_000, 100) == "blas"
+    # Q too large to collect but few pairs → distributed pair-join exact
+    assert choose_strategy(100, 100_000) == "exact"
+    # over every exact budget, no index → LSH (zero-training scale path)
+    assert choose_strategy(1_000_000_000, 1_000_000) == "lsh"
+    # same scale WITH a pre-trained coarse quantizer → IVF (reuse the
+    # index; auto never trains one behind the caller's back)
+    assert choose_strategy(1_000_000_000, 1_000_000, has_quantizer=True) == "ivf"
+
+
+def test_resolve_n_planes_rule():
+    # degenerate / empty corpus clamps to the floor
+    assert resolve_n_planes(0) == 4
+    assert resolve_n_planes(1) == 4
+    # exact power-of-two occupancy: N = 32 · 2^8 → 8 planes
+    assert resolve_n_planes(32 * 2**8) == 8
+    # the rule is ceil(log2(N / target_bucket_size)) within clamps
+    for n in (605, 6050, 60500, 10**7):
+        want = max(4, min(24, math.ceil(math.log2(n / 32))))
+        assert resolve_n_planes(n) == want
+    # monotone in N and clamped at both ends
+    vals = [resolve_n_planes(n) for n in (10, 1_000, 10**6, 10**9, 10**12)]
+    assert vals == sorted(vals)
+    assert vals[0] == 4 and vals[-1] == 24
+
+
+# ------------------------------------------------------------- dispatch
+
+
+def test_auto_routes_fixture_to_exact_blas(spark):
+    """At fixture scale auto must pick the exact BLAS path and return
+    its pair set bit-for-bit (same schema, same tie-break)."""
+    emb = load_table(spark, SF, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    auto = topk(emb, queries, k=10, strategy="auto")
+    direct = cosine_topk_blas(emb, queries, k=10)
+    assert sorted(map(tuple, auto.collect())) == sorted(map(tuple, direct.collect()))
+
+
+def test_lsh_branch_applies_log_n_plane_rule(spark):
+    """strategy='lsh' resolves n_planes=None to resolve_n_planes(N) —
+    the routed result must equal a direct lsh_topk call with that
+    explicit plane count (dispatch adds nothing, removes nothing)."""
+    emb = load_table(spark, SF, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    n = emb.count()
+    routed = _pairs(topk(emb, queries, k=10, strategy="lsh"))
+    direct = _pairs(
+        lsh_topk(emb, queries, n_planes=resolve_n_planes(n), multiprobe=True, k=10)
+    )
+    assert routed == direct
+    # corpus_count passthrough short-circuits the count job and must
+    # not change the result
+    counted = _pairs(topk(emb, queries, k=10, strategy="lsh", corpus_count=n))
+    assert counted == routed
+
+
+def test_ivf_branch_reuses_quantizer(spark):
+    emb = load_table(spark, SF, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    quant = ivf_assignments(emb, k=8)
+    routed = _pairs(
+        topk(emb, queries, k=10, strategy="ivf", n_cells=8, nprobe=2, quantizer=quant)
+    )
+    direct = _pairs(
+        ivf_topk(emb, queries, n_cells=8, nprobe=2, k=10, quantizer=quant)
+    )
+    assert routed == direct
+
+
+def test_unknown_strategy_raises():
+    with pytest.raises(ValueError, match="unknown strategy"):
+        topk(None, None, strategy="annoy")
+
+
+def test_routed_lsh_recall_on_clustered_vectors(spark):
+    """The engine-chosen LSH config (multiprobe + log-N planes) must
+    deliver usable recall on CLUSTERED vectors — the data shape real
+    embedding corpora have. 30 tight clusters (0.05/dim noise →
+    within-cluster sims ~0.86) x 40 members, queries from the corpus;
+    measured 0.81 recall at the resolved 6 planes, gate at 0.7.
+
+    Hyperplane LSH recall is sim-bounded: per-plane agreement is
+    1 - θ/π, so neighbors at sim ~0.5 (θ=60°) are intrinsically hard
+    for ANY plane count — that regime belongs to IVF (clustered probing
+    is sim-agnostic), which is why the router prefers IVF when handed a
+    quantizer."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    centers = rng.normal(size=(30, 64))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    for ci, c in enumerate(centers):
+        members = c + 0.05 * rng.normal(size=(40, 64))
+        members /= np.linalg.norm(members, axis=1, keepdims=True)
+        rows += [(ci * 40 + j, members[j].tolist()) for j in range(40)]
+    corpus = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).repartition(8).cache()
+    queries = corpus.filter(F.col("vec_id") % 60 == 0).cache()
+
+    exact = _pairs(cosine_topk_blas(corpus, queries, k=10))
+    got = _pairs(topk(corpus, queries, k=10, strategy="lsh"))
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.7, f"routed-LSH recall too low: {recall}"
+    corpus.unpersist()
+    queries.unpersist()
