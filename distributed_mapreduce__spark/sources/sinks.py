@@ -14,6 +14,8 @@ so the only user-visible sinks we provide are *result* writers:
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -103,6 +105,63 @@ def write_bucketed_table(
     if path is not None:
         w = w.option("path", path)
     w.saveAsTable(table)
+
+
+def merge_keyed(
+    batch: DataFrame,
+    path: str,
+    key_cols: Sequence[str],
+    partition_cols: Sequence[str] = (),
+) -> None:
+    """MERGE (upsert) ``batch`` into the keyed parquet dataset at
+    ``path``: rows whose key matches an existing row REPLACE it, new
+    keys are appended, untouched rows survive — the incremental-
+    pipeline primitive (the ``incremental_dedup`` story needs "upsert
+    today's survivors into the corpus") when no transactional table
+    format (Delta/Iceberg) is available.
+
+    Plan shape, designed for the partitioned case at scale:
+
+    1. the batch's distinct partition tuples (small) broadcast-semi-
+       join-prune the existing dataset, so only TOUCHED partitions are
+       read — partition pruning shows up as PartitionFilters;
+    2. existing-minus-batch via LEFT ANTI join on the key (one shuffle
+       on the key, or broadcast when the batch is small — AQE picks);
+    3. union with the batch, localCheckpoint (cuts lineage so the
+       overwrite doesn't re-scan the files it replaces — Spark cannot
+       overwrite a path it is still lazily reading), then dynamic
+       partition overwrite of exactly the touched partitions.
+
+    Unpartitioned datasets merge with a FULL rewrite (documented cost;
+    partition anything you merge into repeatedly). Re-running the same
+    merge is idempotent. ``batch`` must be unique per key — pick
+    survivors first (``url_dedup`` / ``top_k_per_group``) if it isn't;
+    with duplicate keys the result would keep all of them.
+    """
+    spark = batch.sparkSession
+    keys = list(key_cols)
+    parts = list(partition_cols)
+
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
+        if parts:
+            batch.write.partitionBy(*parts).parquet(path)
+        else:
+            batch.write.parquet(path)
+        return
+
+    existing = spark.read.parquet(path)
+    if parts:
+        touched = batch.select(*parts).distinct()
+        existing = existing.join(F.broadcast(touched), parts, "left_semi")
+    keep = existing.join(batch.select(*keys).distinct(), keys, "left_anti")
+    merged = keep.unionByName(batch).localCheckpoint()
+    if parts:
+        overwrite_partitions(merged, path, *parts)
+    else:
+        merged.write.mode("overwrite").parquet(path)
 
 
 def write_training_shards(

@@ -1,0 +1,117 @@
+"""merge_keyed: the MERGE/upsert sink — updates replace, inserts
+append, untouched rows AND untouched partition files survive, re-runs
+are idempotent, and the merged result matches a DuckDB-computed MERGE
+over the same inputs."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import duckdb
+from pyspark.sql import functions as F
+
+from distributed_mapreduce__spark.sources.sinks import merge_keyed
+
+
+def _initial(spark):
+    # 40 docs across 4 day-partitions, v=1
+    return spark.range(40).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 4).cast("int").alias("day"),
+        F.lit(1).alias("v"),
+        F.md5(F.col("id").cast("string")).alias("text"),
+    )
+
+
+def _batch(spark):
+    # updates for docs 0..9 (all in days 0..3? no: 0..9 % 4 covers all
+    # days — so pick ids ≡ 0,1 mod 4 → days 0 and 1 only) + new docs
+    ids = [i for i in range(40) if i % 4 in (0, 1)][:10] + [100, 101]
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    return df.select(
+        "doc_id",
+        (F.col("doc_id") % 4).cast("int").alias("day"),
+        F.lit(2).alias("v"),
+        F.md5(F.concat(F.lit("new:"), F.col("doc_id").cast("string"))).alias("text"),
+    )
+
+
+def _expected_sql(init_pq: str, batch_pq: str) -> str:
+    # Spark writes parquet "files" as directories — glob the parts
+    return f"""
+      SELECT * FROM '{batch_pq}/*.parquet'
+      UNION ALL
+      SELECT * FROM '{init_pq}/*.parquet'
+      WHERE doc_id NOT IN (SELECT doc_id FROM '{batch_pq}/*.parquet')
+    """
+
+
+def test_merge_partitioned_upsert_matches_duckdb(spark, tmp_path):
+    path = str(tmp_path / "ds")
+    init, batch = _initial(spark), _batch(spark)
+    init_pq, batch_pq = str(tmp_path / "init.pq"), str(tmp_path / "batch.pq")
+    init.write.parquet(init_pq)
+    batch.write.parquet(batch_pq)
+
+    merge_keyed(init, path, ["doc_id"], partition_cols=["day"])
+    merge_keyed(batch, path, ["doc_id"], partition_cols=["day"])
+
+    cols = ["doc_id", "day", "v", "text"]
+    got = sorted(
+        map(tuple, spark.read.parquet(path).select(*cols).collect())
+    )
+    con = duckdb.connect()
+    want = sorted(
+        con.execute(
+            f"SELECT doc_id, day, v, text FROM ({_expected_sql(init_pq, batch_pq)})"
+        ).fetchall()
+    )
+    assert got == want
+    # batch rows won (v=2 for updated keys), untouched keys kept v=1
+    byid = {r[0]: r[2] for r in got}
+    assert byid[0] == 2 and byid[100] == 2 and byid[2] == 1
+
+
+def test_merge_rewrites_only_touched_partitions(spark, tmp_path):
+    path = str(tmp_path / "ds")
+    merge_keyed(_initial(spark), path, ["doc_id"], partition_cols=["day"])
+    # batch touches days 0 and 1 only
+    untouched_before = {
+        f: os.path.getmtime(f)
+        for d in (2, 3)
+        for f in glob.glob(os.path.join(path, f"day={d}", "*.parquet"))
+    }
+    assert untouched_before
+    merge_keyed(_batch(spark), path, ["doc_id"], partition_cols=["day"])
+    untouched_after = {
+        f: os.path.getmtime(f)
+        for d in (2, 3)
+        for f in glob.glob(os.path.join(path, f"day={d}", "*.parquet"))
+    }
+    assert untouched_after == untouched_before  # same files, same mtimes
+    # while days 0/1 were rewritten and carry the updates
+    upd = spark.read.parquet(path).filter(F.col("doc_id") == 0).first()
+    assert upd.v == 2
+
+
+def test_merge_is_idempotent(spark, tmp_path):
+    path = str(tmp_path / "ds")
+    merge_keyed(_initial(spark), path, ["doc_id"], partition_cols=["day"])
+    merge_keyed(_batch(spark), path, ["doc_id"], partition_cols=["day"])
+    once = sorted(map(tuple, spark.read.parquet(path).collect()))
+    merge_keyed(_batch(spark), path, ["doc_id"], partition_cols=["day"])
+    twice = sorted(map(tuple, spark.read.parquet(path).collect()))
+    assert once == twice
+    # row count: 40 initial + 2 inserts, no dup keys
+    assert len(twice) == 42
+
+
+def test_merge_unpartitioned_full_rewrite(spark, tmp_path):
+    path = str(tmp_path / "flat")
+    merge_keyed(_initial(spark), path, ["doc_id"])
+    merge_keyed(_batch(spark), path, ["doc_id"])
+    df = spark.read.parquet(path)
+    assert df.count() == 42
+    assert df.filter(F.col("doc_id") == 1).first().v == 2
+    assert df.filter(F.col("doc_id") == 3).first().v == 1
