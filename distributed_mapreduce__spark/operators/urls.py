@@ -43,13 +43,92 @@ _PATH_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(/[^?#]*)"
 _QUERY_RE = r"\?([^#]*)"
 
 #: Multi-label public suffixes for the registered-domain heuristic.
-#: Production: broadcast-join the full public-suffix list instead.
+#: Production: broadcast-join the full public-suffix list instead —
+#: that form is :func:`registered_domain_psl` below.
 MULTI_SUFFIXES: tuple[str, ...] = (
     "co.uk", "org.uk", "ac.uk", "gov.uk",
     "com.au", "net.au", "org.au",
     "co.jp", "ne.jp", "or.jp",
     "com.br", "com.cn", "com.mx", "co.in", "co.kr", "co.nz", "co.za",
 )
+
+#: Embedded snapshot of the Mozilla Public Suffix List (publicsuffix.org,
+#: MPL-2.0; data, not code) — single-label TLDs are implied by the PSL's
+#: default "*" rule and omitted here. The snapshot covers the ICANN
+#: multi-label suffixes above plus the high-traffic PRIVATE-section
+#: entries crawl data actually hits (github.io, blogspot.com, ...); swap
+#: in the full ~10k-line list as a DataFrame for production — the join
+#: shape and cost are identical (it broadcasts either way).
+PSL_SNAPSHOT: tuple[str, ...] = MULTI_SUFFIXES + (
+    # ICANN section (multi-label)
+    "com.ar", "com.tr", "com.tw", "com.sg", "com.my", "com.hk", "com.vn",
+    "co.id", "co.th", "co.il", "ac.jp", "go.jp", "gov.in", "nic.in",
+    "edu.au", "gov.au", "ac.nz", "govt.nz", "org.nz", "net.nz",
+    "or.kr", "go.kr", "ne.kr", "com.ua", "org.ua", "in.ua",
+    # private section (infrastructure / hosting suffixes)
+    "github.io", "githubusercontent.com", "gitlab.io", "blogspot.com",
+    "wordpress.com", "tumblr.com", "netlify.app", "vercel.app",
+    "herokuapp.com", "appspot.com", "web.app", "firebaseapp.com",
+    "pages.dev", "workers.dev", "azurewebsites.net", "cloudfront.net",
+    "amazonaws.com", "s3.amazonaws.com", "elasticbeanstalk.com",
+    "readthedocs.io", "neocities.org", "wixsite.com", "weebly.com",
+    "fastly.net", "windows.net", "github.dev", "glitch.me",
+)
+
+
+def registered_domain_psl(
+    host: Column, psl: "DataFrame | Sequence[str] | None" = None
+) -> Column:
+    """eTLD+1 via LONGEST-MATCH against the public-suffix list — the
+    production form of :func:`registered_domain` (which the oracle
+    queries keep for cross-engine parity).
+
+    ``psl`` is the suffix list: a sequence of strings, a DataFrame
+    whose first column holds the suffixes (a loaded publicsuffix.org
+    dump — it is a dimension table, and collecting ~10k short strings
+    driver-side is exactly what broadcasting it would do), or None for
+    the embedded :data:`PSL_SNAPSHOT`.
+
+    Semantics follow publicsuffix.org's algorithm for exact rules: the
+    registered domain is the longest matching public suffix plus the
+    label before it; when NO rule matches, the default ``*`` rule
+    applies (suffix = last label → domain = last two labels) — which is
+    the two-label branch of the heuristic. Hosts that ARE a public
+    suffix, or a single label, pass through unchanged. Wildcard
+    (``*.ck``) and exception (``!www.ck``) rules are not modeled —
+    <1% of the list.
+
+    Plan shape: the rules compile per label-depth (bounded: the PSL's
+    deepest rule is 5 labels) into ``isin`` tests that Catalyst turns
+    into O(1) hash-set probes (InSet) inside the projection — ZERO
+    joins, zero shuffles, no explode. This deliberately improves on the
+    explode + broadcast-join formulation: same broadcast-a-dimension
+    cost model, but the lookup rides the existing projection and can't
+    destabilize under recomputation (no synthetic row ids)."""
+    if psl is None:
+        suffixes: Sequence[str] = PSL_SNAPSHOT
+    elif isinstance(psl, DataFrame):
+        suffixes = [r[0] for r in psl.collect()]
+    else:
+        suffixes = psl
+
+    by_depth: dict[int, list[str]] = {}
+    for s in suffixes:
+        s = s.strip().lower()
+        if s and not s.startswith(("*", "!", "/")):  # unmodeled rule types
+            by_depth.setdefault(s.count(".") + 1, []).append(s)
+
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    # longest match: ascending depth order, later (deeper) wins
+    depth = F.lit(1)  # the PSL default "*" rule
+    for d in sorted(by_depth):
+        last_d = F.concat_ws(".", F.slice(labels, n - d + 1, F.lit(d)))
+        # host must be STRICTLY longer than the suffix to have an eTLD+1
+        depth = F.when((n > d) & last_d.isin(by_depth[d]), F.lit(d)).otherwise(depth)
+    dom_n = F.least(depth + 1, n)
+    domain = F.concat_ws(".", F.slice(labels, n - dom_n + 1, dom_n))
+    return F.when(n <= 1, host).otherwise(domain)
 
 #: Query parameters that never change page content — stripped during
 #: canonicalization (analytics/click-tracking junk). Applied to the
@@ -135,15 +214,26 @@ def canonical_url(col: Column | str) -> Column:
     return c
 
 
-def parse_urls(df: DataFrame, url_col: str = "url") -> DataFrame:
+def parse_urls(
+    df: DataFrame, url_col: str = "url", psl: object = None
+) -> DataFrame:
     """Add (scheme, host, domain, path, query, canonical) — one
-    projection, zero shuffle."""
+    projection, zero shuffle.
+
+    ``psl``: None (default) extracts ``domain`` with the portable
+    17-suffix heuristic (oracle-checkable); ``"snapshot"`` uses the
+    embedded PSL snapshot; a sequence/DataFrame of suffixes uses that
+    list (:func:`registered_domain_psl` — still one projection)."""
     host = url_host(F.col(url_col))
+    if psl is None:
+        domain = registered_domain(host)
+    else:
+        domain = registered_domain_psl(host, None if psl == "snapshot" else psl)
     return df.select(
         "*",
         url_scheme(F.col(url_col)).alias("scheme"),
         host.alias("host"),
-        registered_domain(host).alias("domain"),
+        domain.alias("domain"),
         url_path(F.col(url_col)).alias("path"),
         url_query(F.col(url_col)).alias("query"),
         canonical_url(F.col(url_col)).alias("canonical"),

@@ -149,6 +149,70 @@ def test_canonicalization_behavior(spark):
     assert canon[13] == "https://example.com/a&ref=b"
 
 
+def test_registered_domain_psl_fixes_heuristic_and_agrees_on_overlap(spark):
+    """PSL longest-match vs the heuristic: (a) parity on every host the
+    heuristic handles (plain + its 17 multi-label suffixes), (b) the
+    cases the heuristic gets WRONG — private-section suffixes like
+    github.io — fixed, (c) publicsuffix.org edge semantics: a host that
+    IS a suffix passes through; unknown TLDs take the default rule."""
+    from distributed_mapreduce__spark.operators.urls import (
+        registered_domain,
+        registered_domain_psl,
+    )
+
+    hosts = [
+        # heuristic-overlap set: both must agree
+        ("www.example.com", None),
+        ("example.com", None),
+        ("blog.sub.example.co.uk", None),
+        ("shop.example.com.au", None),
+        ("a.b.c.example.co.jp", None),
+        ("localhost", None),
+        # heuristic-wrong set: PSL answer differs and is correct
+        ("alice.github.io", "alice.github.io"),       # heuristic: github.io
+        ("deep.alice.github.io", "alice.github.io"),
+        ("myapp.herokuapp.com", "myapp.herokuapp.com"),
+        ("b.s3.amazonaws.com", "b.s3.amazonaws.com"),  # 3-label rule wins
+        # a host that IS a public suffix has no eTLD+1 → unchanged
+        ("github.io", "github.io"),
+        # unknown TLD → default '*' rule → last two labels
+        ("x.y.zz-unknown", "y.zz-unknown"),
+    ]
+    df = spark.createDataFrame([(h,) for h, _ in hosts], "host string")
+    got = {
+        r.host: (r.heur, r.psl)
+        for r in df.select(
+            "host",
+            registered_domain(F.lower(F.col("host"))).alias("heur"),
+            registered_domain_psl(F.lower(F.col("host"))).alias("psl"),
+        ).collect()
+    }
+    for h, expect_psl in hosts:
+        heur, psl = got[h]
+        if expect_psl is None:
+            assert psl == heur, (h, heur, psl)
+        else:
+            assert psl == expect_psl, (h, psl)
+    # the flagship wrong case really is wrong under the heuristic
+    assert got["alice.github.io"][0] == "github.io"
+
+
+def test_registered_domain_psl_accepts_custom_list_and_dataframe(spark):
+    from distributed_mapreduce__spark.operators.urls import registered_domain_psl
+
+    df = spark.createDataFrame([("a.b.custom.tld",)], "host string")
+    for psl in (["custom.tld"], spark.createDataFrame([("custom.tld",)], "s string")):
+        got = df.select(registered_domain_psl(F.col("host"), psl).alias("d")).first().d
+        assert got == "b.custom.tld"
+
+
+def test_parse_urls_psl_mode(spark):
+    urls = [(1, "https://alice.github.io/p?x=1")]
+    df = spark.createDataFrame(urls, "doc_id long, url string")
+    assert parse_urls(df).first().domain == "github.io"  # heuristic default
+    assert parse_urls(df, psl="snapshot").first().domain == "alice.github.io"
+
+
 def test_url_dedup_keeps_one_per_canonical(spark):
     dupes = [
         (1, "https://example.com/a?utm_source=x"),
