@@ -43,3 +43,117 @@ def stream_dedup_within_watermark(
     return events.withWatermark(ts_col, horizon).dropDuplicatesWithinWatermark(
         key_cols
     )
+
+
+def stream_incremental_dedup(
+    stream_docs: DataFrame,
+    index_path: str,
+    survivors_path: str,
+    checkpoint_path: str,
+    est_threshold: float = 0.5,
+):
+    """The production curation shape: a ``foreachBatch`` pipeline that
+    dedups an ARRIVING document stream against the persisted signature
+    index (operators/dedup.py:dedup_index) and appends survivors.
+
+    Per micro-batch:
+
+    1. intra-batch dedup — min-doc_id survivor per exact key, then
+       LSH-banded near-dup drop within the batch (same est-Jaccard
+       MinHash estimator as the history check, so one threshold
+       governs both);
+    2. history dedup — :func:`...operators.dedup.incremental_dedup`
+       against the index read from ``index_path`` (an equi-join on the
+       32-byte exact key + a band-bucket candidate join; historical
+       TEXT is never read, only the ~160 B/doc index);
+    3. append survivors and their index rows, each partitioned by
+       ``_batch_id`` with DYNAMIC partition overwrite — so a batch
+       REPLACES its own partition on retry instead of duplicating it.
+       That makes the sink idempotent per batch id, which is exactly
+       the guarantee Structured Streaming's checkpoint needs for
+       effectively-exactly-once output (the engine re-runs a failed
+       batch with the SAME batch id).
+
+    Returns the started StreamingQuery; drive with
+    ``processAllAvailable()`` in tests. The unbounded state lives in
+    the parquet index, NOT in streaming state — memory per batch is
+    O(batch + matched candidates), so the stream can run forever.
+    """
+    from pyspark.sql import functions as F
+
+    from ..operators.dedup import (
+        N_SEEDS,
+        dedup_index,
+        incremental_dedup,
+        lsh_bands,
+        lsh_candidate_pairs,
+    )
+
+    sig_cols = [f"mh{s}" for s in range(N_SEEDS)]
+
+    def _intra_batch(batch: DataFrame) -> DataFrame:
+        idx = dedup_index(batch)
+        # exact: min doc_id per normalized-text hash survives
+        keep_exact = idx.groupBy("text_md5").agg(F.min("doc_id").alias("doc_id"))
+        idx = idx.join(keep_exact.select("doc_id"), "doc_id")
+        # near: banded candidates (a < b), est-Jaccard ≥ t drops the LARGER id
+        pairs = lsh_candidate_pairs(lsh_bands(idx.filter(F.col("mh0").isNotNull())))
+        sa = idx.select(F.col("doc_id").alias("doc_a"), *sig_cols)
+        sb = idx.select(
+            F.col("doc_id").alias("doc_b"),
+            *[F.col(c).alias(f"o_{c}") for c in sig_cols],
+        )
+        est = sum(
+            (F.col(c) == F.col(f"o_{c}")).cast("int") for c in sig_cols
+        ) / F.lit(float(N_SEEDS))
+        near_drop = (
+            pairs.join(sa, "doc_a").join(sb, "doc_b")
+            .filter(est >= est_threshold)
+            .select(F.col("doc_b").alias("doc_id"))
+            .distinct()
+        )
+        return batch.join(idx.select("doc_id"), "doc_id").join(
+            near_drop, "doc_id", "left_anti"
+        )
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if batch_df.isEmpty():
+            return
+        clean = _intra_batch(batch_df)
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(index_path)
+        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.exists(hpath):
+            index = spark.read.parquet(index_path).drop("_batch_id")
+        else:
+            index = dedup_index(clean).limit(0)
+        tagged, _ = incremental_dedup(clean, index, est_threshold)
+        survivors = (
+            tagged.filter(F.col("drop_reason").isNull())
+            .drop("drop_reason")
+            .withColumn("_batch_id", F.lit(batch_id))
+            .localCheckpoint()  # cut lineage: the write must not rescan index_path
+        )
+        (
+            survivors.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(survivors_path)
+        )
+        (
+            dedup_index(survivors.drop("_batch_id"))
+            .withColumn("_batch_id", F.lit(batch_id))
+            .localCheckpoint()
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(index_path)
+        )
+
+    return (
+        stream_docs.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("update")
+        .start()
+    )

@@ -60,6 +60,78 @@ def test_stream_exact_dedup_keeps_one_per_text(spark, tmp_path):
     assert out.select("text_hash").distinct().count() == 3
 
 
+def _wc_text(seed: str, n: int = 40) -> str:
+    """Deterministic ~40-token text with a seed-specific vocabulary."""
+    words = [f"{seed}w{i % 7}" for i in range(n)]
+    return " ".join(words)
+
+
+def test_stream_incremental_dedup_end_to_end(spark, tmp_path):
+    """The production curation shape: three micro-batches arrive; exact
+    and NEAR duplicates — both within a batch and against PRIOR batches
+    — are dropped via the persisted signature index; survivors and the
+    index grow batch by batch; a restart with a new file neither loses
+    nor duplicates output (checkpoint + per-batch dynamic overwrite)."""
+    from distributed_mapreduce__spark.streaming.dedup import (
+        stream_incremental_dedup,
+    )
+
+    src = tmp_path / "arriving"
+    src.mkdir()
+    index_path = str(tmp_path / "index")
+    out_path = str(tmp_path / "survivors")
+    ckpt = str(tmp_path / "ckpt")
+
+    near_a = _wc_text("alpha") + " extratoken"  # near-dup of alpha
+    # batch 1: two originals + one intra-batch exact dup
+    (src / "b1.json").write_text(
+        "\n".join(
+            json.dumps(d)
+            for d in [
+                {"doc_id": 1, "text": _wc_text("alpha")},
+                {"doc_id": 2, "text": _wc_text("beta")},
+                {"doc_id": 3, "text": _wc_text("alpha")},  # exact dup of 1
+            ]
+        )
+    )
+    stream = spark.readStream.schema(_DOCS).json(str(src))
+    q = stream_incremental_dedup(stream, index_path, out_path, ckpt)
+    q.processAllAvailable()
+
+    # batch 2: exact dup of doc 2 (cross-batch), near-dup of doc 1, new doc
+    (src / "b2.json").write_text(
+        "\n".join(
+            json.dumps(d)
+            for d in [
+                {"doc_id": 10, "text": _wc_text("beta")},   # exact vs history
+                {"doc_id": 11, "text": near_a},              # near vs history
+                {"doc_id": 12, "text": _wc_text("gamma")},
+            ]
+        )
+    )
+    q.processAllAvailable()
+
+    kept = sorted(r.doc_id for r in spark.read.parquet(out_path).collect())
+    assert kept == [1, 2, 12]
+    idx_ids = sorted(r.doc_id for r in spark.read.parquet(index_path).collect())
+    assert idx_ids == [1, 2, 12]  # index grew with the survivors only
+    q.stop()
+
+    # restart: a NEW query from the same checkpoint sees only new files
+    (src / "b3.json").write_text(
+        json.dumps({"doc_id": 20, "text": _wc_text("gamma")})  # dup vs history
+        + "\n"
+        + json.dumps({"doc_id": 21, "text": _wc_text("delta")})
+    )
+    stream2 = spark.readStream.schema(_DOCS).json(str(src))
+    q2 = stream_incremental_dedup(stream2, index_path, out_path, ckpt)
+    q2.processAllAvailable()
+    q2.stop()
+
+    kept2 = sorted(r.doc_id for r in spark.read.parquet(out_path).collect())
+    assert kept2 == [1, 2, 12, 21]  # no loss, no duplication, 20 dropped
+
+
 def test_stream_dedup_within_watermark_drops_replays(spark, tmp_path):
     src = tmp_path / "events"
     src.mkdir()
