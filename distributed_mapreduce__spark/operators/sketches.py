@@ -54,6 +54,81 @@ def _mg_summary(values: Iterator[pd.Series], width: int) -> dict[str, int]:
     return counters
 
 
+#: Routing thresholds for :func:`choose_count_strategy`.
+MAX_WIDTH = 65_536        # MG counters an executor task can hold comfortably
+SMALL_DISTINCT = 1_000_000  # key cardinality where an exact shuffle is trivial
+
+
+def choose_count_strategy(
+    n_rows: int,
+    n_distinct: int,
+    threshold: int,
+    max_width: int = MAX_WIDTH,
+    small_distinct: int = SMALL_DISTINCT,
+) -> str:
+    """Pick exact ``groupBy.count`` vs the Misra–Gries sketch pass from
+    three cheap numbers. Pure routing logic (unit-testable), used by
+    :func:`key_counts` with ``strategy='auto'``:
+
+    - ``exact`` when you asked for ALL counts (threshold ≤ 1) — a
+      sketch can't answer that;
+    - ``exact`` when the key cardinality is modest (the shuffle the
+      sketch avoids is cheap anyway);
+    - ``sketch`` when keys are high-cardinality AND the MG completeness
+      guarantee is affordable: complete iff width > N/threshold, so the
+      sketch qualifies exactly when ``N/threshold + 1`` counters fit
+      the per-task budget. Below that line exact is the only complete
+      answer — auto never silently drops heavy keys.
+    """
+    if threshold <= 1 or n_distinct <= small_distinct:
+        return "exact"
+    if n_rows // threshold + 1 <= max_width:
+        return "sketch"
+    return "exact"
+
+
+def key_counts(
+    df: DataFrame,
+    key: str,
+    threshold: int = 1,
+    strategy: str = "auto",
+    n_rows: int | None = None,
+    n_distinct: int | None = None,
+) -> DataFrame:
+    """(key, cnt) for every key with count ≥ threshold — the counting
+    front door: the engine picks exact group-by vs the bounded-memory
+    Misra–Gries pass (:func:`heavy_hitters`), so high-cardinality keys
+    (URLs, shingles) can't ruin the shuffle by default.
+
+    ``strategy='auto'`` routes via :func:`choose_count_strategy`; pass
+    ``n_rows``/``n_distinct`` from a persisted profile to skip the two
+    estimation jobs (a count and an HLL ``approx_count_distinct`` —
+    both shuffle ~one row per partition). Both branches return
+    identical exact counts; the sketch branch sizes its width to
+    ``N/threshold + 1``, inside the completeness guarantee by
+    construction."""
+    if strategy == "auto":
+        n = n_rows if n_rows is not None else df.count()
+        d = (
+            n_distinct
+            if n_distinct is not None
+            else df.agg(F.approx_count_distinct(key)).first()[0]
+        )
+        strategy = choose_count_strategy(n, d, threshold)
+        n_rows = n
+    if strategy == "exact":
+        return (
+            df.groupBy(key)
+            .agg(F.count("*").alias("cnt"))
+            .filter(F.col("cnt") >= F.lit(threshold))
+        )
+    if strategy == "sketch":
+        n = n_rows if n_rows is not None else df.count()
+        width = min(MAX_WIDTH, n // threshold + 1)
+        return heavy_hitters(df, key, threshold, width=width)
+    raise ValueError(f"unknown strategy {strategy!r}; expected auto/exact/sketch")
+
+
 def heavy_hitters(
     df: DataFrame, key: str, threshold: int, width: int = 1024
 ) -> DataFrame:

@@ -83,6 +83,54 @@ def test_heavy_hitters_corpus_oracle(spark):
     assert got == want
 
 
+def test_choose_count_strategy_routing():
+    from distributed_mapreduce__spark.operators.sketches import (
+        choose_count_strategy,
+    )
+
+    # all counts wanted → only exact can answer
+    assert choose_count_strategy(10**9, 10**8, 1) == "exact"
+    # modest cardinality → exact shuffle is trivial, sketch pointless
+    assert choose_count_strategy(10**9, 50_000, 100) == "exact"
+    # high cardinality + affordable guarantee (N/t + 1 ≤ max width) → sketch
+    assert choose_count_strategy(10**9, 10**8, 100_000) == "sketch"
+    # guarantee line unaffordable (N/t too wide) → exact, never lossy
+    assert choose_count_strategy(10**9, 10**8, 100) == "exact"
+
+
+def test_key_counts_dispatch_matches_exact(spark):
+    """Both branches of the front door return identical exact counts;
+    the auto route on a high-cardinality fixture picks the sketch and
+    still equals the exact group-by."""
+    from distributed_mapreduce__spark.operators.sketches import key_counts
+
+    rng = np.random.default_rng(13)
+    rows = (
+        [("h0",)] * 500 + [("h1",)] * 300
+        + [(f"t{i}",) for i in rng.integers(0, 3000, size=4000)]
+    )
+    df = spark.createDataFrame(rows, "k string").repartition(6)
+    n = len(rows)
+    threshold = n // 20  # inside the guarantee at width = N/t + 1
+    exact = sorted(
+        map(tuple, key_counts(df, "k", threshold, strategy="exact").collect())
+    )
+    sketch = sorted(
+        map(tuple, key_counts(df, "k", threshold, strategy="sketch").collect())
+    )
+    # force the sketch branch through auto by declaring high cardinality
+    auto = sorted(
+        map(
+            tuple,
+            key_counts(
+                df, "k", threshold, n_rows=n, n_distinct=2_000_000
+            ).collect(),
+        )
+    )
+    assert exact == sketch == auto
+    assert ("h0", 500) in exact
+
+
 def test_key_type_round_trips(spark):
     """Numeric keys keep their type in the output schema (the string
     view is internal to the two passes), so callers can join the result
