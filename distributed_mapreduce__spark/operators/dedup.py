@@ -202,6 +202,48 @@ def exact_jaccard(shingles: DataFrame, pairs: DataFrame | None = None) -> DataFr
     )
 
 
+#: Routing threshold for :func:`near_dup_pairs`: documents above this
+#: count route to LSH — the all-pairs shared-shingle join is quadratic
+#: in docs-per-shingle and stops being an acceptable oracle baseline.
+EXACT_PAIRS_MAX_DOCS = 20_000
+
+
+def near_dup_pairs(
+    docs: DataFrame,
+    threshold: float = 0.7,
+    strategy: str = "auto",
+    doc_count: int | None = None,
+) -> DataFrame:
+    """(doc_a, doc_b, jaccard ≥ threshold): the near-dup front door —
+    the engine picks the all-pairs exact baseline vs the MinHash+LSH
+    candidate pipeline, so callers can't accidentally run the
+    quadratic form on a corpus-scale input.
+
+    ``strategy='auto'`` routes on document count (pass ``doc_count``
+    from a persisted profile to skip the count job): ≤
+    ``EXACT_PAIRS_MAX_DOCS`` → exact all-pairs; above → LSH banding for
+    candidates + candidate-restricted EXACT Jaccard verification.
+    Precision is identical on both branches (candidates are exact-
+    verified, so LSH never returns a pair exact wouldn't); LSH can only
+    MISS pairs that collide in no band (recall gated ≥0.8 by
+    tests/test_similarity_quality.py's planted-pair discipline).
+    """
+    if strategy == "auto":
+        n = doc_count if doc_count is not None else docs.count()
+        strategy = "exact" if n <= EXACT_PAIRS_MAX_DOCS else "lsh"
+    sh = doc_shingles(docs)
+    if strategy == "exact":
+        scored = exact_jaccard(sh)
+    elif strategy == "lsh":
+        cands = lsh_candidate_pairs(lsh_bands(minhash_signatures(sh)))
+        scored = exact_jaccard(sh, cands)
+    else:
+        raise ValueError(
+            f"unknown strategy {strategy!r}; expected auto/exact/lsh"
+        )
+    return scored.filter(F.col("jaccard") >= F.lit(threshold))
+
+
 def ngram_contamination(
     train: DataFrame, eval_docs: DataFrame, n: int = 3
 ) -> DataFrame:

@@ -120,3 +120,53 @@ def test_fuzzy_decisions_match_duckdb_replay(spark):
     assert got_exact == want_exact
     assert got_near == want_near
     assert want_near or want_exact  # split actually exercises the paths
+
+
+def test_near_dup_pairs_front_door(spark):
+    """The near-dup front door: auto routes small corpora to the exact
+    all-pairs baseline; the LSH branch is a PRECISION-IDENTICAL subset
+    (candidates are exact-verified); planted near-dups surface on both
+    branches; unknown strategies raise."""
+    import pytest
+
+    from distributed_mapreduce__spark.operators.dedup import near_dup_pairs
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, base, "en", "s", len(base)),
+        (2, base + " extra", "en", "s", len(base) + 6),  # near-dup of 1
+        (3, "completely different words in this unrelated document here",
+         "en", "s", 58),
+        (4, "yet another entirely distinct text with no overlap at all",
+         "en", "s", 57),
+    ]
+    docs = spark.createDataFrame(rows, DOC_SCHEMA)
+
+    exact = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in near_dup_pairs(docs, threshold=0.5, strategy="exact").collect()
+    }
+    auto = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in near_dup_pairs(docs, threshold=0.5).collect()  # auto → exact
+    }
+    lsh = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in near_dup_pairs(docs, threshold=0.5, strategy="lsh").collect()
+    }
+    assert auto == exact
+    assert (1, 2) in exact
+    assert set(lsh) <= set(exact)            # perfect precision
+    for k, v in lsh.items():
+        assert v == exact[k]                 # identical exact scores
+    assert (1, 2) in lsh                     # the planted pair collides
+    # forcing the big-corpus route via doc_count picks LSH
+    routed = {
+        (r.doc_a, r.doc_b)
+        for r in near_dup_pairs(
+            docs, threshold=0.5, doc_count=10**9
+        ).collect()
+    }
+    assert routed == set(lsh)
+    with pytest.raises(ValueError, match="unknown strategy"):
+        near_dup_pairs(docs, strategy="simhashish")
