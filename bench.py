@@ -11,8 +11,14 @@ Noise defense (the box is shared; recorded round-over-round swings of
 ±40% have been pure load artifacts): each query runs PASSES times
 (default 3) and reports the per-query MEDIAN; the 1-minute load average
 is stamped at start and end so a contended run is identifiable from the
-JSON alone ("load_note" calls it out when load > 2). Compare bench
-numbers like-for-like on idle boxes only.
+JSON alone. Before timing anything the harness WAITS for the box to go
+idle (load < $SPARK_GRAFT_BENCH_IDLE_LOAD, default 2.0), retrying up to
+$SPARK_GRAFT_BENCH_IDLE_RETRIES times (default 10) with
+$SPARK_GRAFT_BENCH_IDLE_WAIT_SEC between probes (default 30); if the
+box never goes idle the artifact is stamped "contended": true and
+"load_note" says so — an official number should only ever be recorded
+from a run with contended=false. Compare bench numbers like-for-like on
+idle boxes only.
 """
 
 from __future__ import annotations
@@ -56,11 +62,34 @@ HEADLINE = [
 PASSES = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
 
 
+IDLE_LOAD = float(os.environ.get("SPARK_GRAFT_BENCH_IDLE_LOAD", "2.0"))
+IDLE_RETRIES = int(os.environ.get("SPARK_GRAFT_BENCH_IDLE_RETRIES", "10"))
+IDLE_WAIT_SEC = float(os.environ.get("SPARK_GRAFT_BENCH_IDLE_WAIT_SEC", "30"))
+
+
+def wait_for_idle() -> float:
+    """Block until the 1-min load drops below IDLE_LOAD (or retries run
+    out); returns the final load. Progress goes to stderr so stdout
+    stays one parseable JSON line."""
+    load = os.getloadavg()[0]
+    for attempt in range(IDLE_RETRIES):
+        if load < IDLE_LOAD:
+            break
+        print(
+            f"bench: load {load:.1f} >= {IDLE_LOAD} — waiting "
+            f"{IDLE_WAIT_SEC:.0f}s ({attempt + 1}/{IDLE_RETRIES})",
+            file=sys.stderr,
+        )
+        time.sleep(IDLE_WAIT_SEC)
+        load = os.getloadavg()[0]
+    return load
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([\d.]+)$", os.path.basename(sf_dir.rstrip("/")))
     sf = m.group(1) if m else ""
-    load_start = os.getloadavg()[0]
+    load_start = wait_for_idle()
     spark = build_session(app_name="bench")
     registry.load_all()
 
@@ -89,11 +118,13 @@ def main() -> None:
         "passes": PASSES,
         "load_start": round(load_start, 2),
         "load_end": round(load_end, 2),
+        "contended": load_start >= IDLE_LOAD,
     }
-    if load_start > 2.0:
+    if load_start >= IDLE_LOAD:
         out["load_note"] = (
-            f"box under load ({load_start:.1f} at start) — timings are "
-            "contended; rerun idle before comparing across rounds"
+            f"box under load ({load_start:.1f} at start, idle wait "
+            "exhausted) — timings are contended; rerun idle before "
+            "comparing across rounds"
         )
     print(json.dumps(out))
     spark.stop()
