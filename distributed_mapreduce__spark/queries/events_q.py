@@ -19,8 +19,8 @@ from ..sources.tables import load_table
 
 _AGGS_SQL = """
            count(*) AS n_events,
-           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
-           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_value
+           CAST(CAST(sum(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_value,
+           CAST(CAST(sum(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) / count(*) AS avg_value
 """
 
 
@@ -123,7 +123,7 @@ def events_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(DISTINCT event_type) AS n_types,
            min(ts) AS first_seen,
            max(ts) AS last_seen,
-           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+           CAST(CAST(sum(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS total_value
     FROM events
     GROUP BY user_id
     """,

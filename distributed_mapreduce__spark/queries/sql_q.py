@@ -12,8 +12,8 @@ from ..sources.tables import register_views
 # TPC-H Q3 flavor: unshipped-order revenue by order, top 10.
 _SQL = """
     SELECT o_orderkey,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-                    * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(1 - l_discount AS DECIMAL(18,2))) AS STRING) AS DOUBLE) AS revenue,
            o_orderdate, o_orderpriority
     FROM customer
     JOIN orders   ON c_custkey = o_custkey

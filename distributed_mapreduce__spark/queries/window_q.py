@@ -29,8 +29,8 @@ from ..sources.tables import load_table
              revenue
       FROM (
         SELECT p_brand, l_partkey,
-               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-                        * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+               CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * CAST(1 - l_discount AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS revenue
         FROM lineitem JOIN part ON p_partkey = l_partkey
         GROUP BY p_brand, l_partkey
       )
@@ -61,9 +61,9 @@ def topk_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_custkey, o_orderkey,
            CAST(row_number() OVER w AS INTEGER) AS order_seq,
            lag(o_totalprice) OVER w AS prev_price,
-           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+           CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER
                 (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE)
              AS running_spend
     FROM orders
     WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
