@@ -123,9 +123,14 @@ def topk(
     already knows). Explicit ``strategy`` in {'exact', 'blas', 'lsh',
     'ivf'} forces a variant. Every branch returns the same schema
     (query_id, neighbor_id, sim, rank) with the same deterministic
-    (sim desc, neighbor asc) tie-break; 'exact' and 'blas' are
-    bit-identical, 'lsh'/'ivf' are recall-gated approximations
-    (tests/test_similarity_quality.py)."""
+    (sim desc, neighbor asc) tie-break. 'exact' and 'blas' both score
+    every pair exactly and return the same PAIR SET
+    (tests/test_similarity_quality.py pins it), but their sims can
+    differ in the last float bit (blas normalizes then matmuls; the
+    fold divides a left-fold dot by a norm product) — hash raw sims
+    only against the variant that produced them. 'lsh'/'ivf' are
+    recall-gated approximations whose returned sims match the fold
+    scorer bit-for-bit."""
     if strategy == "auto":
         n = corpus_count if corpus_count is not None else corpus.count()
         q = query_count if query_count is not None else queries.count()

@@ -101,30 +101,41 @@ def key_counts(
     (URLs, shingles) can't ruin the shuffle by default.
 
     ``strategy='auto'`` routes via :func:`choose_count_strategy`; pass
-    ``n_rows``/``n_distinct`` from a persisted profile to skip the two
-    estimation jobs (a count and an HLL ``approx_count_distinct`` —
-    both shuffle ~one row per partition). Both branches return
-    identical exact counts; the sketch branch sizes its width to
-    ``N/threshold + 1``, inside the completeness guarantee by
-    construction."""
+    ``n_rows``/``n_distinct`` from a persisted profile to skip the
+    estimation pass (ONE aggregation job computing count +
+    HLL ``approx_count_distinct`` together — shuffles ~one row per
+    partition). Both branches return identical exact counts over
+    NON-NULL keys (NULL is not a countable key here: the sketch's
+    candidate pass drops it, so the exact branch filters it too rather
+    than letting the two branches disagree). The sketch branch sizes
+    its width to ``N/threshold + 1`` — inside the completeness
+    guarantee by construction; auto only picks the sketch when that
+    width fits the per-task budget, and FORCING ``strategy='sketch'``
+    honors the guarantee width even above :data:`MAX_WIDTH` (the
+    memory is the caller's explicit choice; silently capping would
+    silently drop heavy keys)."""
     if strategy == "auto":
-        n = n_rows if n_rows is not None else df.count()
-        d = (
-            n_distinct
-            if n_distinct is not None
-            else df.agg(F.approx_count_distinct(key)).first()[0]
-        )
+        if n_rows is None or n_distinct is None:
+            prof = df.agg(
+                F.count("*").alias("n"),
+                F.approx_count_distinct(key).alias("d"),
+            ).first()
+            n = n_rows if n_rows is not None else prof["n"]
+            d = n_distinct if n_distinct is not None else prof["d"]
+        else:
+            n, d = n_rows, n_distinct
         strategy = choose_count_strategy(n, d, threshold)
         n_rows = n
     if strategy == "exact":
         return (
-            df.groupBy(key)
+            df.filter(F.col(key).isNotNull())
+            .groupBy(key)
             .agg(F.count("*").alias("cnt"))
             .filter(F.col("cnt") >= F.lit(threshold))
         )
     if strategy == "sketch":
         n = n_rows if n_rows is not None else df.count()
-        width = min(MAX_WIDTH, n // threshold + 1)
+        width = n // threshold + 1
         return heavy_hitters(df, key, threshold, width=width)
     raise ValueError(f"unknown strategy {strategy!r}; expected auto/exact/sketch")
 

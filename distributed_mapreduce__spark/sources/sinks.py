@@ -20,6 +20,16 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def hadoop_fs(spark, path: str):
+    """(FileSystem, Path) for ``path`` via the JVM gateway — works for
+    any scheme the session can reach (local, HDFS, s3a), unlike
+    os.path/open. Single-sourced here for every sink that needs
+    existence checks, renames, or driver-side small-file writes."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    return hpath.getFileSystem(spark._jsc.hadoopConfiguration()), hpath
+
+
 def write_json_lines(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """One JSON object per line (the reference's intermediate format)."""
     df.write.mode(mode).json(path)
@@ -70,12 +80,7 @@ def compact_parquet(
     round-robin repartition, no key shuffle."""
     import math
 
-    # Hadoop FS listing via the JVM gateway — works for any scheme the
-    # session can read (local, HDFS, s3a), unlike os.walk.
-    jvm = spark._jvm
-    conf = spark._jsc.hadoopConfiguration()
-    p = jvm.org.apache.hadoop.fs.Path(src_path)
-    fs = p.getFileSystem(conf)
+    fs, p = hadoop_fs(spark, src_path)
     total_bytes = fs.getContentSummary(p).getLength()
     n_files = max(1, math.ceil(total_bytes / (target_file_mb * 1024 * 1024)))
 
@@ -122,29 +127,36 @@ def merge_keyed(
 
     Plan shape, designed for the partitioned case at scale:
 
-    1. the batch's distinct partition tuples (small) broadcast-semi-
-       join-prune the existing dataset, so only TOUCHED partitions are
-       read — partition pruning shows up as PartitionFilters;
-    2. existing-minus-batch via LEFT ANTI join on the key (one shuffle
+    1. find the touched partitions: the batch's own distinct partition
+       tuples, PLUS any partition holding a PRIOR version of a batch
+       key (a key-column-pruned scan + semi-join — so a key that MOVES
+       partitions is deleted from its old home rather than left as a
+       stale duplicate);
+    2. the touched set (small) broadcast-semi-join-prunes the existing
+       dataset, so only touched partitions are fully read — partition
+       pruning shows up as PartitionFilters;
+    3. existing-minus-batch via LEFT ANTI join on the key (one shuffle
        on the key, or broadcast when the batch is small — AQE picks);
-    3. union with the batch, localCheckpoint (cuts lineage so the
+    4. union with the batch, localCheckpoint (cuts lineage so the
        overwrite doesn't re-scan the files it replaces — Spark cannot
        overwrite a path it is still lazily reading), then dynamic
        partition overwrite of exactly the touched partitions.
 
-    Unpartitioned datasets merge with a FULL rewrite (documented cost;
-    partition anything you merge into repeatedly). Re-running the same
-    merge is idempotent. ``batch`` must be unique per key — pick
-    survivors first (``url_dedup`` / ``top_k_per_group``) if it isn't;
-    with duplicate keys the result would keep all of them.
+    Unpartitioned datasets merge with a FULL rewrite staged through a
+    sibling temp directory + atomic-per-FS rename — the in-place
+    overwrite would delete the old files before the job that needs
+    them is fault-tolerant (localCheckpoint blocks are not replicated;
+    losing an executor mid-overwrite would lose data). Partition
+    anything you merge into repeatedly. Re-running the same merge is
+    idempotent. ``batch`` must be unique per key — pick survivors
+    first (``url_dedup`` / ``top_k_per_group``) if it isn't; with
+    duplicate keys the result would keep all of them.
     """
     spark = batch.sparkSession
     keys = list(key_cols)
     parts = list(partition_cols)
 
-    jvm = spark._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs, hpath = hadoop_fs(spark, path)
     if not fs.exists(hpath):
         if parts:
             batch.write.partitionBy(*parts).parquet(path)
@@ -153,15 +165,32 @@ def merge_keyed(
         return
 
     existing = spark.read.parquet(path)
+    batch_keys = batch.select(*keys).distinct()
     if parts:
-        touched = batch.select(*parts).distinct()
+        # partitions the batch writes into, plus partitions that hold a
+        # prior version of any batch key (keys+parts scan is column-
+        # pruned; the old row must be dropped from its OLD partition
+        # when the key's partition value changed)
+        touched = (
+            batch.select(*parts)
+            .unionByName(
+                existing.select(*keys, *parts).join(batch_keys, keys, "left_semi")
+                .select(*parts)
+            )
+            .distinct()
+        )
         existing = existing.join(F.broadcast(touched), parts, "left_semi")
-    keep = existing.join(batch.select(*keys).distinct(), keys, "left_anti")
-    merged = keep.unionByName(batch).localCheckpoint()
+    keep = existing.join(batch_keys, keys, "left_anti")
+    merged = keep.unionByName(batch)
     if parts:
-        overwrite_partitions(merged, path, *parts)
+        overwrite_partitions(merged.localCheckpoint(), path, *parts)
     else:
-        merged.write.mode("overwrite").parquet(path)
+        # staged rewrite: the tmp write reads the live dataset safely,
+        # then the swap is two fast metadata ops
+        tmp = path.rstrip("/") + "._merge_tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        fs.delete(hpath, True)
+        fs.rename(hadoop_fs(spark, tmp)[1], hpath)
 
 
 def write_training_shards(
@@ -182,17 +211,16 @@ def write_training_shards(
 
     Returns the manifest as a DataFrame[(shard, n_rows)] and writes it
     next to the data at ``<path>/_manifest.json`` — a single REAL
-    JSON-lines file (written driver-side from the collected manifest
-    rows; one row per shard, so it is bounded by the shard count, not
-    the data). It is written AFTER the data so its presence marks a
-    complete export — the poor man's commit protocol, same role as
-    _SUCCESS but carrying per-shard row counts for loader-side
-    validation. The per-shard counts cost one metadata-cheap re-scan
-    (count(*) by input_file_name projects zero data columns, so parquet
-    answers it from footer row counts).
+    JSON-lines file (written driver-side through the Hadoop FS API, so
+    it lands correctly on hdfs://s3a:// too; one row per shard, so it
+    is bounded by the shard count, not the data). It is written AFTER
+    the data so its presence marks a complete export — the poor man's
+    commit protocol, same role as _SUCCESS but carrying per-shard row
+    counts for loader-side validation. The per-shard counts cost one
+    metadata-cheap re-scan (count(*) by input_file_name projects zero
+    data columns, so parquet answers it from footer row counts).
     """
     import json
-    import os
 
     spark = df.sparkSession
     writer = df
@@ -211,7 +239,15 @@ def write_training_shards(
         )
         .agg(F.count("*").alias("n_rows"))
     )
-    with open(os.path.join(path, "_manifest.json"), "w") as fh:
-        for row in sorted(manifest.collect(), key=lambda r: r["shard"]):
-            fh.write(json.dumps({"shard": row["shard"], "n_rows": row["n_rows"]}) + "\n")
+    lines = "".join(
+        json.dumps({"shard": r["shard"], "n_rows": r["n_rows"]}) + "\n"
+        for r in sorted(manifest.collect(), key=lambda r: r["shard"])
+    )
+    fs, _ = hadoop_fs(spark, path)
+    mpath = spark._jvm.org.apache.hadoop.fs.Path(path, "_manifest.json")
+    out = fs.create(mpath, True)
+    try:
+        out.write(bytearray(lines, "utf-8"))
+    finally:
+        out.close()
     return manifest

@@ -121,9 +121,9 @@ def stream_incremental_dedup(
         if batch_df.isEmpty():
             return
         clean = _intra_batch(batch_df)
-        jvm = spark._jvm
-        hpath = jvm.org.apache.hadoop.fs.Path(index_path)
-        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        from ..sources.sinks import hadoop_fs
+
+        fs, hpath = hadoop_fs(spark, index_path)
         if fs.exists(hpath):
             index = spark.read.parquet(index_path).drop("_batch_id")
         else:

@@ -115,3 +115,18 @@ def test_merge_unpartitioned_full_rewrite(spark, tmp_path):
     assert df.count() == 42
     assert df.filter(F.col("doc_id") == 1).first().v == 2
     assert df.filter(F.col("doc_id") == 3).first().v == 1
+
+
+def test_merge_handles_key_moving_partitions(spark, tmp_path):
+    """A key whose PARTITION VALUE changes in the batch must be deleted
+    from its old partition, not left behind as a stale duplicate — the
+    old home is in the touched set via the key-pruned scan."""
+    path = str(tmp_path / "ds")
+    merge_keyed(_initial(spark), path, ["doc_id"], partition_cols=["day"])
+    moved = spark.createDataFrame([(1, 3, 2, "moved")],
+                                  "doc_id long, day int, v int, text string")
+    merge_keyed(moved, path, ["doc_id"], partition_cols=["day"])
+    rows = spark.read.parquet(path).filter(F.col("doc_id") == 1).collect()
+    assert len(rows) == 1  # exactly one version survives
+    assert rows[0].day == 3 and rows[0].v == 2
+    assert spark.read.parquet(path).count() == 40  # no net growth

@@ -150,3 +150,15 @@ def test_rejoin_broadcasts(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "SortMergeJoin" not in plan
+
+
+def test_key_counts_null_keys_consistent_across_branches(spark):
+    """NULL keys are not countable keys: both branches drop them, so
+    auto can't change the answer by switching branches."""
+    from distributed_mapreduce__spark.operators.sketches import key_counts
+
+    rows = [(None,)] * 50 + [("a",)] * 40 + [("b",)] * 5
+    df = spark.createDataFrame(rows, "k string")
+    exact = sorted(map(tuple, key_counts(df, "k", 10, strategy="exact").collect()))
+    sketch = sorted(map(tuple, key_counts(df, "k", 10, strategy="sketch").collect()))
+    assert exact == sketch == [("a", 40)]
