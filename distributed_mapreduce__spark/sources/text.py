@@ -80,3 +80,46 @@ def read_jsonl_corpus(
         .option("columnNameOfCorruptRecord", corrupt_col)
         .json(list(paths))
     )
+
+
+def read_csv_corpus(
+    spark: SparkSession,
+    paths: Sequence[str] | str,
+    schema: str,
+    corrupt_col: str = "_corrupt",
+    sep: str = ",",
+    header: bool = True,
+    multiline: bool = False,
+) -> DataFrame:
+    """CSV/TSV corpus reader with the same quarantine discipline as
+    :func:`read_jsonl_corpus` — crawl metadata, label sheets, and
+    index dumps still arrive as delimited text.
+
+    ``schema`` is REQUIRED for the same reasons as jsonl (inference is
+    an extra full pass and widens types shard-by-shard). Malformed rows
+    land intact in ``corrupt_col`` under PERMISSIVE mode instead of
+    failing the job, preserving funnel-style accounting.
+
+    Scale notes: with ``multiline=False`` (default) files split at line
+    boundaries and parallelize like any text scan. ``multiline=True``
+    (quoted embedded newlines) makes each FILE one unsplittable task —
+    only for small-file corpora; re-shard big multiline CSVs upstream.
+    ``sep='\\t'`` reads TSV.
+
+    Spark wart shared with the jsonl reader: a query whose referenced
+    columns are ONLY ``corrupt_col`` is disallowed on raw CSV/JSON
+    scans (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN) —
+    select at least one data column alongside it (or cache first) when
+    counting quarantined rows.
+    """
+    if isinstance(paths, str):
+        paths = [paths]
+    return (
+        spark.read.schema(f"{schema}, {corrupt_col} string")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .option("sep", sep)
+        .option("header", str(header).lower())
+        .option("multiLine", str(multiline).lower())
+        .csv(list(paths))
+    )
