@@ -42,8 +42,12 @@ def profile_table(df: DataFrame, approx: bool = False) -> DataFrame:
     """(column, metric, value): per-column profile in one aggregation.
 
     ``approx=True`` swaps exact distinct counts for HLL estimates —
-    the 100 TB form."""
-    aggs = []
+    the 100 TB form.
+
+    The table-level row count rides along as ``(__table__, n_rows)`` —
+    together with per-column ``n_distinct`` it is exactly what the
+    auto-routing front doors consume (see :func:`save_profile`)."""
+    aggs = [F.count(F.lit(1)).alias("__table__|n_rows")]
     fields = [(f.name, f.dataType.simpleString()) for f in df.schema.fields]
     for name, typ in fields:
         aggs.append(
@@ -76,3 +80,32 @@ def profile_table(df: DataFrame, approx: bool = False) -> DataFrame:
         row.select(F.explode(F.array(*metrics)).alias("m"))
         .select("m.column", "m.metric", "m.value")
     )
+
+
+def save_profile(df: DataFrame, path: str, approx: bool = True) -> None:
+    """Profile ``df`` in one pass and persist the result as a tiny
+    parquet — the stats sidecar the auto-routing front doors read
+    instead of re-scanning the corpus.
+
+    A pipeline profiles once per dataset version (one pass, HLL
+    distinct by default) and every later routing decision —
+    ``similarity.topk(corpus_count=...)``, ``key_counts(n_rows=...,
+    n_distinct=...)``, ``near_dup_pairs(doc_count=...)``,
+    ``lsh_topk(corpus_count=...)`` — becomes a metadata read via
+    :func:`load_profile_hints`."""
+    profile_table(df, approx=approx).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(path)
+
+
+def load_profile_hints(spark, path: str) -> dict:
+    """Read a :func:`save_profile` sidecar into routing hints:
+    ``{"n_rows": int, "n_distinct": {column: int}}``."""
+    rows = spark.read.parquet(path).collect()
+    hints: dict = {"n_distinct": {}}
+    for r in rows:
+        if r.column == "__table__" and r.metric == "n_rows":
+            hints["n_rows"] = int(r.value)
+        elif r.metric == "n_distinct":
+            hints["n_distinct"][r.column] = int(r.value)
+    return hints

@@ -35,7 +35,10 @@ def test_profile_documents_matches_oracle(spark):
             UNION ALL SELECT '{col}', 'min', CAST(min({col}) AS VARCHAR) FROM documents
             UNION ALL SELECT '{col}', 'max', CAST(max({col}) AS VARCHAR) FROM documents
             """)
-        pieces.append(" UNION ALL " if col != "n_chars" else "")
+        pieces.append(" UNION ALL ")
+    pieces.append(
+        "SELECT '__table__', 'n_rows', CAST(count(*) AS VARCHAR) FROM documents"
+    )
     compare_query(spark, SF, got, "".join(pieces))
 
 
@@ -81,3 +84,29 @@ def test_profile_handles_map_columns(spark):
         if not approx:
             assert prof[("m", "n_distinct")] == "1"
             assert prof[("arr", "n_distinct")] == "1"
+
+
+def test_profile_sidecar_feeds_front_doors(spark, tmp_path):
+    """save_profile → load_profile_hints → the auto front doors route
+    from the persisted stats with zero extra scans of the corpus."""
+    from distributed_mapreduce__spark.operators.profile import (
+        load_profile_hints,
+        save_profile,
+    )
+    from distributed_mapreduce__spark.operators.sketches import key_counts
+
+    docs = load_table(spark, SF, "documents")
+    path = str(tmp_path / "profile")
+    save_profile(docs, path)
+    hints = load_profile_hints(spark, path)
+    assert hints["n_rows"] == 500
+    assert 0 < hints["n_distinct"]["source"] < 500
+
+    routed = key_counts(
+        docs, "source", threshold=20,
+        n_rows=hints["n_rows"], n_distinct=hints["n_distinct"]["source"],
+    )
+    exact = key_counts(docs, "source", threshold=20, strategy="exact")
+    assert sorted(map(tuple, routed.collect())) == sorted(
+        map(tuple, exact.collect())
+    )
