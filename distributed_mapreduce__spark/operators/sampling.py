@@ -101,3 +101,44 @@ def stratified_quota(
         )
         .drop("_h", "_rn")
     )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    near_dup_pairs: DataFrame,
+    fractions: Mapping[str, float],
+    key_col: str = "doc_id",
+    seed: int = 0,
+    split_col: str = "split",
+) -> DataFrame:
+    """:func:`hash_split` that cannot leak near-duplicates across
+    splits: documents connected by ``near_dup_pairs`` (doc_a, doc_b)
+    are assigned as a GROUP, keyed by their dedup cluster id.
+
+    Per-document hash splitting silently places a test document's
+    near-twin in train — the contamination class decontamination scans
+    for after the fact; this prevents it by construction. Cluster ids
+    come from :func:`..graph.connected_components` (star contraction,
+    log²-round); isolated documents (no near-dup) key by their own id,
+    preserving hash_split's stable-membership property: adding corpus
+    never moves an existing SINGLETON between splits, and a cluster
+    only moves if its min-id member changes (i.e. the cluster itself
+    grew a new older twin — exactly when re-deciding is correct).
+
+    One extra shuffle vs hash_split (the left join on cluster id);
+    the pair list is near-dup-density-sized, never corpus².
+    """
+    from .graph import connected_components
+
+    comp = connected_components(near_dup_pairs)
+    withc = df.join(
+        comp.withColumnRenamed("node", key_col), key_col, "left"
+    ).withColumn(
+        "_split_key",
+        F.coalesce(F.col("comp"), F.col(key_col)).cast("string"),
+    )
+    return (
+        hash_split(withc, F.col("_split_key"), fractions, seed=seed,
+                   split_col=split_col)
+        .drop("comp", "_split_key")
+    )

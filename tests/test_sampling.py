@@ -114,3 +114,47 @@ def test_stratified_quota_matches_oracle(spark):
     )
     per_group = got.groupBy("lang").agg(F.count("*").alias("n")).collect()
     assert all(r.n <= 20 for r in per_group)
+
+
+def test_leakage_safe_split_keeps_neardups_together(spark):
+    """Near-dup clusters are split as units: every planted chain lands
+    wholly in one split, singletons keep hash_split's per-doc
+    assignment, and fractions still roughly hold."""
+    from distributed_mapreduce__spark.operators.sampling import (
+        hash_split,
+        leakage_safe_split,
+    )
+
+    docs = spark.range(1000).select(F.col("id").alias("doc_id"))
+    # 100 near-dup chains: (i, i+1000... no — pair docs (2k, 2k+1) for k<100
+    pairs = spark.createDataFrame(
+        [(2 * k, 2 * k + 1) for k in range(100)]
+        + [(500 + k, 700 + k) for k in range(50)],  # cross-range twins
+        "doc_a long, doc_b long",
+    )
+    out = leakage_safe_split(
+        docs, pairs, {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    split_of = {r.doc_id: r.split for r in out.collect()}
+    assert len(split_of) == 1000  # no rows lost or duplicated
+    for a, b in [(2 * k, 2 * k + 1) for k in range(100)] + [
+        (500 + k, 700 + k) for k in range(50)
+    ]:
+        assert split_of[a] == split_of[b], (a, b)
+    # fractions approximately hold
+    from collections import Counter
+
+    c = Counter(split_of.values())
+    assert 700 < c["train"] < 900
+    # singletons (never in any pair) match plain per-doc hash_split
+    paired = {x for k in range(100) for x in (2 * k, 2 * k + 1)} | {
+        500 + k for k in range(50)
+    } | {700 + k for k in range(50)}
+    plain = {
+        r.doc_id: r.split
+        for r in hash_split(
+            docs, F.col("doc_id").cast("string"), {"train": 0.8, "val": 0.1, "test": 0.1}
+        ).collect()
+    }
+    for d in set(split_of) - paired:
+        assert split_of[d] == plain[d]
