@@ -130,3 +130,31 @@ def test_merge_handles_key_moving_partitions(spark, tmp_path):
     assert len(rows) == 1  # exactly one version survives
     assert rows[0].day == 3 and rows[0].v == 2
     assert spark.read.parquet(path).count() == 40  # no net growth
+
+
+def test_merge_maintains_dedup_index_across_recrawls(spark, tmp_path):
+    """Composition story: a re-crawled document (same doc_id, NEW text)
+    upserts its signature row in the persisted dedup index via
+    merge_keyed — the append-only index would keep the stale signature
+    and misjudge future near-dup checks against the old content."""
+    from distributed_mapreduce__spark.operators.dedup import dedup_index
+
+    schema = "doc_id long, text string"
+    v1 = spark.createDataFrame(
+        [(1, "alpha bravo charlie delta echo foxtrot golf hotel"),
+         (2, "india juliet kilo lima mike november oscar papa")], schema
+    )
+    path = str(tmp_path / "index")
+    merge_keyed(dedup_index(v1), path, ["doc_id"])
+    old_sig = spark.read.parquet(path).filter(F.col("doc_id") == 1).first()
+
+    v2 = spark.createDataFrame(
+        [(1, "totally different recrawled content words here now")], schema
+    )
+    merge_keyed(dedup_index(v2), path, ["doc_id"])
+    idx = spark.read.parquet(path)
+    assert idx.count() == 2  # upsert, not append
+    new_sig = idx.filter(F.col("doc_id") == 1).first()
+    assert new_sig.text_md5 != old_sig.text_md5  # signature replaced
+    assert idx.filter(F.col("doc_id") == 2).first().text_md5 == \
+        spark.read.parquet(path).filter(F.col("doc_id") == 2).first().text_md5
