@@ -247,3 +247,32 @@ def test_domain_caps_bounds_and_determinism(spark):
     assert all(r["count"] == 5 for r in counts)
     again = sorted(r.doc_id for r in domain_caps(df, cap=5).collect())
     assert again == sorted(r.doc_id for r in capped.collect())
+
+
+def test_canonical_url_idempotent_property(spark):
+    """canonical() is idempotent — a dedup-key contract: re-canonizing
+    stored canonical URLs must be a no-op, or keys drift between
+    pipeline stages. One Spark job over hypothesis-style adversarial
+    URL fragments (generated eagerly: per-example Spark jobs are too
+    slow for @given)."""
+    import itertools
+
+    schemes = ["https://", "HTTP://", "ftp://", ""]
+    hosts = ["A.B", "x.co.uk", "a", ""]
+    ports = ["", ":443", ":80", ":8080"]
+    paths = ["", "/", "/p", "/p&ref=b", "//"]
+    queries = ["", "?", "?utm_a=1", "?x=1&utm_b=2&y=3", "?ref=x&href=keep",
+               "?&&", "?utm_a=1&utm_b=2"]
+    frags = ["", "#f", "#f#g"]
+    urls = [
+        "".join(parts)
+        for parts in itertools.product(schemes, hosts, ports, paths, queries, frags)
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "u string")
+    bad = (
+        df.select("u", canonical_url(F.col("u")).alias("c1"))
+        .select("u", "c1", canonical_url(F.col("c1")).alias("c2"))
+        .filter(F.col("c1") != F.col("c2"))
+        .collect()
+    )
+    assert not bad, bad[:5]
