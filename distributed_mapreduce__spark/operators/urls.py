@@ -73,6 +73,8 @@ PSL_SNAPSHOT: tuple[str, ...] = MULTI_SUFFIXES + (
     "amazonaws.com", "s3.amazonaws.com", "elasticbeanstalk.com",
     "readthedocs.io", "neocities.org", "wixsite.com", "weebly.com",
     "fastly.net", "windows.net", "github.dev", "glitch.me",
+    # wildcard + exception rule examples (verbatim from the PSL)
+    "*.ck", "!www.ck", "*.bd", "*.kawasaki.jp", "!city.kawasaki.jp",
 )
 
 
@@ -94,9 +96,11 @@ def registered_domain_psl(
     label before it; when NO rule matches, the default ``*`` rule
     applies (suffix = last label → domain = last two labels) — which is
     the two-label branch of the heuristic. Hosts that ARE a public
-    suffix, or a single label, pass through unchanged. Wildcard
-    (``*.ck``) and exception (``!www.ck``) rules are not modeled —
-    <1% of the list.
+    suffix, or a single label, pass through unchanged. All three PSL
+    rule types are modeled: exact (``co.uk``), wildcard (``*.ck`` —
+    one host label stands in for the ``*``), and exception
+    (``!www.ck`` — overrides a wildcard: the suffix is the rule minus
+    its leftmost label, making that host registrable).
 
     Plan shape: the rules compile per label-depth (bounded: the PSL's
     deepest rule is 5 labels) into ``isin`` tests that Catalyst turns
@@ -112,20 +116,42 @@ def registered_domain_psl(
     else:
         suffixes = psl
 
-    by_depth: dict[int, list[str]] = {}
+    exact: dict[int, list[str]] = {}
+    wild: dict[int, list[str]] = {}  # effective depth -> literal tails
+    excs: list[str] = []
     for s in suffixes:
         s = s.strip().lower()
-        if s and not s.startswith(("*", "!", "/")):  # unmodeled rule types
-            by_depth.setdefault(s.count(".") + 1, []).append(s)
+        if not s or s.startswith("/"):
+            continue
+        if s.startswith("!"):
+            excs.append(s[1:])
+        elif s.startswith("*."):
+            tail = s[2:]
+            wild.setdefault(tail.count(".") + 2, []).append(tail)
+        else:
+            exact.setdefault(s.count(".") + 1, []).append(s)
 
     labels = F.split(host, r"\.")
     n = F.size(labels)
     # longest match: ascending depth order, later (deeper) wins
     depth = F.lit(1)  # the PSL default "*" rule
-    for d in sorted(by_depth):
-        last_d = F.concat_ws(".", F.slice(labels, n - d + 1, F.lit(d)))
-        # host must be STRICTLY longer than the suffix to have an eTLD+1
-        depth = F.when((n > d) & last_d.isin(by_depth[d]), F.lit(d)).otherwise(depth)
+    for d in sorted(set(exact) | set(wild)):
+        cond = F.lit(False)
+        if d in exact:
+            last_d = F.concat_ws(".", F.slice(labels, n - d + 1, F.lit(d)))
+            # host must be STRICTLY longer than the suffix for an eTLD+1
+            cond = cond | ((n > d) & last_d.isin(exact[d]))
+        if d in wild:
+            # '*' consumes one host label; the literal tail is d-1 deep
+            tail_d = F.concat_ws(".", F.slice(labels, n - d + 2, F.lit(d - 1)))
+            cond = cond | ((n > d) & tail_d.isin(wild[d]))
+        depth = F.when(cond, F.lit(d)).otherwise(depth)
+    for e in excs:
+        # an exception that matches IS the prevailing rule: the suffix
+        # is the rule minus its leftmost label (depth - 1)
+        d_exc = e.count(".") + 1
+        last_e = F.concat_ws(".", F.slice(labels, n - d_exc + 1, F.lit(d_exc)))
+        depth = F.when((n >= d_exc) & (last_e == e), F.lit(d_exc - 1)).otherwise(depth)
     dom_n = F.least(depth + 1, n)
     domain = F.concat_ws(".", F.slice(labels, n - dom_n + 1, dom_n))
     return F.when(n <= 1, host).otherwise(domain)

@@ -276,3 +276,33 @@ def test_canonical_url_idempotent_property(spark):
         .collect()
     )
     assert not bad, bad[:5]
+
+
+def test_registered_domain_psl_wildcard_and_exception_rules(spark):
+    """Full publicsuffix.org rule semantics: '*.ck' makes any single
+    label under ck a suffix; '!www.ck' carves www.ck back out as
+    registrable; deeper wildcards ('*.kawasaki.jp' + exception) behave
+    identically one level down."""
+    from distributed_mapreduce__spark.operators.urls import registered_domain_psl
+
+    cases = [
+        ("foo.bar.ck", "foo.bar.ck"),        # bar.ck is a (wildcard) suffix
+        ("a.foo.bar.ck", "foo.bar.ck"),      # eTLD+1 under wildcard
+        ("bar.ck", "bar.ck"),                # IS a suffix → pass-through
+        ("www.ck", "www.ck"),                # exception: registrable itself
+        ("foo.www.ck", "www.ck"),            # exception rule prevails
+        ("x.y.kawasaki.jp", "x.y.kawasaki.jp"),      # wildcard depth 3
+        ("a.x.y.kawasaki.jp", "x.y.kawasaki.jp"),
+        ("city.kawasaki.jp", "city.kawasaki.jp"),    # exception depth 3
+        ("sub.city.kawasaki.jp", "city.kawasaki.jp"),
+        ("a.b.bd", "a.b.bd"),                # *.bd
+    ]
+    df = spark.createDataFrame([(h,) for h, _ in cases], "host string")
+    got = {
+        r.host: r.d
+        for r in df.select(
+            "host", registered_domain_psl(F.col("host")).alias("d")
+        ).collect()
+    }
+    for h, want in cases:
+        assert got[h] == want, (h, got[h], want)
