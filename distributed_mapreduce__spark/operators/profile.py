@@ -100,7 +100,11 @@ def save_profile(df: DataFrame, path: str, approx: bool = True) -> None:
 
 def load_profile_hints(spark, path: str) -> dict:
     """Read a :func:`save_profile` sidecar into routing hints:
-    ``{"n_rows": int, "n_distinct": {column: int}}``."""
+    ``{"n_rows": int, "n_distinct": {column: int}}``.
+
+    Raises a descriptive error when the sidecar predates the
+    ``(__table__, n_rows)`` row — a stale profile should fail HERE,
+    not as a KeyError inside a front door."""
     rows = spark.read.parquet(path).collect()
     hints: dict = {"n_distinct": {}}
     for r in rows:
@@ -108,4 +112,9 @@ def load_profile_hints(spark, path: str) -> dict:
             hints["n_rows"] = int(r.value)
         elif r.metric == "n_distinct":
             hints["n_distinct"][r.column] = int(r.value)
+    if "n_rows" not in hints:
+        raise ValueError(
+            f"profile sidecar at {path!r} has no (__table__, n_rows) row — "
+            "written by an old profile_table? Re-run save_profile."
+        )
     return hints

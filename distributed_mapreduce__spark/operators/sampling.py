@@ -130,15 +130,15 @@ def leakage_safe_split(
     """
     from .graph import connected_components
 
-    comp = connected_components(near_dup_pairs)
-    withc = df.join(
-        comp.withColumnRenamed("node", key_col), key_col, "left"
-    ).withColumn(
-        "_split_key",
-        F.coalesce(F.col("comp"), F.col(key_col)).cast("string"),
+    comp = connected_components(near_dup_pairs).select(
+        F.col("node").alias(key_col), F.col("comp").alias("_lss_comp")
+    )
+    withc = df.join(comp, key_col, "left").withColumn(
+        "_lss_key",
+        F.coalesce(F.col("_lss_comp"), F.col(key_col)).cast("string"),
     )
     return (
-        hash_split(withc, F.col("_split_key"), fractions, seed=seed,
+        hash_split(withc, F.col("_lss_key"), fractions, seed=seed,
                    split_col=split_col)
-        .drop("comp", "_split_key")
+        .drop("_lss_comp", "_lss_key")
     )

@@ -133,19 +133,28 @@ def registered_domain_psl(
 
     labels = F.split(host, r"\.")
     n = F.size(labels)
-    # longest match: ascending depth order, later (deeper) wins
+    # longest match: ascending depth order, later (deeper) wins; the
+    # same conditions with n == d detect a host that IS a suffix (which
+    # has no eTLD+1 and must pass through unchanged — without this, a
+    # 3+-label wildcard suffix like 'y.kawasaki.jp' would be truncated
+    # by the default rule)
     depth = F.lit(1)  # the PSL default "*" rule
+    is_suffix = F.lit(False)
     for d in sorted(set(exact) | set(wild)):
         cond = F.lit(False)
+        whole = F.lit(False)
         if d in exact:
             last_d = F.concat_ws(".", F.slice(labels, n - d + 1, F.lit(d)))
             # host must be STRICTLY longer than the suffix for an eTLD+1
             cond = cond | ((n > d) & last_d.isin(exact[d]))
+            whole = whole | ((n == d) & last_d.isin(exact[d]))
         if d in wild:
             # '*' consumes one host label; the literal tail is d-1 deep
             tail_d = F.concat_ws(".", F.slice(labels, n - d + 2, F.lit(d - 1)))
             cond = cond | ((n > d) & tail_d.isin(wild[d]))
+            whole = whole | ((n == d) & tail_d.isin(wild[d]))
         depth = F.when(cond, F.lit(d)).otherwise(depth)
+        is_suffix = is_suffix | whole
     for e in excs:
         # an exception that matches IS the prevailing rule: the suffix
         # is the rule minus its leftmost label (depth - 1)
@@ -154,7 +163,7 @@ def registered_domain_psl(
         depth = F.when((n >= d_exc) & (last_e == e), F.lit(d_exc - 1)).otherwise(depth)
     dom_n = F.least(depth + 1, n)
     domain = F.concat_ws(".", F.slice(labels, n - dom_n + 1, dom_n))
-    return F.when(n <= 1, host).otherwise(domain)
+    return F.when((n <= 1) | is_suffix, host).otherwise(domain)
 
 #: Query parameters that never change page content — stripped during
 #: canonicalization (analytics/click-tracking junk). Applied to the

@@ -146,7 +146,9 @@ def test_merge_maintains_dedup_index_across_recrawls(spark, tmp_path):
     )
     path = str(tmp_path / "index")
     merge_keyed(dedup_index(v1), path, ["doc_id"])
-    old_sig = spark.read.parquet(path).filter(F.col("doc_id") == 1).first()
+    before = {
+        r.doc_id: r.text_md5 for r in spark.read.parquet(path).collect()
+    }
 
     v2 = spark.createDataFrame(
         [(1, "totally different recrawled content words here now")], schema
@@ -154,7 +156,6 @@ def test_merge_maintains_dedup_index_across_recrawls(spark, tmp_path):
     merge_keyed(dedup_index(v2), path, ["doc_id"])
     idx = spark.read.parquet(path)
     assert idx.count() == 2  # upsert, not append
-    new_sig = idx.filter(F.col("doc_id") == 1).first()
-    assert new_sig.text_md5 != old_sig.text_md5  # signature replaced
-    assert idx.filter(F.col("doc_id") == 2).first().text_md5 == \
-        spark.read.parquet(path).filter(F.col("doc_id") == 2).first().text_md5
+    after = {r.doc_id: r.text_md5 for r in idx.collect()}
+    assert after[1] != before[1]  # recrawled signature replaced
+    assert after[2] == before[2]  # untouched doc's signature survives

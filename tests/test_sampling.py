@@ -126,7 +126,7 @@ def test_leakage_safe_split_keeps_neardups_together(spark):
     )
 
     docs = spark.range(1000).select(F.col("id").alias("doc_id"))
-    # 100 near-dup chains: (i, i+1000... no — pair docs (2k, 2k+1) for k<100
+    # twin pairs (2k, 2k+1) for k<100, plus cross-range twins (500+k, 700+k)
     pairs = spark.createDataFrame(
         [(2 * k, 2 * k + 1) for k in range(100)]
         + [(500 + k, 700 + k) for k in range(50)],  # cross-range twins

@@ -306,3 +306,25 @@ def test_registered_domain_psl_wildcard_and_exception_rules(spark):
     }
     for h, want in cases:
         assert got[h] == want, (h, got[h], want)
+
+
+def test_registered_domain_psl_deep_suffix_hosts_pass_through(spark):
+    """A host that IS a 3+-label (wildcard) public suffix must pass
+    through unchanged — the n==depth case the default rule would
+    otherwise truncate (review r5 finding)."""
+    from distributed_mapreduce__spark.operators.urls import registered_domain_psl
+
+    cases = [
+        ("y.kawasaki.jp", "y.kawasaki.jp"),   # wildcard suffix itself
+        ("s3.amazonaws.com", "s3.amazonaws.com"),  # 3-label exact suffix
+        ("co.uk", "co.uk"),                    # 2-label exact suffix
+    ]
+    df = spark.createDataFrame([(h,) for h, _ in cases], "host string")
+    got = {
+        r.host: r.d
+        for r in df.select(
+            "host", registered_domain_psl(F.col("host")).alias("d")
+        ).collect()
+    }
+    for h, want in cases:
+        assert got[h] == want, (h, got[h], want)
