@@ -117,6 +117,7 @@ def merge_keyed(
     path: str,
     key_cols: Sequence[str],
     partition_cols: Sequence[str] = (),
+    stable_partitions: bool = False,
 ) -> None:
     """MERGE (upsert) ``batch`` into the keyed parquet dataset at
     ``path``: rows whose key matches an existing row REPLACE it, new
@@ -151,6 +152,16 @@ def merge_keyed(
     idempotent. ``batch`` must be unique per key — pick survivors
     first (``url_dedup`` / ``top_k_per_group``) if it isn't; with
     duplicate keys the result would keep all of them.
+
+    ``stable_partitions=True`` is the scale knob for step 1: it skips
+    the whole-dataset key scan when the caller GUARANTEES a key's
+    partition value never changes (e.g. partitioned by a hash or other
+    pure function of the key — the dedup-index-by-doc_id shape). The
+    migration scan is column-pruned (keys + partition values only) but
+    still touches every partition's footers and key pages; with the
+    guarantee it is pure waste. With the flag set, a key that DOES
+    move partitions silently duplicates — that is the contract
+    violation, not a merge bug.
     """
     spark = batch.sparkSession
     keys = list(key_cols)
@@ -167,18 +178,18 @@ def merge_keyed(
     existing = spark.read.parquet(path)
     batch_keys = batch.select(*keys).distinct()
     if parts:
-        # partitions the batch writes into, plus partitions that hold a
-        # prior version of any batch key (keys+parts scan is column-
+        # partitions the batch writes into, plus (unless the caller
+        # guarantees partition-stable keys) any partition holding a
+        # prior version of a batch key (keys+parts scan is column-
         # pruned; the old row must be dropped from its OLD partition
         # when the key's partition value changed)
-        touched = (
-            batch.select(*parts)
-            .unionByName(
+        touched = batch.select(*parts)
+        if not stable_partitions:
+            touched = touched.unionByName(
                 existing.select(*keys, *parts).join(batch_keys, keys, "left_semi")
                 .select(*parts)
             )
-            .distinct()
-        )
+        touched = touched.distinct()
         existing = existing.join(F.broadcast(touched), parts, "left_semi")
     keep = existing.join(batch_keys, keys, "left_anti")
     merged = keep.unionByName(batch)
