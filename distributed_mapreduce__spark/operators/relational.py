@@ -127,3 +127,71 @@ def semi_join(left: DataFrame, right: DataFrame, on) -> DataFrame:
 def anti_join(left: DataFrame, right: DataFrame, on) -> DataFrame:
     """NOT EXISTS — rows of ``left`` with no match in ``right``."""
     return left.join(right, on, "left_anti")
+
+
+#: Routing threshold for :func:`quantiles`: rows per group above which
+#: the exact interpolated percentile — whose aggregation state holds
+#: every value of the group in memory — stops being safe and the
+#: mergeable GK sketch (approx_percentile) takes over.
+EXACT_QUANTILE_MAX_GROUP_ROWS = 10_000_000
+
+
+def quantiles(
+    df: DataFrame,
+    value_col: str,
+    probs: Sequence[float],
+    group_cols: Sequence[str] = (),
+    strategy: str = "auto",
+    accuracy: int = 10_000,
+    n_rows: int | None = None,
+) -> DataFrame:
+    """Per-group percentiles — the quantile front door: the engine
+    picks exact interpolated ``percentile`` vs the mergeable
+    ``approx_percentile`` GK sketch, because exact percentile's
+    aggregation buffer holds EVERY value of a group in executor memory
+    (the classic 100 TB OOM), while the sketch is O(accuracy) per
+    group with a guaranteed rank error of at most 1/accuracy.
+
+    ``strategy='auto'`` routes on expected rows per group: ``n_rows``
+    (or one count job) divided by a distinct-group estimate when
+    grouped; pass ``n_rows`` from a profile sidecar to skip the count.
+    Output: one row per group with a ``q_<prob>`` double column per
+    requested probability (dots become underscores), identical schema
+    on both branches.
+    """
+    gcols = list(group_cols)
+
+    def out_cols(fn):
+        return [
+            fn(p).alias("q_" + str(p).replace(".", "_")) for p in probs
+        ]
+
+    if strategy == "auto":
+        n = n_rows if n_rows is not None else df.count()
+        if gcols:
+            n_groups = max(
+                1, df.agg(F.approx_count_distinct(F.struct(*gcols))).first()[0]
+            )
+        else:
+            n_groups = 1
+        strategy = (
+            "exact"
+            if n / n_groups <= EXACT_QUANTILE_MAX_GROUP_ROWS
+            else "approx"
+        )
+    if strategy == "exact":
+        aggs = out_cols(
+            lambda p: F.percentile(F.col(value_col), F.lit(p)).cast("double")
+        )
+    elif strategy == "approx":
+        aggs = out_cols(
+            lambda p: F.approx_percentile(
+                F.col(value_col), F.lit(p), F.lit(accuracy)
+            ).cast("double")
+        )
+    else:
+        raise ValueError(
+            f"unknown strategy {strategy!r}; expected auto/exact/approx"
+        )
+    grouped = df.groupBy(*gcols) if gcols else df.groupBy()
+    return grouped.agg(*aggs)

@@ -41,3 +41,57 @@ def test_sketches_within_tolerance(spark, sf_dir):
         assert abs(r.approx_parts - r.exact_parts) <= max(5, 0.1 * r.exact_parts), r
         rel = abs(r.approx_median_price - r.exact_median_price) / r.exact_median_price
         assert rel <= 0.02, r
+
+
+def test_quantiles_front_door(spark):
+    """The quantile front door: exact branch matches DuckDB
+    quantile_cont bit-for-bit; approx branch respects the GK rank-error
+    bound; auto routes small groups to exact and huge declared inputs
+    to approx."""
+    import duckdb
+
+    from distributed_mapreduce__spark.operators.relational import quantiles
+    from distributed_mapreduce__spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.01"
+    li = load_table(spark, sf, "lineitem")
+    probs = [0.25, 0.5, 0.75]
+
+    exact = quantiles(li, "l_quantity", probs, ["l_returnflag"],
+                      strategy="exact")
+    got = sorted(map(tuple, exact.collect()))
+    con = duckdb.connect()
+    want = sorted(
+        con.execute(
+            f"""SELECT l_returnflag,
+                 quantile_cont(l_quantity, 0.25),
+                 quantile_cont(l_quantity, 0.5),
+                 quantile_cont(l_quantity, 0.75)
+                FROM '{sf}/lineitem.parquet' GROUP BY l_returnflag"""
+        ).fetchall()
+    )
+    assert got == want
+
+    # auto on the small fixture picks exact — identical rows
+    auto = sorted(
+        map(tuple, quantiles(li, "l_quantity", probs, ["l_returnflag"]).collect())
+    )
+    assert auto == got
+
+    # auto with a declared huge input routes to the sketch; with
+    # accuracy=10k on ~60k rows the rank error ≤ N/accuracy ≈ 6 ranks —
+    # values must sit within a tight quantile neighborhood of exact
+    approx = {
+        r[0]: r[1:]
+        for r in quantiles(
+            li, "l_quantity", probs, ["l_returnflag"], n_rows=10**12
+        ).collect()
+    }
+    for flag, *vals in got:
+        for e, a in zip(vals, approx[flag]):
+            assert abs(e - a) <= 2.0, (flag, e, a)  # quantity grid is 1..50
+
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown strategy"):
+        quantiles(li, "l_quantity", probs, strategy="tdigest")
