@@ -135,6 +135,13 @@ def anti_join(left: DataFrame, right: DataFrame, on) -> DataFrame:
 #: mergeable GK sketch (approx_percentile) takes over.
 EXACT_QUANTILE_MAX_GROUP_ROWS = 10_000_000
 
+#: Skew headroom for the mean→max inference in :func:`quantiles`: the
+#: mean rows/group estimate is multiplied by this before comparing to
+#: the budget, so a hot group up to QUANTILE_SKEW_MARGIN× the mean
+#: still fits. Beyond that, pass ``max_group_rows`` from a profile /
+#: :func:`..sketches.key_counts` probe — a mean can never prove a max.
+QUANTILE_SKEW_MARGIN = 100
+
 
 def quantiles(
     df: DataFrame,
@@ -144,6 +151,8 @@ def quantiles(
     strategy: str = "auto",
     accuracy: int = 10_000,
     n_rows: int | None = None,
+    n_groups: int | None = None,
+    max_group_rows: int | None = None,
 ) -> DataFrame:
     """Per-group percentiles — the quantile front door: the engine
     picks exact interpolated ``percentile`` vs the mergeable
@@ -152,12 +161,18 @@ def quantiles(
     (the classic 100 TB OOM), while the sketch is O(accuracy) per
     group with a guaranteed rank error of at most 1/accuracy.
 
-    ``strategy='auto'`` routes on expected rows per group: ``n_rows``
-    (or one count job) divided by a distinct-group estimate when
-    grouped; pass ``n_rows`` from a profile sidecar to skip the count.
-    Output: one row per group with a ``q_<prob>`` double column per
-    requested probability (dots become underscores), identical schema
-    on both branches.
+    ``strategy='auto'`` routes on the LARGEST group's row count:
+    ``max_group_rows`` when the caller knows it (a profile /
+    ``key_counts`` probe), else mean rows per group inflated by
+    :data:`QUANTILE_SKEW_MARGIN` — a mean can't prove a max, so the
+    margin keeps a hot group up to 100x the mean inside the exact
+    budget, and anything that might exceed it routes to the sketch
+    (safe: approximate, never OOM). Pass ``n_rows``/``n_groups`` from
+    a profile sidecar to skip the estimation job; with no hints both
+    numbers come from ONE combined aggregation pass. Output: one row
+    per group with a ``q_<prob>`` double column per requested
+    probability (dots become underscores), identical schema on both
+    branches.
     """
     gcols = list(group_cols)
 
@@ -167,17 +182,25 @@ def quantiles(
         ]
 
     if strategy == "auto":
-        n = n_rows if n_rows is not None else df.count()
-        if gcols:
-            n_groups = max(
-                1, df.agg(F.approx_count_distinct(F.struct(*gcols))).first()[0]
-            )
+        if max_group_rows is not None:
+            worst = max_group_rows
         else:
-            n_groups = 1
+            if n_rows is None or (gcols and n_groups is None):
+                aggs = [F.count(F.lit(1)).alias("n")]
+                if gcols:
+                    aggs.append(
+                        F.approx_count_distinct(F.struct(*gcols)).alias("d")
+                    )
+                prof = df.agg(*aggs).first()
+                n = n_rows if n_rows is not None else prof["n"]
+                d = n_groups if n_groups is not None else (
+                    prof["d"] if gcols else 1
+                )
+            else:
+                n, d = n_rows, (n_groups if gcols else 1)
+            worst = (n / max(1, d)) * QUANTILE_SKEW_MARGIN
         strategy = (
-            "exact"
-            if n / n_groups <= EXACT_QUANTILE_MAX_GROUP_ROWS
-            else "approx"
+            "exact" if worst <= EXACT_QUANTILE_MAX_GROUP_ROWS else "approx"
         )
     if strategy == "exact":
         aggs = out_cols(

@@ -356,8 +356,9 @@ def quantile_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles (both engines use the same
     (1-g)·a + g·b linear interpolation over the sorted values), emitted
     as scalar columns — array results aren't hashable by the driver's
-    canonicalizer. For 100 TB use approx_percentile — sketches merge;
-    exact sorts."""
+    canonicalizer. For 100 TB use approx_percentile — sketches merge,
+    exact buffers every group value; the engine-picks-for-you route is
+    :func:`..operators.relational.quantiles` with ``strategy='auto'``."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.percentile("l_quantity", F.lit(0.25)).alias("q25_qty"),

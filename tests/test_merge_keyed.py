@@ -163,8 +163,10 @@ def test_merge_maintains_dedup_index_across_recrawls(spark, tmp_path):
 
 def test_merge_stable_partitions_skips_migration_scan(spark, tmp_path):
     """stable_partitions=True: same result for partition-stable keys
-    (day derived from doc_id), and the plan reads fewer sources (no
-    whole-dataset key scan)."""
+    (day derived from doc_id) — AND the migration scan really is
+    skipped, pinned by the documented divergence: a key that MOVES
+    partitions leaves its stale old row behind under the flag (the
+    contract violation), where the unflagged path deletes it."""
     path = str(tmp_path / "ds")
     merge_keyed(_initial(spark), path, ["doc_id"], partition_cols=["day"])
     merge_keyed(
@@ -178,3 +180,13 @@ def test_merge_stable_partitions_skips_migration_scan(spark, tmp_path):
     merge_keyed(_batch(spark), path2, ["doc_id"], partition_cols=["day"])
     want = sorted(map(tuple, spark.read.parquet(path2).collect()))
     assert got == want
+
+    # divergence proof the flag is live: move doc 1 from day 1 to day 3
+    moved = spark.createDataFrame([(1, 3, 9, "moved")],
+                                  "doc_id long, day int, v int, text string")
+    merge_keyed(moved, path, ["doc_id"], partition_cols=["day"],
+                stable_partitions=True)
+    rows = spark.read.parquet(path).filter(F.col("doc_id") == 1).collect()
+    # stale day=1 row survives alongside the new day=3 row — exactly
+    # the documented contract violation the scan would have prevented
+    assert sorted((r.day, r.v) for r in rows) == [(1, 2), (3, 9)]
