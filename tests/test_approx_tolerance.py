@@ -95,3 +95,23 @@ def test_quantiles_front_door(spark):
 
     with pytest.raises(ValueError, match="unknown strategy"):
         quantiles(li, "l_quantity", probs, strategy="tdigest")
+
+
+def test_quantiles_ungrouped_global(spark):
+    """No group_cols → one global row; exact matches DuckDB, auto on
+    the fixture picks exact."""
+    import duckdb
+
+    from distributed_mapreduce__spark.operators.relational import quantiles
+    from distributed_mapreduce__spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.01"
+    li = load_table(spark, sf, "lineitem")
+    got = quantiles(li, "l_extendedprice", [0.5, 0.9]).collect()
+    assert len(got) == 1
+    want = duckdb.connect().execute(
+        f"""SELECT quantile_cont(l_extendedprice, 0.5),
+                   quantile_cont(l_extendedprice, 0.9)
+            FROM '{sf}/lineitem.parquet'"""
+    ).fetchone()
+    assert (got[0].q_0_5, got[0].q_0_9) == want
