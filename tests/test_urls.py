@@ -328,3 +328,18 @@ def test_registered_domain_psl_deep_suffix_hosts_pass_through(spark):
     }
     for h, want in cases:
         assert got[h] == want, (h, got[h], want)
+
+
+def test_registered_domain_psl_is_pure_projection(spark):
+    """The InSet compilation claim, pinned on the physical plan: PSL
+    domain extraction adds ZERO exchanges/joins — it rides the
+    projection."""
+    from distributed_mapreduce__spark.operators.urls import registered_domain_psl
+
+    df = spark.createDataFrame([("a.b.co.uk",), ("x.github.io",)], "host string")
+    plan = (
+        df.select(registered_domain_psl(F.col("host")).alias("d"))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+    assert "Join" not in plan
