@@ -301,15 +301,23 @@ def lsh_topk(
     dim: int = 64,
     vec_col: str = "embedding",
     corpus_count: int | None = None,
+    probe_radius: int = 1,
 ) -> DataFrame:
     """Hyperplane-LSH approximate top-k cosine neighbors.
 
     ``corpus``/``queries`` need (vec_id, embedding). Candidates =
-    members of each query's bucket (plus, with ``multiprobe``, the
-    ``n_planes`` buckets one bit-flip away), scored exactly, window
+    members of each query's bucket (plus, with ``multiprobe``, every
+    bucket within ``probe_radius`` bit-flips), scored exactly, window
     top-k per query. Probes expand via explode + equi-join on bucket —
     never a popcount-distance non-equi join, which would plan as a
     quadratic loop join.
+
+    ``probe_radius`` is the recall dial at HIGH plane counts: the
+    log-N sizing below grows planes with the corpus, and per-plane
+    agreement is < 1, so single-bit probing's recall decays as planes
+    grow; radius 2 adds the C(P,2) two-flip buckets
+    (1 + P + P(P-1)/2 probes — still a broadcast-side constant) and
+    buys back most of it at ~P/2x the candidate volume.
 
     SIZING RULE (the scale knob): expected bucket occupancy is
     N / 2^n_planes, so per-query candidate work grows LINEARLY in N at
@@ -335,7 +343,15 @@ def lsh_topk(
     buckets = lsh_buckets(corpus, planes, vec_col=vec_col)
     corpus_b = with_norm(corpus, vec_col).join(buckets, "vec_id")
 
-    masks = [0] + ([1 << b for b in range(n_planes)] if multiprobe else [])
+    masks = [0]
+    if multiprobe:
+        masks += [1 << b for b in range(n_planes)]
+        if probe_radius >= 2:
+            masks += [
+                (1 << a) | (1 << b)
+                for a in range(n_planes)
+                for b in range(a + 1, n_planes)
+            ]
     q_buckets = lsh_buckets(queries, planes, vec_col=vec_col)
     mask_df = spark.range(len(masks)).select(
         F.expr(f"array({', '.join(str(m) for m in masks)})[cast(id as int)]")
