@@ -84,7 +84,8 @@ def test_lsh_branch_applies_log_n_plane_rule(spark):
     n = emb.count()
     routed = _pairs(topk(emb, queries, k=10, strategy="lsh"))
     direct = _pairs(
-        lsh_topk(emb, queries, n_planes=resolve_n_planes(n), multiprobe=True, k=10)
+        lsh_topk(emb, queries, n_planes=resolve_n_planes(n), multiprobe=True,
+                 probe_radius=2, k=10)
     )
     assert routed == direct
     # corpus_count passthrough short-circuits the count job and must
@@ -116,7 +117,8 @@ def test_routed_lsh_recall_on_clustered_vectors(spark):
     deliver usable recall on CLUSTERED vectors — the data shape real
     embedding corpora have. 30 tight clusters (0.05/dim noise →
     within-cluster sims ~0.86) x 40 members, queries from the corpus;
-    measured 0.81 recall at the resolved 6 planes, gate at 0.7.
+    measured 0.81 at radius 1 and higher at the routed radius 2,
+    gate at 0.75.
 
     Hyperplane LSH recall is sim-bounded: per-plane agreement is
     1 - θ/π, so neighbors at sim ~0.5 (θ=60°) are intrinsically hard
@@ -141,7 +143,7 @@ def test_routed_lsh_recall_on_clustered_vectors(spark):
     exact = _pairs(cosine_topk_blas(corpus, queries, k=10))
     got = _pairs(topk(corpus, queries, k=10, strategy="lsh"))
     recall = len(got & exact) / len(exact)
-    assert recall >= 0.7, f"routed-LSH recall too low: {recall}"
+    assert recall >= 0.75, f"routed-LSH recall too low: {recall}"
     corpus.unpersist()
     queries.unpersist()
 
