@@ -135,9 +135,11 @@ def topk(
         n = corpus_count if corpus_count is not None else corpus.count()
         q = query_count if query_count is not None else queries.count()
         strategy = choose_strategy(n, q, has_quantizer=quantizer is not None)
-        corpus_count = n
+        corpus_count, query_count = n, q
     if strategy == "blas":
-        return cosine_topk_blas(corpus, queries, k=k, vec_col=vec_col)
+        return cosine_topk_blas(
+            corpus, queries, k=k, vec_col=vec_col, query_count=query_count
+        )
     if strategy == "exact":
         return cosine_topk(queries, corpus, k=k, vec_col=vec_col)
     if strategy == "lsh":
@@ -321,6 +323,19 @@ def lsh_topk(
     (1 + P + P(P-1)/2 probes — still a broadcast-side constant) and
     buys back most of it at ~P/2x the candidate volume.
 
+    SCALE SHAPE (the round-6 fix): the probe expansion carries IDS
+    ONLY — (query_id, probe bucket), two longs per row — and the
+    bucket match is an UNHINTED equi-join, so Catalyst/AQE picks
+    broadcast vs shuffled-hash from actual sizes. This matters because
+    the auto router sends a query set here precisely when Q is too big
+    to broadcast: Q=1M at radius 2 / 24 planes is ~300M probe rows,
+    and the old form force-broadcast them WITH their dim-64 vectors
+    (~100+ GB pinned per executor). Vectors and norms now join back by
+    id AFTER the match, so what shuffles before scoring is candidate
+    id pairs, not vector payloads
+    (tests/test_similarity_router.py pins the no-forced-broadcast
+    plan shape).
+
     SIZING RULE (the scale knob): expected bucket occupancy is
     N / 2^n_planes, so per-query candidate work grows LINEARLY in N at
     fixed n_planes — and the query count usually grows with N too,
@@ -342,8 +357,7 @@ def lsh_topk(
         n = corpus_count if corpus_count is not None else corpus.count()
         n_planes = resolve_n_planes(n)
     planes = hyperplanes(spark, n_planes=n_planes, dim=dim)
-    buckets = lsh_buckets(corpus, planes, vec_col=vec_col)
-    corpus_b = with_norm(corpus, vec_col).join(buckets, "vec_id")
+    c_buckets = lsh_buckets(corpus, planes, vec_col=vec_col)
 
     masks = [0]
     if multiprobe:
@@ -360,35 +374,51 @@ def lsh_topk(
         .cast("long")
         .alias("mask")
     )
-    q = (
-        with_norm(queries, vec_col)
-        .join(q_buckets, "vec_id")
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.col(vec_col).alias("q_vec"),
-            F.col("vnorm").alias("q_norm"),
-            F.col("bucket").alias("q_bucket"),
+    # ids-only probe expansion: Q x |masks| rows of two longs (the mask
+    # table is the tiny broadcast constant; the EXPANDED table is not
+    # hinted anywhere below)
+    probes = (
+        q_buckets.select(
+            F.col("vec_id").alias("query_id"), F.col("bucket").alias("q_bucket")
         )
         .join(F.broadcast(mask_df))
+        .select("query_id", F.expr("q_bucket ^ mask").alias("bucket"))
+    )
+    # candidate id pairs via the UNHINTED bucket equi-join (AQE picks
+    # broadcast vs shuffled-hash from actual probe-side size). No
+    # distinct needed: the masks are distinct, so XOR against a fixed
+    # q_bucket yields distinct probe buckets per query, and a corpus
+    # vector has exactly one bucket — a (query, neighbor) pair can
+    # match through at most one probe.
+    cands = (
+        c_buckets.join(probes, "bucket")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+    )
+    # vectors/norms attach AFTER the match, by id — equi-joins, AQE's
+    # choice; what shuffles at scale is id pairs, not dim-64 payloads
+    c = with_norm(corpus, vec_col).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        F.col("vnorm").alias("c_norm"),
+    )
+    q = with_norm(queries, vec_col).select(
+        F.col("vec_id").alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.col("vnorm").alias("q_norm"),
+    )
+    scored = (
+        cands.join(c, "neighbor_id")
+        .join(q, "query_id")
         .select(
-            "query_id", "q_vec", "q_norm",
-            F.expr("q_bucket ^ mask").alias("probe_bucket"),
+            "query_id",
+            "neighbor_id",
+            (
+                dot_fold(F.col("q_vec"), F.col("c_vec"))
+                / (F.col("q_norm") * F.col("c_norm"))
+            ).alias("sim"),
         )
     )
-    scored = corpus_b.join(
-        F.broadcast(q),
-        (F.col("bucket") == F.col("probe_bucket"))
-        & (F.col("vec_id") != F.col("query_id")),
-    ).select(
-        "query_id",
-        F.col("vec_id").alias("neighbor_id"),
-        (
-            dot_fold(F.col("q_vec"), F.col(vec_col))
-            / (F.col("q_norm") * F.col("vnorm"))
-        ).alias("sim"),
-    )
-    if multiprobe:
-        scored = scored.distinct()  # a neighbor can match via several probes
     return top_k_per_group(
         scored, ["query_id"], [F.desc("sim"), F.asc("neighbor_id")], k=k, rn_col="rank"
     ).select("query_id", "neighbor_id", "sim", F.col("rank").cast("int").alias("rank"))
@@ -416,7 +446,11 @@ def ivf_topk(
     (they come back with the fitted model regardless); probe selection
     broadcasts them against the query DataFrame and ranks per query
     with a window — no ``.collect()`` of query vectors, so the query
-    set can itself be 100 TB-scale.
+    set can itself be 100 TB-scale. To make that claim real, the probe
+    set carries (query_id, cell) ONLY and the cell match is an
+    UNHINTED equi-join (round-6 fix — the old form force-broadcast
+    Q x nprobe rows WITH their vectors); query vectors join back by id
+    after the match, so AQE sizes the join from id rows.
     """
     from .relational import top_k_per_group
 
@@ -445,11 +479,16 @@ def ivf_topk(
         ["query_id"],
         [F.asc("d2"), F.asc("cell")],
         k=nprobe,
-    ).select("query_id", "cell", "q_vec", "q_norm")
+    ).select("query_id", "cell")
 
+    # unhinted cell equi-join over id rows; query vectors re-attach by
+    # id after the match. No distinct needed: a corpus vector lives in
+    # exactly one cell and probes are unique per (query_id, cell), so
+    # a (query, neighbor) pair arises at most once.
     scored = (
-        corpus_b.join(F.broadcast(probes), "cell")
+        corpus_b.join(probes, "cell")
         .filter(F.col("vec_id") != F.col("query_id"))
+        .join(q, "query_id")
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
@@ -458,7 +497,6 @@ def ivf_topk(
                 / (F.col("q_norm") * F.col("vnorm"))
             ).alias("sim"),
         )
-        .distinct()
     )
     return top_k_per_group(
         scored, ["query_id"], [F.desc("sim"), F.asc("neighbor_id")], k=k, rn_col="rank"
@@ -495,6 +533,8 @@ def cosine_topk_blas(
     queries: DataFrame,
     k: int = 10,
     vec_col: str = "embedding",
+    query_count: int | None = None,
+    max_q: int = BLAS_MAX_Q,
 ) -> DataFrame:
     """Exact top-k cosine via blocked BLAS matmul — the fast exact path
     for the bounded-query-set regime.
@@ -503,7 +543,11 @@ def cosine_topk_blas(
     (Q×dim doubles — bounded, the same mechanism a broadcast join uses;
     this operator is explicitly for Q that fits in executor memory —
     with corpus-scale Q you want :func:`lsh_topk`/:func:`ivf_topk`
-    instead). Each Arrow batch of CORPUS rows is scored against all
+    instead). That bound is ENFORCED, not advisory: the query side is
+    counted (one metadata-cheap job — or pass ``query_count`` from a
+    profile / the auto router to skip it) and a Q above ``max_q``
+    raises a descriptive error BEFORE the collect, instead of OOMing
+    the driver the way an unguarded direct call used to. Each Arrow batch of CORPUS rows is scored against all
     queries in one ``batch×dim @ dim×Q`` matmul, and — the part that
     matters for the shuffle — reduced to a per-batch partial top-k, so
     the final global window sees ~(batches × Q × k) rows instead of
@@ -522,6 +566,14 @@ def cosine_topk_blas(
     from .relational import top_k_per_group
 
     spark = corpus.sparkSession
+    n_q = query_count if query_count is not None else queries.count()
+    if n_q > max_q:
+        raise ValueError(
+            f"cosine_topk_blas: query side has {n_q} rows > max_q={max_q} — "
+            "collecting it would risk driver OOM. Use topk(strategy='auto') "
+            "(routes oversized Q to lsh/ivf), or lsh_topk/ivf_topk directly, "
+            "or raise max_q explicitly if the driver really has the memory."
+        )
     q_rows = queries.select("vec_id", vec_col).collect()
     q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
     q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)

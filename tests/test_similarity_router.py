@@ -176,3 +176,85 @@ def test_probe_radius_two_recovers_recall(spark):
     assert rec2 >= 0.75, rec2
     corpus.unpersist()
     queries.unpersist()
+
+
+# ----------------------------------------------- plan shape (the 100 TB bar)
+
+
+def _static_plan(df) -> str:
+    """The initial (pre-execution) physical plan — what the optimizer
+    was FORCED into. AQE may still convert joins to broadcast at
+    runtime from observed sizes; that is exactly the desired behavior,
+    so these tests pin only what is forced, not what AQE elects."""
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _with_broadcast_disabled(spark):
+    import contextlib
+
+    @contextlib.contextmanager
+    def ctx():
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            yield
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+    return ctx()
+
+
+def test_lsh_topk_never_forces_query_side_broadcast(spark):
+    """VERDICT r5 lead item: the LSH branch is what auto picks when Q
+    is too big to broadcast, so nothing in it may FORCE a broadcast
+    hash join. With the size-based broadcast estimator disabled, any
+    HashedRelationBroadcastMode exchange in the plan could only come
+    from a hint — the intentional planes/mask broadcasts are
+    nested-loop joins with IdentityBroadcastMode and stay allowed."""
+    emb = load_table(spark, SF, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    with _with_broadcast_disabled(spark):
+        df = lsh_topk(
+            emb, queries, n_planes=6, multiprobe=True, probe_radius=2, k=5
+        )
+        plan = _static_plan(df)
+    assert "HashedRelationBroadcastMode" not in plan, plan
+    # the probe-expanded query side exists only as id pairs pre-match:
+    # the bucket equi-join must be present as a shuffled join
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+
+
+def test_ivf_topk_never_forces_query_side_broadcast(spark):
+    """Same pin for the IVF branch (docstring claims corpus-scale Q):
+    the probe set joins on cell unhinted; only the centroid table (a
+    nested-loop IdentityBroadcastMode broadcast) is forced."""
+    emb = load_table(spark, SF, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    quant = ivf_assignments(emb, k=4)
+    with _with_broadcast_disabled(spark):
+        df = ivf_topk(emb, queries, n_cells=4, nprobe=2, k=5, quantizer=quant)
+        plan = _static_plan(df)
+    assert "HashedRelationBroadcastMode" not in plan, plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+
+
+# ------------------------------------------------------- blas direct-call guard
+
+
+def test_blas_guard_raises_on_oversized_q(spark):
+    """VERDICT r5 item 4: a direct cosine_topk_blas call with an
+    oversized query side must fail with a descriptive error BEFORE
+    collecting (the auto router already refuses this shape)."""
+    emb = load_table(spark, SF, "embeddings")
+    with pytest.raises(ValueError, match="max_q"):
+        cosine_topk_blas(emb, emb, k=5, max_q=10)
+    # a caller-passed count hint is honored without running a count job
+    with pytest.raises(ValueError, match="driver OOM"):
+        cosine_topk_blas(emb, emb, k=5, query_count=100_000)
+
+
+def test_blas_guard_allows_bounded_q(spark):
+    emb = load_table(spark, SF, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    out = cosine_topk_blas(emb, queries, k=3, query_count=queries.count())
+    assert out.count() > 0
