@@ -21,6 +21,9 @@ min/max (no portable total order worth asserting)."""
 
 from __future__ import annotations
 
+import os
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -38,7 +41,11 @@ _ORDERED_PREFIXES = (
 )
 
 
-def profile_table(df: DataFrame, approx: bool = False) -> DataFrame:
+def profile_table(
+    df: DataFrame,
+    approx: bool = False,
+    group_count_cols: "Sequence[str]" = (),
+) -> DataFrame:
     """(column, metric, value): per-column profile in one aggregation.
 
     ``approx=True`` swaps exact distinct counts for HLL estimates —
@@ -46,7 +53,15 @@ def profile_table(df: DataFrame, approx: bool = False) -> DataFrame:
 
     The table-level row count rides along as ``(__table__, n_rows)`` —
     together with per-column ``n_distinct`` it is exactly what the
-    auto-routing front doors consume (see :func:`save_profile`)."""
+    auto-routing front doors consume (see :func:`save_profile`).
+
+    ``group_count_cols`` names columns whose LARGEST group size should
+    also be recorded (metric ``max_group_rows``) — one extra
+    ``groupBy(col).count().max()`` aggregation per named column, worth
+    it because a mean (n_rows / n_distinct) can never prove a max: the
+    quantile front door routes exact-vs-sketch on the largest group,
+    and a profiled max lets it skip both the estimation job AND the
+    100x skew margin the mean-based inference must carry."""
     aggs = [F.count(F.lit(1)).alias("__table__|n_rows")]
     fields = [(f.name, f.dataType.simpleString()) for f in df.schema.fields]
     for name, typ in fields:
@@ -76,13 +91,30 @@ def profile_table(df: DataFrame, approx: bool = False) -> DataFrame:
         )
         for c in row.columns
     ]
-    return (
+    out = (
         row.select(F.explode(F.array(*metrics)).alias("m"))
         .select("m.column", "m.metric", "m.value")
     )
+    for gc in group_count_cols:
+        out = out.unionByName(
+            df.groupBy(gc)
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .agg(F.max("_n").alias("_m"))
+            .select(
+                F.lit(gc).alias("column"),
+                F.lit("max_group_rows").alias("metric"),
+                F.col("_m").cast("string").alias("value"),
+            )
+        )
+    return out
 
 
-def save_profile(df: DataFrame, path: str, approx: bool = True) -> None:
+def save_profile(
+    df: DataFrame,
+    path: str,
+    approx: bool = True,
+    group_count_cols: "Sequence[str]" = (),
+) -> None:
     """Profile ``df`` in one pass and persist the result as a tiny
     parquet — the stats sidecar the auto-routing front doors read
     instead of re-scanning the corpus.
@@ -93,9 +125,9 @@ def save_profile(df: DataFrame, path: str, approx: bool = True) -> None:
     n_distinct=...)``, ``near_dup_pairs(doc_count=...)``,
     ``lsh_topk(corpus_count=...)`` — becomes a metadata read via
     :func:`load_profile_hints`."""
-    profile_table(df, approx=approx).coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(path)
+    profile_table(
+        df, approx=approx, group_count_cols=group_count_cols
+    ).coalesce(1).write.mode("overwrite").parquet(path)
 
 
 def load_profile_hints(spark, path: str) -> dict:
@@ -106,15 +138,43 @@ def load_profile_hints(spark, path: str) -> dict:
     ``(__table__, n_rows)`` row — a stale profile should fail HERE,
     not as a KeyError inside a front door."""
     rows = spark.read.parquet(path).collect()
-    hints: dict = {"n_distinct": {}}
+    hints: dict = {"n_distinct": {}, "max_group_rows": {}}
     for r in rows:
         if r.column == "__table__" and r.metric == "n_rows":
             hints["n_rows"] = int(r.value)
         elif r.metric == "n_distinct":
             hints["n_distinct"][r.column] = int(r.value)
+        elif r.metric == "max_group_rows":
+            hints["max_group_rows"][r.column] = int(r.value)
     if "n_rows" not in hints:
         raise ValueError(
             f"profile sidecar at {path!r} has no (__table__, n_rows) row — "
             "written by an old profile_table? Re-run save_profile."
         )
     return hints
+
+
+def table_hints(spark, table: str) -> dict | None:
+    """Routing hints for a named table from the profile sidecar
+    directory in ``$SPARK_GRAFT_PROFILE_DIR`` (one
+    :func:`save_profile` output per table, in a subdirectory named
+    after it); ``None`` when the env var or the sidecar is absent.
+
+    This is how the registered queries consume profiles without
+    changing their ``(spark, sf_dir)`` signature: a pipeline (or
+    ``bench.py``) profiles each table once, points the env var at the
+    sidecar dir, and every auto-routing front door resolves its
+    counts from metadata instead of running estimation jobs. With the
+    env var unset the front doors estimate on the fly — correct
+    either way, the sidecar only removes jobs from the hot path.
+    Sidecars are tied to a dataset VERSION: regenerate them when the
+    data changes (stale counts mis-route; they never affect
+    correctness of exact branches, but can pick a branch sized for
+    the old data)."""
+    d = os.environ.get("SPARK_GRAFT_PROFILE_DIR")
+    if not d:
+        return None
+    path = os.path.join(d, table)
+    if not os.path.isdir(path):
+        return None
+    return load_profile_hints(spark, path)

@@ -145,23 +145,50 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_jaccard(sh, pairs=cands).filter(F.col("jaccard") >= 0.5)
 
 
-@register(
-    "dedup_ngram_jaccard",
-    oracle=f"""
+_NGRAM_JACCARD_ORACLE = f"""
     WITH {_SHINGLES_CTE}
     SELECT doc_a, doc_b, {_JACCARD} AS jaccard
     FROM inter
     JOIN szs sa ON sa.doc_id = doc_a
     JOIN szs sb ON sb.doc_id = doc_b
     WHERE {_JACCARD} >= 0.5
-    """,
-)
+    """
+
+
+@register_local("dedup_ngram_jaccard", oracle=_NGRAM_JACCARD_ORACLE)
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E2 exact baseline: all-pairs 3-gram Jaccard ≥ 0.5 via the
     shared-shingle join (quadratic in docs-per-shingle — small-scale
-    ground truth for the LSH path's recall)."""
+    ground truth for the LSH path's recall). Local tier since round 6:
+    the driver slot went to :func:`neardup_front_door`, whose exact
+    branch runs this very computation through the auto dispatch."""
     docs = load_table(spark, sf_dir, "documents")
     return exact_jaccard(doc_shingles(docs)).filter(F.col("jaccard") >= 0.5)
+
+
+@register("neardup_front_door", oracle=_NGRAM_JACCARD_ORACLE)
+def neardup_front_door(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE near-dup front door under the driver's value oracle
+    (VERDICT r5 item 2): ``near_dup_pairs(strategy='auto')`` — the
+    engine routes all-pairs exact vs MinHash-LSH+verify on document
+    count. At fixture scale (≤ 20k docs) auto picks the exact branch,
+    so the result is bit-identical to the all-pairs oracle; the LSH
+    branch's full-pipeline oracle is ``dedup_minhash_pairs`` and the
+    dispatch-fidelity tests in tests/test_incremental_dedup.py. The
+    document count comes from a profile sidecar when
+    $SPARK_GRAFT_PROFILE_DIR provides one (zero estimation jobs in
+    the bench path), else one count job."""
+    from ..operators.dedup import near_dup_pairs
+    from ..operators.profile import table_hints
+
+    docs = load_table(spark, sf_dir, "documents")
+    hints = table_hints(spark, "documents")
+    return near_dup_pairs(
+        docs,
+        threshold=0.5,
+        strategy="auto",
+        doc_count=hints["n_rows"] if hints else None,
+    )
 
 
 @register_local(

@@ -17,7 +17,7 @@ from ..operators.similarity import (
     hyperplanes,
     lsh_buckets,
 )
-from ..registry import register
+from ..registry import register, register_local
 from ..sources.tables import load_table
 
 # --- shared oracle fragments ----------------------------------------------
@@ -65,7 +65,7 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(queries, emb, k=10)
 
 
-@register(
+@register_local(
     "similarity_topk_lsh",
     oracle=f"""
     WITH {_NV},
@@ -112,12 +112,63 @@ def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale path (≈N/256 scored per query instead of N). Pinned to 8
     planes for oracle parity at fixture scale; at larger N the plane
     count must grow like log2(N / bucket_size) — the sizing rule and
-    its 10x measurement live on :func:`..operators.similarity.lsh_topk`."""
+    its 10x measurement live on :func:`..operators.similarity.lsh_topk`.
+    Local tier since round 6 (the multiprobe variant covers the LSH
+    family for the driver; this slot went to
+    :func:`similarity_topk_auto`)."""
     from ..operators.similarity import lsh_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 50 == 0)
     return lsh_topk(emb, queries, n_planes=8, multiprobe=False, k=10)
+
+
+@register(
+    "similarity_topk_auto",
+    oracle=f"""
+    WITH {_NV},
+    sims AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {_SIM_QC} AS sim
+      FROM nv q JOIN nv c ON c.vec_id <> q.vec_id
+      WHERE q.vec_id % 50 = 0
+    )
+    SELECT query_id, neighbor_id, CAST(rn AS INTEGER) AS rank
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY sim DESC, neighbor_id ASC) AS rn
+      FROM sims
+    ) WHERE rn <= 10
+    """,
+)
+def similarity_topk_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE similarity front door under the driver's value oracle
+    (VERDICT r5 item 2): ``topk(strategy='auto')`` — at fixture scale
+    the router picks the exact BLAS branch (Q collectible, Q·N within
+    the matmul budget), which returns the same top-k PAIR SET and
+    ranks as the fold oracle. The ``sim`` column is deliberately
+    dropped from the registered output: BLAS normalizes-then-matmuls
+    while the portable oracle left-folds, so raw sims can differ in
+    the last float bit (ranks cannot, short of a sub-ULP tie); the
+    fold-scored sims are value-hashed by ``similarity_topk``, and the
+    blas-vs-fold pair-set equality is pinned by
+    tests/test_similarity_quality.py. Counts come from a profile
+    sidecar when $SPARK_GRAFT_PROFILE_DIR provides one (query count =
+    ceil(n/50): fixture vec_ids are 0..n-1), else two count jobs."""
+    from ..operators.profile import table_hints
+    from ..operators.similarity import topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    hints = table_hints(spark, "embeddings")
+    n = hints["n_rows"] if hints else None
+    return topk(
+        emb,
+        queries,
+        k=10,
+        strategy="auto",
+        corpus_count=n,
+        query_count=(n + 49) // 50 if n is not None else None,
+    ).select("query_id", "neighbor_id", "rank")
 
 
 _PROBE_MASKS = [0] + [1 << b for b in range(8)]  # self + each 1-bit flip
