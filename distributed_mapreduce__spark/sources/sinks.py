@@ -141,13 +141,26 @@ def merge_keyed(
     4. union with the batch, localCheckpoint (cuts lineage so the
        overwrite doesn't re-scan the files it replaces — Spark cannot
        overwrite a path it is still lazily reading), then dynamic
-       partition overwrite of exactly the touched partitions.
+       partition overwrite of exactly the touched partitions;
+    5. VACATED partitions — touched, but with zero rows in the merged
+       output (a moved key was its old partition's ONLY row) — are
+       deleted explicitly: dynamic overwrite only rewrites partitions
+       PRESENT in the output, so without this step the stale row would
+       silently survive as a duplicate key. The diff costs one
+       distinct over the (already checkpointed) merged partition
+       columns vs the small touched set.
 
     Unpartitioned datasets merge with a FULL rewrite staged through a
-    sibling temp directory + atomic-per-FS rename — the in-place
-    overwrite would delete the old files before the job that needs
-    them is fault-tolerant (localCheckpoint blocks are not replicated;
-    losing an executor mid-overwrite would lose data). Partition
+    sibling temp directory + renames — the in-place overwrite would
+    delete the old files before the job that needs them is
+    fault-tolerant (localCheckpoint blocks are not replicated; losing
+    an executor mid-overwrite would lose data). The swap order is
+    crash-safe: write ``<path>._merge_tmp`` → rename the live dataset
+    aside to ``<path>._merge_old`` → rename tmp into place → delete
+    old. Both datasets exist on disk at every instant; if a crash
+    between the renames leaves ``path`` absent, recover with
+    :func:`recover_unpartitioned_merge` (renames the COMPLETED tmp
+    into place, or the old dataset back if tmp is gone). Partition
     anything you merge into repeatedly. Re-running the same merge is
     idempotent. ``batch`` must be unique per key — pick survivors
     first (``url_dedup`` / ``top_k_per_group``) if it isn't; with
@@ -194,14 +207,86 @@ def merge_keyed(
     keep = existing.join(batch_keys, keys, "left_anti")
     merged = keep.unionByName(batch)
     if parts:
-        overwrite_partitions(merged.localCheckpoint(), path, *parts)
+        merged_ck = merged.localCheckpoint()
+        # the touched set must materialize BEFORE the overwrite: its
+        # plan reads the pre-merge files the overwrite replaces
+        touched_vals = (
+            None
+            if stable_partitions
+            else {tuple(r) for r in touched.collect()}
+        )
+        overwrite_partitions(merged_ck, path, *parts)
+        if touched_vals is not None:
+            # step 5: delete touched-but-vacated partitions (dynamic
+            # overwrite never rewrites a partition absent from the
+            # output). Under stable_partitions a key can't vacate its
+            # partition, so the diff is skipped with the scan.
+            written = {
+                tuple(r) for r in merged_ck.select(*parts).distinct().collect()
+            }
+            for vals in sorted(
+                touched_vals - written, key=lambda t: tuple(map(str, t))
+            ):
+                fs.delete(_partition_path(spark, path, parts, vals), True)
     else:
-        # staged rewrite: the tmp write reads the live dataset safely,
-        # then the swap is two fast metadata ops
-        tmp = path.rstrip("/") + "._merge_tmp"
-        merged.write.mode("overwrite").parquet(tmp)
-        fs.delete(hpath, True)
-        fs.rename(hadoop_fs(spark, tmp)[1], hpath)
+        # staged rewrite: the tmp write reads the live dataset safely;
+        # then three fast metadata ops swap it in with both datasets
+        # on disk at every instant (crash-safe — see docstring)
+        tmp = hadoop_fs(spark, path.rstrip("/") + "._merge_tmp")[1]
+        old = hadoop_fs(spark, path.rstrip("/") + "._merge_old")[1]
+        merged.write.mode("overwrite").parquet(str(tmp))
+        fs.delete(old, True)  # stale leftover from a prior crash
+        fs.rename(hpath, old)
+        fs.rename(tmp, hpath)
+        fs.delete(old, True)
+
+
+def _partition_path(spark, base: str, cols: Sequence[str], vals: Sequence):
+    """Hadoop Path of one hive-style partition directory
+    (``base/col1=v1/col2=v2``), escaping values the way Spark's writer
+    does (falls back to str() if the internal escape helper moves)."""
+    jvm = spark._jvm
+    esc = jvm.org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName
+    try:
+        esc("probe")  # a missing class surfaces as a non-callable py4j package
+    except Exception:  # noqa: BLE001
+        esc = str
+    segs = [
+        f"{c}={'__HIVE_DEFAULT_PARTITION__' if v is None else esc(str(v))}"
+        for c, v in zip(cols, vals)
+    ]
+    return jvm.org.apache.hadoop.fs.Path("/".join([base.rstrip("/")] + segs))
+
+
+def recover_unpartitioned_merge(spark, path: str) -> str:
+    """Recover an unpartitioned :func:`merge_keyed` interrupted between
+    its swap renames. Returns what was done: ``'intact'`` (live dataset
+    present — only stale staging dirs were cleaned), ``'rolled_forward'``
+    (the completed ``._merge_tmp`` renamed into place), or
+    ``'rolled_back'`` (no tmp — the ``._merge_old`` dataset restored).
+
+    Safe to call unconditionally; raises if no dataset exists in any of
+    the three locations."""
+    fs, hpath = hadoop_fs(spark, path)
+    tmp = hadoop_fs(spark, path.rstrip("/") + "._merge_tmp")[1]
+    old = hadoop_fs(spark, path.rstrip("/") + "._merge_old")[1]
+    if fs.exists(hpath):
+        # a crash AFTER the tmp→path rename can leave ._merge_old; a
+        # crash during the tmp write can leave a partial ._merge_tmp —
+        # with the live dataset in place both are stale staging state
+        fs.delete(tmp, True)
+        fs.delete(old, True)
+        return "intact"
+    if fs.exists(tmp):
+        fs.rename(tmp, hpath)
+        fs.delete(old, True)
+        return "rolled_forward"
+    if fs.exists(old):
+        fs.rename(old, hpath)
+        return "rolled_back"
+    raise FileNotFoundError(
+        f"no dataset at {path}, {tmp}, or {old} — nothing to recover"
+    )
 
 
 def write_training_shards(

@@ -190,3 +190,72 @@ def test_merge_stable_partitions_skips_migration_scan(spark, tmp_path):
     # stale day=1 row survives alongside the new day=3 row — exactly
     # the documented contract violation the scan would have prevented
     assert sorted((r.day, r.v) for r in rows) == [(1, 2), (3, 9)]
+
+
+def test_merge_deletes_vacated_partition(spark, tmp_path):
+    """A moved key that was its old partition's ONLY row: dynamic
+    overwrite never rewrites the now-empty partition (it is absent
+    from the output), so merge_keyed must delete the vacated directory
+    explicitly — without that the stale row survives as a duplicate."""
+    path = str(tmp_path / "ds")
+    init = spark.createDataFrame(
+        [(1, 0, 1, "a"), (2, 1, 1, "b"), (3, 1, 1, "c")],
+        "doc_id long, day int, v int, text string",
+    )
+    merge_keyed(init, path, ["doc_id"], partition_cols=["day"])
+    # doc 1 moves day 0 → day 2; day=0 held ONLY doc 1
+    moved = spark.createDataFrame(
+        [(1, 2, 2, "moved")], "doc_id long, day int, v int, text string"
+    )
+    merge_keyed(moved, path, ["doc_id"], partition_cols=["day"])
+    rows = sorted(
+        (r.doc_id, r.day, r.v) for r in spark.read.parquet(path).collect()
+    )
+    assert rows == [(1, 2, 2), (2, 1, 1), (3, 1, 1)]
+    assert not os.path.exists(os.path.join(path, "day=0"))
+    # idempotent: re-running the same merge changes nothing
+    merge_keyed(moved, path, ["doc_id"], partition_cols=["day"])
+    assert sorted(
+        (r.doc_id, r.day, r.v) for r in spark.read.parquet(path).collect()
+    ) == rows
+
+
+def test_merge_unpartitioned_crash_recovery(spark, tmp_path):
+    """The unpartitioned swap keeps both datasets on disk at every
+    instant; recover_unpartitioned_merge rolls the completed tmp
+    forward (or the old dataset back) from any crash window."""
+    import shutil
+
+    from distributed_mapreduce__spark.sources.sinks import (
+        recover_unpartitioned_merge,
+    )
+
+    path = str(tmp_path / "flat")
+    merge_keyed(_initial(spark), path, ["doc_id"])
+    merge_keyed(_batch(spark), path, ["doc_id"])
+    want = sorted(map(tuple, spark.read.parquet(path).collect()))
+    # no staging residue after a successful merge
+    assert not os.path.exists(path + "._merge_tmp")
+    assert not os.path.exists(path + "._merge_old")
+    assert recover_unpartitioned_merge(spark, path) == "intact"
+
+    # crash window 1: live dataset renamed aside, tmp complete, path
+    # absent → roll FORWARD to the completed merge
+    shutil.copytree(path, path + "._merge_tmp")
+    os.rename(path, path + "._merge_old")
+    assert recover_unpartitioned_merge(spark, path) == "rolled_forward"
+    assert sorted(map(tuple, spark.read.parquet(path).collect())) == want
+    assert not os.path.exists(path + "._merge_old")
+
+    # crash window 2: tmp already swapped in (or lost) — only the old
+    # dataset remains → roll BACK
+    os.rename(path, path + "._merge_old")
+    assert recover_unpartitioned_merge(spark, path) == "rolled_back"
+    assert sorted(map(tuple, spark.read.parquet(path).collect())) == want
+
+    # nothing anywhere → explicit error
+    import pytest
+
+    shutil.rmtree(path)
+    with pytest.raises(FileNotFoundError, match="nothing to recover"):
+        recover_unpartitioned_merge(spark, str(tmp_path / "flat"))
