@@ -54,11 +54,15 @@ MULTI_SUFFIXES: tuple[str, ...] = (
 
 #: Embedded snapshot of the Mozilla Public Suffix List (publicsuffix.org,
 #: MPL-2.0; data, not code) — single-label TLDs are implied by the PSL's
-#: default "*" rule and omitted here. The snapshot covers the ICANN
-#: multi-label suffixes above plus the high-traffic PRIVATE-section
-#: entries crawl data actually hits (github.io, blogspot.com, ...); swap
-#: in the full ~10k-line list as a DataFrame for production — the join
-#: shape and cost are identical (it broadcasts either way).
+#: default "*" rule and omitted here. Every entry is a VERBATIM PSL rule
+#: (round 6 dropped bare amazonaws.com/windows.net/fastly.net — the real
+#: list only carries deeper entries for those providers, so keeping the
+#: bare forms silently coarsened eTLD+1 grouping vs a real dump). The
+#: snapshot covers the ICANN multi-label suffixes above plus the
+#: high-traffic PRIVATE-section entries crawl data actually hits
+#: (github.io, blogspot.com, ...); for production load the full
+#: ~10k-rule dat file through :func:`load_psl_dat` — the compile path
+#: and cost are identical.
 PSL_SNAPSHOT: tuple[str, ...] = MULTI_SUFFIXES + (
     # ICANN section (multi-label)
     "com.ar", "com.tr", "com.tw", "com.sg", "com.my", "com.hk", "com.vn",
@@ -70,12 +74,51 @@ PSL_SNAPSHOT: tuple[str, ...] = MULTI_SUFFIXES + (
     "wordpress.com", "tumblr.com", "netlify.app", "vercel.app",
     "herokuapp.com", "appspot.com", "web.app", "firebaseapp.com",
     "pages.dev", "workers.dev", "azurewebsites.net", "cloudfront.net",
-    "amazonaws.com", "s3.amazonaws.com", "elasticbeanstalk.com",
+    "s3.amazonaws.com", "elasticbeanstalk.com",
     "readthedocs.io", "neocities.org", "wixsite.com", "weebly.com",
-    "fastly.net", "windows.net", "github.dev", "glitch.me",
+    "github.dev", "glitch.me",
     # wildcard + exception rule examples (verbatim from the PSL)
     "*.ck", "!www.ck", "*.bd", "*.kawasaki.jp", "!city.kawasaki.jp",
 )
+
+
+def load_psl_dat(text: str, sections: Sequence[str] = ("icann", "private")) -> list[str]:
+    """Parse a raw publicsuffix.org ``public_suffix_list.dat`` into the
+    rule list :func:`registered_domain_psl` consumes — so shipping the
+    FULL list is a file read, not a code change:
+
+    >>> rules = load_psl_dat(open("public_suffix_list.dat").read())
+    >>> parse_urls(df, psl=rules)
+
+    Format per publicsuffix.org: one rule per line, ``//`` comment
+    lines, the first token of a line is the rule (trailing inline text
+    after whitespace is ignored), wildcard (``*.``) and exception
+    (``!``) markers pass through verbatim. ``sections`` filters on the
+    ICANN/PRIVATE markers (``// ===BEGIN ICANN DOMAINS===`` /
+    ``// ===END ...===``); rules outside any marked section are always
+    kept, so a bare rule file without markers parses whole. The PSL is
+    already punycode-encoded — no IDNA handling needed; lower-cased on
+    the way in like every suffix the compiler sees."""
+    keep = {s.lower() for s in sections}
+    rules: list[str] = []
+    current: str | None = None
+    for raw in text.splitlines():
+        line = raw.strip()
+        if not line:
+            continue
+        if line.startswith("//"):
+            m = line.replace(" ", "").lower()
+            if "===begin" in m:
+                current = "icann" if "icann" in m else (
+                    "private" if "private" in m else current
+                )
+            elif "===end" in m:
+                current = None
+            continue
+        if current is not None and current not in keep:
+            continue
+        rules.append(line.split()[0].lower())
+    return rules
 
 
 def registered_domain_psl(

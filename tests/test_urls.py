@@ -343,3 +343,91 @@ def test_registered_domain_psl_is_pure_projection(spark):
     )
     assert "Exchange" not in plan
     assert "Join" not in plan
+
+
+def test_load_psl_dat_parses_real_format(spark):
+    """The full publicsuffix.org dat file is a file read away: the
+    parser honors comments, section markers, wildcard/exception rules,
+    and inline trailing text — and its output drives
+    registered_domain_psl identically to a hand-built rule list."""
+    from pyspark.sql import functions as F
+
+    from distributed_mapreduce__spark.operators.urls import (
+        load_psl_dat,
+        registered_domain_psl,
+    )
+
+    dat = """
+// This is a comment
+// ===BEGIN ICANN DOMAINS===
+uk
+co.uk
+// ck : https://en.wikipedia.org/wiki/.ck
+*.ck
+!www.ck
+// ===END ICANN DOMAINS===
+// ===BEGIN PRIVATE DOMAINS===
+github.io
+// ===END PRIVATE DOMAINS===
+orphan.example
+"""
+    rules = load_psl_dat(dat)
+    assert rules == ["uk", "co.uk", "*.ck", "!www.ck", "github.io",
+                     "orphan.example"]
+    # section filter drops private rules; unmarked rules always survive
+    assert "github.io" not in load_psl_dat(dat, sections=("icann",))
+    assert "orphan.example" in load_psl_dat(dat, sections=("icann",))
+
+    cases = [
+        ("a.b.co.uk", "b.co.uk"),       # exact multi-label rule
+        ("x.foo.ck", "x.foo.ck"),       # wildcard: foo.ck IS the suffix
+        ("a.x.foo.ck", "x.foo.ck"),     # eTLD+1 under the wildcard
+        ("a.www.ck", "www.ck"),         # exception carve-out
+        ("docs.github.io", "docs.github.io"),  # private-section rule
+        ("some.random.site", "random.site"),   # default * rule
+    ]
+    df = spark.createDataFrame([(h,) for h, _ in cases], "host string")
+    got = {
+        r.host: r.d
+        for r in df.select(
+            "host", registered_domain_psl(F.col("host"), rules).alias("d")
+        ).collect()
+    }
+    assert got == dict(cases)
+
+
+def test_psl_snapshot_has_no_coarser_than_psl_entries(spark):
+    """ADVICE r5: bare amazonaws.com/windows.net/fastly.net are NOT
+    verbatim PSL rules (the real list only carries deeper entries for
+    those providers) — the snapshot must not reintroduce them, and
+    eTLD+1 grouping for such hosts must now match a real dump (default
+    rule → provider apex, except under the verbatim deeper rule)."""
+    from pyspark.sql import functions as F
+
+    from distributed_mapreduce__spark.operators.urls import (
+        PSL_SNAPSHOT,
+        registered_domain_psl,
+    )
+
+    assert "amazonaws.com" not in PSL_SNAPSHOT
+    assert "windows.net" not in PSL_SNAPSHOT
+    assert "fastly.net" not in PSL_SNAPSHOT
+    assert "s3.amazonaws.com" in PSL_SNAPSHOT  # the verbatim deeper rule
+
+    cases = [
+        # no rule matches ec2/windows/fastly hosts → default * rule,
+        # grouping at the provider apex exactly like a real PSL dump
+        ("x.ec2.amazonaws.com", "amazonaws.com"),
+        ("myapp.blob.core.windows.net", "windows.net"),
+        ("global.ssl.fastly.net", "fastly.net"),
+        # the verbatim s3 rule still wins where it applies
+        ("bucket.s3.amazonaws.com", "bucket.s3.amazonaws.com"),
+    ]
+    df = spark.createDataFrame([(h,) for h, _ in cases], "host string")
+    got = {
+        r.host: r.d
+        for r in df.select(
+            "host", registered_domain_psl(F.col("host")).alias("d")
+        ).collect()
+    }
+    assert got == dict(cases)
