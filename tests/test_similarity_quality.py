@@ -33,7 +33,7 @@ def exact(spark):
 
 
 def test_multiprobe_recall_beats_single(spark, exact):
-    sp = _pairs(registry.QUERIES["similarity_topk_lsh"](spark, SF))
+    sp = _pairs(registry.LOCAL_QUERIES["similarity_topk_lsh"](spark, SF))
     mp = _pairs(registry.QUERIES["similarity_topk_lsh_multiprobe"](spark, SF))
     assert len(mp & exact) >= len(sp & exact)
     assert len(mp) >= len(sp)
