@@ -1,0 +1,223 @@
+"""Trained byte-pair-encoding tokenizer: distributed word-frequency
+pass, driver-side merge learning over word TYPES, Arrow-vectorized
+application with broadcast merge ranks.
+
+``text_analysis.bpe_ish_token_count`` is the zero-training upper bound
+(pre-tokenizer runs only); this module is the real thing a training
+pipeline needs — a tokenizer TRAINED ON THE CORPUS so token budgets,
+packing (operators/packing.py) and mixture weights (operators/
+mixture.py) are measured in the unit the model will actually consume.
+
+Scale shape — the reason this trains at 100 TB:
+
+- The only corpus-sized work is ONE word-frequency aggregation
+  (explode pre-tokens → groupBy word → count): a single shuffle whose
+  keys are word types, with Catalyst's partial aggregation doing the
+  map-side combine. Everything after runs on the WORD-TYPE table
+  (Heaps' law: ~10⁵–10⁷ types for any corpus), truncated to the
+  ``max_word_types`` most frequent — the standard fastText/GPT-2
+  training trick: rare types can't affect early merges, and the
+  truncation is by global frequency so it is deterministic.
+- Merge learning is a driver-side loop over that bounded dict (the
+  classic Sennrich et al. algorithm, pair-count cache updated
+  incrementally). It never sees a document.
+- Application is embarrassingly parallel: the merge table (~vocab
+  rows of string pairs) ships to executors once; each Arrow batch is
+  segmented with a per-task memo cache keyed by word type, so the
+  per-row cost collapses to a dict hit for every repeated word.
+
+Determinism: pair ties break lexicographically, word-type truncation
+ties break lexicographically, and application is a pure function of
+(text, merges) — retries and partition changes cannot change output.
+
+Character-level (not byte-level) BPE on the same pre-token classes as
+``bpe_ish_token_count`` (letter runs / digit runs / single marks);
+tokens never cross pre-token boundaries, so no end-of-word marker is
+needed and concatenating a word's tokens reconstructs the word.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, StringType
+
+#: pre-tokenizer — MUST stay in sync with
+#: text_analysis.bpe_ish_token_count, which documents itself as this
+#: tokenizer's zero-merge upper bound.
+PRETOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def pretokens(col: Column | str = "text") -> Column:
+    """array<string> of pre-tokens (letter/digit runs, single marks)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(c, F.lit(PRETOKEN_RE), 0)
+
+
+def word_frequencies(
+    docs: DataFrame, text_col: str = "text", max_word_types: int = 50_000
+) -> list[tuple[str, int]]:
+    """The corpus-sized step: (word_type, count) for the
+    ``max_word_types`` most frequent pre-token types, ONE shuffle.
+
+    Returned sorted by (-count, word) — the deterministic order the
+    learner consumes. The collect is bounded by ``max_word_types``
+    (a vocabulary, not a corpus)."""
+    freq = (
+        docs.select(F.explode(pretokens(text_col)).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("w"))
+        .limit(max_word_types)
+    )
+    return [(r.w, r.n) for r in freq.collect()]
+
+
+def learn_bpe(
+    docs: DataFrame,
+    text_col: str = "text",
+    num_merges: int = 200,
+    max_word_types: int = 50_000,
+) -> list[tuple[str, str]]:
+    """Ordered merge list, most-frequent pair first (Sennrich et al.,
+    "Neural Machine Translation of Rare Words with Subword Units").
+
+    Stops early when no pair occurs twice — merging singletons would
+    just memorize words."""
+    wordfreq = word_frequencies(docs, text_col, max_word_types)
+    return learn_bpe_from_frequencies(wordfreq, num_merges)
+
+
+def learn_bpe_from_frequencies(
+    wordfreq: list[tuple[str, int]], num_merges: int
+) -> list[tuple[str, str]]:
+    """Driver-side merge loop over the bounded word-type table.
+
+    Incremental pair-count maintenance: each merge only touches the
+    words that contain the merged pair (indexed), not the whole
+    vocabulary — O(affected words) per merge."""
+    words: list[list[str]] = [list(w) for w, _ in wordfreq]
+    counts = [n for _, n in wordfreq]
+    pair_counts: dict[tuple[str, str], int] = {}
+    pair_words: dict[tuple[str, str], set[int]] = {}
+
+    def add_word_pairs(i: int, sign: int) -> None:
+        seq = words[i]
+        for a, b in zip(seq, seq[1:]):
+            p = (a, b)
+            pair_counts[p] = pair_counts.get(p, 0) + sign * counts[i]
+            if sign > 0:
+                pair_words.setdefault(p, set()).add(i)
+
+    for i in range(len(words)):
+        add_word_pairs(i, +1)
+
+    merges: list[tuple[str, str]] = []
+    for _ in range(num_merges):
+        best = None
+        for p, n in pair_counts.items():
+            if n >= 2 and (best is None or (-n, p) < (-pair_counts[best], best)):
+                best = p
+        if best is None:
+            break
+        merges.append(best)
+        merged = best[0] + best[1]
+        for i in list(pair_words.get(best, ())):
+            add_word_pairs(i, -1)
+            seq = words[i]
+            out: list[str] = []
+            j = 0
+            while j < len(seq):
+                if (
+                    j + 1 < len(seq)
+                    and seq[j] == best[0]
+                    and seq[j + 1] == best[1]
+                ):
+                    out.append(merged)
+                    j += 2
+                else:
+                    out.append(seq[j])
+                    j += 1
+            words[i] = out
+            add_word_pairs(i, +1)
+        # fully-consumed pairs would linger at count 0
+        pair_counts = {p: n for p, n in pair_counts.items() if n > 0}
+    return merges
+
+
+def _segment_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Greedy lowest-rank-first merging of one pre-token (the standard
+    BPE apply: repeatedly merge the best-ranked adjacent pair)."""
+    seq = list(word)
+    while len(seq) > 1:
+        best_j, best_rank = -1, None
+        for j in range(len(seq) - 1):
+            r = ranks.get((seq[j], seq[j + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_j, best_rank = j, r
+        if best_rank is None:
+            break
+        seq[best_j : best_j + 2] = [seq[best_j] + seq[best_j + 1]]
+    return seq
+
+
+def segment_py(text: str, merges: list[tuple[str, str]]) -> list[str]:
+    """Pure-Python reference: tokens for one document (also the unit
+    the Arrow path calls per word type, memoized)."""
+    ranks = {p: i for i, p in enumerate(merges)}
+    out: list[str] = []
+    for w in re.findall(PRETOKEN_RE, text):
+        out.extend(_segment_word(w, ranks))
+    return out
+
+
+def bpe_segment(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    out_col: str = "bpe_tokens",
+) -> DataFrame:
+    """``docs`` + ``out_col`` array<string>: the trained segmentation,
+    Arrow-vectorized. The merge table rides in the task closure
+    (vocab-sized — the broadcast analog of the quantize.py codebooks);
+    a per-task memo over word TYPES collapses repeated words to a dict
+    hit, so hot batches cost O(distinct words), not O(words)."""
+    merges_t = tuple(merges)
+
+    @F.pandas_udf(ArrayType(StringType()))
+    def seg(texts):
+        import pandas as pd
+
+        ranks = {p: i for i, p in enumerate(merges_t)}
+        memo: dict[str, list[str]] = {}
+        pat = re.compile(PRETOKEN_RE)
+
+        def one(t):
+            if t is None:
+                return []
+            out = []
+            for w in pat.findall(t):
+                got = memo.get(w)
+                if got is None:
+                    got = memo[w] = _segment_word(w, ranks)
+                out.extend(got)
+            return out
+
+        return pd.Series([one(t) for t in texts])
+
+    return docs.withColumn(out_col, seg(F.col(text_col)))
+
+
+def bpe_token_counts(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+) -> DataFrame:
+    """``docs`` + ``bpe_token_count`` int — the trained-tokenizer
+    budget column (feeds packing / chunking / mixture the way
+    ``bpe_ish_token_count`` feeds them untrained)."""
+    return bpe_segment(docs, merges, text_col).select(
+        "*", F.size("bpe_tokens").alias("bpe_token_count")
+    ).drop("bpe_tokens")

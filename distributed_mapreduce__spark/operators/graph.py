@@ -182,3 +182,134 @@ def dedup_survivors(
         F.col("node").alias(id_col)
     )
     return docs.join(losers, id_col, "left_anti")
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    max_iter: int = 100,
+    tol: float = 1e-6,
+) -> DataFrame:
+    """(node, rank): PageRank over a directed edge list; ranks sum to 1.
+
+    The web-crawl curation signal: CommonCrawl-derived training sets
+    weight / filter pages by link centrality (harmonic or PageRank) of
+    their host — the classic "is this domain worth keeping" score that
+    complements per-document quality heuristics. This is the standard
+    power iteration with uniform teleport and dangling-mass
+    redistribution:
+
+        r'(v) = (1-d)/N + d * (Σ_{u→v} r(u)/outdeg(u) + D/N)
+
+    where D = Σ r(u) over dangling nodes (no out-links). Parallel
+    (duplicate) edges are collapsed first, so the transition matrix is
+    the unweighted out-neighbor uniform distribution.
+
+    Scale shape (the disciplines of this module, see module docstring):
+
+    - Per round: ONE shuffle for the contribution aggregation
+      (groupBy dst) plus an equi-join ranks⋈out_deg that reuses the
+      node hash partitioning; the dangling total and the L1
+      convergence delta ride as 1-row broadcast aggregates /
+      driver scalars — the driver never sees data rows.
+    - ``localCheckpoint`` truncates lineage every round; without it
+      round N replans N-1 prior joins.
+    - Rounds are data-independent (fixed-point iteration), so wall
+      time is O(max_iter × one-shuffle) regardless of graph diameter.
+
+    Raises if ``tol`` isn't reached in ``max_iter`` rounds (PageRank
+    contracts at rate ``damping``, so ``max_iter ≥ log(tol)/log(d)``
+    always converges — at d=0.85, tol=1e-6 needs ≤ 86 rounds; the
+    default 100 covers it with margin. A tighter ``tol`` needs a
+    matching ``max_iter``).
+    """
+    fwd = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).filter(
+        F.col("u").isNotNull() & F.col("v").isNotNull()
+    )
+    e = fwd.distinct().localCheckpoint()
+    nodes = (
+        e.select("u")
+        .unionByName(e.select(F.col("v").alias("u")))
+        .distinct()
+        .select(F.col("u").alias("node"))
+        .localCheckpoint()
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0.0))
+    out_deg = e.groupBy(F.col("u").alias("node")).agg(
+        F.count("*").alias("outdeg")
+    )
+    # (node, rank, outdeg) — outdeg NULL marks a dangling node. The
+    # join is computed once; each round only the rank column changes.
+    state = (
+        nodes.join(out_deg, "node", "left")
+        .withColumn("rank", F.lit(1.0 / n))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        dangling = state.filter(F.col("outdeg").isNull()).agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dmass")
+        )
+        contrib = (
+            e.join(
+                state.select(
+                    F.col("node").alias("u"),
+                    (F.col("rank") / F.col("outdeg")).alias("share"),
+                ),
+                "u",
+            )
+            .groupBy(F.col("v").alias("node"))
+            .agg(F.sum("share").alias("inflow"))
+        )
+        new_state = (
+            state.join(contrib, "node", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                "outdeg",
+                F.col("rank").alias("old_rank"),
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping)
+                    * (
+                        F.coalesce("inflow", F.lit(0.0))
+                        + F.col("dmass") / F.lit(float(n))
+                    )
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+        delta = new_state.agg(
+            F.sum(F.abs(F.col("rank") - F.col("old_rank")))
+        ).first()[0]
+        state = new_state.drop("old_rank")
+        if delta < tol:
+            return state.select("node", "rank")
+    raise RuntimeError(
+        f"pagerank: L1 delta {delta:.3g} > tol {tol:g} after "
+        f"{max_iter} rounds"
+    )
+
+
+def domain_link_ranks(
+    links: DataFrame, src_url: str = "src_url", dst_url: str = "dst_url"
+) -> DataFrame:
+    """(domain, rank): PageRank over the REGISTERED-DOMAIN graph built
+    from page-level links — the host-aggregation that makes crawl-graph
+    centrality usable as a per-document curation feature (join it back
+    on the document's domain).
+
+    Self-links (intra-domain navigation) are dropped before ranking so
+    boilerplate nav bars don't inflate a domain's own score."""
+    from .urls import registered_domain, url_host
+
+    pairs = links.select(
+        registered_domain(url_host(F.col(src_url))).alias("src"),
+        registered_domain(url_host(F.col(dst_url))).alias("dst"),
+    ).filter(F.col("src") != F.col("dst"))
+    return pagerank(pairs).select(
+        F.col("node").alias("domain"), "rank"
+    )

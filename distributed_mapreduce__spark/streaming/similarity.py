@@ -1,0 +1,210 @@
+"""Streaming similarity: score ARRIVING vectors against a persisted
+ANN index (E3 × Structured Streaming — the retrieval sibling of
+``streaming/dedup.stream_incremental_dedup``).
+
+The production shape: embeddings for new documents arrive continuously
+(a crawler, an ingest queue); each must be matched against a large
+static corpus — "what do we already have that looks like this" — for
+near-dup triage, retrieval-augmented labeling, or cluster assignment.
+Rebucketing the CORPUS per micro-batch would be a full corpus scan
+every few seconds; the index is built once and only the batch pays
+per-arrival cost.
+
+Scale shape:
+
+- The index is (vec_id, bucket, embedding, vnorm) parquet — built in
+  one corpus pass. Per batch, the work is: bucket the batch (planes
+  are a broadcast constant), expand ids-only probes (two longs per
+  row), equi-join on ``bucket`` against the index, score candidates
+  exactly, window top-k per query. Candidate volume ≈ batch_size ×
+  bucket occupancy — independent of total corpus size at the log-N
+  plane sizing (operators/similarity.py:lsh_topk SIZING RULE).
+- No forced broadcasts: the bucket match is an unhinted equi-join
+  (the round-6 ANN discipline); AQE sees real micro-batch sizes.
+- Output partitioned by ``_batch_id`` with dynamic partition
+  overwrite: a retried batch REPLACES its own partition — idempotent
+  per batch id, which is the sink guarantee Structured Streaming's
+  checkpoint replay needs for effectively-exactly-once output.
+- Hyperplanes are md5-derived pure functions of (n_planes, dim)
+  (operators/similarity.py:hyperplanes), so the index only persists
+  those two ints (``_meta`` sidecar, underscore-prefixed → invisible
+  to parquet scans of the index dir); batch and corpus bucketing
+  agree by construction across restarts and even engines.
+
+Swap notes for a real deployment: the arrival source here is any
+Structured Streaming reader (files in tests; Kafka via
+``spark.readStream.format("kafka")`` where a broker exists), and the
+index store would be a transactional table (Delta/Iceberg) if the
+corpus itself also grows — see sources/sinks.py:merge_keyed for the
+maintenance path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def build_ann_index(
+    corpus: DataFrame,
+    index_path: str,
+    n_planes: int | None = None,
+    dim: int = 64,
+    vec_col: str = "embedding",
+) -> int:
+    """One corpus pass → persisted ANN index at ``index_path``:
+    (vec_id, bucket, embedding, vnorm) parquet plus a 1-row ``_meta``
+    parquet pinning (n_planes, dim). Returns the resolved n_planes
+    (log-N sized unless pinned by the caller)."""
+    from ..operators.similarity import (
+        hyperplanes,
+        lsh_buckets,
+        resolve_n_planes,
+        with_norm,
+    )
+
+    spark = corpus.sparkSession
+    if n_planes is None:
+        n_planes = resolve_n_planes(corpus.count())
+    planes = hyperplanes(spark, n_planes=n_planes, dim=dim)
+    normed = with_norm(corpus, vec_col)
+    indexed = normed.join(
+        lsh_buckets(corpus, planes, vec_col=vec_col), "vec_id"
+    ).select("vec_id", "bucket", F.col(vec_col).alias("embedding"), "vnorm")
+    indexed.write.mode("overwrite").parquet(index_path)
+    spark.createDataFrame(
+        [(n_planes, dim)], "n_planes int, dim int"
+    ).write.mode("overwrite").parquet(index_path + "/_meta")
+    return n_planes
+
+
+def load_ann_meta(spark, index_path: str) -> tuple[int, int]:
+    """(n_planes, dim) the index was built with."""
+    r = spark.read.parquet(index_path + "/_meta").first()
+    return int(r.n_planes), int(r.dim)
+
+
+def topk_against_index(
+    batch: DataFrame,
+    index: DataFrame,
+    n_planes: int,
+    dim: int,
+    k: int = 5,
+    probe_radius: int = 1,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, neighbor_id, score) top-k for one (micro-)batch of
+    query vectors against a loaded index — the batch-side core, also
+    usable standalone for incremental backfills.
+
+    Probe masks follow ``lsh_topk``: radius 0 = own bucket, 1 adds
+    single bit-flips, 2 adds two-flip pairs. Ids-only expansion,
+    unhinted bucket equi-join, vectors re-attached by id after the
+    match."""
+    from ..operators.relational import top_k_per_group
+    from ..operators.similarity import dot_fold, hyperplanes, lsh_buckets, with_norm
+
+    spark = batch.sparkSession
+    planes = hyperplanes(spark, n_planes=n_planes, dim=dim)
+    masks = [0]
+    if probe_radius >= 1:
+        masks += [1 << b for b in range(n_planes)]
+    if probe_radius >= 2:
+        masks += [
+            (1 << a) | (1 << b)
+            for a in range(n_planes)
+            for b in range(a + 1, n_planes)
+        ]
+    mask_df = spark.range(len(masks)).select(
+        F.expr(f"array({', '.join(str(m) for m in masks)})[cast(id as int)]")
+        .cast("long")
+        .alias("mask")
+    )
+    q_buckets = lsh_buckets(batch, planes, vec_col=vec_col)
+    probes = (
+        q_buckets.select(
+            F.col("vec_id").alias("query_id"), F.col("bucket").alias("q_bucket")
+        )
+        .join(F.broadcast(mask_df))
+        .select("query_id", F.expr("q_bucket ^ mask").alias("bucket"))
+    )
+    cands = (
+        index.select("vec_id", "bucket")
+        .join(probes, "bucket")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+    )
+    qv = with_norm(batch, vec_col).select(
+        F.col("vec_id").alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.col("vnorm").alias("q_norm"),
+    )
+    cv = index.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("n_vec"),
+        F.col("vnorm").alias("n_norm"),
+    )
+    scored = (
+        cands.join(qv, "query_id")
+        .join(cv, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.try_divide(
+                dot_fold(F.col("q_vec"), F.col("n_vec")),
+                F.col("q_norm") * F.col("n_norm"),
+            ).alias("score"),
+        )
+    )
+    return top_k_per_group(
+        scored,
+        ["query_id"],
+        [F.col("score").desc(), F.col("neighbor_id")],
+        k,
+    ).select("query_id", "neighbor_id", "score")
+
+
+def stream_topk_against_index(
+    stream_vecs: DataFrame,
+    index_path: str,
+    matches_path: str,
+    checkpoint_path: str,
+    k: int = 5,
+    probe_radius: int = 1,
+    vec_col: str = "embedding",
+):
+    """Start the stream: per micro-batch, top-k each arriving vector
+    against the persisted index and append matches partitioned by
+    ``_batch_id`` (dynamic overwrite → idempotent on batch replay).
+
+    Returns the started StreamingQuery; drive with
+    ``processAllAvailable()`` in tests."""
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if batch_df.isEmpty():
+            return
+        n_planes, dim = load_ann_meta(spark, index_path)
+        index = spark.read.parquet(index_path)
+        out = topk_against_index(
+            batch_df,
+            index,
+            n_planes,
+            dim,
+            k=k,
+            probe_radius=probe_radius,
+            vec_col=vec_col,
+        ).withColumn("_batch_id", F.lit(batch_id))
+        (
+            out.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(matches_path)
+        )
+
+    return (
+        stream_vecs.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("update")
+        .start()
+    )
