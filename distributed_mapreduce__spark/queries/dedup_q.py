@@ -248,3 +248,59 @@ def dedup_minhash_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("jaccard_dist"),
         )
     )
+
+
+_SUBSTRING_SPANS_ORACLE = """
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks FROM documents
+),
+grams AS (
+  SELECT t.doc_id, i.i - 1 AS pos,
+         md5(array_to_string(list_slice(t.toks, i.i, i.i + 7), ' ')) AS gram
+  FROM t, LATERAL (SELECT unnest(generate_series(1, len(t.toks) - 7)) AS i) i
+),
+dup AS (SELECT gram FROM grams GROUP BY gram HAVING count(*) >= 2),
+pos AS (SELECT g.doc_id, g.pos FROM grams g JOIN dup USING (gram)),
+isl AS (
+  SELECT doc_id, pos,
+         CASE WHEN max(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+              OR pos > max(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         THEN 1 ELSE 0 END AS new_island
+  FROM pos
+),
+num AS (
+  SELECT doc_id, pos,
+         sum(new_island) OVER (PARTITION BY doc_id ORDER BY pos
+             ROWS UNBOUNDED PRECEDING) AS island
+  FROM isl
+),
+ext AS (
+  SELECT doc_id, min(pos) AS span_start, max(pos) + 8 AS span_end
+  FROM num GROUP BY doc_id, island
+)
+SELECT e.doc_id,
+       CAST(e.span_start AS INT) AS span_start,
+       CAST(e.span_end AS INT) AS span_end,
+       array_to_string(list_slice(t.toks, e.span_start + 1, e.span_end), ' ')
+         AS span_text
+FROM ext e JOIN t USING (doc_id)
+"""
+
+
+@register_local("substring_spans", oracle=_SUBSTRING_SPANS_ORACLE)
+def substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr boilerplate mining (Lee et al., arXiv 2107.06499):
+    maximal token spans covered by duplicated 8-grams, per document.
+    Local tier: the full pipeline (including keep-one stripping) is
+    oracle-replayed end-to-end in tests/test_substring_dedup.py."""
+    from ..operators.substring_dedup import repeated_spans
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return repeated_spans(docs, k=8).select(
+        "doc_id",
+        F.col("span_start").cast("int").alias("span_start"),
+        F.col("span_end").cast("int").alias("span_end"),
+        "span_text",
+    )
