@@ -27,9 +27,9 @@ Scale shape:
   checkpoint replay needs for effectively-exactly-once output.
 - Hyperplanes are md5-derived pure functions of (n_planes, dim)
   (operators/similarity.py:hyperplanes), so the index only persists
-  those two ints (``_meta`` sidecar, underscore-prefixed → invisible
-  to parquet scans of the index dir); batch and corpus bucketing
-  agree by construction across restarts and even engines.
+  those two ints (a sibling ``._ann_meta`` parquet — outside the data
+  directory so maintenance swaps cannot orphan it); batch and corpus
+  bucketing agree by construction across restarts and even engines.
 
 Swap notes for a real deployment: the arrival source here is any
 Structured Streaming reader (files in tests; Kafka via
@@ -53,9 +53,12 @@ def build_ann_index(
     vec_col: str = "embedding",
 ) -> int:
     """One corpus pass → persisted ANN index at ``index_path``:
-    (vec_id, bucket, embedding, vnorm) parquet plus a 1-row ``_meta``
-    parquet pinning (n_planes, dim). Returns the resolved n_planes
-    (log-N sized unless pinned by the caller)."""
+    (vec_id, bucket, embedding, vnorm) parquet plus a 1-row sidecar
+    parquet at ``index_path + "._ann_meta"`` pinning (n_planes, dim).
+    The sidecar is a SIBLING, not a subdirectory: index maintenance
+    (:func:`upsert_ann_index` → merge_keyed) swaps the whole data
+    directory, and metadata must survive that swap. Returns the
+    resolved n_planes (log-N sized unless pinned by the caller)."""
     from ..operators.similarity import (
         hyperplanes,
         lsh_buckets,
@@ -74,13 +77,17 @@ def build_ann_index(
     indexed.write.mode("overwrite").parquet(index_path)
     spark.createDataFrame(
         [(n_planes, dim)], "n_planes int, dim int"
-    ).write.mode("overwrite").parquet(index_path + "/_meta")
+    ).write.mode("overwrite").parquet(_meta_path(index_path))
     return n_planes
+
+
+def _meta_path(index_path: str) -> str:
+    return index_path.rstrip("/") + "._ann_meta"
 
 
 def load_ann_meta(spark, index_path: str) -> tuple[int, int]:
     """(n_planes, dim) the index was built with."""
-    r = spark.read.parquet(index_path + "/_meta").first()
+    r = spark.read.parquet(_meta_path(index_path)).first()
     return int(r.n_planes), int(r.dim)
 
 
@@ -208,3 +215,34 @@ def stream_topk_against_index(
         .outputMode("update")
         .start()
     )
+
+
+def upsert_ann_index(
+    new_vecs: DataFrame,
+    index_path: str,
+    vec_col: str = "embedding",
+) -> None:
+    """Index maintenance: MERGE new/updated vectors into the persisted
+    ANN index — re-bucketed under the index's OWN pinned
+    (n_planes, dim) so old and new rows stay join-compatible (the
+    log-N sizing rule is applied at build time, not here; rebuild via
+    :func:`build_ann_index` when the corpus outgrows its plane count).
+
+    Delegates storage to ``sources/sinks.merge_keyed`` on ``vec_id``:
+    an updated vector replaces its old row (stale buckets cannot
+    linger), new ids append, untouched rows are not rewritten beyond
+    merge_keyed's documented unpartitioned swap. The composition a
+    growing corpus needs alongside :func:`stream_topk_against_index`:
+    score arrivals against the index, then fold the arrivals in."""
+    from ..operators.similarity import hyperplanes, lsh_buckets, with_norm
+    from ..sources.sinks import merge_keyed
+
+    spark = new_vecs.sparkSession
+    n_planes, dim = load_ann_meta(spark, index_path)
+    planes = hyperplanes(spark, n_planes=n_planes, dim=dim)
+    rows = (
+        with_norm(new_vecs, vec_col)
+        .join(lsh_buckets(new_vecs, planes, vec_col=vec_col), "vec_id")
+        .select("vec_id", "bucket", F.col(vec_col).alias("embedding"), "vnorm")
+    )
+    merge_keyed(rows, index_path, key_cols=["vec_id"])

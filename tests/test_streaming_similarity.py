@@ -107,12 +107,44 @@ def _index(spark, tmp, corpus_vecs):
     return path
 
 
-def test_meta_roundtrip_and_index_invisible_meta(spark, tmp_path, corpus_vecs):
+def test_meta_roundtrip_and_index_schema(spark, tmp_path, corpus_vecs):
     path = _index(spark, tmp_path, corpus_vecs)
     assert load_ann_meta(spark, path) == (N_PLANES, DIM)
-    # _meta must not leak into scans of the index dir
     cols = set(spark.read.parquet(path).columns)
     assert cols == {"vec_id", "bucket", "embedding", "vnorm"}
+
+
+def test_upsert_ann_index_updates_and_appends(spark, tmp_path, corpus_vecs):
+    from distributed_mapreduce__spark.streaming.similarity import (
+        upsert_ann_index,
+    )
+
+    path = _index(spark, tmp_path, corpus_vecs)
+    # vector 5 MOVES (flips to the -x cluster), vector 7 is new
+    changes = {5: _f32([-1.0, 0.05, 0.12, 0.0]), 7: _f32([0.0, 0.1, 0.0, 1.0])}
+    upsert_ann_index(
+        spark.createDataFrame(list(changes.items()), _VECS), path
+    )
+    # meta survives the merge swap; one row per id; id 5 replaced
+    assert load_ann_meta(spark, path) == (N_PLANES, DIM)
+    idx = spark.read.parquet(path)
+    assert idx.count() == 7
+    assert idx.filter(F.col("vec_id") == 5).count() == 1
+    updated = {**corpus_vecs, **changes}
+    r5 = idx.filter(F.col("vec_id") == 5).first()
+    assert r5.bucket == _bucket(updated[5])
+    # queries against the merged index see post-update reality
+    queries = {301: _f32([-0.98, 0.06, 0.1, 0.0])}
+    got = topk_against_index(
+        spark.createDataFrame(list(queries.items()), _VECS),
+        idx, N_PLANES, DIM, k=3, probe_radius=1,
+    ).collect()
+    want = _oracle_topk(updated, queries, k=3, probe_radius=1)[301]
+    got_sorted = sorted(((r.neighbor_id, r.score) for r in got),
+                        key=lambda t: (-t[1], t[0]))
+    assert [n for n, _ in got_sorted] == [n for n, _ in want]
+    for (_, gs), (_, ws) in zip(got_sorted, want):
+        assert gs == pytest.approx(ws, abs=1e-12)
 
 
 @pytest.mark.parametrize("probe_radius", [0, 1, 2])
