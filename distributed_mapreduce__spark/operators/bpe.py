@@ -221,3 +221,66 @@ def bpe_token_counts(
     return bpe_segment(docs, merges, text_col).select(
         "*", F.size("bpe_tokens").alias("bpe_token_count")
     ).drop("bpe_tokens")
+
+
+def save_merges(spark, merges: list[tuple[str, str]], path: str) -> None:
+    """Persist the merge table as (rank, left, right) parquet — the
+    train-once/apply-everywhere artifact (the analog of a tokenizer's
+    merges.txt). Rank order IS the tokenizer; the loader restores it."""
+    spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(merges)],
+        "rank int, left string, right string",
+    ).write.mode("overwrite").parquet(path)
+
+
+def load_merges(spark, path: str) -> list[tuple[str, str]]:
+    """Inverse of :func:`save_merges` (rank-ordered)."""
+    rows = spark.read.parquet(path).orderBy("rank").collect()
+    return [(r.left, r.right) for r in rows]
+
+
+def vocab_from_merges(
+    wordfreq: list[tuple[str, int]], merges: list[tuple[str, str]]
+) -> dict[str, int]:
+    """token -> id: the deterministic vocabulary a merge table induces —
+    id 0 is ``<unk>``, then the corpus alphabet (sorted), then one
+    token per merge in rank order (the standard BPE vocab layout).
+
+    Built from the same word-frequency table the learner consumed, so
+    train-time and apply-time vocabularies agree by construction."""
+    alphabet = sorted({ch for w, _ in wordfreq for ch in w})
+    vocab = {"<unk>": 0}
+    for ch in alphabet:
+        vocab[ch] = len(vocab)
+    for a, b in merges:
+        tok = a + b
+        if tok not in vocab:
+            vocab[tok] = len(vocab)
+    return vocab
+
+
+def bpe_encode_ids(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    vocab: dict[str, int],
+    text_col: str = "text",
+    out_col: str = "token_ids",
+) -> DataFrame:
+    """``docs`` + ``out_col`` array<int>: segment then map tokens to
+    vocabulary ids (``<unk>``=0 for anything outside the vocab — only
+    possible for characters unseen at train time, since every merge
+    product is in the vocab). The id map is a broadcast-sized column
+    expression (map literal), so the mapping itself is JVM-side."""
+    items: list[Column] = []
+    for tok, tid in vocab.items():
+        items.append(F.lit(tok))
+        items.append(F.lit(tid))
+    vmap = F.create_map(*items)
+    seg = bpe_segment(docs, merges, text_col, out_col="_bpe_toks")
+    return seg.withColumn(
+        out_col,
+        F.transform(
+            F.col("_bpe_toks"),
+            lambda t: F.coalesce(vmap.getItem(t), F.lit(0)),
+        ),
+    ).drop("_bpe_toks")

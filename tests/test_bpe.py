@@ -152,3 +152,45 @@ def test_nulls_and_empty_text(spark):
     merges = [("a", "b")]
     got = {r.doc_id: list(r.bpe_tokens) for r in bpe_segment(df, merges).collect()}
     assert got == {1: [], 2: [], 3: [], 4: ["ab", "ab", "ab"]}
+
+
+def test_merge_persistence_roundtrip(spark, docs, tmp_path):
+    from distributed_mapreduce__spark.operators.bpe import (
+        load_merges,
+        save_merges,
+    )
+
+    merges = learn_bpe(docs, num_merges=50)
+    path = str(tmp_path / "merges")
+    save_merges(spark, merges, path)
+    assert load_merges(spark, path) == merges
+
+
+def test_vocab_and_id_encoding(spark):
+    from distributed_mapreduce__spark.operators.bpe import (
+        bpe_encode_ids,
+        learn_bpe_from_frequencies,
+        segment_py,
+        vocab_from_merges,
+    )
+
+    wf = _naive_wordfreq(["ab ab abc", "ab abc abc"])
+    merges = learn_bpe_from_frequencies(wf, 5)
+    vocab = vocab_from_merges(wf, merges)
+    # layout: unk, sorted alphabet, merge products in rank order
+    assert vocab["<unk>"] == 0
+    assert list(vocab)[1:4] == ["a", "b", "c"]
+    for a, b in merges:
+        assert a + b in vocab
+
+    df = spark.createDataFrame(
+        [(1, "ab abc"), (2, "zz ab")], "doc_id long, text string"
+    )
+    got = {r.doc_id: list(r.token_ids)
+           for r in bpe_encode_ids(df, merges, vocab).collect()}
+    want1 = [vocab[t] for t in segment_py("ab abc", merges)]
+    assert got[1] == want1
+    # 'z' was never in the training alphabet -> unk id 0
+    assert got[2][:2] == [0, 0] or 0 in got[2]
+    z_toks = segment_py("zz ab", merges)
+    assert got[2] == [vocab.get(t, 0) for t in z_toks]
