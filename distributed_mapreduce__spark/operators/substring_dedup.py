@@ -68,8 +68,17 @@ def duplicated_gram_positions(
     """(doc_id, pos): start positions (0-based, token units) of every
     k-gram whose text occurs ≥ 2 times in the corpus (all occurrences
     counted, including same-document repeats)."""
-    toks = _tokens(text_col)
-    grams = docs.select(
+    from ..plans.partitioning import spread
+
+    # materialize the token array BEFORE the gram lambda: an expression
+    # referenced inside transform()'s function is re-evaluated per
+    # element, so inlining regexp_extract_all here would re-tokenize
+    # the whole document for every gram position (measured ~6x slower).
+    # spread() first: the fixture parquet arrives as one scan partition
+    # and tokenize+md5 per gram is the expensive per-row stage.
+    toked = spread(docs).select(F.col(id_col), _tokens(text_col).alias("_toks"))
+    toks = F.col("_toks")
+    grams = toked.select(
         F.col(id_col),
         F.posexplode(
             F.when(
@@ -81,13 +90,16 @@ def duplicated_gram_positions(
             ).otherwise(F.array())
         ).alias("pos", "gram"),
     )
-    dup = (
-        grams.groupBy("gram")
-        .agg(F.count("*").alias("n"))
+    # one shuffle on gram; a window count replaces the aggregate +
+    # join-back (which would scan and hash the gram table twice).
+    # Per-gram groups are occurrence lists (tiny), so the window
+    # buffer is bounded by the hottest gram, not the partition.
+    n_occ = F.count("*").over(Window.partitionBy("gram"))
+    return (
+        grams.withColumn("n", n_occ)
         .filter(F.col("n") >= 2)
-        .select("gram")
+        .select(id_col, "pos")
     )
-    return grams.join(dup, "gram").select(id_col, "pos")
 
 
 def repeated_spans(
@@ -166,8 +178,10 @@ def strip_repeated_spans(
             F.collect_list(F.struct("span_start", "span_end")).alias("cuts")
         )
     )
+    from ..plans.partitioning import spread
+
     cleaned = (
-        docs.join(removals, id_col, "left")
+        spread(docs).join(removals, id_col, "left")
         .withColumn(
             "_kept",
             F.when(F.col("cuts").isNull(), _tokens(text_col)).otherwise(
