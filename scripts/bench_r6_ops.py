@@ -55,6 +55,8 @@ def _noop(df):
 def measure(spark, sf_dir: str, tmp: str) -> dict[str, float]:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # warm JVM + parquet footers so the first op doesn't absorb startup
+    docs.count(), emb.count()
     out: dict[str, float] = {}
 
     t0 = time.perf_counter()
