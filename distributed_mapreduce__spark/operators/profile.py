@@ -178,3 +178,59 @@ def table_hints(spark, table: str) -> dict | None:
     if not os.path.isdir(path):
         return None
     return load_profile_hints(spark, path)
+
+
+def compare_profiles(
+    old: DataFrame, new: DataFrame, rel_threshold: float = 0.10
+) -> DataFrame:
+    """Drift report between two :func:`profile_table` outputs (or
+    loaded :func:`save_profile` sidecars): one row per (column,
+    metric) with ``old_value``, ``new_value``, ``rel_change`` and a
+    ``flag``:
+
+    - ``added`` / ``removed`` — the column+metric exists on one side
+      only: schema drift, the loudest signal a pipeline can get;
+    - ``shifted`` — count metrics (n_nulls / n_distinct /
+      max_group_rows) whose relative change exceeds
+      ``rel_threshold`` (denominator max(old, 1) so 0→k flags), or a
+      min/max whose value changed at all (range drift has no sensible
+      relative measure on strings/dates);
+    - NULL — within tolerance.
+
+    The run-over-run data-quality gate: profile each dataset version
+    once (one pass), diff the sidecars (two tiny tables — this whole
+    comparison is metadata work, no corpus scan), alert on flags.
+    Works on anything profile_table handles, at any corpus size, for
+    the cost of reading two ~columns×4-row parquets."""
+    o = old.select(
+        "column", "metric", F.col("value").alias("old_value")
+    )
+    n = new.select(
+        "column", "metric", F.col("value").alias("new_value")
+    )
+    j = o.join(n, ["column", "metric"], "full_outer")
+    count_metrics = ("n_nulls", "n_distinct", "max_group_rows")
+    both = F.col("old_value").isNotNull() & F.col("new_value").isNotNull()
+    is_count = F.col("metric").isin(*count_metrics)
+    rel = F.when(
+        both & is_count,
+        (F.col("new_value").cast("double") - F.col("old_value").cast("double"))
+        / F.greatest(F.col("old_value").cast("double"), F.lit(1.0)),
+    )
+    flag = (
+        F.when(F.col("old_value").isNull(), F.lit("added"))
+        .when(F.col("new_value").isNull(), F.lit("removed"))
+        .when(is_count & (F.abs(rel) > rel_threshold), F.lit("shifted"))
+        .when(
+            ~is_count & (F.col("old_value") != F.col("new_value")),
+            F.lit("shifted"),
+        )
+    )
+    return j.select(
+        "column",
+        "metric",
+        "old_value",
+        "new_value",
+        F.round(rel, 6).alias("rel_change"),
+        flag.alias("flag"),
+    )

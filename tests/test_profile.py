@@ -156,3 +156,54 @@ def test_env_pointed_sidecars_drive_registered_front_doors(spark, tmp_path, monk
 
     monkeypatch.delenv("SPARK_GRAFT_PROFILE_DIR")
     assert table_hints(spark, "lineitem") is None
+
+
+def test_compare_profiles_drift_report(spark):
+    from distributed_mapreduce__spark.operators.profile import (
+        compare_profiles,
+        profile_table,
+    )
+
+    old = spark.createDataFrame(
+        [(i, f"w{i % 5}", None if i % 10 == 0 else i * 1.0) for i in range(100)],
+        "id long, word string, score double",
+    )
+    # new version: nulls doubled in score, a column replaced, ranges moved
+    new = spark.createDataFrame(
+        [
+            (i, None if i % 5 == 0 else i * 2.0, f"s{i}")
+            for i in range(100)
+        ],
+        "id long, score double, source string",
+    )
+    rep = compare_profiles(
+        profile_table(old, approx=False), profile_table(new, approx=False)
+    )
+    rows = {(r.column, r.metric): r for r in rep.collect()}
+    # schema drift both ways
+    assert rows[("word", "n_nulls")].flag == "removed"
+    assert rows[("source", "n_nulls")].flag == "added"
+    # score nulls went 10 -> 20: rel_change 1.0, flagged
+    r = rows[("score", "n_nulls")]
+    assert r.flag == "shifted" and r.rel_change == 1.0
+    # id column is identical: no flags on any of its metrics
+    assert all(
+        rows[k].flag is None for k in rows if k[0] == "id" and k[1] != "max"
+    ) or rows[("id", "max")].flag is None
+    # score max moved (99.0 -> 198.0): range drift flagged, rel NULL
+    r = rows[("score", "max")]
+    assert r.flag == "shifted" and r.rel_change is None
+
+
+def test_compare_profiles_within_tolerance_is_quiet(spark):
+    from distributed_mapreduce__spark.operators.profile import (
+        compare_profiles,
+        profile_table,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"w{i % 7}") for i in range(1000)], "id long, word string"
+    )
+    p = profile_table(df, approx=False)
+    rep = compare_profiles(p, p)
+    assert rep.filter(F.col("flag").isNotNull()).count() == 0
