@@ -128,7 +128,6 @@ def test_domain_link_ranks_aggregates_hosts(spark):
 def _oracle_domains(edges):
     nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
     idx = {n: i for i, n in enumerate(nodes)}
-    num = {idx[u]: None for u, _ in edges}
     int_edges = [(idx[u], idx[v]) for u, v in edges]
     ranks = _oracle(int_edges)
     return {nodes[i]: ranks[i] for i in ranks}
