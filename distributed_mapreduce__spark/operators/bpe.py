@@ -270,7 +270,10 @@ def bpe_encode_ids(
     vocabulary ids (``<unk>``=0 for anything outside the vocab — only
     possible for characters unseen at train time, since every merge
     product is in the vocab). The id map is a broadcast-sized column
-    expression (map literal), so the mapping itself is JVM-side."""
+    expression (map literal), so the mapping itself is JVM-side; the
+    literal's expression tree grows with |vocab| — fine through the
+    ~50k ids typical of BPE, but a 500k+ vocabulary should switch to
+    an explode + broadcast-join on token instead."""
     items: list[Column] = []
     for tok, tid in vocab.items():
         items.append(F.lit(tok))

@@ -181,3 +181,30 @@ def test_fixture_corpus_matches_oracle(spark):
     assert got_clean == want_clean
     # sanity: the tiny-vocab corpus really does exercise the operator
     assert len(want_spans) > 0
+
+
+def test_plan_shape_no_quadratic_join(spark):
+    """The scale claims, pinned on the executed plan: no nested-loop
+    or sort-merge join anywhere (gram matching is a window count, span
+    text and strip cuts attach via hash joins), and the pipeline's
+    shuffles stay bounded (gram hash, doc windows, removal group —
+    not O(N²) pair expansion)."""
+    from distributed_mapreduce__spark.plans.inspect import physical_summary
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    for fn in (repeated_spans, strip_repeated_spans):
+        df = fn(docs, k=8)
+        df.write.format("noop").mode("overwrite").save()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        plan = plan.split("== Initial Plan ==")[0]
+        assert "BroadcastNestedLoopJoin" not in plan, fn.__name__
+        assert "CartesianProduct" not in plan, fn.__name__
+        s = physical_summary(df)
+        # strip's final docs⋈removals equi-join on doc_id may plan as
+        # a sort-merge join — linear, key-partitioned, and the right
+        # call at scale where the per-doc cut lists need not fit a
+        # broadcast. What must never appear is a non-equi/quadratic
+        # join (asserted above); spans itself stays SMJ-free.
+        allowed_smj = 1 if fn is strip_repeated_spans else 0
+        assert s["sort_merge_join"] <= allowed_smj, (fn.__name__, s)
+        assert s["shuffle_exchange"] <= 8, (fn.__name__, s)
