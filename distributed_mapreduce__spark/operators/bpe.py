@@ -42,11 +42,11 @@ import re
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import ArrayType, StringType
+from pyspark.sql.types import ArrayType, IntegerType, StringType
 
-#: pre-tokenizer — MUST stay in sync with
-#: text_analysis.bpe_ish_token_count, which documents itself as this
-#: tokenizer's zero-merge upper bound.
+#: pre-tokenizer — the single source: text_analysis.bpe_ish_token_count
+#: imports this constant, so its count is this tokenizer's zero-merge
+#: upper bound by construction.
 PRETOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
 
@@ -95,19 +95,25 @@ def learn_bpe_from_frequencies(
 ) -> list[tuple[str, str]]:
     """Driver-side merge loop over the bounded word-type table.
 
-    Incremental pair-count maintenance: each merge only touches the
-    words that contain the merged pair (indexed), not the whole
-    vocabulary — O(affected words) per merge."""
+    Pair-count MAINTENANCE is incremental: each merge re-scans only
+    the words containing the merged pair (indexed), and only pairs
+    those words touched are checked for zero-pruning. The best-pair
+    SELECTION is a scan of the live pair table — O(|pairs|) per merge,
+    which is the right trade below a few thousand merges (this
+    engine's use); training a vocab-scale merge count (30k+) wants a
+    lazy-deletion heap in place of the scan."""
     words: list[list[str]] = [list(w) for w, _ in wordfreq]
     counts = [n for _, n in wordfreq]
     pair_counts: dict[tuple[str, str], int] = {}
     pair_words: dict[tuple[str, str], set[int]] = {}
+    touched: set[tuple[str, str]] = set()
 
     def add_word_pairs(i: int, sign: int) -> None:
         seq = words[i]
         for a, b in zip(seq, seq[1:]):
             p = (a, b)
             pair_counts[p] = pair_counts.get(p, 0) + sign * counts[i]
+            touched.add(p)
             if sign > 0:
                 pair_words.setdefault(p, set()).add(i)
 
@@ -124,6 +130,7 @@ def learn_bpe_from_frequencies(
             break
         merges.append(best)
         merged = best[0] + best[1]
+        touched.clear()
         for i in list(pair_words.get(best, ())):
             add_word_pairs(i, -1)
             seq = words[i]
@@ -142,8 +149,11 @@ def learn_bpe_from_frequencies(
                     j += 1
             words[i] = out
             add_word_pairs(i, +1)
-        # fully-consumed pairs would linger at count 0
-        pair_counts = {p: n for p, n in pair_counts.items() if n > 0}
+        # prune zeros among the pairs this merge touched (a full-table
+        # rebuild here would cost O(|pairs|) per merge for nothing)
+        for p in touched:
+            if pair_counts.get(p, 0) <= 0:
+                pair_counts.pop(p, None)
     return merges
 
 
@@ -269,21 +279,38 @@ def bpe_encode_ids(
     """``docs`` + ``out_col`` array<int>: segment then map tokens to
     vocabulary ids (``<unk>``=0 for anything outside the vocab — only
     possible for characters unseen at train time, since every merge
-    product is in the vocab). The id map is a broadcast-sized column
-    expression (map literal), so the mapping itself is JVM-side; the
-    literal's expression tree grows with |vocab| — fine through the
-    ~50k ids typical of BPE, but a 500k+ vocabulary should switch to
-    an explode + broadcast-join on token instead."""
-    items: list[Column] = []
-    for tok, tid in vocab.items():
-        items.append(F.lit(tok))
-        items.append(F.lit(tid))
-    vmap = F.create_map(*items)
-    seg = bpe_segment(docs, merges, text_col, out_col="_bpe_toks")
-    return seg.withColumn(
-        out_col,
-        F.transform(
-            F.col("_bpe_toks"),
-            lambda t: F.coalesce(vmap.getItem(t), F.lit(0)),
-        ),
-    ).drop("_bpe_toks")
+    product is in the vocab).
+
+    One Arrow pass does both segmentation and id lookup: the vocab
+    rides next to the merge table in the task closure and each lookup
+    is a Python dict hit, memoized per word TYPE like
+    :func:`bpe_segment`. (A JVM-side map literal was measured out:
+    Spark's ``GetMapValue`` on a literal map is a LINEAR scan of the
+    key array, so per-token cost would grow with |vocab|.)"""
+    merges_t = tuple(merges)
+    vocab_d = dict(vocab)
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def enc(texts):
+        import pandas as pd
+
+        ranks = {p: i for i, p in enumerate(merges_t)}
+        memo: dict[str, list[int]] = {}
+        pat = re.compile(PRETOKEN_RE)
+
+        def one(t):
+            if t is None:
+                return []
+            out = []
+            for w in pat.findall(t):
+                got = memo.get(w)
+                if got is None:
+                    got = memo[w] = [
+                        vocab_d.get(tok, 0) for tok in _segment_word(w, ranks)
+                    ]
+                out.extend(got)
+            return out
+
+        return pd.Series([one(t) for t in texts])
+
+    return docs.withColumn(out_col, enc(F.col(text_col)))

@@ -249,6 +249,7 @@ def pagerank(
         .withColumn("rank", F.lit(1.0 / n))
         .localCheckpoint()
     )
+    delta = float("inf")
     for _ in range(max_iter):
         dangling = state.filter(F.col("outdeg").isNull()).agg(
             F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dmass")

@@ -190,7 +190,7 @@ def compare_profiles(
 
     - ``added`` / ``removed`` — the column+metric exists on one side
       only: schema drift, the loudest signal a pipeline can get;
-    - ``shifted`` — count metrics (n_nulls / n_distinct /
+    - ``shifted`` — count metrics (n_rows / n_nulls / n_distinct /
       max_group_rows) whose relative change exceeds
       ``rel_threshold`` (denominator max(old, 1) so 0→k flags), or a
       min/max whose value changed at all (range drift has no sensible
@@ -202,14 +202,23 @@ def compare_profiles(
     comparison is metadata work, no corpus scan), alert on flags.
     Works on anything profile_table handles, at any corpus size, for
     the cost of reading two ~columns×4-row parquets."""
+    # explicit presence flags: a metric VALUE can legitimately be NULL
+    # (min/max of an all-NULL column), so value-NULL must not be the
+    # row-presence sentinel or identical profiles would read as drift
     o = old.select(
-        "column", "metric", F.col("value").alias("old_value")
+        "column",
+        "metric",
+        F.col("value").alias("old_value"),
+        F.lit(True).alias("_in_old"),
     )
     n = new.select(
-        "column", "metric", F.col("value").alias("new_value")
+        "column",
+        "metric",
+        F.col("value").alias("new_value"),
+        F.lit(True).alias("_in_new"),
     )
     j = o.join(n, ["column", "metric"], "full_outer")
-    count_metrics = ("n_nulls", "n_distinct", "max_group_rows")
+    count_metrics = ("n_rows", "n_nulls", "n_distinct", "max_group_rows")
     both = F.col("old_value").isNotNull() & F.col("new_value").isNotNull()
     is_count = F.col("metric").isin(*count_metrics)
     rel = F.when(
@@ -217,12 +226,14 @@ def compare_profiles(
         (F.col("new_value").cast("double") - F.col("old_value").cast("double"))
         / F.greatest(F.col("old_value").cast("double"), F.lit(1.0)),
     )
+    # eqNullSafe: NULL==NULL min/max is "no change", NULL vs value is
     flag = (
-        F.when(F.col("old_value").isNull(), F.lit("added"))
-        .when(F.col("new_value").isNull(), F.lit("removed"))
+        F.when(F.col("_in_old").isNull(), F.lit("added"))
+        .when(F.col("_in_new").isNull(), F.lit("removed"))
         .when(is_count & (F.abs(rel) > rel_threshold), F.lit("shifted"))
         .when(
-            ~is_count & (F.col("old_value") != F.col("new_value")),
+            ~is_count
+            & ~F.col("old_value").eqNullSafe(F.col("new_value")),
             F.lit("shifted"),
         )
     )

@@ -296,6 +296,44 @@ def ivf_assignments(
     return model.transform(feats).select("vec_id", "cell"), model
 
 
+def probe_masks(n_planes: int, probe_radius: int) -> list[int]:
+    """XOR bit-flip masks for multi-probe LSH: radius 0 = own bucket,
+    1 adds the P single-bit flips, 2 adds the C(P,2) two-bit flips.
+    Shared by the batch path (lsh_topk) and the streaming index path
+    (streaming/similarity.topk_against_index) so the probe contract
+    cannot fork."""
+    masks = [0]
+    if probe_radius >= 1:
+        masks += [1 << b for b in range(n_planes)]
+    if probe_radius >= 2:
+        masks += [
+            (1 << a) | (1 << b)
+            for a in range(n_planes)
+            for b in range(a + 1, n_planes)
+        ]
+    return masks
+
+
+def expand_probes(q_buckets: DataFrame, masks: list[int]) -> DataFrame:
+    """(query_id, bucket): ids-only probe expansion — Q x |masks| rows
+    of two longs. The mask table is the tiny broadcast constant; the
+    EXPANDED output is deliberately unhinted so AQE sizes the bucket
+    match from reality (the round-6 no-forced-broadcast discipline)."""
+    spark = q_buckets.sparkSession
+    mask_df = spark.range(len(masks)).select(
+        F.expr(f"array({', '.join(str(m) for m in masks)})[cast(id as int)]")
+        .cast("long")
+        .alias("mask")
+    )
+    return (
+        q_buckets.select(
+            F.col("vec_id").alias("query_id"), F.col("bucket").alias("q_bucket")
+        )
+        .join(F.broadcast(mask_df))
+        .select("query_id", F.expr("q_bucket ^ mask").alias("bucket"))
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -359,30 +397,9 @@ def lsh_topk(
     planes = hyperplanes(spark, n_planes=n_planes, dim=dim)
     c_buckets = lsh_buckets(corpus, planes, vec_col=vec_col)
 
-    masks = [0]
-    if multiprobe:
-        masks += [1 << b for b in range(n_planes)]
-        if probe_radius >= 2:
-            masks += [
-                (1 << a) | (1 << b)
-                for a in range(n_planes)
-                for b in range(a + 1, n_planes)
-            ]
     q_buckets = lsh_buckets(queries, planes, vec_col=vec_col)
-    mask_df = spark.range(len(masks)).select(
-        F.expr(f"array({', '.join(str(m) for m in masks)})[cast(id as int)]")
-        .cast("long")
-        .alias("mask")
-    )
-    # ids-only probe expansion: Q x |masks| rows of two longs (the mask
-    # table is the tiny broadcast constant; the EXPANDED table is not
-    # hinted anywhere below)
-    probes = (
-        q_buckets.select(
-            F.col("vec_id").alias("query_id"), F.col("bucket").alias("q_bucket")
-        )
-        .join(F.broadcast(mask_df))
-        .select("query_id", F.expr("q_bucket ^ mask").alias("bucket"))
+    probes = expand_probes(
+        q_buckets, probe_masks(n_planes, probe_radius if multiprobe else 0)
     )
     # candidate id pairs via the UNHINTED bucket equi-join (AQE picks
     # broadcast vs shuffled-hash from actual probe-side size). No

@@ -205,6 +205,11 @@ def strip_repeated_spans(
     )
     return cleaned.select(
         *[c for c in docs.columns if c != text_col],
-        F.concat_ws(" ", "_kept").alias(text_col),
-        "n_stripped_tokens",
+        # NULL text stays NULL (concat_ws would silently coerce to "")
+        F.when(
+            F.col(text_col).isNull(), F.lit(None).cast("string")
+        ).otherwise(F.concat_ws(" ", "_kept")).alias(text_col),
+        F.coalesce("n_stripped_tokens", F.lit(0)).alias(
+            "n_stripped_tokens"
+        ),
     )

@@ -85,10 +85,13 @@ def token_stats(docs: DataFrame) -> DataFrame:
 
 def bpe_ish_token_count(col: str = "text") -> Column:
     """Sub-word-ish token count: letter runs, digit runs, and single
-    non-alnum marks (a BPE pre-tokenizer's coarse upper bound)."""
-    return F.size(
-        F.regexp_extract_all(F.col(col), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0)
-    )
+    non-alnum marks (a BPE pre-tokenizer's coarse upper bound).
+
+    Single-sourced from ``bpe.PRETOKEN_RE`` so this stays, by
+    construction, the zero-merge count of the trained tokenizer."""
+    from .bpe import PRETOKEN_RE
+
+    return F.size(F.regexp_extract_all(F.col(col), F.lit(PRETOKEN_RE), 0))
 
 
 def language_profiles_df(spark) -> DataFrame:

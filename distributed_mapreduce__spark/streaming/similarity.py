@@ -109,32 +109,19 @@ def topk_against_index(
     unhinted bucket equi-join, vectors re-attached by id after the
     match."""
     from ..operators.relational import top_k_per_group
-    from ..operators.similarity import dot_fold, hyperplanes, lsh_buckets, with_norm
+    from ..operators.similarity import (
+        dot_fold,
+        expand_probes,
+        hyperplanes,
+        lsh_buckets,
+        probe_masks,
+        with_norm,
+    )
 
     spark = batch.sparkSession
     planes = hyperplanes(spark, n_planes=n_planes, dim=dim)
-    masks = [0]
-    if probe_radius >= 1:
-        masks += [1 << b for b in range(n_planes)]
-    if probe_radius >= 2:
-        masks += [
-            (1 << a) | (1 << b)
-            for a in range(n_planes)
-            for b in range(a + 1, n_planes)
-        ]
-    mask_df = spark.range(len(masks)).select(
-        F.expr(f"array({', '.join(str(m) for m in masks)})[cast(id as int)]")
-        .cast("long")
-        .alias("mask")
-    )
     q_buckets = lsh_buckets(batch, planes, vec_col=vec_col)
-    probes = (
-        q_buckets.select(
-            F.col("vec_id").alias("query_id"), F.col("bucket").alias("q_bucket")
-        )
-        .join(F.broadcast(mask_df))
-        .select("query_id", F.expr("q_bucket ^ mask").alias("bucket"))
-    )
+    probes = expand_probes(q_buckets, probe_masks(n_planes, probe_radius))
     cands = (
         index.select("vec_id", "bucket")
         .join(probes, "bucket")
@@ -185,13 +172,27 @@ def stream_topk_against_index(
     ``_batch_id`` (dynamic overwrite → idempotent on batch replay).
 
     Returns the started StreamingQuery; drive with
-    ``processAllAvailable()`` in tests."""
+    ``processAllAvailable()`` in tests.
+
+    CONCURRENCY CONTRACT with :func:`upsert_ann_index`: index rows are
+    re-read per batch (so merged-in vectors become visible), but the
+    unpartitioned merge swap briefly renames the data directory — a
+    micro-batch that lists the index in that window fails and kills
+    the query. Run maintenance between batches (stop/start, or a
+    trigger gap), exactly as one would coordinate any parquet
+    swap-rewrite with its readers; a transactional table format is the
+    no-coordination upgrade path."""
+    # (n_planes, dim) are pinned at build time — a different plane
+    # count requires build_ann_index anyway — so read the sidecar once,
+    # not one Spark job per micro-batch
+    n_planes, dim = load_ann_meta(stream_vecs.sparkSession, index_path)
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
+        from ..sources.sinks import overwrite_partitions
+
         spark = batch_df.sparkSession
         if batch_df.isEmpty():
             return
-        n_planes, dim = load_ann_meta(spark, index_path)
         index = spark.read.parquet(index_path)
         out = topk_against_index(
             batch_df,
@@ -202,12 +203,7 @@ def stream_topk_against_index(
             probe_radius=probe_radius,
             vec_col=vec_col,
         ).withColumn("_batch_id", F.lit(batch_id))
-        (
-            out.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("_batch_id")
-            .parquet(matches_path)
-        )
+        overwrite_partitions(out, matches_path, "_batch_id")
 
     return (
         stream_vecs.writeStream.foreachBatch(_process)
@@ -233,7 +229,12 @@ def upsert_ann_index(
     linger), new ids append, untouched rows are not rewritten beyond
     merge_keyed's documented unpartitioned swap. The composition a
     growing corpus needs alongside :func:`stream_topk_against_index`:
-    score arrivals against the index, then fold the arrivals in."""
+    score arrivals against the index, then fold the arrivals in.
+
+    DO NOT run concurrently with an active stream over the same
+    index: the merge's directory swap has a brief rename window that
+    fails a reader listing the path mid-swap (see the concurrency
+    contract on :func:`stream_topk_against_index`)."""
     from ..operators.similarity import hyperplanes, lsh_buckets, with_norm
     from ..sources.sinks import merge_keyed
 

@@ -207,3 +207,38 @@ def test_compare_profiles_within_tolerance_is_quiet(spark):
     p = profile_table(df, approx=False)
     rep = compare_profiles(p, p)
     assert rep.filter(F.col("flag").isNotNull()).count() == 0
+
+
+def test_compare_profiles_null_minmax_and_n_rows(spark):
+    from distributed_mapreduce__spark.operators.profile import (
+        compare_profiles,
+        profile_table,
+    )
+
+    # all-NULL column: min/max are NULL VALUES, not missing rows —
+    # self-compare must stay quiet (no false 'added'/'removed')
+    df = spark.createDataFrame(
+        [(i, None) for i in range(50)], "id long, empty double"
+    )
+    p = profile_table(df, approx=False)
+    rep = compare_profiles(p, p)
+    assert rep.filter(F.col("flag").isNotNull()).count() == 0
+
+    # n_rows is a count metric: +2% growth is quiet at the default 10%
+    # threshold, 3x growth flags with a real rel_change
+    grown = spark.createDataFrame(
+        [(i, None) for i in range(51)], "id long, empty double"
+    )
+    quiet = compare_profiles(p, profile_table(grown, approx=False))
+    nr = quiet.filter(
+        (F.col("column") == "__table__") & (F.col("metric") == "n_rows")
+    ).first()
+    assert nr.flag is None and abs(nr.rel_change - 0.02) < 1e-9
+    big = spark.createDataFrame(
+        [(i, None) for i in range(150)], "id long, empty double"
+    )
+    loud = compare_profiles(p, profile_table(big, approx=False))
+    nr = loud.filter(
+        (F.col("column") == "__table__") & (F.col("metric") == "n_rows")
+    ).first()
+    assert nr.flag == "shifted" and nr.rel_change == 2.0

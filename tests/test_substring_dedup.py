@@ -208,3 +208,13 @@ def test_plan_shape_no_quadratic_join(spark):
         allowed_smj = 1 if fn is strip_repeated_spans else 0
         assert s["sort_merge_join"] <= allowed_smj, (fn.__name__, s)
         assert s["shuffle_exchange"] <= 8, (fn.__name__, s)
+
+
+def test_null_text_passes_through_as_null(spark):
+    df = spark.createDataFrame(
+        [(1, None), (2, "some plain words here")], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in strip_repeated_spans(df, k=8).collect()}
+    assert rows[1].text is None and rows[1].n_stripped_tokens == 0
+    assert rows[2].text == "some plain words here"
+    assert repeated_spans(df, k=8).count() == 0
