@@ -77,11 +77,13 @@ SPREAD_BOUND = float(os.environ.get("SPARK_GRAFT_BENCH_SPREAD", "0.5"))
 EXTRA_PASSES = int(os.environ.get("SPARK_GRAFT_BENCH_EXTRA_PASSES", "2"))
 
 #: tables profiled into the routing-hint sidecar dir before timing,
-#: with the group columns whose max group size the quantile route reads
+#: with the group columns whose max group size the quantile route
+#: reads. Only tables a HEADLINE query actually consumes hints from
+#: belong here (the set is frozen, so today that is quantile_quantity's
+#: lineitem max-group probe) — profiling unconsumed tables would just
+#: tax the setup phase.
 PROFILE_TABLES = {
     "lineitem": ["l_returnflag"],
-    "documents": [],
-    "embeddings": [],
 }
 
 

@@ -145,7 +145,11 @@ def load_profile_hints(spark, path: str) -> dict:
         elif r.metric == "n_distinct":
             hints["n_distinct"][r.column] = int(r.value)
         elif r.metric == "max_group_rows":
-            hints["max_group_rows"][r.column] = int(r.value)
+            # NULL for an EMPTY profiled table (max over zero groups);
+            # skip rather than crash — callers treat a missing hint as
+            # "probe it yourself", which on an empty table is free
+            if r.value is not None:
+                hints["max_group_rows"][r.column] = int(r.value)
     if "n_rows" not in hints:
         raise ValueError(
             f"profile sidecar at {path!r} has no (__table__, n_rows) row — "
@@ -174,8 +178,14 @@ def table_hints(spark, table: str) -> dict | None:
     d = os.environ.get("SPARK_GRAFT_PROFILE_DIR")
     if not d:
         return None
-    path = os.path.join(d, table)
-    if not os.path.isdir(path):
+    path = d.rstrip("/") + "/" + table
+    # scheme-agnostic existence check: os.path.isdir would silently
+    # return False for hdfs:// / s3a:// sidecar dirs — exactly the
+    # deployments the sidecar exists for — and no-op the feature
+    from ..sources.sinks import hadoop_fs
+
+    fs, hpath = hadoop_fs(spark, path)
+    if not fs.exists(hpath):
         return None
     return load_profile_hints(spark, path)
 

@@ -171,10 +171,14 @@ def neardup_front_door(spark: SparkSession, sf_dir: str) -> DataFrame:
     """THE near-dup front door under the driver's value oracle
     (VERDICT r5 item 2): ``near_dup_pairs(strategy='auto')`` — the
     engine routes all-pairs exact vs MinHash-LSH+verify on document
-    count. At fixture scale (≤ 20k docs) auto picks the exact branch,
-    so the result is bit-identical to the all-pairs oracle; the LSH
-    branch's full-pipeline oracle is ``dedup_minhash_pairs`` and the
-    dispatch-fidelity tests in tests/test_incremental_dedup.py. The
+    count. At the driver's sf0.01 (≤ 20k docs) auto picks the exact
+    branch, so the result is bit-identical to the all-pairs oracle
+    below; at the sf1 scale gate (50k docs) auto routes LSH, and
+    strict_check --scale replays the routed branch's own complete
+    oracle (the ``dedup_minhash_pairs`` SQL) instead — see
+    scripts/strict_check.py:_scale_check_neardup_front_door. The LSH
+    branch's dispatch-fidelity tests live in
+    tests/test_incremental_dedup.py. The
     document count comes from a profile sidecar when
     $SPARK_GRAFT_PROFILE_DIR provides one (zero estimation jobs in
     the bench path), else one count job."""

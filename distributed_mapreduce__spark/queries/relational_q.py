@@ -361,10 +361,10 @@ def quantile_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe — a measured max, so the 100x skew margin the mean-based
     inference must carry doesn't apply, and the route stays exact up
     to the documented 1e7-rows-per-group buffer budget (it IS exact at
-    every fixture scale: sf1's largest l_returnflag group is ~3e5
-    rows; a 100 TB lineitem would cross the budget and route to the
-    sketch — the correct behavior, the oracle below is for the exact
-    regime). Both engines use the same (1-g)·a + g·b interpolation
+    every fixture scale: sf1's largest l_returnflag group is ~2e6
+    rows of its 6M total — still under the budget; the ~10x step
+    after that (~2e7) crosses it and routes to the sketch — the
+    correct behavior, the oracle below is for the exact regime). Both engines use the same (1-g)·a + g·b interpolation
     over sorted values, so the driver hashes raw doubles."""
     from ..operators.profile import table_hints
     from ..operators.relational import quantiles

@@ -182,6 +182,19 @@ def merge_keyed(
 
     fs, hpath = hadoop_fs(spark, path)
     if not fs.exists(hpath):
+        # a missing live dataset PLUS staging leftovers means a prior
+        # unpartitioned merge crashed mid-swap: treating that as a
+        # fresh dataset would write batch-only data (silently dropping
+        # every pre-crash row) and the next merge's stale-staging
+        # delete would then destroy the only complete copy
+        tmp = hadoop_fs(spark, path.rstrip("/") + "._merge_tmp")[1]
+        old = hadoop_fs(spark, path.rstrip("/") + "._merge_old")[1]
+        if fs.exists(tmp) or fs.exists(old):
+            raise RuntimeError(
+                f"merge_keyed: no dataset at {path} but staging dirs "
+                "from an interrupted merge exist — run "
+                "recover_unpartitioned_merge(spark, path) first"
+            )
         if parts:
             batch.write.partitionBy(*parts).parquet(path)
         else:
@@ -236,9 +249,21 @@ def merge_keyed(
         old = hadoop_fs(spark, path.rstrip("/") + "._merge_old")[1]
         merged.write.mode("overwrite").parquet(str(tmp))
         fs.delete(old, True)  # stale leftover from a prior crash
-        fs.rename(hpath, old)
-        fs.rename(tmp, hpath)
+        _rename_or_raise(fs, hpath, old)
+        _rename_or_raise(fs, tmp, hpath)
         fs.delete(old, True)
+
+
+def _rename_or_raise(fs, src, dst) -> None:
+    """Hadoop FileSystem.rename reports failure by RETURNING FALSE, not
+    raising; continuing past a failed swap rename would move the next
+    dir INSIDE a still-existing destination and corrupt the dataset."""
+    if not fs.rename(src, dst):
+        raise RuntimeError(
+            f"merge swap rename failed: {src} -> {dst} (destination "
+            "exists or filesystem refused) — dataset left as-is; run "
+            "recover_unpartitioned_merge to inspect/repair"
+        )
 
 
 def _partition_path(spark, base: str, cols: Sequence[str], vals: Sequence):
@@ -278,11 +303,11 @@ def recover_unpartitioned_merge(spark, path: str) -> str:
         fs.delete(old, True)
         return "intact"
     if fs.exists(tmp):
-        fs.rename(tmp, hpath)
+        _rename_or_raise(fs, tmp, hpath)
         fs.delete(old, True)
         return "rolled_forward"
     if fs.exists(old):
-        fs.rename(old, hpath)
+        _rename_or_raise(fs, old, hpath)
         return "rolled_back"
     raise FileNotFoundError(
         f"no dataset at {path}, {tmp}, or {old} — nothing to recover"

@@ -259,3 +259,38 @@ def test_merge_unpartitioned_crash_recovery(spark, tmp_path):
     shutil.rmtree(path)
     with pytest.raises(FileNotFoundError, match="nothing to recover"):
         recover_unpartitioned_merge(spark, str(tmp_path / "flat"))
+
+
+def test_fresh_branch_refuses_crash_leftovers(spark, tmp_path):
+    """A missing live dataset + staging dirs = interrupted merge; the
+    fresh-dataset branch must refuse (writing batch-only data would
+    silently drop every pre-crash row and the next merge would delete
+    the only complete copy) and point at the recovery helper."""
+    import pytest
+
+    from distributed_mapreduce__spark.sources.sinks import (
+        merge_keyed,
+        recover_unpartitioned_merge,
+    )
+
+    path = str(tmp_path / "ds")
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    # simulate the crash window: full dataset parked at ._merge_old,
+    # nothing live at path
+    df.write.parquet(path + "._merge_old")
+    with pytest.raises(RuntimeError, match="recover_unpartitioned_merge"):
+        merge_keyed(
+            spark.createDataFrame([(3, "c")], "k long, v string"),
+            path,
+            key_cols=["k"],
+        )
+    # the designed path: recover, then merge cleanly
+    assert recover_unpartitioned_merge(spark, path) == "rolled_back"
+    merge_keyed(
+        spark.createDataFrame([(3, "c")], "k long, v string"),
+        path,
+        key_cols=["k"],
+    )
+    assert sorted(
+        (r.k, r.v) for r in spark.read.parquet(path).collect()
+    ) == [(1, "a"), (2, "b"), (3, "c")]

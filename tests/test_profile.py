@@ -242,3 +242,18 @@ def test_compare_profiles_null_minmax_and_n_rows(spark):
         (F.col("column") == "__table__") & (F.col("metric") == "n_rows")
     ).first()
     assert nr.flag == "shifted" and nr.rel_change == 2.0
+
+
+def test_empty_table_group_hint_is_skipped_not_crash(spark, tmp_path):
+    from distributed_mapreduce__spark.operators.profile import (
+        load_profile_hints,
+        save_profile,
+    )
+
+    empty = spark.createDataFrame([], "id long, grp string")
+    path = str(tmp_path / "prof")
+    save_profile(empty, path, approx=False, group_count_cols=["grp"])
+    hints = load_profile_hints(spark, path)
+    assert hints["n_rows"] == 0
+    # max over zero groups is NULL -> hint absent, not TypeError
+    assert "grp" not in hints["max_group_rows"]
