@@ -183,6 +183,32 @@ def segment_py(text: str, merges: list[tuple[str, str]]) -> list[str]:
     return out
 
 
+def _doc_segmenter(merges_t, vocab_d=None):
+    """Per-task document segmenter shared by the two Arrow UDFs:
+    pre-token regex + word-TYPE memo + greedy merge, optionally
+    post-mapped to vocab ids (one memoized unit per word either way,
+    so segment and encode cannot fork behavior)."""
+    ranks = {p: i for i, p in enumerate(merges_t)}
+    memo: dict = {}
+    pat = re.compile(PRETOKEN_RE)
+
+    def one(t):
+        if t is None:
+            return []
+        out = []
+        for w in pat.findall(t):
+            got = memo.get(w)
+            if got is None:
+                toks = _segment_word(w, ranks)
+                if vocab_d is not None:
+                    toks = [vocab_d.get(tok, 0) for tok in toks]
+                got = memo[w] = toks
+            out.extend(got)
+        return out
+
+    return one
+
+
 def bpe_segment(
     docs: DataFrame,
     merges: list[tuple[str, str]],
@@ -200,21 +226,7 @@ def bpe_segment(
     def seg(texts):
         import pandas as pd
 
-        ranks = {p: i for i, p in enumerate(merges_t)}
-        memo: dict[str, list[str]] = {}
-        pat = re.compile(PRETOKEN_RE)
-
-        def one(t):
-            if t is None:
-                return []
-            out = []
-            for w in pat.findall(t):
-                got = memo.get(w)
-                if got is None:
-                    got = memo[w] = _segment_word(w, ranks)
-                out.extend(got)
-            return out
-
+        one = _doc_segmenter(merges_t)
         return pd.Series([one(t) for t in texts])
 
     return docs.withColumn(out_col, seg(F.col(text_col)))
@@ -294,23 +306,7 @@ def bpe_encode_ids(
     def enc(texts):
         import pandas as pd
 
-        ranks = {p: i for i, p in enumerate(merges_t)}
-        memo: dict[str, list[int]] = {}
-        pat = re.compile(PRETOKEN_RE)
-
-        def one(t):
-            if t is None:
-                return []
-            out = []
-            for w in pat.findall(t):
-                got = memo.get(w)
-                if got is None:
-                    got = memo[w] = [
-                        vocab_d.get(tok, 0) for tok in _segment_word(w, ranks)
-                    ]
-                out.extend(got)
-            return out
-
+        one = _doc_segmenter(merges_t, vocab_d)
         return pd.Series([one(t) for t in texts])
 
     return docs.withColumn(out_col, enc(F.col(text_col)))

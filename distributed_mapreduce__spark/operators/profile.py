@@ -236,11 +236,19 @@ def compare_profiles(
         (F.col("new_value").cast("double") - F.col("old_value").cast("double"))
         / F.greatest(F.col("old_value").cast("double"), F.lit(1.0)),
     )
-    # eqNullSafe: NULL==NULL min/max is "no change", NULL vs value is
+    # eqNullSafe: NULL==NULL is "no change"; NULL vs value is a shift
+    # for EVERY metric class (a count metric can go NULL too — e.g.
+    # max_group_rows of an empty table version — and must not slip
+    # through the rel-threshold branch, whose rel is NULL there)
     flag = (
         F.when(F.col("_in_old").isNull(), F.lit("added"))
         .when(F.col("_in_new").isNull(), F.lit("removed"))
-        .when(is_count & (F.abs(rel) > rel_threshold), F.lit("shifted"))
+        .when(is_count & both & (F.abs(rel) > rel_threshold), F.lit("shifted"))
+        .when(
+            ~both
+            & ~F.col("old_value").eqNullSafe(F.col("new_value")),
+            F.lit("shifted"),
+        )
         .when(
             ~is_count
             & ~F.col("old_value").eqNullSafe(F.col("new_value")),

@@ -398,8 +398,12 @@ def lsh_topk(
     c_buckets = lsh_buckets(corpus, planes, vec_col=vec_col)
 
     q_buckets = lsh_buckets(queries, planes, vec_col=vec_col)
+    # multiprobe=True always probes at least radius 1 (its pre-refactor
+    # contract — radius below 1 with the flag set would silently mean
+    # "multiprobe off"); radius is the dial ABOVE that floor
     probes = expand_probes(
-        q_buckets, probe_masks(n_planes, probe_radius if multiprobe else 0)
+        q_buckets,
+        probe_masks(n_planes, max(1, probe_radius) if multiprobe else 0),
     )
     # candidate id pairs via the UNHINTED bucket equi-join (AQE picks
     # broadcast vs shuffled-hash from actual probe-side size). No

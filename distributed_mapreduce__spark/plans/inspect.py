@@ -26,6 +26,10 @@ def physical_summary(df: DataFrame) -> dict[str, int]:
     return {
         "broadcast_hash_join": plan.count("BroadcastHashJoin"),
         "sort_merge_join": plan.count("SortMergeJoin"),
+        # the quadratic shapes — any non-oracle operator asserting
+        # scale-safety should pin these to 0
+        "nested_loop_join": plan.count("BroadcastNestedLoopJoin"),
+        "cartesian_product": plan.count("CartesianProduct"),
         "shuffle_exchange": plan.count("Exchange hashpartitioning")
         + plan.count("Exchange rangepartitioning")
         + plan.count("Exchange RoundRobinPartitioning"),

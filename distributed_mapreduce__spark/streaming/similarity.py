@@ -182,17 +182,19 @@ def stream_topk_against_index(
     trigger gap), exactly as one would coordinate any parquet
     swap-rewrite with its readers; a transactional table format is the
     no-coordination upgrade path."""
-    # (n_planes, dim) are pinned at build time — a different plane
-    # count requires build_ann_index anyway — so read the sidecar once,
-    # not one Spark job per micro-batch
-    n_planes, dim = load_ann_meta(stream_vecs.sparkSession, index_path)
-
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         from ..sources.sinks import overwrite_partitions
 
         spark = batch_df.sparkSession
         if batch_df.isEmpty():
             return
+        # meta is re-read per batch ON PURPOSE: a rebuild
+        # (build_ann_index at a grown corpus) changes n_planes, and a
+        # batch bucketed under the old plane count would equi-join
+        # garbage against the new buckets — silent wrong results. The
+        # cost is one tiny 1-row read per batch; correctness under
+        # rebuilds is worth it.
+        n_planes, dim = load_ann_meta(spark, index_path)
         index = spark.read.parquet(index_path)
         out = topk_against_index(
             batch_df,

@@ -192,7 +192,18 @@ def _scale_check_neardup_front_door(spark, con, sf_dir, registry):
     )
 
     name = "neardup_front_door"
-    n_docs = con.execute("SELECT count(*) FROM documents").fetchone()[0]
+    # predict the route EXACTLY as the query does: it consults the
+    # $SPARK_GRAFT_PROFILE_DIR sidecar first (a stale sidecar would
+    # route differently than the live count — the checker must follow
+    # the query, not second-guess it, or correct code fails the gate)
+    from distributed_mapreduce__spark.operators.profile import table_hints
+
+    hints = table_hints(spark, "documents")
+    n_docs = (
+        hints["n_rows"]
+        if hints
+        else con.execute("SELECT count(*) FROM documents").fetchone()[0]
+    )
     routed_lsh = n_docs > EXACT_PAIRS_MAX_DOCS
     oracle = registry.ORACLES[
         "dedup_minhash_pairs" if routed_lsh else name
@@ -203,11 +214,17 @@ def _scale_check_neardup_front_door(spark, con, sf_dir, registry):
     res = con.execute(oracle)
     d_cols = [c[0].lower() for c in res.description]
     d_rows = res.fetchall()
-    if multiset(s_rows, s_cols) != multiset(d_rows, d_cols):
+    sm, dm = multiset(s_rows, s_cols), multiset(d_rows, d_cols)
+    if sm != dm:
+        first = [
+            (a, b)
+            for a, b in zip(sm, dm)
+            if a != b
+        ][:2] or [("spark-only", sm[len(dm):][:1]), ("duckdb-only", dm[len(sm):][:1])]
         return False, (
             f"value mismatch vs routed-branch oracle "
             f"({len(s_rows)} spark vs {len(d_rows)} duckdb rows, "
-            f"route={'lsh' if routed_lsh else 'exact'})"
+            f"route={'lsh' if routed_lsh else 'exact'}; first: {first})"
         )
     return True, (
         f"{len(s_rows)} rows bit-exact vs the routed "

@@ -186,10 +186,8 @@ def test_compare_profiles_drift_report(spark):
     # score nulls went 10 -> 20: rel_change 1.0, flagged
     r = rows[("score", "n_nulls")]
     assert r.flag == "shifted" and r.rel_change == 1.0
-    # id column is identical: no flags on any of its metrics
-    assert all(
-        rows[k].flag is None for k in rows if k[0] == "id" and k[1] != "max"
-    ) or rows[("id", "max")].flag is None
+    # id column is identical: no flags on ANY of its metrics
+    assert all(rows[k].flag is None for k in rows if k[0] == "id")
     # score max moved (99.0 -> 198.0): range drift flagged, rel NULL
     r = rows[("score", "max")]
     assert r.flag == "shifted" and r.rel_change is None
