@@ -213,3 +213,56 @@ def strip_repeated_spans(
             "n_stripped_tokens"
         ),
     )
+
+
+def novelty_scores(
+    docs: DataFrame, k: int = 8, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, n_grams, n_novel, novelty): fraction of a document's
+    k-grams whose text occurs nowhere else in the corpus (count == 1
+    globally) — the inverse-boilerplate ranking signal: sort ascending
+    and the template-stamped pages surface; weight sampling by it and
+    near-copies stop dominating the mixture. Documents with < k tokens
+    have no gram support: n_grams = 0, novelty NULL.
+
+    Same single-shuffle gram pipeline as :func:`repeated_spans`
+    (shared extraction, window count on the gram hash), then one
+    per-document aggregation."""
+    toked = docs.select(F.col(id_col), _tokens(text_col).alias("_toks"))
+    toks = F.col("_toks")
+    from ..plans.partitioning import spread
+
+    grams = spread(toked).select(
+        F.col(id_col),
+        F.explode(
+            F.when(
+                F.size(toks) >= k,
+                F.transform(
+                    F.sequence(F.lit(0), F.size(toks) - k),
+                    lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i + 1, k))),
+                ),
+            ).otherwise(F.array())
+        ).alias("gram"),
+    )
+    n_occ = F.count("*").over(Window.partitionBy("gram"))
+    per_doc = (
+        grams.withColumn("novel", (n_occ == 1).cast("long"))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum("novel").alias("n_novel"),
+        )
+    )
+    return (
+        docs.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.coalesce("n_novel", F.lit(0)).alias("n_novel"),
+            F.try_divide(
+                F.coalesce("n_novel", F.lit(0)).cast("double"),
+                F.coalesce("n_grams", F.lit(0)),
+            ).alias("novelty"),
+        )
+    )

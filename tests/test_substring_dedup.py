@@ -216,3 +216,56 @@ def test_null_text_passes_through_as_null(spark):
     assert rows[1].text is None and rows[1].n_stripped_tokens == 0
     assert rows[2].text == "some plain words here"
     assert repeated_spans(df, k=8).count() == 0
+
+
+def test_novelty_scores_match_duckdb(spark):
+    from distributed_mapreduce__spark.operators.substring_dedup import (
+        novelty_scores,
+    )
+
+    rows = _DOCS + [(7, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_grams, r.n_novel, r.novelty)
+        for r in novelty_scores(df, k=8).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE docs (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO docs VALUES (?, ?)", rows)
+    want = dict(
+        con.execute(
+            """
+            WITH g AS (
+              SELECT d.doc_id,
+                     md5(array_to_string(list_slice(t, i.i, i.i + 7), ' ')) AS gram
+              FROM (SELECT doc_id, regexp_extract_all(text, '\\S+') AS t
+                    FROM docs WHERE text IS NOT NULL) d,
+                   LATERAL (SELECT unnest(generate_series(1, len(d.t) - 7)) AS i) i
+            ),
+            c AS (SELECT gram, count(*) AS n FROM g GROUP BY gram)
+            SELECT d.doc_id,
+                   (count(g.gram), count(*) FILTER (WHERE c.n = 1),
+                    count(*) FILTER (WHERE c.n = 1)
+                      / nullif(count(g.gram), 0)::DOUBLE)
+            FROM docs d
+            LEFT JOIN g USING (doc_id)
+            LEFT JOIN c USING (gram)
+            GROUP BY d.doc_id
+            """
+        ).fetchall()
+    )
+    con.close()
+    for doc_id, (wn, wnov, wratio) in want.items():
+        gn, gnov, gratio = got[doc_id]
+        assert (gn, gnov) == (wn, wnov), doc_id
+        if wratio is None:
+            assert gratio is None
+        else:
+            assert gratio == pytest.approx(wratio, abs=1e-12)
+    # semantic spot checks: the unique doc scores 1.0; the doubled-
+    # boilerplate doc sits strictly below the unique doc (its in-copy
+    # grams are duplicated; only the copy-boundary-crossing grams are
+    # novel); short/null docs have no gram support
+    assert got[6][2] == 1.0
+    assert 0 < got[4][2] < got[6][2]
+    assert got[5] == (0, 0, None) and got[7] == (0, 0, None)
