@@ -62,3 +62,45 @@ def prepare_corpus(
     return hash_split(
         scored, F.col("doc_id").cast("string"), splits, seed=seed
     ).select("doc_id", "text", "lang", "quality", "split")
+
+
+def curation_signals(
+    docs: DataFrame, k: int = 8, text_col: str = "text"
+) -> DataFrame:
+    """ONE call → the full per-document curation signal table:
+
+    (doc_id, n_tokens, dup_word_frac, dup_line_frac, top_bigram_frac,
+    quality_score, bpe_ish_tokens, compressed_len, compression_ratio,
+    n_grams, n_novel, novelty)
+
+    — repetition profile (operators/repetition.py), heuristic quality
+    + pre-token budget (text_analysis), deflate redundancy
+    (text_analysis.compression_ratio), and corpus-unique-gram novelty
+    (substring_dedup.novelty_scores). The filter-rule front door: each
+    component is independently oracle-tested; this assembles them with
+    doc_id equi-joins (one shuffle each, AQE-sized) so a funnel
+    (operators/funnel.py) or classifier (operators/classifier.py) can
+    consume every signal from one DataFrame without re-plumbing four
+    operators.
+
+    ``novelty`` is the only corpus-RELATIVE signal here (one gram
+    shuffle across the corpus); everything else is per-row compute."""
+    from .repetition import repetition_signals
+    from .substring_dedup import novelty_scores
+    from .text_analysis import bpe_ish_token_count, compression_ratio
+
+    rep = repetition_signals(docs.select("doc_id", text_col))
+    perdoc = compression_ratio(
+        docs.select(
+            "doc_id",
+            F.col(text_col).alias("text"),
+        )
+    ).select(
+        "doc_id",
+        quality_expr("text").alias("quality_score"),
+        bpe_ish_token_count("text").alias("bpe_ish_tokens"),
+        "compressed_len",
+        "compression_ratio",
+    )
+    nov = novelty_scores(docs, k=k, text_col=text_col)
+    return rep.join(perdoc, "doc_id").join(nov, "doc_id")

@@ -101,3 +101,34 @@ def test_partitioned_output_backfills_idempotently(spark, tmp_path):
     assert after["split=test"] == before["split=test"]
     back = spark.read.parquet(out)
     assert back.count() == corpus.count()
+
+def test_curation_signals_assembles_components(spark):
+    from distributed_mapreduce__spark.operators.corpus import curation_signals
+    from distributed_mapreduce__spark.operators.repetition import (
+        repetition_signals,
+    )
+    from distributed_mapreduce__spark.operators.substring_dedup import (
+        novelty_scores,
+    )
+    from distributed_mapreduce__spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    out = curation_signals(docs)
+    assert set(out.columns) == {
+        "doc_id", "n_tokens", "dup_word_frac", "dup_line_frac",
+        "top_bigram_frac", "quality_score", "bpe_ish_tokens",
+        "compressed_len", "compression_ratio", "n_grams", "n_novel",
+        "novelty",
+    }
+    rows = {r.doc_id: r for r in out.collect()}
+    assert len(rows) == docs.count()  # inner joins lose no docs
+    # spot-parity with the standalone components
+    rep = {r.doc_id: r for r in repetition_signals(docs).collect()}
+    nov = {r.doc_id: r for r in novelty_scores(docs).collect()}
+    for did in list(rows)[:20]:
+        assert rows[did].dup_word_frac == rep[did].dup_word_frac
+        assert rows[did].n_novel == nov[did].n_novel
+        assert rows[did].novelty == nov[did].novelty
+        assert 0 < rows[did].compression_ratio
