@@ -13,11 +13,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.funnel import funnel_report
+from ..operators.lines import clean_lines
 from ..operators.mixture import resample_to_mixture
 from ..operators.packing import pack_into_chunks
 from ..operators.pii import PII_CLASSES, pii_scrub
 from ..operators.repetition import dup_word_frac
-from ..registry import register
+from ..registry import register, register_local
 from ..sources.tables import load_table
 
 
@@ -187,3 +188,49 @@ def pack_chunks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     match the distributed offsets exactly (operators/packing.py)."""
     docs = load_table(spark, sf_dir, "documents")
     return pack_into_chunks(docs, _PACK_BUDGET)
+
+
+_LINE_DEDUP_ORACLE = """
+WITH lines AS (
+  SELECT doc_id, generate_subscripts(p, 1) - 1 AS line_no, unnest(p) AS line
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS p FROM documents)
+), kept AS (
+  SELECT * FROM lines
+  WHERE (CASE WHEN trim(line) = '' THEN 0
+         ELSE len(string_split(regexp_replace(trim(line), '\\s+', ' ', 'g'), ' '))
+         END) >= 1
+), deduped AS (
+  SELECT doc_id, line_no, line FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY md5(line) ORDER BY doc_id, line_no) AS rn
+    FROM kept)
+  WHERE rn = 1
+)
+SELECT doc_id,
+       string_agg(line, chr(10) ORDER BY line_no) AS text,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM deduped GROUP BY doc_id HAVING count(*) >= 1
+"""
+
+
+@register_local("line_dedup_docs", oracle=_LINE_DEDUP_ORACLE)
+def line_dedup_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style corpus-wide line dedup over the document corpus
+    (operators/lines.py): explode to lines, keep-first dedup keyed on
+    md5(line) with min (doc_id, line_no) canonical, reassemble docs,
+    report surviving line counts. Filters relaxed (min_words=1, no
+    punctuation/blocklist rules) so the query is meaningful on the
+    single-line fixture corpus — there it reduces to keep-first exact
+    document dedup, which the oracle replays line-level anyway. The
+    full C4 rule set is exercised on multi-line corpora in
+    tests/test_lines.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    return clean_lines(
+        docs,
+        min_words=1,
+        require_terminal_punct=False,
+        line_blocklist=(),
+        doc_blocklist=(),
+        dedup=True,
+        min_lines=1,
+    )
