@@ -94,17 +94,39 @@ def _seed_hash(s: int) -> F.Column:
     return (F.col("hm") * F.lit(2 * s + 1) + F.lit(s)) % F.lit(MH_PRIME)
 
 
+def shingle_hash() -> F.Column:
+    """60-bit md5 fold of the ``shingle`` column, mod the Mersenne
+    prime — the ONE string hash the whole minhash family derives from."""
+    return (
+        F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("long")
+        % F.lit(MH_PRIME)
+    )
+
+
+def hashed_shingles(shingles: DataFrame, distinct: bool = True) -> DataFrame:
+    """(doc_id, hm): shingles reduced to their 60-bit hash BEFORE any
+    shuffle. Real-corpus shingles (13-gram production windows run
+    80-130 bytes) dominate the dedup pipeline's shuffle volume; hashing
+    first makes the distinct + verify-join exchanges carry 8-byte longs
+    instead — a ~10x shuffle-size cut at scale with no semantic change
+    (set equality over hm == set equality over shingles up to md5
+    collision, immaterial below 2^30 distinct shingles per doc pair)."""
+    out = shingles.select("doc_id", shingle_hash().alias("hm"))
+    return out.distinct() if distinct else out
+
+
 def minhash_signatures(shingles: DataFrame, n_seeds: int = N_SEEDS) -> DataFrame:
     """(doc_id, mh0..mh{n-1}): all minhashes in one aggregation pass.
 
-    Shuffle volume is one row per document (n_seeds longs wide) —
-    independent of shingle count; partial aggregation does the mins
-    map-side."""
-    hm = (
-        F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("long")
-        % F.lit(MH_PRIME)
-    ).alias("hm")
-    hashed = shingles.select("doc_id", hm)
+    Accepts either raw (doc_id, shingle) or pre-hashed (doc_id, hm)
+    input — the hashed form lets one projection feed signatures AND the
+    verify join. Shuffle volume is one row per document (n_seeds longs
+    wide) — independent of shingle count; partial aggregation does the
+    mins map-side."""
+    if "hm" in shingles.columns:
+        hashed = shingles.select("doc_id", "hm")
+    else:
+        hashed = shingles.select("doc_id", shingle_hash().alias("hm"))
     return hashed.groupBy("doc_id").agg(
         *[F.min(_seed_hash(s)).alias(f"mh{s}") for s in range(n_seeds)]
     )
@@ -148,13 +170,18 @@ def lsh_candidate_pairs(bands: DataFrame) -> DataFrame:
     )
 
 
-def exact_jaccard(shingles: DataFrame, pairs: DataFrame | None = None) -> DataFrame:
+def exact_jaccard(
+    shingles: DataFrame, pairs: DataFrame | None = None, key: str = "shingle"
+) -> DataFrame:
     """(doc_a, doc_b, jaccard) over distinct shingle sets.
 
     With ``pairs`` given, computes only those pairs (the scale path:
     verify LSH candidates). Without, all pairs sharing ≥1 shingle (the
-    exact small-scale baseline). jaccard = |∩| / (|A|+|B|-|∩|) — integer
-    inputs, so the double is engine-identical."""
+    exact small-scale baseline). ``key`` names the set-element column —
+    pass ``"hm"`` with :func:`hashed_shingles` input so the verify join
+    shuffles 8-byte longs instead of shingle text (the scale form).
+    jaccard = |∩| / (|A|+|B|-|∩|) — integer inputs, so the double is
+    engine-identical."""
     sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     if pairs is not None:
         # Candidate-restricted path: fan the pair list out to the two
@@ -164,12 +191,12 @@ def exact_jaccard(shingles: DataFrame, pairs: DataFrame | None = None) -> DataFr
         # No broadcast hint: the candidate list is usually small, but a
         # skewed corpus can produce millions of pairs — let AQE pick
         # broadcast vs shuffle from the measured size at runtime.
-        sa = shingles.select(F.col("doc_id").alias("doc_a"), "shingle")
-        sb = shingles.select(F.col("doc_id").alias("doc_b"), "shingle")
+        sa = shingles.select(F.col("doc_id").alias("doc_a"), key)
+        sb = shingles.select(F.col("doc_id").alias("doc_b"), key)
         inter = (
             pairs
             .join(sa, "doc_a")
-            .join(sb, ["doc_b", "shingle"])
+            .join(sb, ["doc_b", key])
             .groupBy("doc_a", "doc_b")
             .agg(F.count("*").alias("n_inter"))
         )
@@ -179,7 +206,7 @@ def exact_jaccard(shingles: DataFrame, pairs: DataFrame | None = None) -> DataFr
         inter = (
             sa.join(
                 sb,
-                (F.col("sa.shingle") == F.col("sb.shingle"))
+                (F.col(f"sa.{key}") == F.col(f"sb.{key}"))
                 & (F.col("sa.doc_id") < F.col("sb.doc_id")),
             )
             .select(F.col("sa.doc_id").alias("doc_a"), F.col("sb.doc_id").alias("doc_b"))
@@ -231,12 +258,16 @@ def near_dup_pairs(
     if strategy == "auto":
         n = doc_count if doc_count is not None else docs.count()
         strategy = "exact" if n <= EXACT_PAIRS_MAX_DOCS else "lsh"
-    sh = doc_shingles(docs)
     if strategy == "exact":
-        scored = exact_jaccard(sh)
+        scored = exact_jaccard(doc_shingles(docs))
     elif strategy == "lsh":
-        cands = lsh_candidate_pairs(lsh_bands(minhash_signatures(sh)))
-        scored = exact_jaccard(sh, cands)
+        # Scale branch works on hashed shingles end-to-end: one
+        # projection feeds the signature aggregate (duplicate-
+        # insensitive, so the non-distinct stream skips a shuffle) and
+        # the long-keyed distinct + verify join (hashed_shingles doc).
+        hs = hashed_shingles(doc_shingles(docs, distinct=False), distinct=False)
+        cands = lsh_candidate_pairs(lsh_bands(minhash_signatures(hs)))
+        scored = exact_jaccard(hs.distinct(), cands, key="hm")
     else:
         raise ValueError(
             f"unknown strategy {strategy!r}; expected auto/exact/lsh"

@@ -142,3 +142,41 @@ def leakage_safe_split(
                    split_col=split_col)
         .drop("_lss_comp", "_lss_key")
     )
+
+
+def cluster_sample(
+    vectors: DataFrame,
+    n_per_cluster: int,
+    k: int = 16,
+    kmeans_seed: int = 42,
+    seed: int = 0,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Diversity-preserving subset selection: k-means cells over the
+    embedding column, then an exact per-cell quota in deterministic
+    hash order — input columns + a ``cell`` tag out.
+
+    Uniform sampling keeps the corpus's mode collapse: 95% news → a
+    95%-news sample. Cluster-quota sampling (the embedding-space
+    balancing step of SemDeDup-lineage curation, Abbas et al. 2023)
+    caps every embedding cluster at ``n_per_cluster``, so rare modes
+    survive selection and dominant modes stop crowding the budget.
+
+    Composition of existing scale pieces: the coarse quantizer is
+    :func:`.similarity.ivf_assignments` (tiny broadcast centroid
+    model, one embarrassingly-parallel assignment pass; fit on a
+    sample at real scale), the quota is :func:`stratified_quota`
+    (one shuffle keyed by cell + per-partition sort). Deterministic
+    end-to-end: seeded centroids + content-addressed hash ranks, so
+    the same corpus yields the same subset in every run and retry.
+    KMeans is not SQL-portable, so tests gate structure (quota bounds,
+    determinism, planted-mode recovery) rather than a DuckDB replay.
+    """
+    from .similarity import ivf_assignments
+
+    vecs = vectors.withColumnRenamed(key_col, "vec_id") if key_col != "vec_id" else vectors
+    assign, _ = ivf_assignments(vecs, k=k, seed=kmeans_seed, vec_col=vec_col)
+    tagged = vecs.join(assign, "vec_id")
+    out = stratified_quota(tagged, ["cell"], F.col("vec_id"), n_per_cluster, seed)
+    return out.withColumnRenamed("vec_id", key_col) if key_col != "vec_id" else out

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from ..operators.dedup import (
     doc_shingles,
+    hashed_shingles,
     exact_dedup_groups,
     exact_jaccard,
     lsh_bands,
@@ -31,7 +32,7 @@ from ..sources.tables import load_table
 # Whitespace-normalized token array (identical in both engines).
 _TOKS = "string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ')"
 
-_SHINGLES_CTE = f"""
+_SH_ONLY_CTE = f"""
     tarr AS (SELECT doc_id, {_TOKS} AS t FROM documents),
     tpos AS (SELECT doc_id, unnest(t) AS tok, generate_subscripts(t, 1) AS pos FROM tarr),
     sh AS (
@@ -39,7 +40,11 @@ _SHINGLES_CTE = f"""
       FROM tpos a
       JOIN tpos b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
       JOIN tpos c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
-    ),
+    )
+"""
+
+_SHINGLES_CTE = f"""
+    {_SH_ONLY_CTE},
     szs AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
     inter AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
@@ -60,6 +65,22 @@ _MH_BANDS_UNION = "\n      UNION ALL ".join(
     f"SELECT doc_id, {b} AS band, md5(mh{2 * b} || ',' || mh{2 * b + 1}) AS band_key FROM sig"
     for b in range(8)
 )
+
+# Hashed-shingle set CTEs for the LSH scale path: the Spark side
+# reduces shingles to their 60-bit hash BEFORE the distinct/verify
+# shuffles (operators/dedup.py hashed_shingles), so the oracle's
+# size/intersection tables are over DISTINCT (doc_id, hm) too —
+# identical values up to md5 collision, which the fixture corpora
+# cannot produce.
+_HASHED_SET_CTE = """
+    hsh AS (SELECT DISTINCT doc_id, hm FROM hmv),
+    szs AS (SELECT doc_id, count(*) AS n_sh FROM hsh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+      FROM hsh a JOIN hsh b ON a.hm = b.hm AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+"""
 
 
 @register(
@@ -97,7 +118,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_minhash_pairs",
     oracle=f"""
-    WITH {_SHINGLES_CTE},
+    WITH {_SH_ONLY_CTE},
     hmv AS (
       SELECT doc_id,
              list_reduce(list_transform(generate_series(1, 15),
@@ -106,6 +127,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
                (a, b) -> a * 16 + b) % 2147483647 AS hm
       FROM sh
     ),
+    {_HASHED_SET_CTE},
     sig AS (
       SELECT doc_id,
              {_MH_SIG_COLS}
@@ -130,19 +152,29 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E2 scale path: MinHash(16 seeds) → LSH(8 bands × 2) candidates →
-    exact-Jaccard verification at 0.5. Oracle replays every stage."""
+    exact-Jaccard verification at 0.5. Oracle replays every stage,
+    including the shingle→hash reduction.
+
+    The whole pipeline — signature aggregate, distinct, verify join —
+    runs on HASHED shingles (one 60-bit md5 fold per shingle, computed
+    before any exchange): every shuffle carries 8-byte longs where the
+    naive form ships shingle text (80-130 bytes at production 13-gram
+    windows) — the dominant shuffle-volume term of fuzzy dedup at
+    100 TB. Verification is exact Jaccard over the hashed sets
+    (identical values up to md5 collision)."""
     docs = load_table(spark, sf_dir, "documents")
-    # The shingle subtree feeds signatures, both jaccard sides, and the
-    # size table; measured, recomputing it (parallel, ReusedExchange
-    # where plans align) beats persisting — blocking materialization
-    # cost more than it saved. At 100 TB, revisit with a disk-backed
-    # persist or an explicit intermediate table.
-    sh = doc_shingles(docs)
+    # The hashed-shingle subtree feeds signatures, both jaccard sides,
+    # and the size table; measured, recomputing it (parallel,
+    # ReusedExchange where plans align) beats persisting — blocking
+    # materialization cost more than it saved. At 100 TB, revisit with
+    # a disk-backed persist or an explicit intermediate table.
+    hs = hashed_shingles(doc_shingles(docs, distinct=False), distinct=False)
     # signatures take the non-distinct stream: min() is duplicate-
     # insensitive, so the distinct shuffle is pure cost there
-    sig = minhash_signatures(doc_shingles(docs, distinct=False))
-    cands = lsh_candidate_pairs(lsh_bands(sig))
-    return exact_jaccard(sh, pairs=cands).filter(F.col("jaccard") >= 0.5)
+    cands = lsh_candidate_pairs(lsh_bands(minhash_signatures(hs)))
+    return exact_jaccard(hs.distinct(), pairs=cands, key="hm").filter(
+        F.col("jaccard") >= 0.5
+    )
 
 
 _NGRAM_JACCARD_ORACLE = f"""

@@ -158,3 +158,75 @@ def test_leakage_safe_split_keeps_neardups_together(spark):
     }
     for d in set(split_of) - paired:
         assert split_of[d] == plain[d]
+
+
+def test_cluster_sample_planted_modes_and_determinism(spark):
+    """Three well-separated planted modes with sizes 50/30/5: the
+    per-cluster quota must keep ALL of the rare mode while capping the
+    dominant ones — the balancing property uniform sampling lacks —
+    and the subset must be bit-identical run-to-run."""
+    import random
+
+    from distributed_mapreduce__spark.operators.sampling import cluster_sample
+
+    rng = random.Random(7)
+    centers = [(0.0, 0.0), (100.0, 0.0), (0.0, 100.0)]
+    sizes = [50, 30, 5]
+    rows, vid = [], 0
+    for (cx, cy), n in zip(centers, sizes):
+        for _ in range(n):
+            rows.append(
+                (vid, [cx + rng.gauss(0, 0.5), cy + rng.gauss(0, 0.5)])
+            )
+            vid += 1
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    out = cluster_sample(vecs, n_per_cluster=10, k=3, kmeans_seed=11)
+    got = out.select("vec_id", "cell").collect()
+
+    # Quota: ≤10 per cell; the tiny mode (ids 80..84) survives whole.
+    from collections import Counter
+
+    per_cell = Counter(r["cell"] for r in got)
+    assert all(c <= 10 for c in per_cell.values()), per_cell
+    kept = {r["vec_id"] for r in got}
+    assert set(range(80, 85)) <= kept
+    assert sorted(per_cell.values()) == [5, 10, 10]
+    # Output keeps the input columns + the cell tag.
+    assert set(out.columns) == {"vec_id", "embedding", "cell"}
+
+    again = {
+        (r["vec_id"], r["cell"])
+        for r in cluster_sample(vecs, n_per_cluster=10, k=3, kmeans_seed=11)
+        .select("vec_id", "cell")
+        .collect()
+    }
+    assert again == {(r["vec_id"], r["cell"]) for r in got}
+
+
+def test_cluster_sample_fixture_quota_bounds(spark, sf_dir):
+    """On the real embeddings fixture: exact quota per cell (min(n,
+    |cell|) rows), no duplicated ids, renamed key column honored."""
+    from collections import Counter
+
+    from distributed_mapreduce__spark.operators.sampling import cluster_sample
+
+    vecs = load_table(spark, sf_dir, "embeddings").withColumnRenamed(
+        "vec_id", "doc_id"
+    )
+    out = cluster_sample(vecs, n_per_cluster=7, k=8, key_col="doc_id")
+    got = out.select("doc_id", "cell").collect()
+    ids = [r["doc_id"] for r in got]
+    assert len(ids) == len(set(ids))
+    per_cell = Counter(r["cell"] for r in got)
+    assert all(c <= 7 for c in per_cell.values())
+    # cells with ≥7 members must deliver exactly 7 — recompute sizes
+    # from the full assignment by rejoining on the same seeded model
+    from distributed_mapreduce__spark.operators.similarity import ivf_assignments
+
+    assign, _ = ivf_assignments(
+        load_table(spark, sf_dir, "embeddings"), k=8, seed=42
+    )
+    full = Counter(r["cell"] for r in assign.collect())
+    for cell, n in full.items():
+        assert per_cell.get(cell, 0) == min(7, n), (cell, n, per_cell)
