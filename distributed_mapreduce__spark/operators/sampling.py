@@ -14,6 +14,12 @@ and engine-portable, so every operator is DuckDB-oracle-checkable):
                            other rows come or go (unlike randomSplit).
 - ``stratified_quota``   — exactly-n-per-group sample in hash order
                            (per-language / per-source quotas).
+- ``leakage_safe_split`` — hash_split over near-dup clusters, so a
+                           test doc's near-twin can't land in train.
+- ``cluster_sample``     — per-embedding-cluster quota (diversity
+                           selection; rare modes survive the budget).
+- ``weighted_sample``    — without-replacement sampling ∝ a weight
+                           column (Efraimidis–Spirakis order statistic).
 
 Scale: all are one projection (+ for quotas, one shuffle on the group
 key); no RNG state, no driver coordination, no sort of the full data.
@@ -180,3 +186,45 @@ def cluster_sample(
     tagged = vecs.join(assign, "vec_id")
     out = stratified_quota(tagged, ["cell"], F.col("vec_id"), n_per_cluster, seed)
     return out.withColumnRenamed("vec_id", key_col) if key_col != "vec_id" else out
+
+
+def weighted_sample(
+    df: DataFrame,
+    key: Column | str,
+    weight_col: str,
+    n: int,
+    group_cols: Sequence[str] = (),
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement: the n rows
+    (per group, if ``group_cols``) with the smallest exponential rank
+    ``-ln(u)/w`` — Efraimidis & Spirakis 2006's A-Res order statistic,
+    equivalent to drawing without replacement with inclusion pressure
+    proportional to ``weight_col``.
+
+    "Sample 1M documents ∝ quality score" is the curation step between
+    hard filtering (loses borderline data) and uniform sampling
+    (ignores quality entirely). Like every sampler here the randomness
+    is content-addressed — u derives from md5(key) — so retries,
+    re-partitioning, and re-runs select the same rows, and the DuckDB
+    oracle can replay the selection exactly.
+
+    Rows with NULL or non-positive weight are excluded (zero weight =
+    never sampled). Scale: ungrouped top-n plans as
+    TakeOrderedAndProject (per-partition partial top-n, no global
+    sort); grouped is one shuffle on the group key — both linear.
+    """
+    u = (md5_long(key, seed) % F.lit(_GRAIN) + 1).cast("double") / F.lit(
+        float(_GRAIN)
+    )
+    rank = -F.log(u) / F.col(weight_col)
+    base = df.filter(F.col(weight_col) > 0).withColumn("_es_rank", rank)
+    if group_cols:
+        from .relational import top_k_per_group
+
+        out = top_k_per_group(
+            base, list(group_cols), [F.asc("_es_rank")], k=n, rn_col="_rn"
+        ).drop("_rn")
+    else:
+        out = base.orderBy(F.asc("_es_rank")).limit(n)
+    return out.drop("_es_rank")

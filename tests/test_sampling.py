@@ -230,3 +230,77 @@ def test_cluster_sample_fixture_quota_bounds(spark, sf_dir):
     full = Counter(r["cell"] for r in assign.collect())
     for cell, n in full.items():
         assert per_cell.get(cell, 0) == min(7, n), (cell, n, per_cell)
+
+
+_ES_UNIFORM = """
+  (CAST((list_reduce(list_transform(generate_series(1, 15),
+      i -> CAST(strpos('0123456789abcdef',
+                substring(md5('0:' || CAST({key} AS VARCHAR)), i, 1)) - 1 AS BIGINT)),
+    (a, b) -> a * 16 + b)) % 1048576 + 1 AS DOUBLE) / 1048576.0)
+"""
+
+
+def test_weighted_sample_matches_duckdb_replay(spark, sf_dir):
+    """Ungrouped and grouped selections replayed exactly in DuckDB:
+    same md5-derived uniform, same -ln(u)/w rank, same top-n."""
+    from distributed_mapreduce__spark.operators.sampling import weighted_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    u = _ES_UNIFORM.format(key="doc_id")
+
+    flat = weighted_sample(docs, F.col("doc_id"), "n_chars", 40).select(
+        "doc_id", "n_chars"
+    )
+    compare_query(
+        spark,
+        sf_dir,
+        flat,
+        f"""
+        SELECT doc_id, n_chars FROM documents
+        WHERE n_chars > 0
+        ORDER BY -ln({u}) / n_chars LIMIT 40
+        """,
+    )
+
+    grouped = weighted_sample(
+        docs, F.col("doc_id"), "n_chars", 5, group_cols=["lang"]
+    ).select("doc_id", "lang", "n_chars")
+    compare_query(
+        spark,
+        sf_dir,
+        grouped,
+        f"""
+        SELECT doc_id, lang, n_chars FROM (
+          SELECT doc_id, lang, n_chars, row_number() OVER (
+            PARTITION BY lang ORDER BY -ln({u}) / n_chars) AS rn
+          FROM documents WHERE n_chars > 0)
+        WHERE rn <= 5
+        """,
+    )
+
+
+def test_weighted_sample_proportionality_and_edges(spark):
+    """One weight-10 row among nine weight-1 rows, replicated over 400
+    independent groups, sampled n=1 per group: the heavy row must win
+    ≈ 10/19 of groups (deterministic outcome, generous band). NULL and
+    non-positive weights are never selected; n ≥ group size returns
+    every eligible row."""
+    from distributed_mapreduce__spark.operators.sampling import weighted_sample
+
+    rows = []
+    for g in range(400):
+        for i in range(10):
+            rows.append((g, f"{g}:{i}", 10.0 if i == 0 else 1.0))
+    df = spark.createDataFrame(rows, "g int, k string, w double")
+    picked = weighted_sample(df, F.col("k"), "w", 1, group_cols=["g"]).collect()
+    assert len(picked) == 400
+    heavy_wins = sum(1 for r in picked if r["k"].endswith(":0"))
+    # E[X] = 400 * 10/19 ≈ 211, σ ≈ 10 — band is ±5σ.
+    assert 160 <= heavy_wins <= 260, heavy_wins
+
+    edge = spark.createDataFrame(
+        [("a", 1.0), ("b", None), ("c", 0.0), ("d", -2.0), ("e", 3.0)],
+        "k string, w double",
+    )
+    got = {r["k"] for r in weighted_sample(edge, F.col("k"), "w", 10).collect()}
+    assert got == {"a", "e"}
