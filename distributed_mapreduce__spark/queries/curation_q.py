@@ -234,3 +234,36 @@ def line_dedup_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         dedup=True,
         min_lines=1,
     )
+
+
+_ES_U = """
+  (CAST((list_reduce(list_transform(generate_series(1, 15),
+      i -> CAST(strpos('0123456789abcdef',
+                substring(md5('0:' || CAST(doc_id AS VARCHAR)), i, 1)) - 1 AS BIGINT)),
+    (a, b) -> a * 16 + b)) % 1048576 + 1 AS DOUBLE) / 1048576.0)
+"""
+
+_WEIGHTED_SAMPLE_ORACLE = f"""
+SELECT doc_id, lang, n_chars FROM (
+  SELECT doc_id, lang, n_chars, row_number() OVER (
+    PARTITION BY lang ORDER BY -ln({_ES_U}) / n_chars) AS rn
+  FROM documents WHERE n_chars > 0)
+WHERE rn <= 20
+"""
+
+
+@register_local("weighted_sample_docs", oracle=_WEIGHTED_SAMPLE_ORACLE)
+def weighted_sample_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted corpus subsampling (operators/sampling.py
+    weighted_sample): 20 documents per language, selected without
+    replacement with inclusion pressure ∝ n_chars via the
+    Efraimidis-Spirakis exponential rank over a content-addressed
+    uniform — deterministic under retries, replayed exactly by the
+    oracle. Local tier: the driver's 50 slots are spoken for; the
+    operator's full gate set lives in tests/test_sampling.py."""
+    from ..operators.sampling import weighted_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return weighted_sample(
+        docs, F.col("doc_id"), "n_chars", 20, group_cols=["lang"]
+    ).select("doc_id", "lang", "n_chars")
