@@ -340,3 +340,33 @@ def substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("span_end").cast("int").alias("span_end"),
         "span_text",
     )
+
+
+_DECONTAM_BLOOM_ORACLE = f"""
+    WITH {_SH_ONLY_CTE}
+    SELECT t.doc_id AS train_doc, e.doc_id AS eval_doc,
+           count(*) AS n_shared
+    FROM sh t
+    JOIN (SELECT * FROM sh WHERE doc_id % 10 = 0) e
+      ON t.shingle = e.shingle
+    GROUP BY 1, 2
+"""
+
+
+@register_local("decontamination_bloom", oracle=_DECONTAM_BLOOM_ORACLE)
+def decontamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-pruned benchmark decontamination
+    (operators/bloom.decontaminate_bloom): eval-set shingles → 1%-fpp
+    Bloom bitset → map-only corpus probe → exact verify join on the
+    survivors. Output is bit-identical to the plain
+    ngram_contamination scan (Bloom never drops a true member; false
+    positives die in the verify join), which is exactly what the
+    all-SQL oracle computes. Local tier: the driver's 50 slots are
+    spoken for; the operator's full gate set (fpp bound, sql/arrow
+    parity, DuckDB bit-arithmetic replay, map-only plan) lives in
+    tests/test_bloom.py."""
+    from ..operators.bloom import decontaminate_bloom
+
+    docs = load_table(spark, sf_dir, "documents")
+    eval_docs = docs.filter(F.col("doc_id") % 10 == 0)
+    return decontaminate_bloom(docs, eval_docs, n=3, fpp=0.01)
