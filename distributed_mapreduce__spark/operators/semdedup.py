@@ -42,13 +42,44 @@ def semantic_dup_pairs(
     k: int = 16,
     seed: int = 42,
     vec_col: str = "embedding",
+    project_dim: int | None = None,
+    in_dim: int | None = None,
 ) -> DataFrame:
     """(id_a, id_b, cos): within-cluster pairs with cosine ≥ threshold,
     id_a < id_b.
 
     One k-means fit + assignment pass, one norm pass, one self-equi-join
-    on the cell id — never an all-pairs join across cells."""
-    assign, _ = ivf_assignments(vectors, k=k, seed=seed, vec_col=vec_col)
+    on the cell id — never an all-pairs join across cells.
+
+    ``project_dim`` runs the CLUSTERING stage on a
+    Johnson–Lindenstrauss reduction of the embeddings
+    (:func:`.projection.project_vectors`): the k-means fit/assign pass
+    — the step that touches every coordinate of every vector — costs
+    ``project_dim``/``in_dim`` of the full-width work, while the final
+    cosine is still computed on the ORIGINAL vectors, so a reported
+    pair's ``cos`` is exact and precision is unchanged by construction;
+    only which pairs land in the same cell (recall) depends on the
+    projection, and JL bounds that distortion. This is the standard
+    accelerator for web-scale SemDeDup runs. ``in_dim`` (the source
+    width) is inferred from one row when omitted."""
+    if project_dim is not None:
+        from .projection import SQL_MAX_TERMS, project_vectors
+
+        if in_dim is None:
+            in_dim = len(vectors.select(vec_col).first()[0])
+        method = "sql" if project_dim * in_dim <= SQL_MAX_TERMS else "arrow"
+        reduced = project_vectors(
+            vectors.select("vec_id", vec_col),
+            in_dim,
+            project_dim,
+            seed=seed,
+            vec_col=vec_col,
+            out_col="_pvec",
+            method=method,
+        )
+        assign, _ = ivf_assignments(reduced, k=k, seed=seed, vec_col="_pvec")
+    else:
+        assign, _ = ivf_assignments(vectors, k=k, seed=seed, vec_col=vec_col)
     v = with_norm(vectors, vec_col).join(assign, "vec_id")
     a = v.select(
         F.col("cell"),
@@ -79,11 +110,15 @@ def semantic_dedup(
     k: int = 16,
     seed: int = 42,
     vec_col: str = "embedding",
+    project_dim: int | None = None,
+    in_dim: int | None = None,
 ) -> DataFrame:
     """The corpus minus semantic near-duplicates: cluster the duplicate
     pair graph, keep the min-id member per group (deterministic under
-    retries), pass unpaired vectors through untouched."""
-    pairs = semantic_dup_pairs(vectors, threshold, k, seed, vec_col).select(
-        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
-    )
+    retries), pass unpaired vectors through untouched. ``project_dim``
+    accelerates the clustering stage (see
+    :func:`semantic_dup_pairs`)."""
+    pairs = semantic_dup_pairs(
+        vectors, threshold, k, seed, vec_col, project_dim, in_dim
+    ).select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
     return dedup_survivors(vectors, pairs, id_col="vec_id")

@@ -100,3 +100,46 @@ def test_fixture_embeddings_run(spark):
     nk = kept.count()
     assert 0 < nk <= n
     assert kept.select("vec_id").distinct().count() == nk
+
+
+def test_projected_clustering_keeps_recall_and_precision(corpus):
+    """project_dim=16 runs k-means on a JL reduction (4x less
+    clustering work); reported cosines stay EXACT (computed on the
+    original vectors) so precision is structural, and the planted
+    recall must survive the projection's distortion."""
+    got = {
+        (r.id_a, r.id_b): r.cos
+        for r in semantic_dup_pairs(
+            corpus, threshold=0.98, k=8, project_dim=16
+        ).collect()
+    }
+    want = {
+        (1000 + g * 100 + a, 1000 + g * 100 + b)
+        for g in range(N_GROUPS)
+        for a, b in ((0, 1), (0, 2), (1, 2))
+    }
+    recall = len(set(got) & want) / len(want)
+    assert recall >= 0.9, f"projected semantic pair recall: {recall}"
+    false_pairs = [p for p in set(got) - want if p[0] < 1000 or p[1] < 1000]
+    assert not false_pairs, false_pairs[:5]
+    # exact-cosine contract: every reported pair really is >= threshold,
+    # bit-identical to the unprojected path's score for shared pairs
+    full = {
+        (r.id_a, r.id_b): r.cos
+        for r in semantic_dup_pairs(corpus, threshold=0.98, k=8).collect()
+    }
+    shared = set(got) & set(full)
+    assert shared and all(got[p] == full[p] for p in shared)
+
+
+def test_projected_dedup_deterministic(corpus):
+    a = sorted(
+        r.vec_id
+        for r in semantic_dedup(corpus, threshold=0.98, k=8, project_dim=16).collect()
+    )
+    b = sorted(
+        r.vec_id
+        for r in semantic_dedup(corpus, threshold=0.98, k=8, project_dim=16).collect()
+    )
+    assert a == b
+    assert set(range(N_UNIQUE)) <= set(a)
