@@ -34,23 +34,38 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _mg_ingest(
+    counters: dict[str, int], weighted: Iterator[tuple[str, int]], width: int
+) -> dict[str, int]:
+    """One Misra–Gries update round: fold (value, count) pairs into an
+    existing ≤ width-counter summary. Shared by the batch partition
+    pass and the streaming state operator (MG is a one-pass stream
+    algorithm — cross-batch state update IS the algorithm)."""
+    for v, c in weighted:
+        if v in counters:
+            counters[v] += int(c)
+        elif len(counters) < width:
+            counters[v] = int(c)
+        else:
+            # decrement-all by the smallest deficit that frees a slot
+            dec = min(int(c), min(counters.values()))
+            counters = {
+                k: n - dec for k, n in counters.items() if n - dec > 0
+            }
+            if int(c) - dec > 0:
+                counters[v] = int(c) - dec
+    return counters
+
+
 def _mg_summary(values: Iterator[pd.Series], width: int) -> dict[str, int]:
     """Misra–Gries over a stream of pandas batches: ≤ width counters."""
     counters: dict[str, int] = {}
     for batch in values:
-        for v, c in batch.value_counts().items():
-            if v in counters:
-                counters[v] += int(c)
-            elif len(counters) < width:
-                counters[v] = int(c)
-            else:
-                # decrement-all by the smallest deficit that frees a slot
-                dec = min(int(c), min(counters.values()))
-                counters = {
-                    k: n - dec for k, n in counters.items() if n - dec > 0
-                }
-                if int(c) - dec > 0:
-                    counters[v] = int(c) - dec
+        counters = _mg_ingest(
+            counters,
+            ((v, int(c)) for v, c in batch.value_counts().items()),
+            width,
+        )
     return counters
 
 
