@@ -228,3 +228,28 @@ def weighted_sample(
     else:
         out = base.orderBy(F.asc("_es_rank")).limit(n)
     return out.drop("_es_rank")
+
+
+def deterministic_shuffle(
+    df: DataFrame, key: Column | str, seed: int = 0
+) -> DataFrame:
+    """Globally shuffle rows into a random — but seeded and
+    reproducible — order: sort by ``hash_uniform(key, seed)``.
+
+    Training pipelines shuffle the corpus before sharding so
+    neighboring documents (same crawl, same domain) don't land in the
+    same batch; doing it with a content-addressed sort key instead of
+    ``rand()`` means retries, re-runs, and re-partitioning produce the
+    IDENTICAL order (and a SQL oracle can replay it). A different
+    ``seed`` is a fresh epoch-level permutation.
+
+    Scale: one range shuffle (Spark samples the hash range, then
+    range-partitions + sorts within partitions — the classic
+    distributed total sort, no single-partition bottleneck). Feed the
+    result straight to ``sinks.write_training_shards`` — parquet
+    preserves within-file row order, and ``maxRecordsPerFile`` splits
+    files without reordering. The hash tiebreaker is the key itself, so
+    the order is total iff ``key`` is unique (use the doc id).
+    """
+    c = F.col(key) if isinstance(key, str) else key
+    return df.orderBy(hash_uniform(c, seed).asc(), c.cast("string").asc())

@@ -13,6 +13,9 @@ Covered (each forced end-to-end with a noop sink or an action):
 - PageRank on a seeded synthetic domain graph sized to the documents
   table (edges = 20x docs): rounds are data-independent, so wall
   should track the per-round shuffle.
+- Bloom decontamination over documents (1% of docs as the eval set):
+  build + map-only probe + exact verify, end-to-end.
+- JL projection 64→16 over embeddings (the codegen sql path).
 
 Prints one JSON line per sf_dir:
   {"sf_dir": ..., "ops": {name: sec}, "load_start": ...}
@@ -101,6 +104,23 @@ def measure(spark, sf_dir: str, tmp: str) -> dict[str, float]:
     t0 = time.perf_counter()
     _noop(pagerank(edges, tol=1e-6))
     out["pagerank_20x_edges"] = round(time.perf_counter() - t0, 3)
+
+    from distributed_mapreduce__spark.operators.bloom import (
+        decontaminate_bloom,
+    )
+    from distributed_mapreduce__spark.operators.projection import (
+        project_vectors,
+    )
+
+    full_docs = load_table(spark, sf_dir, "documents")
+    eval_docs = full_docs.filter(F.col("doc_id") % 100 == 0)
+    t0 = time.perf_counter()
+    _noop(decontaminate_bloom(full_docs, eval_docs, n=3))
+    out["bloom_decontaminate"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    _noop(project_vectors(emb, 64, 16, method="sql"))
+    out["jl_project_64to16"] = round(time.perf_counter() - t0, 3)
     return out
 
 

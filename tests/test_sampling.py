@@ -304,3 +304,43 @@ def test_weighted_sample_proportionality_and_edges(spark):
     )
     got = {r["k"] for r in weighted_sample(edge, F.col("k"), "w", 10).collect()}
     assert got == {"a", "e"}
+
+
+def test_deterministic_shuffle_matches_oracle_and_is_stable(spark, sf_dir):
+    """The shuffled order replays exactly in DuckDB (same md5-uniform
+    sort key), is identical run-to-run and under repartitioning, and a
+    different seed yields a genuinely different permutation."""
+    from distributed_mapreduce__spark.operators.sampling import (
+        deterministic_shuffle,
+    )
+    from tests.oracle_utils import duck_connect
+
+    docs = load_table(spark, SF, "documents").select("doc_id")
+    got = [r.doc_id for r in deterministic_shuffle(docs, F.col("doc_id").cast("string")).collect()]
+
+    u = _UNIFORM.format(seed=0, key="CAST(doc_id AS VARCHAR)")
+    con = duck_connect(SF)
+    want = [
+        r[0]
+        for r in con.execute(
+            f"SELECT doc_id FROM documents ORDER BY {u} ASC, CAST(doc_id AS VARCHAR) ASC"
+        ).fetchall()
+    ]
+    con.close()
+    assert got == want
+    # stable under physical layout
+    again = [
+        r.doc_id
+        for r in deterministic_shuffle(
+            docs.repartition(13), F.col("doc_id").cast("string")
+        ).collect()
+    ]
+    assert again == got
+    # a new seed is a new permutation of the same rows
+    other = [
+        r.doc_id
+        for r in deterministic_shuffle(
+            docs, F.col("doc_id").cast("string"), seed=1
+        ).collect()
+    ]
+    assert other != got and sorted(other) == sorted(got)
