@@ -449,3 +449,68 @@ def incremental_dedup(
         tagged.filter(F.col("drop_reason").isNull()).select("doc_id"), "doc_id"
     )
     return tagged, index.unionByName(kept_idx)
+
+
+def hamming_near_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    hash_col: str = "fp",
+    bits: int = 64,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """(id_a, id_b, hamming): ALL pairs whose integer fingerprints
+    differ in ≤ ``max_hamming`` of the low ``bits`` bits — EXACT, not
+    approximate, via the pigeonhole band trick: split the fingerprint
+    into ``max_hamming + 1`` disjoint bands; two hashes within the
+    distance budget must agree exactly on at least one band (at most
+    ``max_hamming`` bands can contain a differing bit), so the
+    band-bucket equi-joins generate a candidate superset and the
+    ``bit_count(xor)`` filter is the exact verify.
+
+    Generic over any integer fingerprint: simhash (:func:`simhash16`,
+    bits=16), image dHash (:func:`.multimodal.phash_media`, bits=64),
+    audio chromaprints. The same candidate-restrict posture as the
+    minhash band join — shuffle volume is (rows × bands) of
+    (id, band_key) pairs, never all-pairs; a band whose key is shared
+    by many rows (e.g. an all-zero band across blank images) is the
+    skew to watch — AQE's skew-join split handles the verify join.
+    """
+    n_bands = max_hamming + 1
+    if not 0 < n_bands <= bits:
+        raise ValueError(f"need 0 <= max_hamming < bits, got {max_hamming}")
+    h = F.col(hash_col)
+    bands = []
+    for b in range(n_bands):
+        lo = b * bits // n_bands
+        hi = (b + 1) * bits // n_bands
+        mask = (1 << (hi - lo)) - 1
+        # arithmetic >> then mask == logical shift for every band incl.
+        # the sign-bit-bearing top band (the mask kills the extension)
+        bands.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(h, lo).bitwiseAND(F.lit(mask)).alias("band_key"),
+            )
+        )
+    keyed = df.select(
+        F.col(id_col).alias("_id"),
+        h.alias("_h"),
+        F.explode(F.array(*bands)).alias("bk"),
+    ).select("_id", "_h", "bk.band", "bk.band_key")
+    a = keyed.select(
+        "band", "band_key", F.col("_id").alias("id_a"), F.col("_h").alias("_ha")
+    )
+    b_ = keyed.select(
+        "band", "band_key", F.col("_id").alias("id_b"), F.col("_h").alias("_hb")
+    )
+    return (
+        a.join(b_, ["band", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= F.lit(max_hamming))
+        .distinct()
+    )
