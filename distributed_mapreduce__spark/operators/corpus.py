@@ -104,3 +104,128 @@ def curation_signals(
     )
     nov = novelty_scores(docs, k=k, text_col=text_col)
     return rep.join(perdoc, "doc_id").join(nov, "doc_id")
+
+
+def build_training_set(
+    docs: DataFrame,
+    out_path: str,
+    *,
+    eval_docs: DataFrame | None = None,
+    html: bool = False,
+    clean: bool = True,
+    clean_opts: Mapping | None = None,
+    min_quality: float = 0.5,
+    languages: Sequence[str] | None = None,
+    near_dup_threshold: float | None = 0.8,
+    contamination_ngram: int = 3,
+    contamination_min_grams: int = 1,
+    splits: Mapping[str, float] = DEFAULT_SPLITS,
+    rows_per_shard: int = 10_000,
+    seed: int = 0,
+) -> dict:
+    """Crawl → training shards, one call: the full modern curation
+    recipe composed from the engine's proven operators, in the order a
+    production pre-training run applies them:
+
+    1.  HTML strip        (``html=True``; operators/lines.strip_html)
+    2.  line cleaning     (C4 heuristics + corpus-wide line dedup;
+                          operators/lines.clean_lines, tuned via
+                          ``clean_opts``)
+    3.  exact dedup       (normalized-text hash, min-doc_id survivor)
+    4.  near-dup removal  (the auto-routed MinHash/LSH front door +
+                          connected-component survivors;
+                          ``near_dup_threshold=None`` skips)
+    5.  decontamination   (Bloom-pruned n-gram overlap vs ``eval_docs``;
+                          drops any train doc sharing ≥
+                          ``contamination_min_grams`` eval n-grams)
+    6.  quality gate + language allow-list
+    7.  content-addressed split tags (growth-stable hash_split)
+    8.  deterministic global shuffle (seeded training order)
+    9.  per-split bounded shards + manifest
+                          (sources/sinks.write_training_shards under
+                          ``<out_path>/<split>``)
+
+    Input contract: ``(doc_id, text[, lang])`` — e.g.
+    ``sources.warc.warc_documents`` output (rename its url/meta as
+    desired; extra columns ride along into the shards). Returns a
+    funnel report: per-stage surviving counts plus per-split shard
+    totals — every count is taken on a persisted intermediate, so the
+    report costs one cheap action per stage, not a recompute chain.
+
+    Scale: the stages shuffle on md5 keys (exact dedup), hashed
+    shingle longs (near-dup), Bloom survivors (decontamination), and
+    the final range sort — each individually plan-audited in its own
+    operator; nothing here adds a join or shuffle beyond them.
+    """
+    from .bloom import decontaminate_bloom
+    from .dedup import near_dup_pairs
+    from .graph import dedup_survivors
+    from .lines import clean_lines, strip_html
+    from .sampling import deterministic_shuffle
+    from ..sources.sinks import write_training_shards
+
+    report: dict = {"n_input": docs.count()}
+    cur = docs
+    if html:
+        cur = cur.withColumn("text", strip_html("text"))
+    if clean:
+        meta = cur.drop("text")
+        cleaned = clean_lines(cur, **(dict(clean_opts or {}))).select(
+            "doc_id", "text"
+        )
+        cur = cleaned.join(meta, "doc_id")
+        cur = cur.persist()
+        report["n_after_clean"] = cur.count()
+
+    w = Window.partitionBy("_h").orderBy(F.asc("doc_id"))
+    cur = (
+        cur.withColumn("_h", F.md5(normalized_text("text")))
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .drop("_rk", "_h")
+        .persist()
+    )
+    report["n_after_exact_dedup"] = cur.count()
+
+    if near_dup_threshold is not None:
+        pairs = near_dup_pairs(
+            cur, threshold=near_dup_threshold, doc_count=report["n_after_exact_dedup"]
+        ).select("doc_a", "doc_b")
+        cur = dedup_survivors(cur, pairs, id_col="doc_id").persist()
+        report["n_after_near_dedup"] = cur.count()
+
+    if eval_docs is not None:
+        hits = (
+            decontaminate_bloom(cur, eval_docs, n=contamination_ngram)
+            .filter(F.col("n_shared") >= F.lit(contamination_min_grams))
+            .select(F.col("train_doc").alias("doc_id"))
+            .distinct()
+        )
+        cur = cur.join(hits, "doc_id", "left_anti").persist()
+        report["n_after_decontamination"] = cur.count()
+
+    cur = cur.withColumn("quality", quality_expr("text")).filter(
+        F.col("quality") >= F.lit(min_quality)
+    )
+    if languages is not None:
+        cur = cur.filter(F.col("lang").isin(list(languages)))
+    cur = hash_split(cur, F.col("doc_id").cast("string"), splits, seed=seed)
+    cur = cur.persist()
+    report["n_after_quality"] = cur.count()
+
+    shuffled = deterministic_shuffle(
+        cur, F.col("doc_id").cast("string"), seed=seed
+    )
+    report["splits"] = {}
+    for name in splits:
+        manifest = write_training_shards(
+            shuffled.filter(F.col("split") == name).drop("split"),
+            f"{out_path}/{name}",
+            rows_per_shard,
+        )
+        rows = manifest.agg(
+            F.coalesce(F.sum("n_rows"), F.lit(0)).alias("n"),
+            F.count("*").alias("shards"),
+        ).collect()[0]
+        report["splits"][name] = {"n_rows": rows["n"], "n_shards": rows["shards"]}
+    return report

@@ -1,0 +1,136 @@
+"""Capstone pipeline (corpus.build_training_set): planted exact dup,
+near dup, and contaminated doc must each be removed by their stage, the
+funnel report must be conservative and monotone, shards+manifests must
+land per split, and the whole run must be deterministic."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from distributed_mapreduce__spark.operators.corpus import build_training_set
+from distributed_mapreduce__spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+#: gentle line-cleaning for the synthetic fixture corpus (tiny
+#: vocabulary, no terminal punctuation)
+CLEAN_OPTS = {
+    "min_words": 1,
+    "require_terminal_punct": False,
+    "min_lines": 1,
+    "dedup": False,
+}
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    docs = load_table(spark, SF, "documents").select("doc_id", "lang", "text")
+    base = docs.filter(F.col("doc_id") < 900000)
+    rows = base.orderBy("doc_id").limit(3).collect()
+    src = rows[0]  # will get an exact and a near duplicate
+    evals = rows[1:3]
+    planted = spark.createDataFrame(
+        [
+            (900001, src.lang, src.text),  # exact dup of src
+            (900002, src.lang, src.text + " extra tail word"),  # near dup
+            (900003, evals[0].lang, evals[0].text),  # contaminated
+        ],
+        "doc_id long, lang string, text string",
+    )
+    eval_docs = spark.createDataFrame(
+        [(r.doc_id, r.text) for r in evals], "doc_id long, text string"
+    )
+    return base.unionByName(planted), eval_docs, src
+
+
+def _run(spark, corpus, out):
+    docs, eval_docs, _ = corpus
+    report = build_training_set(
+        docs,
+        out,
+        eval_docs=eval_docs,
+        clean=True,
+        clean_opts=CLEAN_OPTS,
+        min_quality=0.0,
+        near_dup_threshold=0.5,
+        rows_per_shard=50,
+        seed=0,
+    )
+    return report
+
+
+def test_pipeline_stages_and_report(spark, corpus, tmp_path):
+    docs, eval_docs, src = corpus
+    out = str(tmp_path / "ts")
+    report = _run(spark, corpus, out)
+
+    # funnel is monotone non-increasing and starts at the true input
+    n = [
+        report["n_input"],
+        report["n_after_clean"],
+        report["n_after_exact_dedup"],
+        report["n_after_near_dedup"],
+        report["n_after_decontamination"],
+        report["n_after_quality"],
+    ]
+    assert n[0] == docs.count()
+    assert all(a >= b for a, b in zip(n, n[1:])), n
+    # at LEAST the planted exact dup and near dup fell (the synthetic
+    # corpus carries duplicates of its own, so exact counts vary)
+    assert report["n_after_exact_dedup"] <= report["n_after_clean"] - 1
+    assert report["n_after_near_dedup"] <= report["n_after_exact_dedup"] - 1
+
+    kept = spark.read.parquet(f"{out}/train", f"{out}/val", f"{out}/test")
+    ids = {r.doc_id for r in kept.select("doc_id").collect()}
+    assert 900001 not in ids  # exact dup: min-id survivor wins
+    assert src.doc_id in ids
+    assert 900002 not in ids  # near dup removed
+    assert 900003 not in ids  # contaminated doc removed
+    # the eval docs themselves were ALSO in train input → identity
+    # contamination drops them too
+    eval_ids = {r.doc_id for r in eval_docs.collect()}
+    assert not (ids & eval_ids)
+
+    # split totals in the report match what landed on disk
+    total = sum(s["n_rows"] for s in report["splits"].values())
+    assert total == kept.count() == report["n_after_quality"]
+    # manifest is a real JSON-lines file per split
+    for name, stats in report["splits"].items():
+        mpath = f"{out}/{name}/_manifest.json"
+        assert os.path.exists(mpath)
+        lines = [json.loads(l) for l in open(mpath)]
+        assert sum(r["n_rows"] for r in lines) == stats["n_rows"]
+
+
+def test_deterministic_across_runs(spark, corpus, tmp_path):
+    out_a, out_b = str(tmp_path / "a"), str(tmp_path / "b")
+    ra = _run(spark, corpus, out_a)
+    rb = _run(spark, corpus, out_b)
+    assert ra == rb
+    for split in ("train", "val", "test"):
+        a = [r.doc_id for r in spark.read.parquet(f"{out_a}/{split}").collect()]
+        b = [r.doc_id for r in spark.read.parquet(f"{out_b}/{split}").collect()]
+        assert sorted(a) == sorted(b)
+
+
+def test_language_filter_and_skip_flags(spark, corpus, tmp_path):
+    docs, _, _ = corpus
+    langs = [r.lang for r in docs.select("lang").distinct().collect()]
+    keep = [langs[0]]
+    report = build_training_set(
+        docs,
+        str(tmp_path / "lf"),
+        clean=False,
+        min_quality=0.0,
+        near_dup_threshold=None,
+        languages=keep,
+        rows_per_shard=50,
+    )
+    assert "n_after_near_dedup" not in report
+    assert "n_after_decontamination" not in report
+    out = spark.read.parquet(str(tmp_path / "lf" / "train"))
+    assert {r.lang for r in out.select("lang").distinct().collect()} <= set(keep)
