@@ -76,3 +76,221 @@ def sessionized(df: DataFrame, gap: str, *keys: str) -> DataFrame:
             "avg_value",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Incremental rollup store ("hypertable rollup"): maintain per-window
+# aggregates of an ever-growing event stream without ever re-scanning
+# history. The store holds MERGEABLE PARTIALS (count + exact decimal
+# sum — avg is derived at read), organized as
+#
+#     <store>/partials/batch=<batch_id>/part-*.parquet
+#     <store>/_compactions/<n>.json        (compaction commit markers)
+#
+# Exactly-once unit = the batch id: upsert_rollup writes one batch's
+# window partials via dynamic partition overwrite of batch=<id>, so a
+# retried batch REPLACES its own partials instead of double-counting —
+# the same idempotence mechanism as streaming/dedup.py's foreachBatch
+# sink. Reads merge partials by window+key; read amplification is the
+# number of live batches per window, bounded by compact_rollup, whose
+# COMMIT POINT is a single marker-file create (the new merged dir is
+# invisible to readers until its marker lands, and the marker excludes
+# the source dirs even before they are garbage-collected — so a crash
+# at ANY point between writing the compacted dir, writing the marker,
+# and deleting sources never double-counts and never loses data).
+# --------------------------------------------------------------------------
+
+
+def rollup_batch(events: DataFrame, duration: str, *keys: str) -> DataFrame:
+    """One batch's mergeable window partials:
+    (window_start, window_end, *keys, n_events, sum_value_dec)."""
+    return (
+        events.groupBy(F.window("ts", duration).alias("win"), *keys)
+        .agg(
+            F.count("*").alias("n_events"),
+            # storage type pinned at decimal(38,4): re-summing partials
+            # (compaction) must not widen the column, or batch dirs
+            # written before and after a compaction disagree on schema
+            F.sum(F.col("value").cast("decimal(18,4)"))
+            .cast("decimal(38,4)")
+            .alias("sum_value_dec"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            *keys,
+            "n_events",
+            "sum_value_dec",
+        )
+    )
+
+
+def upsert_rollup(
+    events: DataFrame,
+    store_path: str,
+    duration: str,
+    keys: tuple[str, ...] = (),
+    batch_id: str = "0",
+) -> None:
+    """Fold one event batch into the rollup store — idempotently: the
+    batch's partials land under ``batch=<batch_id>`` via dynamic
+    partition overwrite, so re-running a failed/duplicate batch
+    replaces its own prior write. One aggregation of the NEW events
+    only; history is never read, let alone re-aggregated.
+
+    ``c<n>`` ids are reserved for compaction targets (the crash-window
+    guard in ``_live_batches`` ignores uncommitted dirs of that shape).
+    """
+    bid = str(batch_id)
+    if bid.startswith("c") and bid[1:].isdigit():
+        raise ValueError(
+            f"batch_id {bid!r} is in the reserved compaction namespace c<n>"
+        )
+    (
+        rollup_batch(events, duration, *keys)
+        .withColumn("batch", F.lit(str(batch_id)))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch")
+        .parquet(f"{store_path}/partials")
+    )
+
+
+def _live_batches(spark, store_path: str) -> list[str] | None:
+    """Batch dirs minus those retired by a COMMITTED compaction (its
+    marker exists and its target dir exists). None = store absent."""
+    import json
+
+    from ..sources.sinks import hadoop_fs
+
+    fs, ppath = hadoop_fs(spark, f"{store_path}/partials")
+    if not fs.exists(ppath):
+        return None
+    batches = {
+        st.getPath().getName().split("=", 1)[1]
+        for st in fs.listStatus(ppath)
+        if st.isDirectory() and st.getPath().getName().startswith("batch=")
+    }
+    committed: set[str] = set()
+    fs, cpath = hadoop_fs(spark, f"{store_path}/_compactions")
+    if fs.exists(cpath):
+        for st in fs.listStatus(cpath):
+            if not st.getPath().getName().endswith(".json"):
+                continue
+            raw = fs.open(st.getPath())
+            try:
+                # py4j copies Python buffers INTO Java, so read(byte[])
+                # can't fill a Python bytearray — drain JVM-side instead
+                data = bytes(
+                    spark.sparkContext._jvm.org.apache.commons.io.IOUtils.toByteArray(
+                        raw
+                    )
+                )
+            finally:
+                raw.close()
+            marker = json.loads(data.decode("utf-8"))
+            committed.add(marker["target"])
+            if marker["target"] in batches:
+                batches -= set(marker["sources"])
+    # the crash-window guard: a compaction TARGET dir whose marker
+    # never landed is an orphan — counting it would double-count its
+    # still-live sources. Target ids are the reserved c<n> namespace.
+    batches -= {
+        b
+        for b in batches
+        if b.startswith("c") and b[1:].isdigit() and b not in committed
+    }
+    return sorted(batches)
+
+
+def read_rollup(
+    spark, store_path: str, keys: tuple[str, ...] = ()
+) -> DataFrame:
+    """The current rollup: merge live partials per (window, key) —
+    additive count/sum, avg derived with the engine-identical single
+    division the batch window queries use."""
+    live = _live_batches(spark, store_path)
+    if not live:
+        raise FileNotFoundError(f"no rollup partials at {store_path}")
+    df = spark.read.parquet(
+        *[f"{store_path}/partials/batch={b}" for b in live]
+    )
+    return (
+        df.groupBy("window_start", "window_end", *keys)
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("sum_value_dec").alias("sum_value_dec"),
+        )
+        .select(
+            "window_start",
+            "window_end",
+            *keys,
+            "n_events",
+            F.col("sum_value_dec").cast("double").alias("sum_value"),
+            (F.col("sum_value_dec").cast("double") / F.col("n_events")).alias(
+                "avg_value"
+            ),
+        )
+    )
+
+
+def compact_rollup(
+    spark, store_path: str, keys: tuple[str, ...] = ()
+) -> str | None:
+    """Merge all live partial batches into one, bounding read
+    amplification. Crash-safe by ordering:
+
+    1. aggregate the live batches into a NEW dir ``batch=c<n>``
+       (invisible — readers only trust dirs, never markers-less
+       compactions... i.e. an uncommitted target is just an extra
+       batch dir that double-counts NOTHING because step 2 hasn't
+       retired its sources yet and the target is excluded until its
+       marker commits — see guard below);
+    2. create ``_compactions/<n>.json`` naming target + sources — the
+       single-file ATOMIC COMMIT: from this instant readers use the
+       target and ignore the sources;
+    3. delete the source dirs (pure garbage collection — a crash here
+       only leaves ignored dirs).
+
+    The step-1 guard: ``_live_batches`` drops a target dir whose
+    marker is absent, so a crash between 1 and 2 leaves the store
+    exactly as before (plus one orphan dir the next compaction
+    overwrites). Returns the new batch id, or None if ≤1 live batch.
+    """
+    import json
+
+    from ..sources.sinks import hadoop_fs
+
+    live = _live_batches(spark, store_path)
+    if not live or len(live) <= 1:
+        return None
+    fs, cpath = hadoop_fs(spark, f"{store_path}/_compactions")
+    seq = 0
+    if fs.exists(cpath):
+        for st in fs.listStatus(cpath):
+            name = st.getPath().getName()
+            if name.endswith(".json"):
+                seq = max(seq, int(name.split(".")[0]) + 1)
+    target = f"c{seq}"
+
+    df = spark.read.parquet(
+        *[f"{store_path}/partials/batch={b}" for b in live]
+    )
+    merged = df.groupBy("window_start", "window_end", *keys).agg(
+        F.sum("n_events").alias("n_events"),
+        F.sum("sum_value_dec").cast("decimal(38,4)").alias("sum_value_dec"),
+    )
+    merged.write.mode("overwrite").parquet(
+        f"{store_path}/partials/batch={target}"
+    )
+    marker = json.dumps({"target": target, "sources": live}).encode()
+    out = fs.create(
+        hadoop_fs(spark, f"{store_path}/_compactions/{seq}.json")[1], True
+    )
+    try:
+        out.write(bytearray(marker))
+    finally:
+        out.close()
+    for b in live:
+        fs.delete(hadoop_fs(spark, f"{store_path}/partials/batch={b}")[1], True)
+    return target

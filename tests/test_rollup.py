@@ -1,0 +1,119 @@
+"""Incremental rollup store (operators/timeseries.py): batch-by-batch
+upserts must equal the full recompute exactly, retried batches must not
+double-count, compaction must preserve the rollup and be crash-safe at
+both windows (uncommitted target ignored; committed marker retires
+sources even before they are deleted)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from distributed_mapreduce__spark.operators.timeseries import (
+    compact_rollup,
+    read_rollup,
+    tumbling,
+    upsert_rollup,
+)
+from distributed_mapreduce__spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+KEYS = ("event_type",)
+
+
+@pytest.fixture(scope="module")
+def batches(spark):
+    ev = load_table(spark, SF, "events").select("ts", "value", "event_type")
+    return [ev.filter(F.col("user_id") % 3 == i) for i in range(3)], ev
+
+
+def _snapshot(spark, store):
+    return {
+        (r.window_start, r.event_type): (r.n_events, r.sum_value, r.avg_value)
+        for r in read_rollup(spark, store, KEYS).collect()
+    }
+
+
+def test_incremental_equals_full_recompute(spark, batches, tmp_path):
+    parts, full = batches
+    store = str(tmp_path / "roll")
+    for i, b in enumerate(parts):
+        upsert_rollup(b, store, "1 hour", KEYS, batch_id=str(i))
+    got = _snapshot(spark, store)
+    want = {
+        (r.window_start, r.event_type): (r.n_events, r.sum_value, r.avg_value)
+        for r in tumbling(full, "1 hour", *KEYS).collect()
+    }
+    assert got == want  # exact decimal merge → bit-equal doubles
+
+
+def test_retried_batch_is_idempotent(spark, batches, tmp_path):
+    parts, _ = batches
+    store = str(tmp_path / "roll")
+    for i, b in enumerate(parts):
+        upsert_rollup(b, store, "1 hour", KEYS, batch_id=str(i))
+    before = _snapshot(spark, store)
+    upsert_rollup(parts[1], store, "1 hour", KEYS, batch_id="1")  # retry
+    assert _snapshot(spark, store) == before
+
+
+def test_compaction_preserves_and_bounds(spark, batches, tmp_path):
+    import os
+
+    parts, _ = batches
+    store = str(tmp_path / "roll")
+    for i, b in enumerate(parts):
+        upsert_rollup(b, store, "1 hour", KEYS, batch_id=str(i))
+    before = _snapshot(spark, store)
+    target = compact_rollup(spark, store, KEYS)
+    assert target == "c0"
+    assert _snapshot(spark, store) == before
+    live = sorted(os.listdir(f"{store}/partials"))
+    assert [d for d in live if d.startswith("batch=")] == ["batch=c0"]
+    # nothing left to compact
+    assert compact_rollup(spark, store, KEYS) is None
+    # further batches still merge on top of the compacted base
+    upsert_rollup(parts[0], store, "1 hour", KEYS, batch_id="again")
+    after = _snapshot(spark, store)
+    assert after != before and set(after) >= set(before)
+
+
+def test_crash_windows(spark, batches, tmp_path):
+    """Window 1: compacted dir exists, marker never landed → reads
+    ignore the orphan (no double count). Window 2: marker landed,
+    sources not yet deleted → reads use the target and ignore
+    sources."""
+    import json
+    import os
+
+    parts, _ = batches
+    store = str(tmp_path / "roll")
+    for i, b in enumerate(parts[:2]):
+        upsert_rollup(b, store, "1 hour", KEYS, batch_id=str(i))
+    before = _snapshot(spark, store)
+
+    # window 1: orphan target, no marker
+    tgt = compact_rollup(spark, store, KEYS)
+    [mfile] = [
+        f for f in os.listdir(f"{store}/_compactions") if f.endswith(".json")
+    ]  # (the local Hadoop FS also writes .crc sidecars)
+    os.rename(f"{store}/_compactions/{mfile}", f"{store}/marker.bak")
+    # sources were deleted by the successful compaction — restore them
+    for i, b in enumerate(parts[:2]):
+        upsert_rollup(b, store, "1 hour", KEYS, batch_id=str(i))
+    assert os.path.isdir(f"{store}/partials/batch={tgt}")
+    assert _snapshot(spark, store) == before  # orphan target ignored
+
+    # window 2: marker committed, sources still on disk
+    os.rename(f"{store}/marker.bak", f"{store}/_compactions/{mfile}")
+    marker = json.load(open(f"{store}/_compactions/{mfile}"))
+    assert marker["target"] == tgt
+    for b in marker["sources"]:
+        assert os.path.isdir(f"{store}/partials/batch={b}")  # not GC'd
+    assert _snapshot(spark, store) == before  # sources ignored, target used
+
+
+def test_reserved_namespace_guard(spark, batches, tmp_path):
+    parts, _ = batches
+    with pytest.raises(ValueError, match="reserved"):
+        upsert_rollup(parts[0], str(tmp_path / "x"), "1 hour", KEYS, batch_id="c1")
