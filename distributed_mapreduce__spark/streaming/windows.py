@@ -94,3 +94,44 @@ def run_to_memory_sink(
         q.processAllAvailable()
     finally:
         q.stop()
+
+
+def stream_rollup(
+    events: DataFrame,
+    store_path: str,
+    checkpoint_path: str,
+    duration: str,
+    keys: tuple[str, ...] = (),
+):
+    """Continuously fold an event stream into the incremental rollup
+    store (operators/timeseries.upsert_rollup) via ``foreachBatch``:
+    batch N's window partials land under ``batch=s<N>`` with dynamic
+    partition overwrite, so the engine's retry of a failed batch (same
+    batch id, per the checkpoint contract) REPLACES the partial
+    instead of double-counting — effectively-exactly-once aggregates
+    over an unbounded stream, with the state in storage, not memory
+    (the streaming-incremental-dedup posture).
+
+    Unlike the watermarked in-memory window aggregations above, this
+    handles arbitrarily late data for free: a late event simply lands
+    in its window's partial within whatever batch it arrives in, and
+    ``read_rollup`` merges partials additively — no watermark discards,
+    no state eviction deadline. The trade is that readers see
+    batch-granularity freshness and pay the partial-merge at read
+    time until ``compact_rollup`` folds history.
+
+    Returns the started StreamingQuery; drive with
+    ``processAllAvailable()`` in tests.
+    """
+    from ..operators.timeseries import upsert_rollup
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        upsert_rollup(
+            batch_df, store_path, duration, keys, batch_id=f"s{batch_id}"
+        )
+
+    return (
+        events.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_path)
+        .start()
+    )

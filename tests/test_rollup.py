@@ -117,3 +117,44 @@ def test_reserved_namespace_guard(spark, batches, tmp_path):
     parts, _ = batches
     with pytest.raises(ValueError, match="reserved"):
         upsert_rollup(parts[0], str(tmp_path / "x"), "1 hour", KEYS, batch_id="c1")
+
+
+def test_stream_rollup_matches_batch(spark, batches, tmp_path):
+    """foreachBatch streaming ingestion into the store == the batch
+    tumbling aggregation of everything streamed, and a restart from
+    the same checkpoint re-processes nothing."""
+    from distributed_mapreduce__spark.streaming.windows import stream_rollup
+
+    _, full = batches
+    src = str(tmp_path / "src")
+    store = str(tmp_path / "roll")
+    ckpt = str(tmp_path / "ckpt")
+    full.repartition(3).write.mode("overwrite").parquet(src)
+
+    def start():
+        stream = (
+            spark.readStream.schema(full.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        return stream_rollup(stream, store, ckpt, "1 hour", KEYS)
+
+    q = start()
+    try:
+        q.processAllAvailable()
+        assert len(q.recentProgress) >= 3
+    finally:
+        q.stop()
+    got = _snapshot(spark, store)
+    want = {
+        (r.window_start, r.event_type): (r.n_events, r.sum_value, r.avg_value)
+        for r in tumbling(full, "1 hour", *KEYS).collect()
+    }
+    assert got == want
+    # restart: checkpoint says everything is processed → store unchanged
+    q2 = start()
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    assert _snapshot(spark, store) == want
