@@ -274,8 +274,14 @@ def decontaminate_bloom(
     """
     from .dedup import doc_shingles
 
-    eval_sh = doc_shingles(eval_docs, n=n).select(
-        F.col("doc_id").alias("eval_doc"), "shingle"
+    # the eval-shingle pipeline (incl. its distinct shuffle) feeds the
+    # sizing count, the bitset build, AND the verify join — persist it
+    # once (eval-set-sized by this operator's whole premise) instead of
+    # recomputing it three times
+    eval_sh = (
+        doc_shingles(eval_docs, n=n)
+        .select(F.col("doc_id").alias("eval_doc"), "shingle")
+        .persist()
     )
     n_items = n_items_hint if n_items_hint is not None else eval_sh.count()
     m, k = bloom_parameters(max(n_items, 1), fpp)

@@ -38,6 +38,20 @@ from .text_analysis import quality_expr
 DEFAULT_SPLITS: Mapping[str, float] = {"train": 0.9, "val": 0.05, "test": 0.05}
 
 
+def exact_dedup_canonical(docs: DataFrame) -> DataFrame:
+    """Keep one canonical copy (min doc_id) per normalized text — the
+    shared exact-dedup stage of ``prepare_corpus`` and
+    ``build_training_set`` (one definition so the survivor rule can
+    never drift between the two entry points)."""
+    w = Window.partitionBy("_h").orderBy(F.asc("doc_id"))
+    return (
+        docs.withColumn("_h", F.md5(normalized_text("text")))
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .drop("_rk", "_h")
+    )
+
+
 def prepare_corpus(
     docs: DataFrame,
     min_quality: float = 0.5,
@@ -47,14 +61,9 @@ def prepare_corpus(
 ) -> DataFrame:
     """documents → (doc_id, text, lang, quality, split): deduped,
     quality-gated, language-filtered, split-tagged (module docstring)."""
-    w = Window.partitionBy("_h").orderBy(F.asc("doc_id"))
-    canonical = (
-        docs.withColumn("_h", F.md5(normalized_text("text")))
-        .withColumn("_rk", F.row_number().over(w))
-        .filter(F.col("_rk") == 1)
-        .drop("_rk", "_h")
-    )
-    scored = canonical.withColumn("quality", quality_expr("text")).filter(
+    scored = exact_dedup_canonical(docs).withColumn(
+        "quality", quality_expr("text")
+    ).filter(
         F.col("quality") >= F.lit(min_quality)
     )
     if languages is not None:
@@ -164,6 +173,13 @@ def build_training_set(
     from .sampling import deterministic_shuffle
     from ..sources.sinks import write_training_shards
 
+    cached: list[DataFrame] = []
+
+    def _stage(df: DataFrame) -> DataFrame:
+        df = df.persist()
+        cached.append(df)
+        return df
+
     report: dict = {"n_input": docs.count()}
     cur = docs
     if html:
@@ -173,25 +189,17 @@ def build_training_set(
         cleaned = clean_lines(cur, **(dict(clean_opts or {}))).select(
             "doc_id", "text"
         )
-        cur = cleaned.join(meta, "doc_id")
-        cur = cur.persist()
+        cur = _stage(cleaned.join(meta, "doc_id"))
         report["n_after_clean"] = cur.count()
 
-    w = Window.partitionBy("_h").orderBy(F.asc("doc_id"))
-    cur = (
-        cur.withColumn("_h", F.md5(normalized_text("text")))
-        .withColumn("_rk", F.row_number().over(w))
-        .filter(F.col("_rk") == 1)
-        .drop("_rk", "_h")
-        .persist()
-    )
+    cur = _stage(exact_dedup_canonical(cur))
     report["n_after_exact_dedup"] = cur.count()
 
     if near_dup_threshold is not None:
         pairs = near_dup_pairs(
             cur, threshold=near_dup_threshold, doc_count=report["n_after_exact_dedup"]
         ).select("doc_a", "doc_b")
-        cur = dedup_survivors(cur, pairs, id_col="doc_id").persist()
+        cur = _stage(dedup_survivors(cur, pairs, id_col="doc_id"))
         report["n_after_near_dedup"] = cur.count()
 
     if eval_docs is not None:
@@ -201,7 +209,7 @@ def build_training_set(
             .select(F.col("train_doc").alias("doc_id"))
             .distinct()
         )
-        cur = cur.join(hits, "doc_id", "left_anti").persist()
+        cur = _stage(cur.join(hits, "doc_id", "left_anti"))
         report["n_after_decontamination"] = cur.count()
 
     cur = cur.withColumn("quality", quality_expr("text")).filter(
@@ -209,12 +217,13 @@ def build_training_set(
     )
     if languages is not None:
         cur = cur.filter(F.col("lang").isin(list(languages)))
-    cur = hash_split(cur, F.col("doc_id").cast("string"), splits, seed=seed)
-    cur = cur.persist()
+    cur = _stage(hash_split(cur, F.col("doc_id").cast("string"), splits, seed=seed))
     report["n_after_quality"] = cur.count()
 
-    shuffled = deterministic_shuffle(
-        cur, F.col("doc_id").cast("string"), seed=seed
+    # persist the SORTED result: without it each per-split write below
+    # would re-run the global range sort
+    shuffled = _stage(
+        deterministic_shuffle(cur, F.col("doc_id").cast("string"), seed=seed)
     )
     report["splits"] = {}
     for name in splits:
@@ -228,4 +237,6 @@ def build_training_set(
             F.count("*").alias("shards"),
         ).collect()[0]
         report["splits"][name] = {"n_rows": rows["n"], "n_shards": rows["shards"]}
+    for df in cached:  # all actions are done — release the cache
+        df.unpersist()
     return report

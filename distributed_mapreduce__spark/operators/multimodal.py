@@ -380,7 +380,11 @@ def _dhash_bits(grid, hash_size: int = 8) -> int:
     return ph - (1 << 64) if ph >= 1 << 63 else ph  # two's-complement long
 
 
-def phash_media(media: DataFrame, hash_size: int = 8) -> DataFrame:
+def phash_media(
+    media: DataFrame,
+    hash_size: int = 8,
+    kinds: tuple[str, ...] = ("image",),
+) -> DataFrame:
     """Per-item 64-bit perceptual hash (dHash) → (media_id, phash).
 
     dHash (difference hash) fingerprints image CONTENT: decode to a
@@ -396,7 +400,20 @@ def phash_media(media: DataFrame, hash_size: int = 8) -> DataFrame:
     as every operator here); the hash arithmetic downstream of the
     decoded grid is real, integer-exact, and replayed bit-for-bit by
     the pure-Python oracle in tests/test_phash.py. Scale: one Arrow
-    map pass, 8 bytes out per item, zero shuffle."""
+    map pass, 8 bytes out per item, zero shuffle.
+
+    ``kinds`` gates which media rows are hashed (default: images only
+    — dHash is image semantics; an audio payload would get a
+    meaningless fingerprint and pollute the near-dup pairs). Rows with
+    degenerate geometry (width·height ≤ 0) or an empty payload are
+    dropped too: they would all hash to exactly 0 and form one giant
+    identical-fingerprint bucket — precisely the band-join skew
+    :func:`.dedup.hamming_near_pairs` warns about."""
+    media = media.filter(
+        F.col("kind").isin(list(kinds))
+        & (F.col("meta.width") * F.col("meta.height") > 0)
+        & (F.length(F.col("payload")) > 0)
+    )
 
     def op(batches):
         import pandas as pd

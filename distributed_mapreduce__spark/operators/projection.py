@@ -70,9 +70,10 @@ def project_vectors(
     method: str = "sql",
 ) -> DataFrame:
     """Add ``out_col``: the JL projection of ``vec_col`` to
-    ``out_dim`` dims (array<double>). Vectors shorter than ``in_dim``
-    raise at execution (zip_with NULL contract below); NULL vectors
-    project to NULL."""
+    ``out_dim`` dims (array<double>). NULL vectors project to NULL; a
+    non-NULL vector whose length differs from ``in_dim`` raises at
+    execution with the offending length — on BOTH methods, so the
+    sql/arrow bit-parity contract covers the error path too."""
     R = jl_matrix(out_dim, in_dim, seed)
     inv_sqrt = 1.0 / math.sqrt(out_dim)
     if method == "arrow":
@@ -101,10 +102,23 @@ def project_vectors(
             )
             * F.lit(inv_sqrt)
         )
-    # NULL vector → NULL (not an array of NULLs), matching the arrow path.
+    # NULL vector → NULL (not an array of NULLs), matching the arrow
+    # path; wrong-length vectors raise rather than silently producing
+    # NULL elements (zip_with would pad/truncate with NULLs otherwise).
+    bad_len = F.size(F.col(vec_col)) != F.lit(in_dim)
     return df.withColumn(
         out_col,
-        F.when(F.col(vec_col).isNotNull(), F.array(*dims)),
+        F.when(F.col(vec_col).isNull(), F.lit(None).cast("array<double>"))
+        .when(
+            bad_len,
+            F.raise_error(
+                F.concat(
+                    F.lit(f"project_vectors: expected length {in_dim}, got "),
+                    F.size(F.col(vec_col)).cast("string"),
+                )
+            ).cast("array<double>"),
+        )
+        .otherwise(F.array(*dims)),
     )
 
 
@@ -134,7 +148,12 @@ def _project_arrow(
                 if v is None:
                     out.append(None)
                     continue
-                x = np.asarray(v, dtype=np.float64)[:in_dim]
+                if len(v) != in_dim:
+                    raise ValueError(
+                        f"project_vectors: expected length {in_dim}, "
+                        f"got {len(v)}"
+                    )
+                x = np.asarray(v, dtype=np.float64)
                 # in-order fold per output dim: acc += x[i] * R[j][i]
                 ys = []
                 for j in range(Rarr.shape[0]):

@@ -66,7 +66,16 @@ def semantic_dup_pairs(
         from .projection import SQL_MAX_TERMS, project_vectors
 
         if in_dim is None:
-            in_dim = len(vectors.select(vec_col).first()[0])
+            first = (
+                vectors.select(vec_col)
+                .filter(F.col(vec_col).isNotNull())
+                .first()
+            )
+            if first is None:  # no vectors at all — nothing to project
+                return semantic_dup_pairs(
+                    vectors, threshold, k, seed, vec_col, project_dim=None
+                )
+            in_dim = len(first[0])
         method = "sql" if project_dim * in_dim <= SQL_MAX_TERMS else "arrow"
         reduced = project_vectors(
             vectors.select("vec_id", vec_col),

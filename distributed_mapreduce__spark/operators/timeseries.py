@@ -139,12 +139,31 @@ def upsert_rollup(
     only; history is never read, let alone re-aggregated.
 
     ``c<n>`` ids are reserved for compaction targets (the crash-window
-    guard in ``_live_batches`` ignores uncommitted dirs of that shape).
+    guard in ``_live_batches`` ignores uncommitted dirs of that shape),
+    and an id RETIRED by a committed compaction can never be reused —
+    its dir would be silently subtracted from every read. Both misuses
+    raise here instead of losing data (the retired case happens when a
+    streaming checkpoint is wiped and foreachBatch restarts at batch 0
+    against a compacted store: the loud error says use a fresh store
+    or a fresh id prefix).
     """
     bid = str(batch_id)
     if bid.startswith("c") and bid[1:].isdigit():
         raise ValueError(
             f"batch_id {bid!r} is in the reserved compaction namespace c<n>"
+        )
+    retired = {
+        s
+        for m in _read_markers(events.sparkSession, store_path)
+        for s in m["sources"]
+    }
+    if bid in retired:
+        raise ValueError(
+            f"batch_id {bid!r} was retired by a committed compaction of "
+            f"{store_path}; rows written under it would be invisible to "
+            "read_rollup. Use a fresh batch id (or a fresh store) — e.g. "
+            "a restarted stream whose checkpoint was lost must not reuse "
+            "its old id sequence."
         )
     (
         rollup_batch(events, duration, *keys)
@@ -156,11 +175,42 @@ def upsert_rollup(
     )
 
 
+def _read_markers(spark, store_path: str) -> list[dict]:
+    """All committed compaction markers (torn/unparseable ones from a
+    crash mid-write are skipped — belt to the tmp+rename suspenders in
+    compact_rollup)."""
+    import json
+
+    from ..sources.sinks import hadoop_fs
+
+    fs, cpath = hadoop_fs(spark, f"{store_path}/_compactions")
+    if not fs.exists(cpath):
+        return []
+    markers = []
+    for st in fs.listStatus(cpath):
+        if not st.getPath().getName().endswith(".json"):
+            continue
+        raw = fs.open(st.getPath())
+        try:
+            # py4j copies Python buffers INTO Java, so read(byte[])
+            # can't fill a Python bytearray — drain JVM-side instead
+            data = bytes(
+                spark.sparkContext._jvm.org.apache.commons.io.IOUtils.toByteArray(
+                    raw
+                )
+            )
+        finally:
+            raw.close()
+        try:
+            markers.append(json.loads(data.decode("utf-8")))
+        except ValueError:
+            continue
+    return markers
+
+
 def _live_batches(spark, store_path: str) -> list[str] | None:
     """Batch dirs minus those retired by a COMMITTED compaction (its
     marker exists and its target dir exists). None = store absent."""
-    import json
-
     from ..sources.sinks import hadoop_fs
 
     fs, ppath = hadoop_fs(spark, f"{store_path}/partials")
@@ -172,26 +222,10 @@ def _live_batches(spark, store_path: str) -> list[str] | None:
         if st.isDirectory() and st.getPath().getName().startswith("batch=")
     }
     committed: set[str] = set()
-    fs, cpath = hadoop_fs(spark, f"{store_path}/_compactions")
-    if fs.exists(cpath):
-        for st in fs.listStatus(cpath):
-            if not st.getPath().getName().endswith(".json"):
-                continue
-            raw = fs.open(st.getPath())
-            try:
-                # py4j copies Python buffers INTO Java, so read(byte[])
-                # can't fill a Python bytearray — drain JVM-side instead
-                data = bytes(
-                    spark.sparkContext._jvm.org.apache.commons.io.IOUtils.toByteArray(
-                        raw
-                    )
-                )
-            finally:
-                raw.close()
-            marker = json.loads(data.decode("utf-8"))
-            committed.add(marker["target"])
-            if marker["target"] in batches:
-                batches -= set(marker["sources"])
+    for marker in _read_markers(spark, store_path):
+        committed.add(marker["target"])
+        if marker["target"] in batches:
+            batches -= set(marker["sources"])
     # the crash-window guard: a compaction TARGET dir whose marker
     # never landed is an orphan — counting it would double-count its
     # still-live sources. Target ids are the reserved c<n> namespace.
@@ -283,14 +317,18 @@ def compact_rollup(
     merged.write.mode("overwrite").parquet(
         f"{store_path}/partials/batch={target}"
     )
+    # marker commit is write-to-tmp + rename so a crash mid-write can
+    # never leave a torn .json (readers also skip unparseable markers)
     marker = json.dumps({"target": target, "sources": live}).encode()
-    out = fs.create(
-        hadoop_fs(spark, f"{store_path}/_compactions/{seq}.json")[1], True
-    )
+    tmp_p = hadoop_fs(spark, f"{store_path}/_compactions/{seq}.json.tmp")[1]
+    out = fs.create(tmp_p, True)
     try:
         out.write(bytearray(marker))
     finally:
         out.close()
+    final_p = hadoop_fs(spark, f"{store_path}/_compactions/{seq}.json")[1]
+    if not fs.rename(tmp_p, final_p):
+        raise RuntimeError(f"could not commit compaction marker {final_p}")
     for b in live:
         fs.delete(hadoop_fs(spark, f"{store_path}/partials/batch={b}")[1], True)
     return target

@@ -195,7 +195,29 @@ def read_warc(
         for batch in batches:
             rows = []
             for path, raw in zip(batch["path"], batch["content"]):
-                for member in _gzip_members(bytes(raw)):
+                members = _gzip_members(bytes(raw))
+                while True:
+                    # gzip-level corruption (bad CRC, truncated member,
+                    # garbage between members) is the common failure
+                    # mode of real crawl files — quarantine it like a
+                    # framing error instead of failing the task
+                    try:
+                        member = next(members)
+                    except StopIteration:
+                        break
+                    except zlib.error as e:
+                        rows.append(
+                            {
+                                **{
+                                    f.split()[0]: None
+                                    for f in WARC_SCHEMA.split(", ")
+                                },
+                                "warc_file": path,
+                                "warc_type": "_malformed",
+                                "error": f"zlib.error: {e}",
+                            }
+                        )
+                        break  # member framing is lost past bad gzip
                     for rec in _parse_warc_stream(member, path):
                         if (
                             keep is None

@@ -103,3 +103,16 @@ def test_guards(spark):
         project_vectors(df, 512, (SQL_MAX_TERMS // 512) + 1)
     with pytest.raises(ValueError, match="unknown method"):
         project_vectors(df, 4, 2, method="numpy")
+
+
+def test_wrong_length_raises_on_both_methods(spark):
+    """The sql/arrow parity contract covers the error path: a vector
+    whose length != in_dim raises (with the length) on BOTH methods
+    instead of silently NULL-padding (sql) or truncating (arrow)."""
+    df = spark.createDataFrame(
+        [(1, [1.0] * (IN_DIM - 1))], "vec_id long, embedding array<double>"
+    )
+    for method in ("sql", "arrow"):
+        with pytest.raises(Exception) as ei:
+            project_vectors(df, IN_DIM, OUT_DIM, method=method).collect()
+        assert f"expected length {IN_DIM}, got {IN_DIM - 1}" in str(ei.value)

@@ -158,3 +158,18 @@ def test_stream_rollup_matches_batch(spark, batches, tmp_path):
     finally:
         q2.stop()
     assert _snapshot(spark, store) == want
+
+
+def test_retired_batch_id_refused(spark, batches, tmp_path):
+    """A batch id retired by a committed compaction cannot be reused —
+    its rows would be invisible to every read (the lost-checkpoint
+    stream-restart hazard). The guard raises instead."""
+    parts, _ = batches
+    store = str(tmp_path / "roll")
+    for i, b in enumerate(parts[:2]):
+        upsert_rollup(b, store, "1 hour", KEYS, batch_id=str(i))
+    compact_rollup(spark, store, KEYS)
+    with pytest.raises(ValueError, match="retired"):
+        upsert_rollup(parts[0], store, "1 hour", KEYS, batch_id="0")
+    # fresh ids still work
+    upsert_rollup(parts[0], store, "1 hour", KEYS, batch_id="fresh")

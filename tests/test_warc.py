@@ -144,3 +144,28 @@ def test_documents_feed_curation_pipeline(spark, warc_dir):
     out = docs.withColumn("clean", strip_html("text")).collect()
     got = {r.url: r.clean for r in out}
     assert got["http://a.example/"].strip() == "hello A"
+
+
+def test_gzip_corruption_is_quarantined(spark, warc_dir, tmp_path):
+    """A corrupt gzip member quarantines the file tail as _malformed
+    instead of failing the task (the common real-crawl failure)."""
+    import gzip as _gzip
+
+    good = _gzip.compress(
+        _record("response", _http(b"fine"), uri="http://ok.example/", rid="<urn:uuid:ok>")
+    )
+    bad = bytearray(
+        _gzip.compress(
+            _record("response", _http(b"broken"), uri="http://bad.example/", rid="<urn:uuid:bad>")
+        )
+    )
+    bad[15] ^= 0xFF  # flip a deflate byte -> zlib.error on decompress
+    p = tmp_path / "corrupt.warc.gz"
+    p.write_bytes(good + bytes(bad))
+    rows = read_warc(spark, str(p), record_types=None).collect()
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r.warc_type, []).append(r)
+    assert [r.record_id for r in by_type["response"]] == ["<urn:uuid:ok>"]
+    assert len(by_type["_malformed"]) == 1
+    assert "zlib.error" in by_type["_malformed"][0].error
