@@ -205,3 +205,39 @@ def strip_html(col: str = "text") -> Column:
     ):
         c = F.replace(c, F.lit(ent), F.lit(ch))
     return F.trim(F.regexp_replace(c, r"\s+", " "))
+
+
+def extract_links(
+    docs: DataFrame, url_col: str = "url", text_col: str = "text"
+) -> DataFrame:
+    """(src_url, dst_url): absolute http(s) hrefs per HTML document —
+    the edge list that turns a crawl into the link graph
+    :func:`.graph.domain_link_ranks` ranks (the WARC → links →
+    PageRank curation loop).
+
+    Pure column algebra (regexp_extract_all + explode, no shuffle), so
+    the DuckDB oracle replays it with the same RE2-class pattern.
+    Deliberately absolute-URL-only: resolving relative hrefs against a
+    base needs the per-page <base> rules and is noise for DOMAIN-level
+    ranking, where intra-site (relative) links are dropped as
+    self-links anyway."""
+    href = r'href\s*=\s*["\'](https?://[^"\'<>]+)["\']'
+    return (
+        docs.select(
+            F.col(url_col).alias("src_url"),
+            F.explode(
+                F.regexp_extract_all(F.col(text_col), F.lit(href), 1)
+            ).alias("dst_url"),
+        )
+    )
+
+
+def html_link_graph(
+    docs: DataFrame, url_col: str = "url", text_col: str = "text"
+) -> DataFrame:
+    """(domain, rank): registered-domain PageRank straight from raw
+    HTML documents — composes :func:`extract_links` with
+    :func:`.graph.domain_link_ranks`."""
+    from .graph import domain_link_ranks
+
+    return domain_link_ranks(extract_links(docs, url_col, text_col))

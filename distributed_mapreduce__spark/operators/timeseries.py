@@ -332,3 +332,32 @@ def compact_rollup(
     for b in live:
         fs.delete(hadoop_fs(spark, f"{store_path}/partials/batch={b}")[1], True)
     return target
+
+
+def vacuum_rollup(spark, store_path: str) -> list[str]:
+    """Garbage-collect dead partial dirs: sources retired by a
+    committed compaction whose target dir exists (normally deleted by
+    compact_rollup itself — this catches the crash-before-GC window).
+    Orphan ``c<n>`` targets from crashed attempts are deliberately NOT
+    deleted: compact_rollup derives its sequence from committed
+    markers only, so the next compaction reuses the same seq and
+    OVERWRITES the orphan — it is self-recycling, and deleting it here
+    would race an in-flight compaction. Returns the deleted batch ids.
+    Pure metadata work; safe to run any time."""
+    from ..sources.sinks import hadoop_fs
+
+    fs, ppath = hadoop_fs(spark, f"{store_path}/partials")
+    if not fs.exists(ppath):
+        return []
+    dirs = {
+        st.getPath().getName().split("=", 1)[1]
+        for st in fs.listStatus(ppath)
+        if st.isDirectory() and st.getPath().getName().startswith("batch=")
+    }
+    dead: set[str] = set()
+    for m in _read_markers(spark, store_path):
+        if m["target"] in dirs:
+            dead |= set(m["sources"]) & dirs
+    for b in sorted(dead):
+        fs.delete(hadoop_fs(spark, f"{store_path}/partials/batch={b}")[1], True)
+    return sorted(dead)

@@ -173,3 +173,92 @@ def test_retired_batch_id_refused(spark, batches, tmp_path):
         upsert_rollup(parts[0], store, "1 hour", KEYS, batch_id="0")
     # fresh ids still work
     upsert_rollup(parts[0], store, "1 hour", KEYS, batch_id="fresh")
+
+
+def test_vacuum_deletes_only_dead_dirs(spark, batches, tmp_path):
+    """Vacuum removes committed-retired sources (the crash-before-GC
+    leftovers), spares orphan targets (self-recycled by the next
+    compaction, possibly in flight) and live batches, and never
+    changes what reads see."""
+    import shutil
+
+    from distributed_mapreduce__spark.operators.timeseries import (
+        vacuum_rollup,
+    )
+
+    parts, _ = batches
+    store = str(tmp_path / "roll")
+    for i, b in enumerate(parts[:2]):
+        upsert_rollup(b, store, "1 hour", KEYS, batch_id=str(i))
+    compact_rollup(spark, store, KEYS)  # retires 0,1 -> c0 (and GCs them)
+    upsert_rollup(parts[2], store, "1 hour", KEYS, batch_id="live")
+    # resurrect a retired source dir (simulating a crash before GC)
+    shutil.copytree(
+        f"{store}/partials/batch=live", f"{store}/partials/batch=0"
+    )
+    # an orphan target from a crashed later attempt (no marker)
+    shutil.copytree(f"{store}/partials/batch=live", f"{store}/partials/batch=c1")
+
+    before = _snapshot(spark, store)
+    deleted = vacuum_rollup(spark, store)
+    assert deleted == ["0"]  # ONLY the retired source
+    assert _snapshot(spark, store) == before
+
+    # the orphan is recycled (overwritten) by the next real compaction,
+    # which targets the same seq its crashed predecessor used
+    upsert_rollup(parts[0], store, "1 hour", KEYS, batch_id="more")
+    target = compact_rollup(spark, store, KEYS)
+    assert target == "c1"
+    assert _snapshot(spark, store) != before  # 'more' merged in
+    assert vacuum_rollup(spark, store) == []  # compaction GC'd its sources
+
+
+def test_extract_links_and_domain_ranks(spark):
+    """HTML → href edges → registered-domain PageRank, with a DuckDB
+    replay of the extraction regex."""
+    from distributed_mapreduce__spark.operators.lines import (
+        extract_links,
+        html_link_graph,
+    )
+
+    rows = [
+        (
+            "http://a.example/p1",
+            '<a href="http://b.example/x">b</a> '
+            "<a href='https://c.example/y?z=1'>c</a> "
+            '<a href="/relative">rel</a> <a href="#frag">f</a>',
+        ),
+        ("http://b.example/p2", '<a href="http://c.example/z">c</a>'),
+        ("http://c.example/p3", "no links here"),
+    ]
+    docs = spark.createDataFrame(rows, "url string, text string")
+    got = {
+        (r.src_url, r.dst_url) for r in extract_links(docs).collect()
+    }
+    assert got == {
+        ("http://a.example/p1", "http://b.example/x"),
+        ("http://a.example/p1", "https://c.example/y?z=1"),
+        ("http://b.example/p2", "http://c.example/z"),
+    }
+    import duckdb
+
+    con = duckdb.connect()
+    vals = ", ".join(
+        "(" + ", ".join("'" + v.replace("'", "''") + "'" for v in r) + ")"
+        for r in rows
+    )
+    want = set(
+        con.execute(
+            f"""
+            SELECT url, unnest(regexp_extract_all(
+                text, 'href\\s*=\\s*["''](https?://[^"''<>]+)["'']', 1))
+            FROM (VALUES {vals}) t(url, text)
+            """
+        ).fetchall()
+    )
+    con.close()
+    assert got == want
+
+    ranks = {r.domain: r.rank for r in html_link_graph(docs).collect()}
+    # c.example is linked by both others -> highest centrality
+    assert max(ranks, key=ranks.get) == "c.example"
