@@ -319,6 +319,7 @@ def write_training_shards(
     path: str,
     rows_per_shard: int,
     shard_key: str | None = None,
+    compression: str = "zstd",
 ) -> DataFrame:
     """Export a training set as bounded-size parquet shards + manifest.
 
@@ -351,6 +352,10 @@ def write_training_shards(
     (
         writer.write.mode("overwrite")
         .option("maxRecordsPerFile", rows_per_shard)
+        # zstd default: training shards are write-once/read-many across
+        # epochs, where zstd's ~25-30% size win over snappy directly
+        # cuts storage and loader I/O at 100 TB
+        .option("compression", compression)
         .parquet(path)
     )
     manifest = (
