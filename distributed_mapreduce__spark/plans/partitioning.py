@@ -23,3 +23,65 @@ def spread(df: DataFrame, min_factor: float = 1.0) -> DataFrame:
     if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target)
+
+
+def key_skew_report(
+    df, key: str, top: int = 20, n_rows: int | None = None
+) -> dict:
+    """Diagnose shuffle-key skew before a big join/agg: the planning
+    question at 100 TB is "will one reducer drown?", answered by three
+    numbers per hot key — count, share of all rows, and the skew
+    factor vs a perfectly even shuffle partition.
+
+    Uses the bounded-memory counting front door
+    (:func:`...operators.sketches.key_counts`) so the diagnosis itself
+    can't ruin the shuffle it is trying to protect. Returns::
+
+        {"n_rows": N, "shuffle_partitions": P,
+         "even_share": N / P,
+         "hot_keys": [{"key", "cnt", "share",
+                       "skew_factor",        # cnt / even_share
+                       "salt_buckets"}, ...]  # ceil(cnt / even_share)
+         "recommendation": "ok" | "salt" | "broadcast-or-salt"}
+
+    ``salt_buckets`` is the per-key salting fan-out that levels that
+    key back to the even-partition load — feed it to
+    ``operators/relational.salted_join`` / ``mapreduce.salted_sum``.
+    The recommendation is a coarse router: max skew ≤ 4 → "ok" (AQE's
+    skew-join handles it), ≤ 64 → "salt", above → the key list is so
+    degenerate the small side should broadcast or the key re-modeled.
+    """
+    import math
+
+    from pyspark.sql import functions as F
+
+    from ..operators.sketches import key_counts
+
+    spark = df.sparkSession
+    n = n_rows if n_rows is not None else df.count()
+    p = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    even = max(n / max(p, 1), 1.0)
+    # only keys that could matter: ≥ half an even partition's load
+    counts = key_counts(df, key, threshold=max(int(even // 2), 1), n_rows=n)
+    rows = (
+        counts.orderBy(F.desc("cnt"), F.asc(key)).limit(top).collect()
+    )
+    hot = [
+        {
+            "key": r[key],
+            "cnt": r["cnt"],
+            "share": r["cnt"] / n if n else 0.0,
+            "skew_factor": r["cnt"] / even,
+            "salt_buckets": max(1, math.ceil(r["cnt"] / even)),
+        }
+        for r in rows
+    ]
+    worst = max((h["skew_factor"] for h in hot), default=0.0)
+    rec = "ok" if worst <= 4 else ("salt" if worst <= 64 else "broadcast-or-salt")
+    return {
+        "n_rows": n,
+        "shuffle_partitions": p,
+        "even_share": even,
+        "hot_keys": hot,
+        "recommendation": rec,
+    }

@@ -49,3 +49,31 @@ def test_hot_key_rows_spread_over_salts(spark):
     )
     # ~9000 hot rows over 16 hash buckets: all populated w.h.p.
     assert buckets == n_salts
+
+
+def test_key_skew_report(spark):
+    """Skew diagnosis: a planted hot key dominates the report with the
+    right count/share/salt numbers; a uniform key reads 'ok'."""
+    from distributed_mapreduce__spark.plans.partitioning import (
+        key_skew_report,
+    )
+
+    n_hot, n_tail = 8000, 2000
+    df = spark.range(n_hot + n_tail).selectExpr(
+        "CASE WHEN id < 8000 THEN 'hot' ELSE CAST(id AS STRING) END AS k"
+    )
+    rep = key_skew_report(df, "k")
+    assert rep["n_rows"] == n_hot + n_tail
+    top = rep["hot_keys"][0]
+    assert top["key"] == "hot" and top["cnt"] == n_hot
+    assert abs(top["share"] - 0.8) < 1e-9
+    expected_salt = -(-n_hot // rep["even_share"])  # ceil
+    assert top["salt_buckets"] == int(expected_salt) or top["salt_buckets"] >= 2
+    assert rep["recommendation"] in ("salt", "broadcast-or-salt")
+
+    uniform = spark.range(10_000).selectExpr("CAST(id AS STRING) AS k")
+    rep_u = key_skew_report(uniform, "k")
+    assert rep_u["recommendation"] == "ok"
+    # n_rows hint skips the count job and changes nothing
+    rep_h = key_skew_report(df, "k", n_rows=n_hot + n_tail)
+    assert rep_h["hot_keys"][0]["cnt"] == n_hot
