@@ -731,3 +731,33 @@ def orders_per_month(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(dec("o_totalprice")).cast("double").alias("revenue"),
         )
     )
+
+
+_FUZZY_NAME_ORACLE = """
+SELECT l.c_name AS name_l, r.c_name AS name_r,
+       levenshtein(l.c_name, r.c_name) AS distance
+FROM (SELECT DISTINCT c_name FROM customer) l
+JOIN (SELECT DISTINCT c_name FROM customer) r
+  ON l.c_name < r.c_name AND levenshtein(l.c_name, r.c_name) <= 2
+"""
+
+
+@register_local("fuzzy_name_pairs", oracle=_FUZZY_NAME_ORACLE)
+def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record linkage (operators/linkage.fuzzy_key_join): customer
+    names within edit distance 2 of each other — the Spark side runs
+    the banded q-gram + count-filter + Levenshtein-verify pipeline
+    (never all-pairs; plan asserted in tests/test_linkage.py), the
+    oracle IS the brute-force all-pairs join, so a hash match proves
+    the blocking lost nothing. Self-join form ordered l < r to halve
+    the pair space. Local tier: the driver's 50 slots are spoken for;
+    the operator's full gate set lives in tests/test_linkage.py."""
+    from ..operators.linkage import fuzzy_key_join
+
+    cust = load_table(spark, sf_dir, "customer").select("c_name")
+    pairs = fuzzy_key_join(cust, cust, "c_name", "c_name", max_distance=2)
+    return pairs.filter(F.col("c_name_l") < F.col("c_name_r")).select(
+        F.col("c_name_l").alias("name_l"),
+        F.col("c_name_r").alias("name_r"),
+        "distance",
+    )
