@@ -147,7 +147,9 @@ def build_training_set(
     5.  decontamination   (Bloom-pruned n-gram overlap vs ``eval_docs``;
                           drops any train doc sharing ≥
                           ``contamination_min_grams`` eval n-grams)
-    6.  quality gate + language allow-list
+    6.  quality gate + language allow-list (when the input carries no
+        ``lang`` column — raw crawl text — it is predicted with the
+        heuristic lang-ID operator first)
     7.  content-addressed split tags (growth-stable hash_split)
     8.  deterministic global shuffle (seeded training order)
     9.  per-split bounded shards + manifest
@@ -216,6 +218,19 @@ def build_training_set(
         F.col("quality") >= F.lit(min_quality)
     )
     if languages is not None:
+        if "lang" not in cur.columns:
+            # raw-crawl input (e.g. warc_documents) carries no lang —
+            # predict it with the heuristic lang-ID operator (broadcast
+            # profile join; 'und' when no profile word hits)
+            from .text_analysis import lang_id, language_profiles_df
+
+            pred = lang_id(
+                cur.select("doc_id", "text").withColumn(
+                    "lang", F.lit(None).cast("string")
+                ),
+                language_profiles_df(cur.sparkSession),
+            ).select("doc_id", F.col("pred_lang").alias("lang"))
+            cur = cur.join(pred, "doc_id")
         cur = cur.filter(F.col("lang").isin(list(languages)))
     cur = _stage(hash_split(cur, F.col("doc_id").cast("string"), splits, seed=seed))
     report["n_after_quality"] = cur.count()

@@ -134,3 +134,28 @@ def test_language_filter_and_skip_flags(spark, corpus, tmp_path):
     assert "n_after_decontamination" not in report
     out = spark.read.parquet(str(tmp_path / "lf" / "train"))
     assert {r.lang for r in out.select("lang").distinct().collect()} <= set(keep)
+
+
+def test_language_filter_predicts_lang_when_absent(spark, corpus, tmp_path):
+    """Raw-crawl input (no lang column): the capstone predicts lang
+    via the heuristic lang-ID before filtering — the WARC path."""
+    docs, _, _ = corpus
+    bare = docs.select("doc_id", "text")  # no lang column
+    # the synthetic corpus text draws on the engine vocabulary ("the",
+    # "a", ...) whatever its metadata lang says, so the heuristic
+    # predicts mostly en/und — filter on the predictable one
+    keep = ["en"]
+    report = build_training_set(
+        bare,
+        str(tmp_path / "nolang"),
+        clean=False,
+        min_quality=0.0,
+        near_dup_threshold=None,
+        languages=keep,
+        rows_per_shard=50,
+    )
+    total = sum(s["n_rows"] for s in report["splits"].values())
+    assert 0 < total < report["n_after_exact_dedup"]
+    out = spark.read.parquet(str(tmp_path / "nolang" / "train"))
+    assert set(out.columns) >= {"doc_id", "text", "lang"}
+    assert {r.lang for r in out.select("lang").distinct().collect()} <= set(keep)
