@@ -2,39 +2,48 @@
 
 "Join customers to suppliers where the name is within 2 edits" is the
 classic fuzzy-key join; the naive form is an all-pairs Levenshtein —
-quadratic and untenable. The standard scale shape (Gravano et al.
-2001, "Approximate string joins in a database (almost) for free") is
-the same candidate-restrict pattern as the engine's LSH/Misra–Gries
-families:
+quadratic and untenable. The scale shape is the same
+candidate-restrict pattern as the engine's LSH/Misra–Gries families,
+built from two published results:
 
-1. **q-gram blocking** — explode each (padded) key into positional
-   q-grams; candidate pairs are keys sharing ≥ 1 gram, counted per
-   pair by one equi-join on the gram. COUNT FILTERING then prunes by
-   the theorem: ``ed(s,t) ≤ d`` ⇒ the pair shares at least
-   ``max(|s|,|t|) + 2(q-1) - q·(1 + d)`` padded grams (each edit
-   destroys at most q grams of the ``#``-padded string). The
-   threshold is evaluated per pair (never below 1 — sharing zero
-   grams never generates a candidate).
+1. **q-gram blocking with PREFIX FILTERING** (Gravano et al. 2001 for
+   the gram bound; Chaudhuri/Ganti/Kaushik 2006 "A primitive operator
+   for similarity joins" for the prefix filter). ``ed(s,t) ≤ d``
+   destroys at most ``q·d`` of s's padded q-grams, so t's gram set
+   misses at most ``q·d`` of them — meaning t must contain at least
+   one of ANY ``q·d + 1`` grams of s. Pick those ``q·d + 1`` grams as
+   the GLOBALLY RAREST (one gram-frequency aggregation defines the
+   canonical order): by the prefix-filter theorem the two keys'
+   prefixes must intersect, so candidates come from an equi-join on
+   prefix grams only. This is not an optimization nicety but the
+   difference between linear and quadratic on real data: TEMPLATE
+   keys ("Customer#000000001"...) share ~all their grams, and a join
+   on every gram degenerates to all-pairs via the hot shared grams —
+   measured as a multi-minute hang at just 15k fixture names. Rare
+   grams (the digits that differ) carry tiny buckets by construction.
 2. **exact verify** — ``levenshtein() ≤ d`` on the candidates only.
-   Both engines ship the same Levenshtein, so the WHOLE operator
-   replays in the DuckDB oracle.
+   Both engines ship the same Levenshtein, so the operator's output
+   replays in the DuckDB oracle (the local-tier query's oracle is the
+   brute-force all-pairs join — a hash match proves the blocking
+   lost nothing).
 
-Completeness: exact for every pair whose padded-gram floor stays ≥ 1,
-i.e. whenever ``min(|s|,|t|) ≥ q·(1+d) - 2(q-1) + ...`` — in practice
-with q=2: every key of length ≥ 2d. Shorter keys (a 1-char name at
-d=2) can differ in EVERY gram; they are the documented blind spot —
-filter or handle them driver-side (there are at most |Σ|^(q·d) such
-degenerate keys). The test gate proves exact equality with the
-brute-force all-pairs join on fixture + planted-typo data.
+Completeness: exact whenever a key has ≥ 1 gram (padding gives every
+non-empty key ``|s| + q - 1 ≥ q`` grams). Keys whose ENTIRE gram set
+fits inside the prefix budget contribute all their grams — the
+theorem degrades gracefully to plain blocking for short keys; only
+the empty string (no grams) can never match, matching the "no n-gram
+support" rule of doc_shingles.
 
-Scale: grams shuffle as (gram, key) pairs — key strings, not rows;
-hot grams (e.g. ``"an"`` in names) fan out like hot shingles and AQE's
-skew join splits them. The verify join touches candidates only.
+Scale: one gram-frequency aggregation (gram-vocabulary-sized), one
+unhinted join to attach frequencies (AQE broadcasts the vocab when it
+fits), a per-key top-(q·d+1) window over ≤ |key|+q-1 rows, then the
+prefix-gram equi-join whose buckets are rare by construction. The
+verify join touches candidates only.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -47,55 +56,61 @@ def fuzzy_key_join(
     q: int = 2,
 ) -> DataFrame:
     """(left_key, right_key, distance ≤ max_distance): all
-    cross-product pairs within the edit-distance budget, via q-gram
-    blocking + count filtering + exact Levenshtein verify (module
+    cross-product pairs within the edit-distance budget, via
+    rarest-gram prefix blocking + exact Levenshtein verify (module
     docstring). Keys are compared as DISTINCT strings — join the
     result back to recover rows. NULL keys never match."""
     d, qq = int(max_distance), int(q)
     if d < 0 or qq < 1:
         raise ValueError(f"need max_distance >= 0 and q >= 1, got {d}, {qq}")
     pad = "#" * (qq - 1)
+    prefix_len = qq * d + 1
 
-    def grams(df: DataFrame, key: str, side: str, pos_name: str) -> DataFrame:
-        # (pos, gram) STRUCTS, not packed strings — keys containing the
-        # would-be separator must not corrupt the parse
+    def grams(df: DataFrame, key: str, side: str) -> DataFrame:
         arr = F.expr(
             f"transform(sequence(1, greatest(length(concat('{pad}', {side}, "
             f"'{pad}')) - {qq - 1}, 1)), "
-            f"i -> struct(i AS pos, "
-            f"substring(concat('{pad}', {side}, '{pad}'), i, {qq}) AS g))"
+            f"i -> substring(concat('{pad}', {side}, '{pad}'), i, {qq}))"
         )
         return (
             df.select(F.col(key).cast("string").alias(side))
             .filter(F.col(side).isNotNull())
             .distinct()
-            .select(side, F.explode(arr).alias("pg"))
-            .select(side, F.col("pg.pos").alias(pos_name), F.col("pg.g").alias("g"))
+            .select(side, F.explode(F.array_distinct(arr)).alias("g"))
         )
 
-    lg = grams(left, left_key, "lkey", "lpos")
-    rg = grams(right, right_key, "rkey", "rpos")
-    # positional grams within a +-d window: an edit shifts positions by
-    # at most d, so matching grams with |lpos-rpos|<=d keeps the count
-    # bound valid while pruning far-apart accidental matches
-    shared = (
-        lg.join(rg, "g")
-        .filter(F.abs(F.col("lpos") - F.col("rpos")) <= F.lit(d))
-        .groupBy("lkey", "rkey")
-        .agg(F.count("*").alias("n_shared"))
+    lg = grams(left, left_key, "lkey")
+    rg = grams(right, right_key, "rkey")
+
+    # canonical gram order = global frequency across BOTH sides (ties
+    # by gram string): the prefix-filter theorem needs one shared
+    # order, and rarest-first makes prefix buckets small
+    freq = (
+        lg.select(F.col("g"))
+        .unionAll(rg.select("g"))
+        .groupBy("g")
+        .agg(F.count("*").alias("gfreq"))
     )
-    # count-filter: ed <= d needs >= padded_len_max - q*(1+d) + ... >= 1
-    # shared grams; floor at 1 (sharing zero grams never got here)
-    padded_len = lambda c: F.length(c) + F.lit(2 * (qq - 1))  # noqa: E731
-    floor = F.greatest(
-        F.greatest(padded_len(F.col("lkey")), padded_len(F.col("rkey")))
-        - F.lit(qq - 1)
-        - F.lit(qq * d),
-        F.lit(1),
+
+    def prefix(gr: DataFrame, side: str) -> DataFrame:
+        w = Window.partitionBy(side).orderBy(F.asc("gfreq"), F.asc("g"))
+        return (
+            gr.join(freq, "g")  # unhinted: AQE broadcasts small vocabs
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= prefix_len)
+            .select(side, "g")
+        )
+
+    cands = (
+        prefix(lg, "lkey")
+        .join(prefix(rg, "rkey"), "g")
+        .select("lkey", "rkey")
+        .distinct()
     )
     return (
-        shared.filter(F.col("n_shared") >= floor)
-        .withColumn("distance", F.levenshtein(F.col("lkey"), F.col("rkey")))
+        cands.withColumn(
+            "distance", F.levenshtein(F.col("lkey"), F.col("rkey"))
+        )
         .filter(F.col("distance") <= F.lit(d))
         .select(
             F.col("lkey").alias(left_key + "_l"),

@@ -16,6 +16,10 @@ Covered (each forced end-to-end with a noop sink or an action):
 - Bloom decontamination over documents (1% of docs as the eval set):
   build + map-only probe + exact verify, end-to-end.
 - JL projection 64→16 over embeddings (the codegen sql path).
+- Fuzzy key join: supplier names self-joined at edit distance 1
+  (rarest-gram prefix blocking + candidate-only levenshtein; supplier
+  names are the dense-template worst case for gram blocking).
+- Rollup store: 3-batch upsert + merged read over events.
 
 Prints one JSON line per sf_dir:
   {"sf_dir": ..., "ops": {name: sec}, "load_start": ...}
@@ -121,6 +125,31 @@ def measure(spark, sf_dir: str, tmp: str) -> dict[str, float]:
     t0 = time.perf_counter()
     _noop(project_vectors(emb, 64, 16, method="sql"))
     out["jl_project_64to16"] = round(time.perf_counter() - t0, 3)
+
+    from distributed_mapreduce__spark.operators.linkage import fuzzy_key_join
+    from distributed_mapreduce__spark.operators.timeseries import (
+        read_rollup,
+        upsert_rollup,
+    )
+
+    supp = load_table(spark, sf_dir, "supplier").select("s_name")
+    t0 = time.perf_counter()
+    _noop(fuzzy_key_join(supp, supp, "s_name", "s_name", max_distance=1))
+    out["fuzzy_join_names_d1"] = round(time.perf_counter() - t0, 3)
+
+    ev = load_table(spark, sf_dir, "events").select("ts", "value", "user_id")
+    store = os.path.join(tmp, "rollup_" + os.path.basename(sf_dir))
+    t0 = time.perf_counter()
+    for i in range(3):
+        upsert_rollup(
+            ev.filter(F.col("user_id") % 3 == i).drop("user_id"),
+            store,
+            "1 hour",
+            (),
+            batch_id=str(i),
+        )
+    _noop(read_rollup(spark, store, ()))
+    out["rollup_3upserts_read"] = round(time.perf_counter() - t0, 3)
     return out
 
 
