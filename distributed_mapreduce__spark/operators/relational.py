@@ -218,3 +218,74 @@ def quantiles(
         )
     grouped = df.groupBy(*gcols) if gcols else df.groupBy()
     return grouped.agg(*aggs)
+
+
+def with_contiguous_ids(
+    df: DataFrame, order_cols: Sequence[str], id_col: str = "row_id"
+) -> DataFrame:
+    """Assign CONTIGUOUS ids 0..N-1 in ``order_cols`` order — the
+    distributed zipWithIndex. ``monotonically_increasing_id`` leaves
+    gaps (partition-encoded), and a global ``row_number()`` window
+    funnels all N rows through ONE partition; this does neither:
+
+    1. range-partition + sort by ``order_cols`` (the distributed total
+       sort — same machinery as deterministic_shuffle);
+    2. count rows per partition (one job shuffling ≤ one row per
+       partition) and prefix-sum the ≤ #partitions counts on the
+       driver;
+    3. enumerate each partition in an Arrow ``mapInPandas`` pass that
+       adds its partition's offset (``TaskContext.partitionId`` keys
+       the broadcast offset table) — zero further shuffles, order
+       within partitions preserved by the Arrow batch iterator.
+
+    Ties in ``order_cols`` make the assignment nondeterministic across
+    runs — pass a tie-breaking unique column (the usual id) last.
+    Training pipelines use this for sample indexing ("example 0..N-1
+    of this epoch") after :func:`..sampling.deterministic_shuffle`.
+    """
+    from pyspark.sql import types as T
+
+    cols = list(order_cols)
+    spark = df.sparkSession
+    parts = max(
+        1,
+        min(
+            df.rdd.getNumPartitions(),
+            int(spark.conf.get("spark.sql.shuffle.partitions")),
+        ),
+    )
+    arranged = df.repartitionByRange(parts, *cols).sortWithinPartitions(*cols)
+    arranged = arranged.localCheckpoint()  # pin the partitioning: the
+    # count pass and the enumerate pass must see IDENTICAL partitions
+    counts = dict(
+        (r["pid"], r["n"])
+        for r in arranged.select(
+            F.spark_partition_id().alias("pid")
+        )
+        .groupBy("pid")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    ob = spark.sparkContext.broadcast(offsets)
+
+    schema = T.StructType(
+        list(arranged.schema.fields) + [T.StructField(id_col, T.LongType())]
+    )
+
+    def enumerate_rows(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        nxt = ob.value.get(pid, 0)
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf[id_col] = range(nxt, nxt + len(pdf))
+            nxt += len(pdf)
+            yield pdf
+
+    return arranged.mapInPandas(enumerate_rows, schema)

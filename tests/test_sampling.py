@@ -344,3 +344,44 @@ def test_deterministic_shuffle_matches_oracle_and_is_stable(spark, sf_dir):
         ).collect()
     ]
     assert other != got and sorted(other) == sorted(got)
+
+
+def test_with_contiguous_ids(spark, sf_dir):
+    """Distributed zipWithIndex: ids are exactly 0..N-1 in the given
+    order (DuckDB row_number replay), never funneled through one
+    partition, and stable when re-run."""
+    from distributed_mapreduce__spark.operators.relational import (
+        with_contiguous_ids,
+    )
+    from tests.oracle_utils import duck_connect
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "lang")
+    got = {
+        r.doc_id: r.row_id
+        for r in with_contiguous_ids(docs, ["lang", "doc_id"]).collect()
+    }
+    con = duck_connect(SF)
+    want = dict(
+        con.execute(
+            "SELECT doc_id, row_number() OVER (ORDER BY lang, doc_id) - 1 "
+            "FROM documents"
+        ).fetchall()
+    )
+    con.close()
+    assert got == want
+    # re-run is identical (unique tie-breaker makes the order total)
+    again = {
+        r.doc_id: r.row_id
+        for r in with_contiguous_ids(docs, ["lang", "doc_id"]).collect()
+    }
+    assert again == got
+    # multiple real partitions carried ids (no single-partition funnel)
+    from pyspark.sql import functions as F2
+
+    n_parts = (
+        with_contiguous_ids(docs.repartition(8), ["lang", "doc_id"])
+        .select(F2.spark_partition_id().alias("pid"))
+        .distinct()
+        .count()
+    )
+    assert n_parts > 1
