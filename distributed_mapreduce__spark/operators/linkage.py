@@ -27,12 +27,18 @@ built from two published results:
    brute-force all-pairs join — a hash match proves the blocking
    lost nothing).
 
-Completeness: exact whenever a key has ≥ 1 gram (padding gives every
-non-empty key ``|s| + q - 1 ≥ q`` grams). Keys whose ENTIRE gram set
-fits inside the prefix budget contribute all their grams — the
-theorem degrades gracefully to plain blocking for short keys; only
-the empty string (no grams) can never match, matching the "no n-gram
-support" rule of doc_shingles.
+Completeness: EXACT for every pair, via two routes. Keys with more
+than ``q·d`` padded grams (length > ``q·(d-1)+1``) are covered by the
+prefix theorem — d edits destroy at most ``q·d`` grams, so at least
+one prefix gram survives into the other key's gram set. Keys at or
+below that length can lose their ENTIRE gram set to d edits (the
+review-caught gap: 'a'~'b' at d=1 shares zero grams), so the SHORT
+keys take a fallback: cross-join them against the length-band
+``len ≤ short_max + d`` of the other side (|len(s)-len(t)| ≤ d is an
+edit-distance invariant) and verify directly. The short subset is
+bounded by the alphabet (|Σ|^short_max distinct keys); on real key
+data it is empty or tiny, and the test gate includes 1–2 char keys in
+the brute-force-equality check.
 
 Scale: one gram-frequency aggregation (gram-vocabulary-sized), one
 unhinted join to attach frequencies (AQE broadcasts the vocab when it
@@ -105,10 +111,29 @@ def fuzzy_key_join(
         prefix(lg, "lkey")
         .join(prefix(rg, "rkey"), "g")
         .select("lkey", "rkey")
-        .distinct()
     )
+
+    # short-key fallback (module docstring): keys with <= q*d grams can
+    # lose every gram to d edits — cross them against the other side's
+    # +-d length band and let the verify decide. Alphabet-bounded tiny.
+    short_max = qq * (d - 1) + 1
+    if short_max >= 1:
+        lkeys = lg.select("lkey").distinct()
+        rkeys = rg.select("rkey").distinct()
+        ls = lkeys.filter(F.length("lkey") <= short_max)
+        rs = rkeys.filter(F.length("rkey") <= short_max)
+        # two tiny probe jobs gate the fallback so inputs WITHOUT
+        # short keys (the normal case) keep a cartesian-free plan
+        if ls.first() is not None or rs.first() is not None:
+            lband = lkeys.filter(F.length("lkey") <= short_max + d)
+            rband = rkeys.filter(F.length("rkey") <= short_max + d)
+            cands = cands.unionByName(ls.crossJoin(rband)).unionByName(
+                lband.crossJoin(rs)
+            )
+
     return (
-        cands.withColumn(
+        cands.distinct()
+        .withColumn(
             "distance", F.levenshtein(F.col("lkey"), F.col("rkey"))
         )
         .filter(F.col("distance") <= F.lit(d))

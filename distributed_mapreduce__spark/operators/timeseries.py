@@ -209,8 +209,8 @@ def _read_markers(spark, store_path: str) -> list[dict]:
 
 
 def _live_batches(spark, store_path: str) -> list[str] | None:
-    """Batch dirs minus those retired by a COMMITTED compaction (its
-    marker exists and its target dir exists). None = store absent."""
+    """Batch dirs minus those retired by any COMMITTED compaction
+    marker. None = store absent."""
     from ..sources.sinks import hadoop_fs
 
     fs, ppath = hadoop_fs(spark, f"{store_path}/partials")
@@ -224,8 +224,12 @@ def _live_batches(spark, store_path: str) -> list[str] | None:
     committed: set[str] = set()
     for marker in _read_markers(spark, store_path):
         committed.add(marker["target"])
-        if marker["target"] in batches:
-            batches -= set(marker["sources"])
+        # a committed marker retires its sources FOREVER — even after a
+        # LATER compaction deletes this marker's target dir (the data
+        # lives on in the later target). Conditioning on the target
+        # dir's presence resurrected crash-leftover sources once a
+        # second compaction ran, double-counting every read.
+        batches -= set(marker["sources"])
     # the crash-window guard: a compaction TARGET dir whose marker
     # never landed is an orphan — counting it would double-count its
     # still-live sources. Target ids are the reserved c<n> namespace.
@@ -356,8 +360,9 @@ def vacuum_rollup(spark, store_path: str) -> list[str]:
     }
     dead: set[str] = set()
     for m in _read_markers(spark, store_path):
-        if m["target"] in dirs:
-            dead |= set(m["sources"]) & dirs
+        # sources of ANY committed marker are dead — including when a
+        # later compaction already deleted this marker's own target
+        dead |= set(m["sources"]) & dirs
     for b in sorted(dead):
         fs.delete(hadoop_fs(spark, f"{store_path}/partials/batch={b}")[1], True)
     return sorted(dead)

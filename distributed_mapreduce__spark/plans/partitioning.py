@@ -26,7 +26,11 @@ def spread(df: DataFrame, min_factor: float = 1.0) -> DataFrame:
 
 
 def key_skew_report(
-    df, key: str, top: int = 20, n_rows: int | None = None
+    df,
+    key: str,
+    top: int = 20,
+    n_rows: int | None = None,
+    n_distinct: int | None = None,
 ) -> dict:
     """Diagnose shuffle-key skew before a big join/agg: the planning
     question at 100 TB is "will one reducer drown?", answered by three
@@ -58,11 +62,28 @@ def key_skew_report(
     from ..operators.sketches import key_counts
 
     spark = df.sparkSession
-    n = n_rows if n_rows is not None else df.count()
+    # ONE profile scan supplies both numbers key_counts' auto router
+    # needs (passing only n_rows would make it run its own profile
+    # aggregation — a second full scan of the 100 TB input)
+    if n_rows is None or n_distinct is None:
+        prof = df.agg(
+            F.count("*").alias("n"),
+            F.approx_count_distinct(key).alias("d"),
+        ).collect()[0]
+        n = n_rows if n_rows is not None else int(prof["n"])
+        n_distinct = n_distinct if n_distinct is not None else int(prof["d"])
+    else:
+        n = n_rows
     p = int(spark.conf.get("spark.sql.shuffle.partitions"))
     even = max(n / max(p, 1), 1.0)
     # only keys that could matter: ≥ half an even partition's load
-    counts = key_counts(df, key, threshold=max(int(even // 2), 1), n_rows=n)
+    counts = key_counts(
+        df,
+        key,
+        threshold=max(int(even // 2), 1),
+        n_rows=n,
+        n_distinct=n_distinct,
+    )
     rows = (
         counts.orderBy(F.desc("cnt"), F.asc(key)).limit(top).collect()
     )

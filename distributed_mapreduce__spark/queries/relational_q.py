@@ -746,7 +746,7 @@ JOIN (SELECT DISTINCT c_name FROM customer) r
 def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Record linkage (operators/linkage.fuzzy_key_join): customer
     names within edit distance 2 of each other — the Spark side runs
-    the banded q-gram + count-filter + Levenshtein-verify pipeline
+    the rarest-gram PREFIX-blocking + Levenshtein-verify pipeline
     (never all-pairs; plan asserted in tests/test_linkage.py), the
     oracle IS the brute-force all-pairs join, so a hash match proves
     the blocking lost nothing. Self-join form ordered l < r to halve

@@ -1,7 +1,8 @@
-"""Fuzzy key join (operators/linkage.py): the banded q-gram +
-count-filter + Levenshtein pipeline must EQUAL the brute-force
-all-pairs join (completeness is the Gravano count-filter theorem, not
-a recall hope) on fixture names and planted typos, replayed in DuckDB."""
+"""Fuzzy key join (operators/linkage.py): the rarest-gram
+prefix-blocking + Levenshtein pipeline must EQUAL the brute-force
+all-pairs join (completeness is the prefix-filter theorem plus the
+short-key fallback, not a recall hope) on fixture names, planted
+typos, and degenerate short keys, replayed in DuckDB."""
 
 from __future__ import annotations
 
@@ -104,3 +105,22 @@ def test_guards(spark):
         fuzzy_key_join(df, df, "k", "k", -1)
     with pytest.raises(ValueError):
         fuzzy_key_join(df, df, "k", "k", 1, q=0)
+
+
+def test_short_keys_complete(spark):
+    """The review-caught gap: keys with <= q*d grams can lose their
+    whole gram set to d edits ('a'~'b' at d=1 shares zero grams) — the
+    short-key fallback must keep the brute-force equality exact."""
+    lkeys = ["a", "ab", "x", "", "apple", "grape"]
+    rkeys = ["b", "cd", "xy", "z", "appze", "grapes"]
+    ldf = spark.createDataFrame([(k,) for k in lkeys], "k string")
+    rdf = spark.createDataFrame([(k,) for k in rkeys], "k string")
+    for d in (1, 2):
+        got = {
+            (r.k_l, r.k_r, r.distance)
+            for r in fuzzy_key_join(ldf, rdf, "k", "k", d).collect()
+        }
+        want = _brute_force(lkeys, rkeys, d)
+        assert got == want, (d, got ^ want)
+    # the canonical gap pair is really found (zero shared grams)
+    assert ("a", "b", 1) in got

@@ -262,3 +262,34 @@ def test_extract_links_and_domain_ranks(spark):
     ranks = {r.domain: r.rank for r in html_link_graph(docs).collect()}
     # c.example is linked by both others -> highest centrality
     assert max(ranks, key=ranks.get) == "c.example"
+
+
+def test_chain_compaction_never_resurrects_sources(spark, batches, tmp_path):
+    """The reproduced round-6 review bug: crash-before-GC leftovers
+    followed by a SECOND compaction (which deletes the first target)
+    must not resurrect the first compaction's sources — a committed
+    marker retires its sources forever, and vacuum still GCs them."""
+    import shutil
+
+    from distributed_mapreduce__spark.operators.timeseries import (
+        vacuum_rollup,
+    )
+
+    parts, _ = batches
+    store = str(tmp_path / "roll")
+    for i, b in enumerate(parts[:2]):
+        upsert_rollup(b, store, "1 hour", KEYS, batch_id=str(i))
+    truth_01 = _snapshot(spark, store)
+    compact_rollup(spark, store, KEYS)  # c0 <- {0,1}, GCs 0,1
+    # crash-before-GC: resurrect the source dirs on disk
+    upsert_rollup(parts[2], store, "1 hour", KEYS, batch_id="2")
+    shutil.copytree(f"{store}/partials/batch=2", f"{store}/partials/batch=0")
+    shutil.copytree(f"{store}/partials/batch=2", f"{store}/partials/batch=1")
+    truth_all = _snapshot(spark, store)  # 0,1 retired -> c0 + 2 only
+    # second compaction: c1 <- {c0, 2}; deletes c0
+    compact_rollup(spark, store, KEYS)
+    assert _snapshot(spark, store) == truth_all  # no resurrection
+    deleted = vacuum_rollup(spark, store)
+    assert set(deleted) == {"0", "1"}  # leftovers GC'd despite c0 gone
+    assert _snapshot(spark, store) == truth_all
+    assert truth_all != truth_01

@@ -67,13 +67,16 @@ def test_key_skew_report(spark):
     top = rep["hot_keys"][0]
     assert top["key"] == "hot" and top["cnt"] == n_hot
     assert abs(top["share"] - 0.8) < 1e-9
-    expected_salt = -(-n_hot // rep["even_share"])  # ceil
-    assert top["salt_buckets"] == int(expected_salt) or top["salt_buckets"] >= 2
+    import math
+
+    assert top["salt_buckets"] == math.ceil(n_hot / rep["even_share"])
     assert rep["recommendation"] in ("salt", "broadcast-or-salt")
 
     uniform = spark.range(10_000).selectExpr("CAST(id AS STRING) AS k")
     rep_u = key_skew_report(uniform, "k")
     assert rep_u["recommendation"] == "ok"
-    # n_rows hint skips the count job and changes nothing
-    rep_h = key_skew_report(df, "k", n_rows=n_hot + n_tail)
+    # full hints skip the profile scan entirely and change nothing
+    rep_h = key_skew_report(
+        df, "k", n_rows=n_hot + n_tail, n_distinct=n_tail + 1
+    )
     assert rep_h["hot_keys"][0]["cnt"] == n_hot
