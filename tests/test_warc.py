@@ -169,3 +169,65 @@ def test_gzip_corruption_is_quarantined(spark, warc_dir, tmp_path):
     assert [r.record_id for r in by_type["response"]] == ["<urn:uuid:ok>"]
     assert len(by_type["_malformed"]) == 1
     assert "zlib.error" in by_type["_malformed"][0].error
+
+
+def test_warc_to_training_shards_end_to_end(spark, tmp_path):
+    """The README pipeline: warc_documents → build_training_set —
+    crawl bytes in, deduped deterministic shards + funnel report out."""
+    import gzip as _gzip
+
+    from distributed_mapreduce__spark.operators.corpus import (
+        build_training_set,
+    )
+
+    body = (
+        "<html><body><p>The quick brown fox jumps over the lazy dog "
+        "and the weather is fine today.</p><p>A second sentence keeps "
+        "the page alive and is long enough to survive.</p>"
+        "</body></html>"
+    )
+    records = []
+    for i in range(12):
+        page = body.replace("fox", f"fox{i}")  # distinct pages
+        records.append(
+            _record(
+                "response",
+                _http(page.encode()),
+                uri=f"http://site{i % 3}.example/p{i}",
+                rid=f"<urn:uuid:page-{i}>",
+            )
+        )
+    # an exact duplicate page under a different record id
+    records.append(
+        _record(
+            "response",
+            _http(body.replace("fox", "fox0").encode()),
+            uri="http://mirror.example/copy",
+            rid="<urn:uuid:dup>",
+        )
+    )
+    p = tmp_path / "crawl.warc.gz"
+    p.write_bytes(b"".join(_gzip.compress(r) for r in records))
+
+    from distributed_mapreduce__spark.sources.warc import warc_documents
+
+    docs = warc_documents(spark, str(p)).select("doc_id", "text")
+    report = build_training_set(
+        docs,
+        str(tmp_path / "shards"),
+        html=True,
+        clean=True,
+        clean_opts={"min_words": 3, "require_terminal_punct": True,
+                    "min_lines": 1, "dedup": False},
+        min_quality=0.0,
+        near_dup_threshold=None,
+        rows_per_shard=10,
+    )
+    assert report["n_input"] == 13
+    # the mirror copy is an exact dup after HTML strip -> one falls
+    assert report["n_after_exact_dedup"] == report["n_after_clean"] - 1
+    total = sum(s["n_rows"] for s in report["splits"].values())
+    assert total == report["n_after_quality"] > 0
+    out = spark.read.parquet(str(tmp_path / "shards" / "train"))
+    texts = [r.text for r in out.collect()]
+    assert texts and all("<" not in t for t in texts)  # HTML stripped
