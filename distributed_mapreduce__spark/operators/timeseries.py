@@ -165,6 +165,7 @@ def upsert_rollup(
             "a restarted stream whose checkpoint was lost must not reuse "
             "its old id sequence."
         )
+    _check_duration(events.sparkSession, store_path, duration)
     (
         rollup_batch(events, duration, *keys)
         .withColumn("batch", F.lit(str(batch_id)))
@@ -242,17 +243,53 @@ def _live_batches(spark, store_path: str) -> list[str] | None:
 
 
 def read_rollup(
-    spark, store_path: str, keys: tuple[str, ...] = ()
+    spark,
+    store_path: str,
+    keys: tuple[str, ...] = (),
+    coarsen: str | None = None,
 ) -> DataFrame:
     """The current rollup: merge live partials per (window, key) —
     additive count/sum, avg derived with the engine-identical single
-    division the batch window queries use."""
+    division the batch window queries use.
+
+    ``coarsen`` re-buckets at read into WIDER epoch-aligned windows
+    (store hourly, query daily — the continuous-aggregate pattern):
+    base windows nest exactly when the coarser duration is an integer
+    multiple of the stored one, which is validated against the store's
+    ``_meta.json``; a non-multiple would straddle boundaries and is
+    refused. Pure extra aggregation over already-rolled rows — the raw
+    events are never touched."""
     live = _live_batches(spark, store_path)
     if not live:
         raise FileNotFoundError(f"no rollup partials at {store_path}")
     df = spark.read.parquet(
         *[f"{store_path}/partials/batch={b}" for b in live]
     )
+    if coarsen is not None:
+        base = _store_duration(spark, store_path)
+        bsec, csec = _duration_seconds(base), _duration_seconds(coarsen)
+        if bsec is None:
+            raise ValueError(
+                f"store {store_path} has no _meta.json duration; cannot "
+                "validate coarsen nesting"
+            )
+        if csec % bsec != 0:
+            raise ValueError(
+                f"coarsen {coarsen!r} is not a multiple of the stored "
+                f"duration {base!r}; straddled windows would miscount"
+            )
+        df = df.select(
+            F.window("window_start", coarsen).alias("win"),
+            *keys,
+            "n_events",
+            "sum_value_dec",
+        ).select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            *keys,
+            "n_events",
+            "sum_value_dec",
+        )
     return (
         df.groupBy("window_start", "window_end", *keys)
         .agg(
@@ -366,3 +403,84 @@ def vacuum_rollup(spark, store_path: str) -> list[str]:
     for b in sorted(dead):
         fs.delete(hadoop_fs(spark, f"{store_path}/partials/batch={b}")[1], True)
     return sorted(dead)
+
+
+def _check_duration(spark, store_path: str, duration: str) -> None:
+    """Pin the store's base window duration in a ``_meta.json``
+    sidecar on first write; later writes with a DIFFERENT duration
+    raise — mixing window widths in one partial store would silently
+    corrupt every merged read."""
+    import json
+
+    from ..sources.sinks import hadoop_fs
+
+    _duration_seconds(duration)  # reject unsupported width syntax early
+    fs, mpath = hadoop_fs(spark, f"{store_path}/_meta.json")
+    if fs.exists(mpath):
+        raw = fs.open(mpath)
+        try:
+            data = bytes(
+                spark.sparkContext._jvm.org.apache.commons.io.IOUtils.toByteArray(
+                    raw
+                )
+            )
+        finally:
+            raw.close()
+        stored = json.loads(data.decode("utf-8"))["duration"]
+        if stored != duration:
+            raise ValueError(
+                f"rollup store {store_path} was built with duration "
+                f"{stored!r}; refusing to upsert {duration!r} partials "
+                "into it (mixed widths corrupt merged reads). Coarser "
+                "readouts belong at read time: read_rollup(..., "
+                "coarsen=...)."
+            )
+        return
+    out = fs.create(mpath, True)
+    try:
+        out.write(bytearray(json.dumps({"duration": duration}).encode()))
+    finally:
+        out.close()
+
+
+def _store_duration(spark, store_path: str) -> str | None:
+    """The base window duration pinned in the store's _meta.json."""
+    import json
+
+    from ..sources.sinks import hadoop_fs
+
+    fs, mpath = hadoop_fs(spark, f"{store_path}/_meta.json")
+    if not fs.exists(mpath):
+        return None
+    raw = fs.open(mpath)
+    try:
+        data = bytes(
+            spark.sparkContext._jvm.org.apache.commons.io.IOUtils.toByteArray(raw)
+        )
+    finally:
+        raw.close()
+    return json.loads(data.decode("utf-8"))["duration"]
+
+
+_UNIT_SECONDS = {
+    "second": 1, "seconds": 1,
+    "minute": 60, "minutes": 60,
+    "hour": 3600, "hours": 3600,
+    "day": 86400, "days": 86400,
+    "week": 604800, "weeks": 604800,
+}
+
+
+def _duration_seconds(s: str | None) -> int | None:
+    """Parse Spark's '<n> <unit>' window-duration strings to seconds
+    (the subset the rollup store accepts — sub-second widths are not
+    meaningful for a persisted rollup)."""
+    if s is None:
+        return None
+    parts = s.strip().split()
+    if len(parts) != 2 or not parts[0].isdigit() or parts[1] not in _UNIT_SECONDS:
+        raise ValueError(
+            f"unsupported rollup duration {s!r}; use '<n> "
+            "second(s)/minute(s)/hour(s)/day(s)/week(s)'"
+        )
+    return int(parts[0]) * _UNIT_SECONDS[parts[1]]

@@ -293,3 +293,36 @@ def test_chain_compaction_never_resurrects_sources(spark, batches, tmp_path):
     assert set(deleted) == {"0", "1"}  # leftovers GC'd despite c0 gone
     assert _snapshot(spark, store) == truth_all
     assert truth_all != truth_01
+
+
+def test_duration_pinning_and_coarsen(spark, batches, tmp_path):
+    """The store pins its base window width (mixing widths corrupts
+    merged reads — refused loudly); coarsen re-buckets at read and
+    must equal the direct coarse tumbling aggregation."""
+    from distributed_mapreduce__spark.operators.timeseries import (
+        read_rollup,
+    )
+
+    parts, full = batches
+    store = str(tmp_path / "roll")
+    for i, b in enumerate(parts):
+        upsert_rollup(b, store, "1 hour", KEYS, batch_id=str(i))
+    # mixed width refused
+    with pytest.raises(ValueError, match="refusing to upsert"):
+        upsert_rollup(parts[0], store, "2 hours", KEYS, batch_id="w")
+    # unsupported syntax refused
+    with pytest.raises(ValueError, match="unsupported rollup duration"):
+        upsert_rollup(parts[0], str(tmp_path / "x"), "1 fortnight", KEYS)
+
+    got = {
+        (r.window_start, r.event_type): (r.n_events, r.sum_value, r.avg_value)
+        for r in read_rollup(spark, store, KEYS, coarsen="1 day").collect()
+    }
+    want = {
+        (r.window_start, r.event_type): (r.n_events, r.sum_value, r.avg_value)
+        for r in tumbling(full, "1 day", *KEYS).collect()
+    }
+    assert got == want  # hourly partials nest exactly into days
+    # non-multiple coarsening refused
+    with pytest.raises(ValueError, match="not a multiple"):
+        read_rollup(spark, store, KEYS, coarsen="90 minutes")
