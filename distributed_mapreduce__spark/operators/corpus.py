@@ -136,6 +136,9 @@ def build_training_set(
     recipe composed from the engine's proven operators, in the order a
     production pre-training run applies them:
 
+    0.  canonical-URL dedup (automatic when the input has a ``url``
+        column — the cheapest dedup, run before any text work;
+        operators/urls.url_dedup)
     1.  HTML strip        (``html=True``; operators/lines.strip_html)
     2.  line cleaning     (C4 heuristics + corpus-wide line dedup;
                           operators/lines.clean_lines, tuned via
@@ -184,6 +187,14 @@ def build_training_set(
 
     report: dict = {"n_input": docs.count()}
     cur = docs
+    if "url" in cur.columns:
+        # stage 0 of every crawl pipeline: canonical-URL dedup — one
+        # shuffle on the canonical key, BEFORE any text work touches
+        # the (much heavier) document bodies
+        from .urls import url_dedup
+
+        cur = _stage(url_dedup(cur, url_col="url", tie_col="doc_id"))
+        report["n_after_url_dedup"] = cur.count()
     if html:
         cur = cur.withColumn("text", strip_html("text"))
     if clean:

@@ -159,3 +159,33 @@ def test_language_filter_predicts_lang_when_absent(spark, corpus, tmp_path):
     out = spark.read.parquet(str(tmp_path / "nolang" / "train"))
     assert set(out.columns) >= {"doc_id", "text", "lang"}
     assert {r.lang for r in out.select("lang").distinct().collect()} <= set(keep)
+
+
+def test_url_dedup_stage_runs_first(spark, tmp_path):
+    """A url column triggers canonical-URL dedup as stage 0: two docs
+    behind the same canonical URL (tracking params, fragments)
+    collapse to the min doc_id BEFORE text stages run."""
+    docs = spark.createDataFrame(
+        [
+            (1, "http://a.example/page?utm_source=x", "first body text here"),
+            (2, "http://a.example/page#section", "second body text here"),
+            (3, "http://b.example/other", "third body text here"),
+        ],
+        "doc_id long, url string, text string",
+    )
+    report = build_training_set(
+        docs,
+        str(tmp_path / "ud"),
+        clean=False,
+        min_quality=0.0,
+        near_dup_threshold=None,
+        rows_per_shard=10,
+    )
+    assert report["n_after_url_dedup"] == 2
+    out = spark.read.parquet(
+        str(tmp_path / "ud" / "train"),
+        str(tmp_path / "ud" / "val"),
+        str(tmp_path / "ud" / "test"),
+    )
+    ids = {r.doc_id for r in out.collect()}
+    assert ids <= {1, 3} and 2 not in ids
