@@ -213,7 +213,7 @@ FROM deduped GROUP BY doc_id HAVING count(*) >= 1
 """
 
 
-@register_local("line_dedup_docs", oracle=_LINE_DEDUP_ORACLE)
+@register("line_dedup_docs", oracle=_LINE_DEDUP_ORACLE)
 def line_dedup_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style corpus-wide line dedup over the document corpus
     (operators/lines.py): explode to lines, keep-first dedup keyed on

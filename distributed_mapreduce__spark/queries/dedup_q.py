@@ -325,7 +325,7 @@ FROM ext e JOIN t USING (doc_id)
 """
 
 
-@register_local("substring_spans", oracle=_SUBSTRING_SPANS_ORACLE)
+@register("substring_spans", oracle=_SUBSTRING_SPANS_ORACLE)
 def substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ExactSubstr boilerplate mining (Lee et al., arXiv 2107.06499):
     maximal token spans covered by duplicated 8-grams, per document.
@@ -353,7 +353,7 @@ _DECONTAM_BLOOM_ORACLE = f"""
 """
 
 
-@register_local("decontamination_bloom", oracle=_DECONTAM_BLOOM_ORACLE)
+@register("decontamination_bloom", oracle=_DECONTAM_BLOOM_ORACLE)
 def decontamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-pruned benchmark decontamination
     (operators/bloom.decontaminate_bloom): eval-set shingles → 1%-fpp

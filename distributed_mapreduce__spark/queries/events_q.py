@@ -138,3 +138,47 @@ def user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("ts").alias("last_seen"),
         F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
     )
+
+
+@register(
+    "rollup_read_parity",
+    oracle=f"""
+    SELECT make_timestamp((epoch_us(ts) // 1800000000) * 1800000000) AS window_start,
+           make_timestamp((epoch_us(ts) // 1800000000) * 1800000000 + 1800000000) AS window_end,
+           event_type,
+           {_AGGS_SQL}
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def rollup_read_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full incremental-rollup-store lifecycle, driver-verified
+    (SURVEY.md §2.2b: continuous-aggregate / hypertable rollup).
+
+    Splits ``events`` into three deterministic batches
+    (``event_id % 3``), upserts each as 10-minute mergeable partials
+    into a FRESH store (so retries never trip the retired-batch-id
+    guard), compacts the three batch dirs into one, then reads the
+    store coarsened to 30-minute windows. The oracle is a direct
+    30-minute tumbling aggregate over ALL events — parity proves the
+    whole chain (batch split → partial agg → idempotent upsert →
+    crash-safe compaction → read-time coarsening) loses and
+    double-counts nothing, bit-exactly. History is never re-scanned:
+    each upsert aggregates only its own batch; the read merges
+    partials (decimal(38,4) additive) and derives avg with the same
+    single division the batch window queries use."""
+    import tempfile
+
+    from ..operators.timeseries import (
+        compact_rollup,
+        read_rollup,
+        upsert_rollup,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    store = tempfile.mkdtemp(prefix="rollup_parity_")
+    for i in range(3):
+        batch = events.filter(F.col("event_id") % 3 == i)
+        upsert_rollup(batch, store, "10 minutes", ("event_type",), batch_id=str(i))
+    compact_rollup(spark, store, ("event_type",))
+    return read_rollup(spark, store, ("event_type",), coarsen="30 minutes")

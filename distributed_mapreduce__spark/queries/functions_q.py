@@ -8,11 +8,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..registry import register
+from ..registry import register, register_local
 from ..sources.tables import load_table
 
 
-@register(
+@register_local(
     "scalar_functions",
     oracle="""
     SELECT o_orderkey,

@@ -177,7 +177,7 @@ def top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- join family: semi / anti / outer -------------------------------------
 
 
-@register(
+@register_local(
     "customer_order_presence",
     oracle="""
     SELECT 'open' AS presence, c_custkey, c_name
@@ -206,7 +206,7 @@ def customer_order_presence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_open.unionByName(without_any)
 
 
-@register(
+@register_local(
     "order_item_counts_outer",
     oracle="""
     SELECT o_orderkey, coalesce(n_items, 0) AS n_items,
@@ -742,7 +742,7 @@ JOIN (SELECT DISTINCT c_name FROM customer) r
 """
 
 
-@register_local("fuzzy_name_pairs", oracle=_FUZZY_NAME_ORACLE)
+@register("fuzzy_name_pairs", oracle=_FUZZY_NAME_ORACLE)
 def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Record linkage (operators/linkage.fuzzy_key_join): customer
     names within edit distance 2 of each other — the Spark side runs

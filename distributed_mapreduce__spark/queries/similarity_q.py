@@ -40,7 +40,7 @@ _SIM_QC = (
 )
 
 
-@register(
+@register_local(
     "similarity_topk",
     oracle=f"""
     WITH {_NV},
@@ -243,7 +243,7 @@ def similarity_topk_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFram
     return lsh_topk(emb, queries, n_planes=8, multiprobe=True, k=10)
 
 
-@register(
+@register_local(
     "embedding_neardup",
     oracle=f"""
     WITH {_NV},

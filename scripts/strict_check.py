@@ -74,7 +74,7 @@ def _scale_check_embedding_neardup(spark, con, sf_dir, registry):
 
     name = "embedding_neardup"
     thr = 0.45
-    sdf = registry.QUERIES[name](spark, sf_dir)
+    sdf = {**registry.LOCAL_QUERIES, **registry.QUERIES}[name](spark, sf_dir)
     s_cols = [c.lower() for c in sdf.columns]
     s_rows = [tuple(r) for r in sdf.collect()]
     con.execute(
@@ -254,12 +254,16 @@ def main() -> int:
     from tests.oracle_utils import duck_connect
 
     registry.load_all()
-    names = args[1:] or [n for n in registry.QUERIES if n in registry.ORACLES]
+    lookup = {**registry.LOCAL_QUERIES, **registry.QUERIES}
+    oracles = {**registry.LOCAL_ORACLES, **registry.ORACLES}
+    names = args[1:] or sorted(
+        n for n in registry.QUERIES if n in registry.ORACLES
+    )
     spark = get_spark()
     con = duck_connect(sf_dir)
     n_bad = 0
     for name in names:
-        if name not in registry.ORACLES:
+        if name not in oracles:
             print(f"{name}: SKIP (no oracle)")
             continue
         if scale_mode and name in SCALE_CHECKERS:
@@ -276,10 +280,10 @@ def main() -> int:
             continue
         t0 = time.time()
         try:
-            sdf = registry.QUERIES[name](spark, sf_dir)
+            sdf = lookup[name](spark, sf_dir)
             s_cols = [c.lower() for c in sdf.columns]
             s_rows = [tuple(r) for r in sdf.collect()]
-            res = con.execute(registry.ORACLES[name])
+            res = con.execute(oracles[name])
             d_cols = [c[0].lower() for c in res.description]
             d_rows = res.fetchall()
         except Exception as e:  # noqa: BLE001

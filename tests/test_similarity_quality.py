@@ -29,7 +29,7 @@ def _pairs(df):
 
 @pytest.fixture(scope="module")
 def exact(spark):
-    return _pairs(registry.QUERIES["similarity_topk"](spark, SF))
+    return _pairs(registry.LOCAL_QUERIES["similarity_topk"](spark, SF))
 
 
 def test_multiprobe_recall_beats_single(spark, exact):
@@ -89,7 +89,7 @@ def test_ann_sims_match_exact_scorer(spark):
     pairs are scored, never the score."""
     exact_sims = {
         (r.query_id, r.neighbor_id): r.sim
-        for r in registry.QUERIES["similarity_topk"](spark, SF).collect()
+        for r in registry.LOCAL_QUERIES["similarity_topk"](spark, SF).collect()
     }
     for fn in (
         registry.QUERIES["similarity_topk_lsh_multiprobe"],
