@@ -176,6 +176,92 @@ def upsert_rollup(
     )
 
 
+def claim_rollup_writer(
+    spark, store_path: str, writer: str, checkpoint_path: str
+) -> None:
+    """Claim a batch-id prefix for ONE stream (streaming/windows.py
+    ``stream_rollup``). Batch numbering is per-checkpoint, so two
+    concurrent streams sharing a store AND a prefix would overwrite
+    each other's ``batch=<prefix><n>`` partitions silently (dynamic
+    partition overwrite replaces same-named dirs). The claim is a
+    ``_writers/<writer>.json`` sidecar recording the owning stream's
+    checkpoint path, committed atomically (tmp+rename, same discipline
+    as compaction markers):
+
+    - no claim file → write it, proceed;
+    - claim file naming THIS checkpoint → a restart of the same
+      stream, proceed (its retries are idempotent by batch id);
+    - claim file naming a DIFFERENT checkpoint → raise loudly — the
+      caller must pass a distinct ``writer=`` per stream.
+
+    The reserved compaction namespace (``c<n>``) is rejected up front:
+    a writer literally named ``c`` would emit batch ids compaction
+    targets own, and ``upsert_rollup`` would refuse every batch.
+    """
+    import json
+    import re
+
+    from ..sources.sinks import hadoop_fs
+
+    if not writer or re.search(r"[/=\s]", writer):
+        raise ValueError(
+            f"writer prefix {writer!r} must be non-empty and free of "
+            "'/', '=' and whitespace (it names partition dirs)"
+        )
+    if re.fullmatch(r"c\d*", writer):
+        raise ValueError(
+            f"writer prefix {writer!r} collides with the reserved "
+            "compaction namespace c<n>"
+        )
+    fs, wpath = hadoop_fs(spark, f"{store_path}/_writers/{writer}.json")
+    if fs.exists(wpath):
+        raw = fs.open(wpath)
+        try:
+            data = bytes(
+                spark.sparkContext._jvm.org.apache.commons.io.IOUtils.toByteArray(
+                    raw
+                )
+            )
+        finally:
+            raw.close()
+        owner = json.loads(data.decode("utf-8"))["checkpoint"]
+        if owner != checkpoint_path:
+            raise ValueError(
+                f"rollup store {store_path} writer prefix {writer!r} is "
+                f"claimed by the stream checkpointed at {owner!r}; this "
+                f"stream (checkpoint {checkpoint_path!r}) would silently "
+                "overwrite its partials. Pass a distinct writer= id per "
+                "concurrent stream."
+            )
+        return
+    marker = json.dumps({"writer": writer, "checkpoint": checkpoint_path})
+    tmp = hadoop_fs(spark, f"{store_path}/_writers/{writer}.json.tmp")[1]
+    out = fs.create(tmp, True)
+    try:
+        out.write(bytearray(marker.encode()))
+    finally:
+        out.close()
+    if not fs.rename(tmp, wpath):
+        # lost a race with a concurrent claimer — re-read and re-check
+        # rather than clobbering its committed marker
+        raw = fs.open(wpath)
+        try:
+            data = bytes(
+                spark.sparkContext._jvm.org.apache.commons.io.IOUtils.toByteArray(
+                    raw
+                )
+            )
+        finally:
+            raw.close()
+        owner = json.loads(data.decode("utf-8"))["checkpoint"]
+        if owner != checkpoint_path:
+            raise ValueError(
+                f"rollup store {store_path} writer prefix {writer!r} was "
+                f"concurrently claimed by {owner!r}; pass a distinct "
+                "writer= id per stream."
+            )
+
+
 def _read_markers(spark, store_path: str) -> list[dict]:
     """All committed compaction markers (torn/unparseable ones from a
     crash mid-write are skipped — belt to the tmp+rename suspenders in

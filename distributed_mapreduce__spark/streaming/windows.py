@@ -102,15 +102,30 @@ def stream_rollup(
     checkpoint_path: str,
     duration: str,
     keys: tuple[str, ...] = (),
+    writer: str = "s",
 ):
     """Continuously fold an event stream into the incremental rollup
     store (operators/timeseries.upsert_rollup) via ``foreachBatch``:
-    batch N's window partials land under ``batch=s<N>`` with dynamic
-    partition overwrite, so the engine's retry of a failed batch (same
-    batch id, per the checkpoint contract) REPLACES the partial
-    instead of double-counting — effectively-exactly-once aggregates
-    over an unbounded stream, with the state in storage, not memory
-    (the streaming-incremental-dedup posture).
+    batch N's window partials land under ``batch=<writer><N>`` with
+    dynamic partition overwrite, so the engine's retry of a failed
+    batch (same batch id, per the checkpoint contract) REPLACES the
+    partial instead of double-counting — effectively-exactly-once
+    aggregates over an unbounded stream, with the state in storage,
+    not memory (the streaming-incremental-dedup posture).
+
+    **Writer contract (one stream per prefix):** batch numbering comes
+    from each stream's OWN checkpoint, so two concurrent streams
+    sharing one store and one prefix would both write ``batch=s0``,
+    ``batch=s1``, ... — dynamic partition overwrite would make them
+    silently clobber each other's partials. Each stream therefore
+    CLAIMS its ``writer`` prefix in ``_writers/<writer>.json`` (atomic
+    tmp+rename, recording its checkpoint path) before starting; a
+    second stream with a different checkpoint asking for a claimed
+    prefix raises loudly instead of corrupting the store. A restart of
+    the SAME stream (same checkpoint) re-enters its claim and resumes
+    idempotently. Fan-in from multiple streams is supported by giving
+    each a distinct ``writer`` — ``read_rollup`` merges partials
+    additively regardless of which writer produced them.
 
     Unlike the watermarked in-memory window aggregations above, this
     handles arbitrarily late data for free: a late event simply lands
@@ -123,11 +138,15 @@ def stream_rollup(
     Returns the started StreamingQuery; drive with
     ``processAllAvailable()`` in tests.
     """
-    from ..operators.timeseries import upsert_rollup
+    from ..operators.timeseries import claim_rollup_writer, upsert_rollup
+
+    claim_rollup_writer(
+        events.sparkSession, store_path, writer, checkpoint_path
+    )
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         upsert_rollup(
-            batch_df, store_path, duration, keys, batch_id=f"s{batch_id}"
+            batch_df, store_path, duration, keys, batch_id=f"{writer}{batch_id}"
         )
 
     return (

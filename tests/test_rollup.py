@@ -326,3 +326,61 @@ def test_duration_pinning_and_coarsen(spark, batches, tmp_path):
     # non-multiple coarsening refused
     with pytest.raises(ValueError, match="not a multiple"):
         read_rollup(spark, store, KEYS, coarsen="90 minutes")
+
+
+def test_writer_prefix_collision_raises(spark, batches, tmp_path):
+    """Two concurrent streams sharing one store must NOT share a batch
+    prefix: each numbers batches from its own checkpoint, so same-named
+    ``batch=s<n>`` dirs would silently overwrite each other. The claim
+    sidecar turns that silent clobber into a loud error; distinct
+    writer ids fan in additively."""
+    from distributed_mapreduce__spark.operators.timeseries import (
+        claim_rollup_writer,
+    )
+    from distributed_mapreduce__spark.streaming.windows import stream_rollup
+
+    parts, full = batches
+    store = str(tmp_path / "roll")
+    src_a, src_b = str(tmp_path / "a"), str(tmp_path / "b")
+    ck_a, ck_b = str(tmp_path / "cka"), str(tmp_path / "ckb")
+    parts[0].write.mode("overwrite").parquet(src_a)
+    parts[1].write.mode("overwrite").parquet(src_b)
+
+    def reader(src):
+        return spark.readStream.schema(full.schema).parquet(src)
+
+    qa = stream_rollup(reader(src_a), store, ck_a, "1 hour", KEYS)
+    try:
+        qa.processAllAvailable()
+        # second stream, DIFFERENT checkpoint, same default prefix →
+        # refused before it can clobber batch=s0
+        with pytest.raises(ValueError, match="claimed by the stream"):
+            stream_rollup(reader(src_b), store, ck_b, "1 hour", KEYS)
+    finally:
+        qa.stop()
+
+    # restart of stream A (same checkpoint) re-enters its claim
+    qa2 = stream_rollup(reader(src_a), store, ck_a, "1 hour", KEYS)
+    try:
+        qa2.processAllAvailable()
+    finally:
+        qa2.stop()
+
+    # distinct writer id → both streams coexist; reads merge their rows
+    qb = stream_rollup(reader(src_b), store, ck_b, "1 hour", KEYS, writer="w2")
+    try:
+        qb.processAllAvailable()
+    finally:
+        qb.stop()
+    both = parts[0].unionByName(parts[1])
+    want = {
+        (r.window_start, r.event_type): (r.n_events, r.sum_value, r.avg_value)
+        for r in tumbling(both, "1 hour", *KEYS).collect()
+    }
+    assert _snapshot(spark, store) == want
+
+    # reserved / malformed prefixes rejected up front
+    with pytest.raises(ValueError, match="reserved"):
+        claim_rollup_writer(spark, store, "c3", "ck")
+    with pytest.raises(ValueError, match="non-empty"):
+        claim_rollup_writer(spark, store, "a=b", "ck")
