@@ -22,11 +22,20 @@ so the parse runs inside Arrow ``mapInPandas`` tasks against
 - **Nothing is silently dropped** (the CSV-quarantine posture,
   sources/text.py): a record that fails to parse is emitted as a row
   with ``warc_type='_malformed'`` and the error in ``error``; a
-  truncated file tail becomes one such row. Filters select clean rows;
-  the quarantine is queryable.
-- **Memory**: one file's decompressed records stream through a
-  generator — peak memory is the largest single record (WARC caps
-  records ~1 GB by convention), not the file.
+  truncated file tail becomes one such row, and the parser RESYNCS at
+  the next ``\\r\\nWARC/`` boundary so one bad record mid-file costs
+  only the bytes up to the next boundary, not the rest of the stream
+  (the quarantine row records how many bytes were skipped). Filters
+  select clean rows; the quarantine is queryable.
+- **Memory**: ``binaryFile`` materializes the whole COMPRESSED file in
+  its row, then decompressed records stream through a generator — so
+  peak per task is file-bytes + the largest single decompressed
+  record, fine for CC's ~1 GB shards. ``binaryFile`` also hard-caps a
+  file at 2 GiB (Spark's byte-array row limit); rather than letting
+  the scan throw mid-job, ``read_warc`` pre-lists the inputs and turns
+  each oversized file into a ``_malformed`` quarantine row (the
+  listing is driver-side metadata only, one stat per file — the same
+  cost every FileScan pays at planning).
 
 ``read_warc`` returns typed records with the payload as ``binary``;
 ``warc_documents`` is the convenience projection to the ``documents``
@@ -157,6 +166,17 @@ def _parse_warc_stream(data: bytes, path: str) -> Iterator[dict]:
                 "error": None,
             }
         except (ValueError, KeyError, IndexError) as e:
+            # framing is lost at this record — resync at the next
+            # b"\r\nWARC/" boundary so ONE bad record doesn't abandon
+            # the remainder of a (non-per-member-gzip) stream; the
+            # quarantine row accounts for every skipped byte
+            nxt = data.find(b"\r\nWARC/", start + 1)
+            skip_end = nxt if nxt >= 0 else n
+            note = (
+                f"resynced at offset {nxt + 2}"
+                if nxt >= 0
+                else "no further WARC/ boundary; stream abandoned"
+            )
             yield {
                 "warc_file": path,
                 "record_offset": start,
@@ -167,16 +187,56 @@ def _parse_warc_stream(data: bytes, path: str) -> Iterator[dict]:
                 "content_type": None,
                 "http_status": None,
                 "http_content_type": None,
-                "body": bytes(data[start : start + 4096]),
-                "error": f"{type(e).__name__}: {e}",
+                "body": bytes(data[start : min(start + 4096, skip_end)]),
+                "error": (
+                    f"{type(e).__name__}: {e}; skipped "
+                    f"{skip_end - start} bytes; {note}"
+                ),
             }
-            return  # framing is lost past a bad record in this stream
+            if nxt < 0:
+                return
+            pos = nxt + 2
+
+
+#: Spark's ``binaryFile`` source refuses files above Int.MaxValue bytes
+#: (the content column is one JVM byte array). Files at/over this cap
+#: become quarantine rows instead of a mid-job scan failure.
+BINARYFILE_MAX_BYTES = 2_147_483_647
+
+
+def _split_oversized(
+    spark: SparkSession, paths: Sequence[str], cap: int
+) -> tuple[list[str], list[tuple[str, int]]]:
+    """Resolve ``paths`` (files / dirs / globs) to concrete files and
+    split them at ``cap`` bytes → (readable, [(oversized_path, size)]).
+    Driver-side metadata listing only — one FileStatus per file, the
+    same work the FileScan's own planning does."""
+    from .sinks import hadoop_fs
+
+    ok: list[str] = []
+    over: list[tuple[str, int]] = []
+
+    def walk(fs, status) -> None:
+        if status.isDirectory():
+            for child in fs.listStatus(status.getPath()):
+                walk(fs, child)
+            return
+        size = status.getLen()
+        p = status.getPath().toString()
+        (over.append((p, size)) if size >= cap else ok.append(p))
+
+    for p in paths:
+        fs, hp = hadoop_fs(spark, p)
+        for status in fs.globStatus(hp) or []:
+            walk(fs, status)
+    return ok, over
 
 
 def read_warc(
     spark: SparkSession,
     paths: Sequence[str] | str,
     record_types: Sequence[str] | None = ("response",),
+    max_file_bytes: int = BINARYFILE_MAX_BYTES,
 ) -> DataFrame:
     """Parse WARC / WARC.gz archives → one row per record
     (:data:`WARC_SCHEMA`).
@@ -185,10 +245,40 @@ def read_warc(
     keeps everything, including ``_malformed`` quarantine rows —
     malformed rows are ALWAYS kept regardless of the filter, so
     corruption is visible, never silent).
+
+    Files at/over ``max_file_bytes`` (default: ``binaryFile``'s 2 GiB
+    byte-array ceiling) can't be read by this source at all — they
+    surface as ``_malformed`` quarantine rows naming the size, rather
+    than failing the whole scan when the task hits them.
     """
     if isinstance(paths, str):
         paths = [paths]
-    files = spark.read.format("binaryFile").load(list(paths))
+    readable, oversized = _split_oversized(spark, list(paths), max_file_bytes)
+    quarantine = None
+    if oversized:
+        cols = [f.split()[0] for f in WARC_SCHEMA.split(", ")]
+        quarantine = spark.createDataFrame(
+            [
+                {
+                    **{c: None for c in cols},
+                    "warc_file": p,
+                    "warc_type": "_malformed",
+                    "error": (
+                        f"file is {size} bytes >= the {max_file_bytes}-byte "
+                        "binaryFile ceiling; split the archive (CC shards "
+                        "are ~1 GB) or raise the cap on a source that "
+                        "streams"
+                    ),
+                }
+                for p, size in oversized
+            ],
+            schema=WARC_SCHEMA,
+        )
+    if not readable:
+        if quarantine is not None:
+            return quarantine
+        return spark.createDataFrame([], schema=WARC_SCHEMA)
+    files = spark.read.format("binaryFile").load(readable)
     keep = set(record_types) if record_types is not None else None
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -230,7 +320,12 @@ def read_warc(
                 columns=[f.split()[0] for f in WARC_SCHEMA.split(", ")],
             )
 
-    return files.select("path", "content").mapInPandas(parse, schema=WARC_SCHEMA)
+    parsed = files.select("path", "content").mapInPandas(
+        parse, schema=WARC_SCHEMA
+    )
+    if quarantine is not None:
+        parsed = parsed.unionByName(quarantine)
+    return parsed
 
 
 def warc_documents(

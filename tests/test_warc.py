@@ -231,3 +231,58 @@ def test_warc_to_training_shards_end_to_end(spark, tmp_path):
     out = spark.read.parquet(str(tmp_path / "shards" / "train"))
     texts = [r.text for r in out.collect()]
     assert texts and all("<" not in t for t in texts)  # HTML stripped
+
+
+def test_midfile_corruption_resyncs_at_next_boundary(spark, tmp_path):
+    """A malformed record mid-stream must cost only the bytes up to the
+    next WARC/ boundary — records AFTER it still parse (ISO 28500 files
+    are concatenations; abandoning the remainder would silently unparse
+    most of a ~1 GB plain .warc). The quarantine row accounts for every
+    skipped byte."""
+    good1 = _record("response", _http(b"doc one"), uri="http://a/", rid="<urn:uuid:r1>")
+    garbage = b"WARC/1.0\r\nContent-Length: notanint\r\n\r\njunk" + b"x" * 57
+    good2 = _record("response", _http(b"doc two"), uri="http://b/", rid="<urn:uuid:r2>")
+    p = tmp_path / "mid.warc"
+    p.write_bytes(good1 + garbage + b"\r\n" + good2)
+
+    rows = read_warc(spark, str(p), record_types=None).collect()
+    bodies = {bytes(r.body) for r in rows if r.warc_type == "response"}
+    assert bodies == {b"doc one", b"doc two"}  # BOTH sides of the corruption
+    bad = [r for r in rows if r.warc_type == "_malformed"]
+    assert len(bad) == 1
+    assert "skipped" in bad[0].error and "resynced" in bad[0].error
+
+    # corruption with no later boundary: abandonment is explicit
+    p2 = tmp_path / "tail.warc"
+    p2.write_bytes(good1 + garbage)
+    rows2 = read_warc(spark, str(p2), record_types=None).collect()
+    bad2 = [r for r in rows2 if r.warc_type == "_malformed"]
+    assert len(bad2) == 1
+    assert "abandoned" in bad2[0].error
+
+
+def test_oversized_file_quarantined_not_crashed(spark, tmp_path):
+    """binaryFile caps a file at 2 GiB; read_warc pre-lists inputs and
+    turns an over-cap file into a quarantine row instead of letting the
+    scan throw mid-job (cap shrunk here so the test stays tiny)."""
+    small = _record("response", _http(b"fits"), uri="http://s/", rid="<urn:uuid:s>")
+    big = _record("response", _http(b"y" * 4096), uri="http://big/", rid="<urn:uuid:big>")
+    (tmp_path / "small.warc").write_bytes(small)
+    (tmp_path / "big.warc").write_bytes(big)
+
+    rows = read_warc(
+        spark, str(tmp_path), record_types=None, max_file_bytes=1024
+    ).collect()
+    by_file = {}
+    for r in rows:
+        by_file.setdefault(r.warc_file.rsplit("/", 1)[-1], []).append(r)
+    assert [r.warc_type for r in by_file["small.warc"]] == ["response"]
+    (bad,) = by_file["big.warc"]
+    assert bad.warc_type == "_malformed"
+    assert "binaryFile ceiling" in bad.error
+
+    # every input over the cap → pure quarantine result, no scan at all
+    only_bad = read_warc(
+        spark, str(tmp_path / "big.warc"), record_types=None, max_file_bytes=64
+    ).collect()
+    assert [r.warc_type for r in only_bad] == ["_malformed"]
