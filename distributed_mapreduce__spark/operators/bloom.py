@@ -129,11 +129,14 @@ def bloom_build(
 ) -> BloomFilter:
     """Fold ``col``'s values into an m-bit Bloom filter.
 
-    One narrow pass: each task builds a local bitset (numpy, m/64
-    uint64 words) over its partition's values, emits it as one binary
-    row, and the driver ORs the ≤ :data:`BUILD_PARTITIONS` partials.
-    The value strings never shuffle; only bitsets move. NULLs are
-    skipped (NULL is not a member of anything).
+    Two narrow map stages, no shuffle of values: each task builds a
+    local bitset (numpy, m/64 uint64 words) over its partition's
+    values and emits it as one binary row; a second single-task map
+    stage ORs the ≤ :data:`BUILD_PARTITIONS` partials executor-side,
+    so the driver receives exactly ONE filter-sized row — there is no
+    driver-side fold anywhere in the family. The value strings never
+    move; only bitsets do. NULLs are skipped (NULL is not a member of
+    anything).
     """
     if m % 64 != 0:
         raise ValueError(f"m must be a multiple of 64, got {m}")
@@ -152,10 +155,22 @@ def bloom_build(
                     words[pos >> 6] |= np.uint64(1 << (pos & 63))
         yield pd.DataFrame({"words": [words.astype("<u8").tobytes()]})
 
-    partials = vals.mapInPandas(fold, schema="words binary").collect()
-    merged = np.zeros(n_words, dtype=np.uint64)
-    for row in partials:
-        merged |= np.frombuffer(row["words"], dtype="<u8").astype(np.uint64)
+    def or_fold(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        merged = np.zeros(n_words, dtype=np.uint64)
+        for batch in batches:
+            for raw in batch["words"]:
+                merged |= np.frombuffer(raw, dtype="<u8").astype(np.uint64)
+        yield pd.DataFrame({"words": [merged.astype("<u8").tobytes()]})
+
+    rows = (
+        vals.mapInPandas(fold, schema="words binary")
+        .coalesce(1)
+        .mapInPandas(or_fold, schema="words binary")
+        .collect()
+    )
+    if not rows:  # zero input partitions → empty filter
+        return BloomFilter(m=m, k=k, words=np.zeros(n_words, dtype=np.uint64))
+    merged = np.frombuffer(rows[0]["words"], dtype="<u8").astype(np.uint64)
     return BloomFilter(m=m, k=k, words=merged)
 
 
@@ -283,9 +298,17 @@ def decontaminate_bloom(
         .select(F.col("doc_id").alias("eval_doc"), "shingle")
         .persist()
     )
-    n_items = n_items_hint if n_items_hint is not None else eval_sh.count()
-    m, k = bloom_parameters(max(n_items, 1), fpp)
-    bf = bloom_build(eval_sh, "shingle", m, k)
+    try:
+        n_items = n_items_hint if n_items_hint is not None else eval_sh.count()
+        m, k = bloom_parameters(max(n_items, 1), fpp)
+        bf = bloom_build(eval_sh, "shingle", m, k)
+    finally:
+        # release before returning the lazy plan: the eager consumers
+        # (sizing count + bitset build) are done, and the verify join
+        # below recomputing the eval-set-sized shingles once per action
+        # beats leaking cached blocks for the life of the session
+        # (bench loops and build_training_set call this repeatedly)
+        eval_sh.unpersist()
 
     train_sh = doc_shingles(train, n=n).select(
         F.col("doc_id").alias("train_doc"), "shingle"

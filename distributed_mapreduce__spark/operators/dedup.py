@@ -483,14 +483,19 @@ def hamming_near_pairs(
     for b in range(n_bands):
         lo = b * bits // n_bands
         hi = (b + 1) * bits // n_bands
-        mask = (1 << (hi - lo)) - 1
-        # arithmetic >> then mask == logical shift for every band incl.
-        # the sign-bit-bearing top band (the mask kills the extension)
+        if hi - lo == 64:
+            # full-width band (max_hamming=0 at bits=64): the mask
+            # literal (1<<64)-1 would overflow LongType — and no mask
+            # is needed, the key is the fingerprint itself
+            key = h
+        else:
+            mask = (1 << (hi - lo)) - 1
+            # arithmetic >> then mask == logical shift for every band
+            # incl. the sign-bit-bearing top band (the mask kills the
+            # extension)
+            key = F.shiftright(h, lo).bitwiseAND(F.lit(mask))
         bands.append(
-            F.struct(
-                F.lit(b).alias("band"),
-                F.shiftright(h, lo).bitwiseAND(F.lit(mask)).alias("band_key"),
-            )
+            F.struct(F.lit(b).alias("band"), key.alias("band_key"))
         )
     keyed = df.select(
         F.col(id_col).alias("_id"),

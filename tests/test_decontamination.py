@@ -62,3 +62,21 @@ def test_every_eval_doc_flags_itself(spark):
         ).collect()
     }
     assert self_hits == with_shingles
+
+
+def test_decontaminate_bloom_leaves_no_cached_blocks(spark):
+    """decontaminate_bloom persists the eval shingles for its eager
+    consumers (sizing count + bitset build) but must release them
+    before returning — a bench loop or build_training_set calling it
+    repeatedly would otherwise accumulate cached blocks for the life
+    of the session."""
+    from distributed_mapreduce__spark.operators.bloom import decontaminate_bloom
+
+    docs = load_table(spark, SF, "documents")
+    eval_docs = docs.filter(F.col("doc_id") % 50 == 0).select("doc_id", "text")
+
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    for _ in range(2):
+        decontaminate_bloom(docs, eval_docs, n=3).count()
+    assert jsc.getPersistentRDDs().size() == before

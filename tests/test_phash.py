@@ -153,3 +153,23 @@ def test_bad_band_count_raises(spark):
     df = spark.createDataFrame([(1, 2)], "doc_id long, fp long")
     with pytest.raises(ValueError):
         hamming_near_pairs(df, bits=16, max_hamming=16)
+
+
+def test_full_width_band_exact_duplicates(spark):
+    """max_hamming=0 at bits=64 makes a single band span all 64 bits;
+    the (1<<64)-1 mask literal used to overflow LongType at plan build.
+    The band key is just the fingerprint — exact-duplicate pairing must
+    work, including negative (sign-bit-bearing) fingerprints."""
+    rows = [
+        (1, 7),
+        (2, 7),
+        (3, -(1 << 62)),
+        (4, -(1 << 62)),
+        (5, 9),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, fp long")
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in hamming_near_pairs(df, bits=64, max_hamming=0).collect()
+    }
+    assert got == {(1, 2, 0), (3, 4, 0)}

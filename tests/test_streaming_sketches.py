@@ -46,10 +46,14 @@ def _run(spark, stream_dir, name: str, width: int):
     finally:
         q.stop()
     assert n_batches >= 4, f"expected ≥4 micro-batches, got {n_batches}"
-    # the LAST emission per (shard, key) is the current summary; a key
-    # evicted later simply stops being re-emitted, so keep the row from
-    # the highest est_count-bearing batch: use max est_count per key —
-    # est_count is monotone per key while it stays resident
+    # a key evicted later simply stops being re-emitted, so aggregate
+    # across emissions with max. max is VALID not because est_count is
+    # monotone (Misra-Gries decrement rounds can shrink a resident
+    # counter between emissions) but because of the MG bounds: every
+    # emission's est_count <= the key's true count, and the final
+    # emission of a still-resident key >= true_count - bound — so the
+    # max over emissions stays within [final_est, true_count], and the
+    # max_undercount taken alongside still bounds the error
     emitted = spark.table(name)
     return {
         r.key: (r.est_count, r.max_undercount)
