@@ -131,6 +131,7 @@ def build_training_set(
     splits: Mapping[str, float] = DEFAULT_SPLITS,
     rows_per_shard: int = 10_000,
     seed: int = 0,
+    report: bool = True,
 ) -> dict:
     """Crawl → training shards, one call: the full modern curation
     recipe composed from the engine's proven operators, in the order a
@@ -166,6 +167,18 @@ def build_training_set(
     totals — every count is taken on a persisted intermediate, so the
     report costs one cheap action per stage, not a recompute chain.
 
+    ``report=False`` is the production fast path: it skips every
+    per-stage persist + count, fusing the whole funnel into ONE plan
+    per split write (Catalyst pipelines the stages; at 100 TB the
+    six full-corpus materializations the funnel report costs are the
+    dominant expense of the default mode). The output shards are
+    byte-identical either way; the returned dict then carries only
+    the per-split shard totals (free — they come from the manifests)
+    plus ``n_input``-style keys omitted. The ONE remaining persist is
+    the post-sort training order, shared by every split's writer, and
+    the one remaining pre-write job is the near-dup router's count
+    (pass a profiled ``doc_count`` upstream to kill even that).
+
     Scale: the stages shuffle on md5 keys (exact dedup), hashed
     shingle longs (near-dup), Bloom survivors (decontamination), and
     the final range sort — each individually plan-audited in its own
@@ -179,13 +192,16 @@ def build_training_set(
     from ..sources.sinks import write_training_shards
 
     cached: list[DataFrame] = []
+    want_report = report
 
     def _stage(df: DataFrame) -> DataFrame:
+        if not want_report:
+            return df  # fast path: no materialization, stages fuse
         df = df.persist()
         cached.append(df)
         return df
 
-    report: dict = {"n_input": docs.count()}
+    funnel: dict = {"n_input": docs.count()} if want_report else {}
     cur = docs
     if "url" in cur.columns:
         # stage 0 of every crawl pipeline: canonical-URL dedup — one
@@ -194,7 +210,8 @@ def build_training_set(
         from .urls import url_dedup
 
         cur = _stage(url_dedup(cur, url_col="url", tie_col="doc_id"))
-        report["n_after_url_dedup"] = cur.count()
+        if want_report:
+            funnel["n_after_url_dedup"] = cur.count()
     if html:
         cur = cur.withColumn("text", strip_html("text"))
     if clean:
@@ -203,17 +220,22 @@ def build_training_set(
             "doc_id", "text"
         )
         cur = _stage(cleaned.join(meta, "doc_id"))
-        report["n_after_clean"] = cur.count()
+        if want_report:
+            funnel["n_after_clean"] = cur.count()
 
     cur = _stage(exact_dedup_canonical(cur))
-    report["n_after_exact_dedup"] = cur.count()
+    if want_report:
+        funnel["n_after_exact_dedup"] = cur.count()
 
     if near_dup_threshold is not None:
         pairs = near_dup_pairs(
-            cur, threshold=near_dup_threshold, doc_count=report["n_after_exact_dedup"]
+            cur,
+            threshold=near_dup_threshold,
+            doc_count=funnel.get("n_after_exact_dedup"),
         ).select("doc_a", "doc_b")
         cur = _stage(dedup_survivors(cur, pairs, id_col="doc_id"))
-        report["n_after_near_dedup"] = cur.count()
+        if want_report:
+            funnel["n_after_near_dedup"] = cur.count()
 
     if eval_docs is not None:
         hits = (
@@ -223,7 +245,8 @@ def build_training_set(
             .distinct()
         )
         cur = _stage(cur.join(hits, "doc_id", "left_anti"))
-        report["n_after_decontamination"] = cur.count()
+        if want_report:
+            funnel["n_after_decontamination"] = cur.count()
 
     cur = cur.withColumn("quality", quality_expr("text")).filter(
         F.col("quality") >= F.lit(min_quality)
@@ -244,14 +267,17 @@ def build_training_set(
             cur = cur.join(pred, "doc_id")
         cur = cur.filter(F.col("lang").isin(list(languages)))
     cur = _stage(hash_split(cur, F.col("doc_id").cast("string"), splits, seed=seed))
-    report["n_after_quality"] = cur.count()
+    if want_report:
+        funnel["n_after_quality"] = cur.count()
 
-    # persist the SORTED result: without it each per-split write below
-    # would re-run the global range sort
-    shuffled = _stage(
-        deterministic_shuffle(cur, F.col("doc_id").cast("string"), seed=seed)
-    )
-    report["splits"] = {}
+    # persist the SORTED result in BOTH modes: every split's writer
+    # consumes it, so without it each per-split write below would
+    # re-run the whole funnel + global range sort
+    shuffled = deterministic_shuffle(
+        cur, F.col("doc_id").cast("string"), seed=seed
+    ).persist()
+    cached.append(shuffled)
+    funnel["splits"] = {}
     for name in splits:
         manifest = write_training_shards(
             shuffled.filter(F.col("split") == name).drop("split"),
@@ -262,7 +288,7 @@ def build_training_set(
             F.coalesce(F.sum("n_rows"), F.lit(0)).alias("n"),
             F.count("*").alias("shards"),
         ).collect()[0]
-        report["splits"][name] = {"n_rows": rows["n"], "n_shards": rows["shards"]}
+        funnel["splits"][name] = {"n_rows": rows["n"], "n_shards": rows["shards"]}
     for df in cached:  # all actions are done — release the cache
         df.unpersist()
-    return report
+    return funnel

@@ -189,3 +189,47 @@ def test_url_dedup_stage_runs_first(spark, tmp_path):
     )
     ids = {r.doc_id for r in out.collect()}
     assert ids <= {1, 3} and 2 not in ids
+
+
+def test_report_false_fast_path_same_output_fewer_jobs(spark, corpus, tmp_path):
+    """report=False must produce the identical training set while
+    skipping every per-stage persist+count — the production mode at
+    100 TB, where the funnel report's six full-corpus materializations
+    dominate the run."""
+    docs, eval_docs, _ = corpus
+    out_slow = str(tmp_path / "slow")
+    out_fast = str(tmp_path / "fast")
+    kwargs = dict(
+        eval_docs=eval_docs,
+        clean=True,
+        clean_opts=CLEAN_OPTS,
+        min_quality=0.0,
+        near_dup_threshold=0.5,
+        rows_per_shard=50,
+        seed=0,
+    )
+
+    def n_jobs():
+        return len(spark.sparkContext.statusTracker().getJobIdsForGroup(None))
+
+    j0 = n_jobs()
+    full = build_training_set(docs, out_slow, **kwargs)
+    j_slow = n_jobs() - j0
+    fast = build_training_set(docs, out_fast, report=False, **kwargs)
+    j_fast = n_jobs() - j0 - j_slow
+
+    # same split totals, same doc ids in training order
+    assert fast["splits"] == full["splits"]
+    for split in full["splits"]:
+        a = [
+            r.doc_id
+            for r in spark.read.parquet(f"{out_slow}/{split}").collect()
+        ]
+        b = [
+            r.doc_id
+            for r in spark.read.parquet(f"{out_fast}/{split}").collect()
+        ]
+        assert sorted(a) == sorted(b)
+    # no stage counts in the fast report — and visibly fewer jobs ran
+    assert set(fast) == {"splits"}
+    assert j_fast < j_slow
