@@ -121,6 +121,37 @@ def load_psl_dat(text: str, sections: Sequence[str] = ("icann", "private")) -> l
     return rules
 
 
+#: memoized full-list rules (default sections), loaded once per process
+_FULL_PSL_CACHE: list[str] | None = None
+
+
+def full_psl(sections: Sequence[str] = ("icann", "private")) -> list[str]:
+    """The COMPLETE publicsuffix.org rule list (~9.5k rules), vendored
+    as package data (``data/public_suffix_list.dat`` — public MPL-2.0
+    *data*, the stock snapshot Debian ships in its ``publicsuffix``
+    package) and parsed through :func:`load_psl_dat`. Pass the result
+    as ``psl=`` to :func:`registered_domain_psl` / :func:`parse_urls`
+    for production-grade eTLD+1 grouping; the embedded
+    :data:`PSL_SNAPSHOT` remains the no-IO default for the oracle
+    queries. Memoized for the default sections (the parse is a few ms,
+    but the compile path may be hit per-query)."""
+    global _FULL_PSL_CACHE
+    default = tuple(sections) == ("icann", "private")
+    if default and _FULL_PSL_CACHE is not None:
+        return _FULL_PSL_CACHE
+    from importlib import resources
+
+    text = (
+        resources.files("distributed_mapreduce__spark")
+        .joinpath("data/public_suffix_list.dat")
+        .read_text(encoding="utf-8")
+    )
+    rules = load_psl_dat(text, sections=sections)
+    if default:
+        _FULL_PSL_CACHE = rules
+    return rules
+
+
 def registered_domain_psl(
     host: Column, psl: "DataFrame | Sequence[str] | None" = None
 ) -> Column:
