@@ -256,6 +256,29 @@ def sample_frames(media: DataFrame, every_k: int = 2) -> DataFrame:
 #: by extending these two tables with PIL/ffmpeg entries.
 FAKE_FORMATS = ("fake/raw", "fake/rle", "fake/delta")
 
+#: Real image formats the PIL-backed path supports when Pillow is
+#: importable (it is NOT in this container — the soft import below
+#: lights the path up in a richer image without code edits).
+PIL_FORMATS = {
+    "image/png": "PNG",
+    "image/jpeg": "JPEG",
+    "image/webp": "WEBP",
+    "image/bmp": "BMP",
+}
+
+
+def _pil_image():
+    """Soft import: Pillow's Image module, or None when the codec
+    stack is absent (this container). Kept a function so tests can
+    monkeypatch it and so the check happens at plan-build time, once,
+    not per batch."""
+    try:
+        from PIL import Image  # noqa: PLC0415
+
+        return Image
+    except ImportError:
+        return None
+
 
 def _codec_decode(payload: bytes, fmt: str) -> bytes:
     """Fake-codec payload → raw bytes."""
@@ -315,15 +338,19 @@ def transcode(media: DataFrame, target_format: str) -> DataFrame:
     decode with the row's current ``meta.format``, re-encode with the
     target — so the full decode→re-encode plumbing (struct rewrite,
     Arrow binary round-trip, per-batch loop) is real and tested. REAL
-    formats (image/png, audio/flac, …) still raise
+    formats go through Pillow when it is importable
+    (:data:`PIL_FORMATS` — decode with ``Image.open``, re-encode with
+    ``save``); without a codec stack (this container) they still raise
     ``NotImplementedError`` at plan-build time: faking them would ship
-    garbage bytes downstream; a codec stack drops into
-    ``_codec_decode``/``_codec_encode``."""
+    garbage bytes downstream."""
     if target_format not in FAKE_FORMATS:
+        if target_format in PIL_FORMATS and _pil_image() is not None:
+            return _transcode_pil(media, target_format)
         raise NotImplementedError(
             f"transcode to {target_format!r} requires a codec stack "
-            "(PIL/ffmpeg) absent from this image; the deterministic "
-            f"fake family {FAKE_FORMATS} is supported end-to-end"
+            "(Pillow/ffmpeg) absent from this image; the deterministic "
+            f"fake family {FAKE_FORMATS} is supported end-to-end, and "
+            f"{sorted(PIL_FORMATS)} light up when Pillow is installed"
         )
 
     def op(batches):
@@ -340,6 +367,48 @@ def transcode(media: DataFrame, target_format: str) -> DataFrame:
                         "media_id": r["media_id"],
                         "kind": r["kind"],
                         "payload": _codec_encode(raw, target_format),
+                        "meta": meta,
+                    }
+                )
+            yield pd.DataFrame(
+                out, columns=["media_id", "kind", "payload", "meta"]
+            )
+
+    return media.mapInPandas(op, schema=MEDIA_SCHEMA)
+
+
+def _transcode_pil(media: DataFrame, target_format: str) -> DataFrame:
+    """Pillow-backed real-image transcode (only reachable when
+    :func:`_pil_image` resolves): ``Image.open`` sniffs the source
+    container from the payload bytes itself, ``save`` re-encodes into
+    ``target_format``. Same Arrow batch shape and output schema as the
+    fake-codec path; meta.format is rewritten and width/height
+    refreshed from the decoded image."""
+    pil_fmt = PIL_FORMATS[target_format]
+
+    def op(batches):
+        import io
+
+        import pandas as pd
+
+        Image = _pil_image()
+        for pdf in batches:
+            out = []
+            for _, r in pdf.iterrows():
+                meta = dict(r["meta"])
+                img = Image.open(io.BytesIO(bytes(r["payload"])))
+                if pil_fmt == "JPEG" and img.mode not in ("RGB", "L"):
+                    img = img.convert("RGB")
+                buf = io.BytesIO()
+                img.save(buf, format=pil_fmt)
+                meta["format"] = target_format
+                meta["width"] = img.width
+                meta["height"] = img.height
+                out.append(
+                    {
+                        "media_id": r["media_id"],
+                        "kind": r["kind"],
+                        "payload": buf.getvalue(),
                         "meta": meta,
                     }
                 )

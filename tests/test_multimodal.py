@@ -7,6 +7,7 @@ from __future__ import annotations
 import pytest
 
 from distributed_mapreduce__spark.operators.multimodal import (
+    MEDIA_SCHEMA,
     extract_features,
     resize_images,
     sample_frames,
@@ -72,9 +73,44 @@ def test_frame_sampling_explodes(spark, media):
         assert len(r["frame_payload"]) == sizes[r["media_id"]]
 
 
-def test_transcode_real_formats_are_explicit_stub(media):
-    with pytest.raises(NotImplementedError):
+def test_transcode_real_formats_are_explicit_stub(media, monkeypatch):
+    """Without a codec stack, real formats raise at plan build — pinned
+    by forcing the soft import to resolve to None, so this holds even
+    in an image where Pillow IS installed."""
+    from distributed_mapreduce__spark.operators import multimodal
+
+    monkeypatch.setattr(multimodal, "_pil_image", lambda: None)
+    with pytest.raises(NotImplementedError, match="Pillow"):
         transcode(media, "image/png")
+    # audio/video have no PIL path regardless
+    with pytest.raises(NotImplementedError):
+        transcode(media, "audio/flac")
+
+
+@pytest.mark.skipif(
+    __import__("importlib").util.find_spec("PIL") is None,
+    reason="Pillow not installed in this image — the PIL transcode "
+    "path lights up (and this test runs) in a richer image",
+)
+def test_transcode_pil_roundtrip(spark):
+    """With Pillow present, real-image transcode decodes with
+    Image.open and re-encodes losslessly for PNG<->BMP."""
+    from PIL import Image
+    import io
+
+    img = Image.new("RGB", (4, 3))
+    img.putdata([(x, y, 7) for y in range(3) for x in range(4)])
+    buf = io.BytesIO()
+    img.save(buf, format="BMP")
+    df = spark.createDataFrame(
+        [(1, "image", bytearray(buf.getvalue()), (4, 3, None, None, "image/bmp"))],
+        MEDIA_SCHEMA,
+    )
+    out = transcode(df, "image/png").collect()[0]
+    assert out.meta.format == "image/png"
+    assert (out.meta.width, out.meta.height) == (4, 3)
+    back = Image.open(io.BytesIO(bytes(out.payload)))
+    assert list(back.convert("RGB").getdata()) == list(img.getdata())
 
 
 def test_transcode_fake_codecs_roundtrip(spark, media):
