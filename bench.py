@@ -180,6 +180,28 @@ def main() -> None:
         timings[name] = round(statistics.median(samples), 3)
         q_spread[name] = round(rel_spread(samples), 3)
 
+    # Round-6 operator families (WARC-era additions: substring dedup,
+    # BPE, ANN index, PageRank, Bloom decontamination, JL projection,
+    # fuzzy join, rollup store) — measured ONCE per run at the same sf
+    # via scripts/bench_r6_ops.measure, so regressions in the new
+    # families surface in the committed artifact, not only in the
+    # original 18. Single-pass (indicative, not median); the headline
+    # total above stays frozen and excludes these. Disable with
+    # SPARK_GRAFT_BENCH_NEW_OPS=0.
+    new_ops: dict[str, float] = {}
+    if os.environ.get("SPARK_GRAFT_BENCH_NEW_OPS", "1") != "0":
+        import importlib.util
+        import tempfile
+
+        spec = importlib.util.spec_from_file_location(
+            "bench_r6_ops", os.path.join(REPO, "scripts", "bench_r6_ops.py")
+        )
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        new_ops = mod.measure(
+            spark, sf_dir, tempfile.mkdtemp(prefix="bench_new_ops_")
+        )
+
     total = round(sum(timings.values()), 3)
     load_end = os.getloadavg()[0]
     out = {
@@ -196,6 +218,9 @@ def main() -> None:
         "profile_sidecars": profiled,
         "contended": load_start >= IDLE_LOAD,
     }
+    if new_ops:
+        out["new_ops"] = new_ops
+        out["new_ops_total"] = round(sum(new_ops.values()), 3)
     if load_start >= IDLE_LOAD:
         out["load_note"] = (
             f"box under load ({load_start:.1f} at start, idle wait "
