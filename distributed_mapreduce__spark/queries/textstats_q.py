@@ -19,7 +19,7 @@ from ..operators.text_analysis import (
     token_stats,
     ws_tokens,
 )
-from ..registry import register
+from ..registry import register, register_local
 from ..sources.tables import load_table
 
 _TOKS = "string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ')"
@@ -183,4 +183,84 @@ def lang_quality_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.size(ws_tokens()).cast("long")).alias("total_tokens"),
         F.min(F.length("text")).alias("min_chars"),
         F.max(F.length("text")).alias("max_chars"),
+    )
+
+
+# --- trained n-gram LM perplexity (stupid backoff) ------------------------
+
+#: Full DuckDB replay of train_ngram_lm + ngram_lm_scores at n=3: count
+#: all orders from the positioned token stream, divide by PRE-prune
+#: context totals, then score each position at the longest matching
+#: order with a 0.4 backoff factor per skipped level and the 1e-9 OOV
+#: floor. avg(ln(score)) is the one float aggregate — rounded to 9
+#: decimals on BOTH engines (repo float-parity convention).
+_LM_ORACLE = f"""
+WITH tarr AS (
+  SELECT doc_id,
+         string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS t
+  FROM documents
+),
+tpos AS (
+  SELECT doc_id, generate_subscripts(t, 1) AS pos, unnest(t) AS w, t
+  FROM tarr
+),
+tok AS (SELECT * FROM tpos WHERE w <> ''),
+grams AS (
+  SELECT k.k AS ord,
+         -- coalesce: DuckDB renders the empty (unigram) slice as NULL
+         coalesce(array_to_string(t[pos - k.k + 1 : pos - 1], ' '), '') AS context,
+         w
+  FROM tok, (VALUES (1), (2), (3)) k(k)
+  WHERE k.k <= pos
+),
+counts AS (SELECT ord, context, w, count(*) AS c FROM grams GROUP BY 1, 2, 3),
+totals AS (SELECT ord, context, sum(c) AS ct FROM counts GROUP BY 1, 2),
+model AS (
+  SELECT ord, context, w, CAST(c AS DOUBLE) / ct AS rf
+  FROM counts JOIN totals USING (ord, context)
+),
+posn AS (
+  SELECT doc_id, w,
+         least(3, pos) AS mo,
+         CASE WHEN pos >= 2
+              THEN array_to_string(t[pos - 1 : pos - 1], ' ') END AS c2,
+         CASE WHEN pos >= 3
+              THEN array_to_string(t[pos - 2 : pos - 1], ' ') END AS c3
+  FROM tok
+),
+s AS (
+  SELECT doc_id,
+         CASE WHEN m3.rf IS NOT NULL THEN power(0.4, mo - 3) * m3.rf
+              WHEN m2.rf IS NOT NULL THEN power(0.4, mo - 2) * m2.rf
+              WHEN m1.rf IS NOT NULL THEN power(0.4, mo - 1) * m1.rf
+              ELSE power(0.4, mo - 1) * 1e-9 END AS sc
+  FROM posn
+  LEFT JOIN model m3 ON m3.ord = 3 AND m3.context = posn.c3 AND m3.w = posn.w
+  LEFT JOIN model m2 ON m2.ord = 2 AND m2.context = posn.c2 AND m2.w = posn.w
+  LEFT JOIN model m1 ON m1.ord = 1 AND m1.context = '' AND m1.w = posn.w
+)
+SELECT doc_id,
+       count(*) AS n_tokens,
+       round(avg(ln(sc)), 9) AS avg_logscore,
+       round(exp(-avg(ln(sc))), 9) AS ppl
+FROM s GROUP BY doc_id
+"""
+
+
+@register_local("lm_perplexity_docs", oracle=_LM_ORACLE)
+def lm_perplexity_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stupid-backoff trigram LM trained on the corpus, scoring the
+    corpus (operators/ngram_lm.py; Brants et al. 2007 + the CCNet
+    perplexity-filter recipe). Self-scoring keeps the oracle closed
+    over one table; train-on-A-score-B is the same two calls and is
+    covered by tests/test_ngram_lm.py."""
+    from ..operators.ngram_lm import ngram_lm_scores, train_ngram_lm
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    model = train_ngram_lm(docs, n=3)
+    return ngram_lm_scores(docs, model, n=3).select(
+        "doc_id",
+        "n_tokens",
+        F.round("avg_logscore", 9).alias("avg_logscore"),
+        F.round("ppl", 9).alias("ppl"),
     )
