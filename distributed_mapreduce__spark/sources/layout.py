@@ -105,3 +105,52 @@ def files_overlapping(
         for r in stats
         if not (r[f"{col}_max"] < lo or r[f"{col}_min"] > hi)
     )
+
+
+# --- bucketed tables: co-located joins without a shuffle ------------------
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    path: str,
+    bucket_cols: Sequence[str],
+    n_buckets: int,
+    sort_cols: Sequence[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist ``df`` as a bucketed (and optionally sort-bucketed)
+    parquet table — the pre-shuffled layout for repeated joins and
+    aggregations on ``bucket_cols``.
+
+    At 100 TB the dominant recurring cost of a star-schema workload is
+    re-shuffling the fact table for every join/agg on its key. Spark's
+    bucketing (Hive-compatible ``Murmur3(key) % n_buckets`` file
+    assignment, recorded in the catalog) pays that shuffle ONCE at
+    write time: a subsequent join of two tables bucketed into the same
+    ``n_buckets`` on the join key — or a groupBy on the bucket key —
+    reads each bucket as a pre-partitioned input and the plan carries
+    ZERO Exchange for that key (``test_bucketed_layout.py`` pins the
+    plan). ``sort_cols`` additionally sorts within each bucket file,
+    letting sort-merge joins skip their sort.
+
+    ``path`` makes it an EXTERNAL table: data lives at the given
+    location; only metadata (bucket spec) goes through the session
+    catalog — the catalog entry is what tells the planner the files
+    are pre-partitioned, which a bare ``.parquet(path)`` write cannot
+    convey. Pick ``n_buckets`` so one bucket of the LARGER table is a
+    few hundred MB (e.g. 100 TB fact / 4096 buckets ≈ 25 GB per bucket
+    spread over its files); both sides of a planned join must use the
+    SAME bucket count, or Spark re-shuffles the mismatched side.
+    """
+    if not bucket_cols:
+        raise ValueError("bucket_cols must be non-empty")
+    writer = (
+        df.write.mode(mode)
+        .format("parquet")
+        .option("path", path)
+        .bucketBy(n_buckets, *bucket_cols)
+    )
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)
