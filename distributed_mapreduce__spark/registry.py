@@ -84,4 +84,5 @@ def load_all() -> None:
         functions_q,
         curation_q,
         urls_q,
+        storage_q,
     )

@@ -1,0 +1,336 @@
+"""Transactional parquet tables via an append-only commit log — the
+Delta-Lake protocol shape (Armbrust et al., "Delta Lake:
+High-Performance ACID Table Storage over Cloud Object Stores",
+VLDB 2020) rebuilt on plain parquet + atomic renames, with no service
+dependency (this sandbox has no Delta/Iceberg jars; the protocol is
+public and small).
+
+Layout under ``<path>/``::
+
+    data/<uuid>.parquet            immutable data files
+    _staging/<uuid>/               in-flight writer output (invisible)
+    _txlog/<v>.json                commit v (20-digit zero-padded name)
+    _txlog/<v>.checkpoint.json     full snapshot every CHECKPOINT_EVERY
+
+Protocol (everything readers trust is reached by atomic rename):
+
+- **Write**: stage the DataFrame's parquet output under ``_staging``,
+  move the part files into ``data/`` under fresh UUID names (renames,
+  not copies), then commit ``{version, action, add, remove, txn}`` by
+  writing ``<v>.json.tmp`` and renaming to ``<v>.json``. Hadoop rename
+  does not replace an existing destination, so two racing writers
+  cannot both own version v — the loser re-reads the log and retries
+  at v+1 (optimistic concurrency, exactly the HDFS arm of the Delta
+  paper; object stores need put-if-absent instead).
+- **Read**: replay commits 0..v (or from the newest checkpoint ≤ v —
+  replay cost is bounded by CHECKPOINT_EVERY, not table age) into the
+  live file set, then ``spark.read.parquet(*files)``. A crash between
+  staging and commit leaves invisible files; a crash mid-commit leaves
+  a ``.tmp`` readers ignore. Torn/unparseable commits are impossible
+  by construction (rename is the only publish).
+- **Idempotent retries**: a writer that may re-run (Structured
+  Streaming foreachBatch, a retried job) passes ``txn``; a commit
+  whose ``txn`` already appears in the log is skipped and the original
+  version returned — the streaming-sink exactly-once contract.
+
+100 TB posture: commits carry file LISTS (metadata, KBs), never data;
+snapshot reads hand Spark an explicit file list so partition discovery
+is O(live files) with zero directory listing of ``data/``; appends
+never rewrite history; ``overwrite`` is a metadata swap (old files
+remain for time travel until ``tx_vacuum``). The driver does renames
+and small JSON I/O only — no row ever passes through it.
+"""
+
+from __future__ import annotations
+
+import json
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .sinks import hadoop_fs
+
+#: Write a full-snapshot checkpoint every this many commits; log replay
+#: per read is bounded by this, not by table age.
+CHECKPOINT_EVERY = 10
+
+_PAD = 20  # zero-padded version filenames sort lexicographically
+
+
+def _read_small(spark, fs, p) -> bytes:
+    raw = fs.open(p)
+    try:
+        return bytes(
+            spark.sparkContext._jvm.org.apache.commons.io.IOUtils.toByteArray(
+                raw
+            )
+        )
+    finally:
+        raw.close()
+
+
+def _write_atomic(spark, fs, final_path_str: str, payload: bytes) -> bool:
+    """tmp + rename; False if the destination already exists (lost a
+    version race)."""
+    tmp = hadoop_fs(spark, final_path_str + f".tmp-{uuid.uuid4().hex}")[1]
+    out = fs.create(tmp, True)
+    try:
+        out.write(bytearray(payload))
+    finally:
+        out.close()
+    final = hadoop_fs(spark, final_path_str)[1]
+    if fs.exists(final):
+        fs.delete(tmp, False)
+        return False
+    ok = fs.rename(tmp, final)
+    if not ok:
+        fs.delete(tmp, False)
+    return ok
+
+
+def _list_commits(spark, path: str) -> list[tuple[int, str]]:
+    """Sorted [(version, kind)] where kind is 'commit' or 'checkpoint'."""
+    fs, logp = hadoop_fs(spark, f"{path}/_txlog")
+    if not fs.exists(logp):
+        return []
+    out = []
+    for st in fs.listStatus(logp):
+        name = st.getPath().getName()
+        if name.endswith(".checkpoint.json"):
+            out.append((int(name.split(".")[0]), "checkpoint"))
+        elif name.endswith(".json") and not name.endswith(".tmp"):
+            try:
+                out.append((int(name.split(".")[0]), "commit"))
+            except ValueError:
+                continue
+    return sorted(out)
+
+
+def _load(spark, path: str, name: str) -> dict:
+    fs, p = hadoop_fs(spark, f"{path}/_txlog/{name}")
+    return json.loads(_read_small(spark, fs, p).decode("utf-8"))
+
+
+def _snapshot_files(
+    spark, path: str, version: int | None = None
+) -> tuple[list[str], int]:
+    """(live data files, effective version) by replaying the log —
+    from the newest checkpoint at/below ``version`` when one exists."""
+    commits = _list_commits(spark, path)
+    versions = sorted({v for v, _ in commits})
+    if not versions:
+        raise FileNotFoundError(f"no transactional table at {path}")
+    if version is None:
+        version = versions[-1]
+    if version not in versions:
+        raise ValueError(
+            f"version {version} does not exist at {path} "
+            f"(have {versions[0]}..{versions[-1]})"
+        )
+    ckpts = [v for v, kind in commits if kind == "checkpoint" and v <= version]
+    live: set[str] = set()
+    start = 0
+    if ckpts:
+        ck = _load(spark, path, f"{ckpts[-1]:0{_PAD}d}.checkpoint.json")
+        live = set(ck["files"])
+        start = ckpts[-1] + 1
+    for v in versions:
+        if v < start or v > version:
+            continue
+        c = _load(spark, path, f"{v:0{_PAD}d}.json")
+        if c["action"] == "overwrite":
+            live = set()
+        live -= set(c.get("remove", []))
+        live |= set(c.get("add", []))
+    return sorted(live), version
+
+
+def _committed_txns(spark, path: str) -> dict[str, int]:
+    """txn id -> version, from every commit (checkpoints don't carry
+    txns; the log entries stay until tx_vacuum truncates — vacuum
+    keeps this map by folding retained txns into the checkpoint)."""
+    out: dict[str, int] = {}
+    for v, kind in _list_commits(spark, path):
+        if kind == "checkpoint":
+            ck = _load(spark, path, f"{v:0{_PAD}d}.checkpoint.json")
+            for t, tv in ck.get("txns", {}).items():
+                out.setdefault(t, tv)
+            continue
+        c = _load(spark, path, f"{v:0{_PAD}d}.json")
+        if c.get("txn"):
+            out.setdefault(c["txn"], v)
+    return out
+
+
+def tx_write(
+    df: DataFrame,
+    path: str,
+    mode: str = "append",
+    txn: str | None = None,
+    max_retries: int = 20,
+) -> int:
+    """Commit ``df`` to the table at ``path``; returns the committed
+    version. ``mode='append'`` adds files; ``'overwrite'`` makes the
+    new files the whole snapshot (history stays readable via time
+    travel until :func:`tx_vacuum`). ``txn`` makes retries idempotent:
+    if a commit carrying this id already exists, nothing is written
+    and its version is returned."""
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+    spark = df.sparkSession
+    if txn is not None and (prior := _committed_txns(spark, path).get(txn)) is not None:
+        return prior
+
+    # 1. stage the write (cluster-side; invisible to readers)
+    stage_id = uuid.uuid4().hex
+    stage_dir = f"{path}/_staging/{stage_id}"
+    df.write.mode("overwrite").parquet(stage_dir)
+    fs, sdir = hadoop_fs(spark, stage_dir)
+    parts = [
+        st.getPath()
+        for st in fs.listStatus(sdir)
+        if st.getPath().getName().endswith(".parquet")
+    ]
+    # 2. move parts into data/ under fresh names (renames, not copies)
+    fs.mkdirs(hadoop_fs(spark, f"{path}/data")[1])
+    added = []
+    for p in parts:
+        name = f"{uuid.uuid4().hex}.parquet"
+        if not fs.rename(p, hadoop_fs(spark, f"{path}/data/{name}")[1]):
+            raise RuntimeError(f"could not place data file for {p}")
+        added.append(f"data/{name}")
+    fs.delete(sdir, True)
+
+    # 3. optimistic commit loop
+    for _ in range(max_retries):
+        if txn is not None and (
+            prior := _committed_txns(spark, path).get(txn)
+        ) is not None:
+            # a concurrent retry of the SAME txn won the race; our
+            # staged files are orphans until tx_vacuum
+            return prior
+        # max over commits AND checkpoints: after tx_vacuum truncates
+        # the log, the surviving checkpoint still pins the version
+        # counter (restarting at 0 would order new commits BEFORE it)
+        versions = [v for v, _ in _list_commits(spark, path)]
+        next_v = (max(versions) + 1) if versions else 0
+        payload = {
+            "version": next_v,
+            "action": mode,
+            "add": added,
+            "remove": [],
+            "txn": txn,
+        }
+        if _write_atomic(
+            spark,
+            fs,
+            f"{path}/_txlog/{next_v:0{_PAD}d}.json",
+            json.dumps(payload).encode(),
+        ):
+            if (next_v + 1) % CHECKPOINT_EVERY == 0:
+                _write_checkpoint(spark, path, next_v)
+            return next_v
+        # lost the race to another writer — re-read the log, retry
+    raise RuntimeError(
+        f"could not commit to {path} after {max_retries} version races"
+    )
+
+
+def _write_checkpoint(spark, path: str, version: int) -> None:
+    files, _ = _snapshot_files(spark, path, version)
+    fs = hadoop_fs(spark, path)[0]
+    payload = {
+        "version": version,
+        "files": files,
+        "txns": _committed_txns(spark, path),
+    }
+    # checkpoints are an optimization; losing the race to an identical
+    # concurrent checkpoint is fine
+    _write_atomic(
+        spark,
+        fs,
+        f"{path}/_txlog/{version:0{_PAD}d}.checkpoint.json",
+        json.dumps(payload).encode(),
+    )
+
+
+def tx_read(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """Snapshot read: the table as of ``version`` (default: latest).
+    Hands Spark the explicit live-file list — no directory listing of
+    ``data/``, no exposure to in-flight or vacuumed files."""
+    files, _ = _snapshot_files(spark, path, version)
+    if not files:
+        # an overwrite with an empty DataFrame is a legal empty table:
+        # recover the schema from any historical file, else give up
+        all_files = _all_data_files(spark, path)
+        if all_files:
+            return spark.read.parquet(*all_files).limit(0)
+        raise FileNotFoundError(f"table {path} has no data files at all")
+    return spark.read.parquet(*[f"{path}/{f}" for f in files])
+
+
+def tx_history(spark: SparkSession, path: str) -> list[dict]:
+    """All commits, oldest first (metadata only — version, action,
+    file counts, txn)."""
+    out = []
+    for v, kind in _list_commits(spark, path):
+        if kind != "commit":
+            continue
+        c = _load(spark, path, f"{v:0{_PAD}d}.json")
+        out.append(
+            {
+                "version": v,
+                "action": c["action"],
+                "n_added": len(c.get("add", [])),
+                "n_removed": len(c.get("remove", [])),
+                "txn": c.get("txn"),
+            }
+        )
+    return out
+
+
+def _all_data_files(spark, path: str) -> list[str]:
+    fs, d = hadoop_fs(spark, f"{path}/data")
+    if not fs.exists(d):
+        return []
+    return [
+        f"{path}/data/{st.getPath().getName()}"
+        for st in fs.listStatus(d)
+        if st.getPath().getName().endswith(".parquet")
+    ]
+
+
+def tx_vacuum(spark: SparkSession, path: str) -> list[str]:
+    """Delete data files not referenced by the LATEST snapshot and
+    truncate the log below the newest checkpoint (a fresh checkpoint is
+    written first, folding the committed-txn map in so idempotent
+    retries stay safe). Time travel to pre-vacuum versions is
+    deliberately destroyed — the same trade Delta's VACUUM makes.
+    Returns the deleted file paths."""
+    files, version = _snapshot_files(spark, path)
+    _write_checkpoint(spark, path, version)
+    fs = hadoop_fs(spark, path)[0]
+    live = {f"{path}/{f}" for f in files}
+    deleted = []
+    for f in _all_data_files(spark, path):
+        if f not in live:
+            fs.delete(hadoop_fs(spark, f)[1], False)
+            deleted.append(f)
+    # drop commit entries (and stale checkpoints) below the new one
+    for v, kind in _list_commits(spark, path):
+        if v < version or (v == version and kind == "commit"):
+            name = (
+                f"{v:0{_PAD}d}.checkpoint.json"
+                if kind == "checkpoint"
+                else f"{v:0{_PAD}d}.json"
+            )
+            fs.delete(hadoop_fs(spark, f"{path}/_txlog/{name}")[1], False)
+    # orphaned staging dirs (crashed writers) are unreferenced by
+    # construction — sweep them too
+    sfs, sdir = hadoop_fs(spark, f"{path}/_staging")
+    if sfs.exists(sdir):
+        for st in sfs.listStatus(sdir):
+            sfs.delete(st.getPath(), True)
+    return deleted

@@ -1,0 +1,177 @@
+"""Transactional table format (sources/txlog.py): snapshot isolation,
+time travel, crash windows (staged-but-uncommitted invisible, torn
+commit impossible), idempotent txn retries, version races, checkpointed
+replay, vacuum semantics — the Delta-protocol guarantees, each pinned."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from distributed_mapreduce__spark.sources.txlog import (
+    _PAD,
+    CHECKPOINT_EVERY,
+    tx_history,
+    tx_read,
+    tx_vacuum,
+    tx_write,
+)
+
+
+def _df(spark, lo, hi, tag):
+    return spark.range(lo, hi).select(
+        F.col("id"), F.lit(tag).alias("tag")
+    )
+
+
+def _ids(spark, path, version=None):
+    return sorted(
+        r.id for r in tx_read(spark, path, version=version).collect()
+    )
+
+
+def test_append_overwrite_time_travel(spark, tmp_path):
+    t = str(tmp_path / "t")
+    v0 = tx_write(_df(spark, 0, 5, "a"), t, mode="append")
+    v1 = tx_write(_df(spark, 5, 8, "b"), t, mode="append")
+    assert (v0, v1) == (0, 1)
+    assert _ids(spark, t) == list(range(8))
+    v2 = tx_write(_df(spark, 100, 103, "c"), t, mode="overwrite")
+    assert _ids(spark, t) == [100, 101, 102]
+    # time travel reads the pre-overwrite snapshots
+    assert _ids(spark, t, version=v0) == [0, 1, 2, 3, 4]
+    assert _ids(spark, t, version=v1) == list(range(8))
+    assert [h["action"] for h in tx_history(spark, t)] == [
+        "append", "append", "overwrite",
+    ]
+    with pytest.raises(ValueError, match="does not exist"):
+        tx_read(spark, t, version=v2 + 7)
+
+
+def test_uncommitted_files_invisible(spark, tmp_path):
+    """Crash window 1: data files placed without a commit entry (a
+    writer that died between stage-move and commit) must not appear in
+    any read — readers trust the log, never the directory."""
+    t = str(tmp_path / "t")
+    tx_write(_df(spark, 0, 4, "a"), t)
+    # simulate the dead writer: orphan parquet directly in data/
+    _df(spark, 900, 910, "ghost").write.mode("overwrite").parquet(
+        str(tmp_path / "ghost")
+    )
+    import glob
+    import shutil
+
+    for i, f in enumerate(glob.glob(str(tmp_path / "ghost" / "*.parquet"))):
+        shutil.copy(f, f"{t}/data/orphan{i}.parquet")
+    assert _ids(spark, t) == [0, 1, 2, 3]
+
+
+def test_torn_commit_tmp_ignored(spark, tmp_path):
+    """Crash window 2: a writer that died mid-commit leaves only a
+    .tmp the log replay ignores."""
+    t = str(tmp_path / "t")
+    tx_write(_df(spark, 0, 3, "a"), t)
+    with open(f"{t}/_txlog/{1:0{_PAD}d}.json.tmp-dead", "w") as f:
+        f.write('{"version": 1, "action": "append", "add": ["data/x.parquet"]}')
+    assert _ids(spark, t) == [0, 1, 2]
+    assert tx_write(_df(spark, 3, 4, "b"), t) == 1  # tmp never claimed v1
+
+
+def test_idempotent_txn_retry(spark, tmp_path):
+    """The foreachBatch exactly-once contract: re-running a committed
+    txn id is a no-op returning the original version."""
+    t = str(tmp_path / "t")
+    v = tx_write(_df(spark, 0, 5, "a"), t, txn="batch-0")
+    v_retry = tx_write(_df(spark, 0, 5, "a"), t, txn="batch-0")
+    assert v_retry == v
+    assert _ids(spark, t) == [0, 1, 2, 3, 4]  # not doubled
+    assert len(tx_history(spark, t)) == 1
+
+
+def test_version_race_retries_at_next(spark, tmp_path):
+    """Optimistic concurrency: if another writer claims the version
+    first (simulated by pre-creating the commit file), the loser
+    retries at the next version instead of clobbering."""
+    t = str(tmp_path / "t")
+    tx_write(_df(spark, 0, 3, "a"), t)
+    # a "concurrent writer" owns version 1 (an empty append)
+    with open(f"{t}/_txlog/{1:0{_PAD}d}.json", "w") as f:
+        json.dump({"version": 1, "action": "append", "add": [], "remove": []}, f)
+    v = tx_write(_df(spark, 3, 6, "b"), t)
+    assert v == 2
+    assert _ids(spark, t) == [0, 1, 2, 3, 4, 5]
+
+
+def test_checkpointed_replay_equals_full(spark, tmp_path):
+    t = str(tmp_path / "t")
+    for i in range(CHECKPOINT_EVERY + 3):
+        tx_write(_df(spark, i * 2, i * 2 + 2, f"b{i}"), t)
+    import glob
+
+    assert glob.glob(f"{t}/_txlog/*.checkpoint.json")  # one was cut
+    assert _ids(spark, t) == list(range((CHECKPOINT_EVERY + 3) * 2))
+    # historical read below the checkpoint still replays from genesis
+    assert _ids(spark, t, version=1) == [0, 1, 2, 3]
+
+
+def test_vacuum_deletes_dead_files_keeps_snapshot_and_txns(spark, tmp_path):
+    t = str(tmp_path / "t")
+    tx_write(_df(spark, 0, 4, "a"), t, txn="b0")
+    tx_write(_df(spark, 4, 6, "b"), t, txn="b1")
+    tx_write(_df(spark, 50, 53, "c"), t, mode="overwrite", txn="b2")
+    import glob
+
+    n_before = len(glob.glob(f"{t}/data/*.parquet"))
+    deleted = tx_vacuum(spark, t)
+    assert deleted  # the overwritten files died
+    assert len(glob.glob(f"{t}/data/*.parquet")) == n_before - len(deleted)
+    assert _ids(spark, t) == [50, 51, 52]
+    # idempotent-retry safety survives vacuum (txn map folded into the
+    # checkpoint): re-running b1 is still a no-op
+    v = tx_write(_df(spark, 4, 6, "b"), t, txn="b1")
+    assert _ids(spark, t) == [50, 51, 52]
+    assert v == 1
+    # and new commits continue ABOVE the checkpoint, never at 0
+    v_new = tx_write(_df(spark, 53, 54, "d"), t)
+    assert v_new >= 3
+    assert _ids(spark, t) == [50, 51, 52, 53]
+
+
+def test_streaming_foreachbatch_exactly_once(spark, tmp_path):
+    """The intended streaming sink usage: foreachBatch + txn=batch id;
+    a restart from the same checkpoint re-offers batches and the table
+    stays exactly-once."""
+    src = str(tmp_path / "src")
+    t = str(tmp_path / "t")
+    ckpt = str(tmp_path / "ck")
+    full = _df(spark, 0, 30, "s")
+    full.repartition(3).write.mode("overwrite").parquet(src)
+
+    def start():
+        stream = (
+            spark.readStream.schema(full.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        return (
+            stream.writeStream.foreachBatch(
+                lambda df, bid: tx_write(df, t, txn=f"s{bid}")
+            )
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert _ids(spark, t) == list(range(30))
+    q2 = start()  # restart: nothing new → no duplicates
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    assert _ids(spark, t) == list(range(30))
