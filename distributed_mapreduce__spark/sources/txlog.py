@@ -334,3 +334,199 @@ def tx_vacuum(spark: SparkSession, path: str) -> list[str]:
         for st in sfs.listStatus(sdir):
             sfs.delete(st.getPath(), True)
     return deleted
+
+
+# --- MERGE (copy-on-write, footer-pruned) and OPTIMIZE --------------------
+
+
+def _footer_min_max(local_path: str, col: str):
+    """(min, max) of ``col`` from the parquet FOOTER (row-group stats)
+    — metadata-only, ~KBs per file, never a data read. Returns None
+    when stats are absent. Driver-side pyarrow I/O: the same cost
+    model as Delta consulting per-file stats in its log; a remote-FS
+    port streams the footer through hadoop_fs instead."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(local_path).metadata
+    if md.num_row_groups == 0:
+        return None
+    rg0 = md.row_group(0)
+    idx = None
+    for i in range(rg0.num_columns):
+        if rg0.column(i).path_in_schema == col:
+            idx = i
+            break
+    if idx is None:
+        return None
+    lo = hi = None
+    for rg in range(md.num_row_groups):
+        st = md.row_group(rg).column(idx).statistics
+        if st is None or not st.has_min_max:
+            return None
+        lo = st.min if lo is None else min(lo, st.min)
+        hi = st.max if hi is None else max(hi, st.max)
+    return None if lo is None else (lo, hi)
+
+
+def tx_merge(
+    updates: DataFrame,
+    path: str,
+    key_col: str,
+    txn: str | None = None,
+) -> int:
+    """Copy-on-write MERGE (upsert by key): rows in ``updates`` replace
+    same-key rows; unmatched keys append. Returns the committed
+    version.
+
+    **File-level pruning** — the scale property: only live data files
+    whose footer [min, max] range of ``key_col`` overlaps the updates'
+    key range are rewritten; every other file is untouched metadata. A
+    merge of 10⁴ hot keys into a 10⁸-file table therefore rewrites the
+    few files that can contain them, exactly like Delta's stats-pruned
+    MERGE. Requires ``updates`` to carry at most one row per key and
+    no NULL keys (both checked).
+
+    Concurrency: appends racing this merge are safe (their files are
+    not in our remove set). A CONCURRENT rewrite of the same files
+    (another merge/compaction) is detected at commit time — if any
+    file we mean to remove is no longer live, the commit aborts with a
+    loud conflict error instead of resurrecting or double-applying.
+    """
+    spark = updates.sparkSession
+    from pyspark.sql import functions as F
+
+    dup = updates.groupBy(key_col).count().filter("count > 1").limit(1)
+    if updates.filter(F.col(key_col).isNull()).limit(1).count():
+        raise ValueError(f"updates carry NULL {key_col}")
+    if dup.count():
+        raise ValueError(f"updates carry duplicate {key_col} rows")
+    if txn is not None and (prior := _committed_txns(spark, path).get(txn)) is not None:
+        return prior
+
+    files, snap_version = _snapshot_files(spark, path)
+    bounds = updates.agg(
+        F.min(key_col).alias("lo"), F.max(key_col).alias("hi")
+    ).collect()[0]
+    touched = []
+    for f in files:
+        mm = _footer_min_max(f"{path}/{f}".replace("file:", ""), key_col)
+        # no stats → can't prune → must rewrite (correctness first)
+        if mm is None or not (mm[1] < bounds["lo"] or mm[0] > bounds["hi"]):
+            touched.append(f)
+
+    keys = updates.select(key_col)
+    if touched:
+        survivors = spark.read.parquet(
+            *[f"{path}/{f}" for f in touched]
+        ).join(keys, key_col, "left_anti")
+        new_data = survivors.unionByName(updates)
+    else:
+        new_data = updates
+
+    # stage + place (same discipline as tx_write)
+    stage_dir = f"{path}/_staging/{uuid.uuid4().hex}"
+    new_data.write.mode("overwrite").parquet(stage_dir)
+    fs, sdir = hadoop_fs(spark, stage_dir)
+    added = []
+    for st in fs.listStatus(sdir):
+        if not st.getPath().getName().endswith(".parquet"):
+            continue
+        name = f"{uuid.uuid4().hex}.parquet"
+        if not fs.rename(st.getPath(), hadoop_fs(spark, f"{path}/data/{name}")[1]):
+            raise RuntimeError("could not place merged data file")
+        added.append(f"data/{name}")
+    fs.delete(sdir, True)
+    return _commit_rewrite(
+        spark, path, added, touched, snap_version, txn, "merge"
+    )
+
+
+def _commit_rewrite(
+    spark,
+    path: str,
+    added: list[str],
+    removed: list[str],
+    snap_version: int,
+    txn: str | None,
+    action: str,
+    max_retries: int = 20,
+) -> int:
+    """Commit a rewrite (merge/compact): remove+add in one version,
+    with the still-live conflict check — if anything we remove was
+    already removed by a commit after our snapshot, abort loudly."""
+    fs = hadoop_fs(spark, path)[0]
+    for _ in range(max_retries):
+        live_now, _ = _snapshot_files(spark, path)
+        gone = set(removed) - set(live_now)
+        if gone:
+            raise RuntimeError(
+                f"conflict: files rewritten concurrently since version "
+                f"{snap_version}: {sorted(gone)[:3]}... — re-run the "
+                f"{action} on the new snapshot"
+            )
+        versions = [v for v, _ in _list_commits(spark, path)]
+        next_v = (max(versions) + 1) if versions else 0
+        payload = {
+            "version": next_v,
+            "action": action,
+            "add": added,
+            "remove": removed,
+            "txn": txn,
+        }
+        if _write_atomic(
+            spark,
+            fs,
+            f"{path}/_txlog/{next_v:0{_PAD}d}.json",
+            json.dumps(payload).encode(),
+        ):
+            if (next_v + 1) % CHECKPOINT_EVERY == 0:
+                _write_checkpoint(spark, path, next_v)
+            return next_v
+    raise RuntimeError(f"could not commit {action} after {max_retries} races")
+
+
+def tx_compact(
+    spark: SparkSession,
+    path: str,
+    target_files: int = 1,
+    max_input_files: int = 64,
+) -> int | None:
+    """OPTIMIZE: bin-pack the smallest live files into ``target_files``
+    larger ones — pure rewrite, bit-identical table contents (it's a
+    remove+add commit; readers before/after see the same rows). Small
+    files are the chronic cost of streaming appends: every scan pays
+    per-file open/footer overhead. Compacts at most
+    ``max_input_files`` per call (bounded work per commit; run in a
+    loop to converge). Returns the committed version, or None if ≤1
+    live file. Same conflict check as merge — concurrent rewrites of
+    the chosen files abort loudly; concurrent appends are unaffected."""
+    files, snap_version = _snapshot_files(spark, path)
+    if len(files) <= 1:
+        return None
+    fs = hadoop_fs(spark, path)[0]
+    sized = []
+    for f in files:
+        st = fs.getFileStatus(hadoop_fs(spark, f"{path}/{f}")[1])
+        sized.append((st.getLen(), f))
+    sized.sort()
+    chosen = [f for _, f in sized[:max_input_files]]
+    if len(chosen) <= target_files:
+        return None
+    merged = spark.read.parquet(*[f"{path}/{f}" for f in chosen]).coalesce(
+        target_files
+    )
+    stage_dir = f"{path}/_staging/{uuid.uuid4().hex}"
+    merged.write.mode("overwrite").parquet(stage_dir)
+    _, sdir = hadoop_fs(spark, stage_dir)
+    added = []
+    for st in fs.listStatus(sdir):
+        if not st.getPath().getName().endswith(".parquet"):
+            continue
+        name = f"{uuid.uuid4().hex}.parquet"
+        if not fs.rename(st.getPath(), hadoop_fs(spark, f"{path}/data/{name}")[1]):
+            raise RuntimeError("could not place compacted data file")
+        added.append(f"data/{name}")
+    fs.delete(sdir, True)
+    return _commit_rewrite(
+        spark, path, added, chosen, snap_version, None, "compact"
+    )

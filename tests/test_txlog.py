@@ -175,3 +175,108 @@ def test_streaming_foreachbatch_exactly_once(spark, tmp_path):
     finally:
         q2.stop()
     assert _ids(spark, t) == list(range(30))
+
+
+# --- MERGE + OPTIMIZE ------------------------------------------------------
+
+
+def test_merge_upserts_and_prunes_files(spark, tmp_path):
+    """MERGE rewrites ONLY the files whose footer key range overlaps
+    the updates; distant files keep their physical identity (the
+    stats-pruned copy-on-write of Delta's MERGE)."""
+    from distributed_mapreduce__spark.sources.txlog import (
+        _snapshot_files,
+        tx_merge,
+    )
+
+    t = str(tmp_path / "t")
+    # two appends with DISJOINT key ranges → disjoint file footers
+    tx_write(_df(spark, 0, 100, "low").coalesce(1), t)
+    tx_write(_df(spark, 1000, 1100, "high").coalesce(1), t)
+    before, _ = _snapshot_files(spark, t)
+    updates = spark.range(1000, 1005).select(
+        F.col("id"), F.lit("UPDATED").alias("tag")
+    ).unionByName(
+        spark.range(5000, 5002).select(F.col("id"), F.lit("new").alias("tag"))
+    )
+    tx_merge(updates, t, "id")
+    after, _ = _snapshot_files(spark, t)
+    # the low-range file survived untouched; the high file was rewritten
+    low_files = set(before) & set(after)
+    assert len(low_files) == 1
+    got = {r.id: r.tag for r in tx_read(spark, t).collect()}
+    assert len(got) == 100 + 100 + 2
+    assert all(got[i] == "UPDATED" for i in range(1000, 1005))
+    assert all(got[i] == "high" for i in range(1005, 1100))
+    assert all(got[i] == "low" for i in range(0, 100))
+    assert got[5000] == "new" and got[5001] == "new"
+
+
+def test_merge_validates_updates(spark, tmp_path):
+    from distributed_mapreduce__spark.sources.txlog import tx_merge
+
+    t = str(tmp_path / "t")
+    tx_write(_df(spark, 0, 5, "a"), t)
+    dup = spark.createDataFrame([(1, "x"), (1, "y")], "id long, tag string")
+    with pytest.raises(ValueError, match="duplicate"):
+        tx_merge(dup, t, "id")
+    nul = spark.createDataFrame([(None, "x")], "id long, tag string")
+    with pytest.raises(ValueError, match="NULL"):
+        tx_merge(nul, t, "id")
+
+
+def test_merge_idempotent_txn(spark, tmp_path):
+    from distributed_mapreduce__spark.sources.txlog import tx_merge
+
+    t = str(tmp_path / "t")
+    tx_write(_df(spark, 0, 10, "a"), t)
+    upd = spark.createDataFrame([(3, "U")], "id long, tag string")
+    v = tx_merge(upd, t, "id", txn="m1")
+    assert tx_merge(upd, t, "id", txn="m1") == v
+    got = {r.id: r.tag for r in tx_read(spark, t).collect()}
+    assert len(got) == 10 and got[3] == "U"
+
+
+def test_compact_binpacks_without_changing_contents(spark, tmp_path):
+    from distributed_mapreduce__spark.sources.txlog import (
+        _snapshot_files,
+        tx_compact,
+    )
+
+    t = str(tmp_path / "t")
+    for i in range(6):
+        tx_write(_df(spark, i * 3, i * 3 + 3, f"b{i}").coalesce(1), t)
+    before = sorted(
+        (r.id, r.tag) for r in tx_read(spark, t).collect()
+    )
+    assert len(_snapshot_files(spark, t)[0]) == 6
+    v = tx_compact(spark, t, target_files=1)
+    assert v is not None
+    files, _ = _snapshot_files(spark, t)
+    assert len(files) == 1
+    assert sorted((r.id, r.tag) for r in tx_read(spark, t).collect()) == before
+    # converged: nothing left to compact
+    assert tx_compact(spark, t, target_files=1) is None
+
+
+def test_rewrite_conflict_detected(spark, tmp_path):
+    """A rewrite whose chosen files were concurrently rewritten must
+    abort loudly, not resurrect them (simulated by compacting between
+    snapshot and commit via a monkeypatched commit hook... simplest
+    honest simulation: run a compaction, then attempt a commit built
+    against the OLD snapshot through _commit_rewrite directly)."""
+    from distributed_mapreduce__spark.sources.txlog import (
+        _commit_rewrite,
+        _snapshot_files,
+        tx_compact,
+    )
+
+    t = str(tmp_path / "t")
+    for i in range(3):
+        tx_write(_df(spark, i * 2, i * 2 + 2, f"b{i}").coalesce(1), t)
+    old_files, old_v = _snapshot_files(spark, t)
+    tx_compact(spark, t, target_files=1)  # retires old_files
+    with pytest.raises(RuntimeError, match="conflict"):
+        _commit_rewrite(
+            spark, t, ["data/bogus.parquet"], old_files, old_v, None, "merge"
+        )
