@@ -218,3 +218,73 @@ def bm25(
         )
     )
     return per_term.groupBy("doc_id").agg(F.sum("contrib").alias("score"))
+
+
+def hashed_doc_vectors(
+    docs: DataFrame, dim: int = 64, col: str = "text", seed: int = 0
+) -> DataFrame:
+    """(doc_id, embedding array<double>): model-free document
+    embeddings via the feature-hashing trick (Weinberger et al.,
+    "Feature Hashing for Large Scale Multitask Learning", ICML 2009) —
+    each term's smoothed TF-IDF weight lands in bucket
+    ``md5(term) % dim`` with a ±1 sign from a second hash bit (signed
+    hashing keeps inner products unbiased under collisions), then the
+    vector is L2-normalized.
+
+    This is the bridge from raw text into the ANN family with no
+    trained model: the output column is exactly the ``embedding``
+    shape ``cosine_topk`` / ``lsh_topk`` / ``near-dup`` consume, so
+    text similarity search runs on corpora that never saw an encoder.
+
+    Scale: rides term_frequencies' one shuffle; the per-(doc, bucket)
+    collapse is a second corpus-keyed aggregation whose output is at
+    most ``dim`` rows per doc; densification + normalization are pure
+    array algebra in the projection. The md5 hash family is the
+    engine-portable one every sketch here uses — DuckDB replays the
+    whole construction bit-for-bit up to float associativity."""
+    from ..functions.hashing import md5_long
+
+    tf = term_frequencies(docs, col)
+    dfreq = doc_frequencies(tf)
+    n = docs.agg(F.count("*").alias("n_docs"))
+    w = F.col("tf") * (
+        F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0)))
+        + F.lit(1.0)
+    )
+    sign = F.when(
+        md5_long(F.col("term"), seed=seed + 1) % 2 == 0, F.lit(1.0)
+    ).otherwise(F.lit(-1.0))
+    comps = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(F.broadcast(n))
+        .select(
+            "doc_id",
+            (md5_long(F.col("term"), seed=seed) % F.lit(dim)).alias("b"),
+            (sign * w).alias("w"),
+        )
+        .groupBy("doc_id", "b")
+        .agg(F.sum("w").alias("w"))
+    )
+    m = F.map_from_entries(
+        F.array_sort(F.collect_list(F.struct("b", "w")))
+    )
+    dense = comps.groupBy("doc_id").agg(m.alias("m")).select(
+        "doc_id",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda i: F.coalesce(F.col("m")[i.cast("long")], F.lit(0.0)),
+        ).alias("v"),
+    )
+    norm = F.sqrt(
+        F.aggregate(
+            F.col("v"), F.lit(0.0), lambda acc, x: acc + x * x
+        )
+    )
+    return dense.select(
+        "doc_id",
+        F.when(
+            norm > 0, F.transform(F.col("v"), lambda x: x / norm)
+        )
+        .otherwise(F.col("v"))
+        .alias("embedding"),
+    )

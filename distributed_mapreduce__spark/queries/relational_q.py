@@ -750,8 +750,10 @@ def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (never all-pairs; plan asserted in tests/test_linkage.py), the
     oracle IS the brute-force all-pairs join, so a hash match proves
     the blocking lost nothing. Self-join form ordered l < r to halve
-    the pair space. Local tier: the driver's 50 slots are spoken for;
-    the operator's full gate set lives in tests/test_linkage.py."""
+    the pair space. Driver-checked since round 7; the brute oracle is
+    fine at the driver's sf0.01 (~2.3M pairs) but infeasible at the
+    10x fixtures, where strict_check --scale substitutes the
+    subsample-exact checker. Full gate set: tests/test_linkage.py."""
     from ..operators.linkage import fuzzy_key_join
 
     cust = load_table(spark, sf_dir, "customer").select("c_name")

@@ -264,3 +264,61 @@ def lm_perplexity_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("avg_logscore", 9).alias("avg_logscore"),
         F.round("ppl", 9).alias("ppl"),
     )
+
+
+# --- feature-hashed document vectors --------------------------------------
+
+
+def _hexfold(md5_expr: str) -> str:
+    """conv(substr(md5,1,15),16,10) in portable SQL (60-bit fold)."""
+    return f"""list_reduce(list_transform(generate_series(1, 15),
+      i -> CAST(strpos('0123456789abcdef', substring({md5_expr}, i, 1)) - 1 AS BIGINT)),
+      (a, b) -> a * 16 + b)"""
+
+
+_HASH_VEC_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ')) AS term
+  FROM documents
+),
+tok AS (SELECT * FROM toks WHERE term <> ''),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+n AS (SELECT count(*) AS n_docs FROM documents),
+comps AS (
+  SELECT doc_id,
+         {_hexfold("md5('0:' || term)")} % 64 AS b,
+         (CASE WHEN {_hexfold("md5('1:' || term)")} % 2 = 0
+               THEN 1.0 ELSE -1.0 END)
+           * tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0) AS w
+  FROM tf JOIN dfq USING (term) CROSS JOIN n
+),
+sums AS (SELECT doc_id, b, CAST(sum(w) AS DOUBLE) AS w FROM comps GROUP BY 1, 2),
+mv AS (SELECT doc_id, map(list(b ORDER BY b), list(w ORDER BY b)) AS m
+       FROM sums GROUP BY doc_id),
+dense AS (SELECT doc_id,
+                 list_transform(generate_series(0, 63),
+                                i -> coalesce(m[i][1], 0.0)) AS v
+          FROM mv),
+nrm AS (SELECT doc_id, v,
+               sqrt(list_reduce(list_transform(v, x -> x * x),
+                                (a, b) -> a + b)) AS nn
+        FROM dense)
+SELECT doc_id,
+       CASE WHEN nn > 0 THEN list_transform(v, x -> x / nn) ELSE v END AS embedding
+FROM nrm
+"""
+
+
+@register_local("doc_hash_vectors", oracle=_HASH_VEC_ORACLE)
+def doc_hash_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashed TF-IDF document vectors at dim=64
+    (operators/text_ranking.hashed_doc_vectors) — the model-free text →
+    embedding bridge into the ANN family, whole construction replayed
+    by the DuckDB oracle (hash buckets, signs, weights, densify,
+    normalize)."""
+    from ..operators.text_ranking import hashed_doc_vectors
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return hashed_doc_vectors(docs, dim=64)

@@ -530,3 +530,61 @@ def tx_compact(
     return _commit_rewrite(
         spark, path, added, chosen, snap_version, None, "compact"
     )
+
+
+def tx_changes(
+    spark: SparkSession, path: str, since_version: int | None = None
+) -> tuple[DataFrame | None, int]:
+    """Incremental consumption (append-only change feed): rows ADDED
+    by commits after ``since_version`` (None = from genesis), plus the
+    version the caller should persist for its next call. Returns
+    ``(None, latest)`` when nothing new.
+
+    The micro-batch pull loop this powers::
+
+        df, v = tx_changes(spark, path, ckpt.get("v"))
+        if df is not None:
+            process(df); ckpt["v"] = v
+
+    Only appends and the ADD side of merges are representable this way
+    — a commit that REMOVES files (overwrite, merge, compact) rewrites
+    history, and its added files would double-count rows the caller
+    already saw. Compactions are safe to skip entirely (bit-identical
+    contents); for overwrite/merge commits this raises, directing the
+    caller to reprocess the snapshot — the same contract Delta's
+    change feed enforces unless row-tracking is on. Cost is O(new
+    files): the log names them; no directory diffing, no re-read of
+    consumed data.
+    """
+    commits = _list_commits(spark, path)
+    versions = [v for v, k in commits if k == "commit"]
+    ck_versions = [v for v, k in commits if k == "checkpoint"]
+    latest = max(versions + ck_versions) if (versions or ck_versions) else None
+    if latest is None:
+        raise FileNotFoundError(f"no transactional table at {path}")
+    start = -1 if since_version is None else since_version
+    # a resumable start must still EXIST in the log (commit or
+    # checkpoint): a vacuumed-away version can't prove which adds the
+    # caller already saw, so silently skipping would risk double reads
+    if start >= 0 and start < latest and start not in set(versions) | set(ck_versions):
+        raise ValueError(
+            f"version {start} was vacuumed from the log at {path}; "
+            "reprocess from a snapshot read"
+        )
+    added: list[str] = []
+    for v in versions:
+        if v <= start:
+            continue
+        c = _load(spark, path, f"{v:0{_PAD}d}.json")
+        if c["action"] == "compact":
+            continue  # pure rewrite, contents identical — nothing new
+        if c["action"] != "append" or c.get("remove"):
+            raise ValueError(
+                f"commit {v} is {c['action']!r} (rewrites history); an "
+                "incremental reader must reprocess the snapshot via "
+                "tx_read, then resume from that version"
+            )
+        added.extend(c.get("add", []))
+    if not added:
+        return None, latest
+    return spark.read.parquet(*[f"{path}/{f}" for f in added]), latest

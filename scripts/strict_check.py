@@ -237,9 +237,62 @@ def _scale_check_neardup_front_door(spark, con, sf_dir, registry):
 #: oracle asserts a different ROUTE than auto picks at 10x: instead of
 #: SKIPPING, `--scale` runs the named replacement checker — so the
 #: gate is 50/50 with no blind spots.
+def _scale_check_fuzzy_name_pairs(spark, con, sf_dir, registry):
+    """Candidate-restricted scale oracle for ``fuzzy_name_pairs``: the
+    registered oracle is brute-force all-pairs levenshtein — ~2.25e10
+    pairs over the 10x fixtures' ~150k distinct names, infeasible in
+    any engine (and the dense Customer#<digits> template makes even
+    the TRUE d<=2 pair set tens of millions of rows at full width).
+    Replaced by EXACT equality on a deterministic 1-in-30 subsample
+    (~5k names → ~12.5M brute pairs, feasible in DuckDB): the same
+    rarest-gram blocking + verify pipeline runs on the subsample and
+    must reproduce the brute-force pair set bit-for-bit. The subsample
+    preserves the template density (every name shares the
+    'Customer#' prefix), which is exactly the blocking stressor.
+
+    Returns (ok, message)."""
+    from pyspark.sql import functions as F
+
+    from distributed_mapreduce__spark.operators.linkage import fuzzy_key_join
+    from distributed_mapreduce__spark.sources.tables import load_table
+
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 30 == 0)
+        .select("c_name")
+    )
+    pairs = fuzzy_key_join(cust, cust, "c_name", "c_name", max_distance=2)
+    got = sorted(
+        (r.c_name_l, r.c_name_r, r.distance)
+        for r in pairs.filter(F.col("c_name_l") < F.col("c_name_r")).collect()
+    )
+    want = sorted(
+        map(
+            tuple,
+            con.execute("""
+        WITH names AS (
+          SELECT DISTINCT c_name FROM customer WHERE c_custkey % 30 = 0
+        )
+        SELECT l.c_name, r.c_name, levenshtein(l.c_name, r.c_name)
+        FROM names l JOIN names r ON l.c_name < r.c_name
+        WHERE levenshtein(l.c_name, r.c_name) <= 2
+        """).fetchall(),
+        )
+    )
+    if got != want:
+        extra = set(got) - set(want)
+        missing = set(want) - set(got)
+        return False, (
+            f"subsample mismatch: {len(extra)} extra, {len(missing)} "
+            f"missing; first: {sorted(extra)[:2]} / {sorted(missing)[:2]}"
+        )
+    return True, f"exact on 1-in-30 subsample: {len(got)} pairs"
+
+
 SCALE_CHECKERS = {
     "embedding_neardup": _scale_check_embedding_neardup,
     "neardup_front_door": _scale_check_neardup_front_door,
+    "fuzzy_name_pairs": _scale_check_fuzzy_name_pairs,
 }
 
 

@@ -280,3 +280,39 @@ def test_rewrite_conflict_detected(spark, tmp_path):
         _commit_rewrite(
             spark, t, ["data/bogus.parquet"], old_files, old_v, None, "merge"
         )
+
+
+def test_change_feed_incremental_consumption(spark, tmp_path):
+    from distributed_mapreduce__spark.sources.txlog import (
+        tx_changes,
+        tx_compact,
+        tx_merge,
+        tx_vacuum,
+    )
+
+    t = str(tmp_path / "t")
+    tx_write(_df(spark, 0, 5, "a"), t)
+    df, v = tx_changes(spark, t, None)
+    assert sorted(r.id for r in df.collect()) == [0, 1, 2, 3, 4]
+    # nothing new → (None, same version)
+    assert tx_changes(spark, t, v) == (None, v)
+    tx_write(_df(spark, 5, 8, "b"), t)
+    tx_write(_df(spark, 8, 9, "c"), t)
+    df2, v2 = tx_changes(spark, t, v)
+    assert sorted(r.id for r in df2.collect()) == [5, 6, 7, 8]
+    # compaction is invisible to the feed (pure rewrite)
+    tx_compact(spark, t, target_files=1)
+    df3, v3 = tx_changes(spark, t, v2)
+    assert df3 is None
+    # a history rewrite forces a snapshot reprocess
+    tx_merge(
+        spark.createDataFrame([(0, "U")], "id long, tag string"), t, "id"
+    )
+    with pytest.raises(ValueError, match="rewrites history"):
+        tx_changes(spark, t, v3)
+    # the snapshot read the error directs the caller to is intact
+    assert tx_read(spark, t).count() == 9
+    # vacuumed-away history is detected, not silently skipped
+    tx_vacuum(spark, t)
+    with pytest.raises(ValueError, match="vacuumed"):
+        tx_changes(spark, t, 0)
