@@ -128,6 +128,8 @@ def build_training_set(
     near_dup_threshold: float | None = 0.8,
     contamination_ngram: int = 3,
     contamination_min_grams: int = 1,
+    lm_model: DataFrame | None = None,
+    lm_max_ppl: float | None = None,
     splits: Mapping[str, float] = DEFAULT_SPLITS,
     rows_per_shard: int = 10_000,
     seed: int = 0,
@@ -247,6 +249,18 @@ def build_training_set(
         cur = _stage(cur.join(hits, "doc_id", "left_anti"))
         if want_report:
             funnel["n_after_decontamination"] = cur.count()
+
+    if lm_max_ppl is not None:
+        if lm_model is None:
+            raise ValueError(
+                "lm_max_ppl requires lm_model (train one on clean "
+                "reference text with ngram_lm.train_ngram_lm)"
+            )
+        from .ngram_lm import perplexity_filter
+
+        cur = _stage(perplexity_filter(cur, lm_model, lm_max_ppl))
+        if want_report:
+            funnel["n_after_lm_filter"] = cur.count()
 
     cur = cur.withColumn("quality", quality_expr("text")).filter(
         F.col("quality") >= F.lit(min_quality)

@@ -233,3 +233,53 @@ def test_report_false_fast_path_same_output_fewer_jobs(spark, corpus, tmp_path):
     # no stage counts in the fast report — and visibly fewer jobs ran
     assert set(fast) == {"splits"}
     assert j_fast < j_slow
+
+
+def test_lm_perplexity_stage_drops_garbled_doc(spark, corpus, tmp_path):
+    """The CCNet stage: an LM trained on clean reference text gates the
+    pipeline — a planted garbled doc (same vocabulary, shuffled word
+    order) must fall to the perplexity cut while fluent docs survive,
+    and the ppl signal rides into the shards."""
+    from distributed_mapreduce__spark.operators.ngram_lm import (
+        ngram_lm_scores,
+        train_ngram_lm,
+    )
+
+    clean_text = "the quick brown fox jumps over the lazy dog"
+    reference = spark.createDataFrame(
+        [(i, clean_text) for i in range(6)], "doc_id long, text string"
+    )
+    model = train_ngram_lm(reference, n=3)
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "quick the fox brown over jumps dog lazy the"),  # garbled
+        ],
+        "doc_id long, text string",
+    )
+    ppls = {r.doc_id: r.ppl for r in ngram_lm_scores(docs, model).collect()}
+    cut = (ppls[1] + ppls[2]) / 2
+    report = build_training_set(
+        docs,
+        str(tmp_path / "out"),
+        clean=False,
+        min_quality=0.0,
+        near_dup_threshold=None,
+        lm_model=model,
+        lm_max_ppl=cut,
+        rows_per_shard=10,
+    )
+    assert report["n_after_lm_filter"] == 1
+    kept = spark.read.parquet(str(tmp_path / "out" / "train")).unionByName(
+        spark.read.parquet(str(tmp_path / "out" / "val")), allowMissingColumns=True
+    ).unionByName(
+        spark.read.parquet(str(tmp_path / "out" / "test")), allowMissingColumns=True
+    )
+    rows = kept.collect()
+    assert [r.doc_id for r in rows] == [1]
+    assert rows[0].ppl == pytest.approx(ppls[1])
+    # the guard: a cut without a model is a loud error
+    with pytest.raises(ValueError, match="lm_model"):
+        build_training_set(
+            docs, str(tmp_path / "out2"), clean=False, lm_max_ppl=5.0
+        )
