@@ -255,11 +255,19 @@ def _write_checkpoint(spark, path: str, version: int) -> None:
 
 
 def tx_read(
-    spark: SparkSession, path: str, version: int | None = None
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    merge_schema: bool = False,
 ) -> DataFrame:
     """Snapshot read: the table as of ``version`` (default: latest).
     Hands Spark the explicit live-file list — no directory listing of
-    ``data/``, no exposure to in-flight or vacuumed files."""
+    ``data/``, no exposure to in-flight or vacuumed files.
+
+    ``merge_schema=True`` unions the live files' schemas (appends that
+    ADDED columns over the table's life read back with NULLs for old
+    files — parquet mergeSchema semantics); the default reads with the
+    first file's schema, Spark's cheaper footer handling."""
     files, _ = _snapshot_files(spark, path, version)
     if not files:
         # an overwrite with an empty DataFrame is a legal empty table:
@@ -268,7 +276,10 @@ def tx_read(
         if all_files:
             return spark.read.parquet(*all_files).limit(0)
         raise FileNotFoundError(f"table {path} has no data files at all")
-    return spark.read.parquet(*[f"{path}/{f}" for f in files])
+    reader = spark.read
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    return reader.parquet(*[f"{path}/{f}" for f in files])
 
 
 def tx_history(spark: SparkSession, path: str) -> list[dict]:
@@ -588,3 +599,58 @@ def tx_changes(
     if not added:
         return None, latest
     return spark.read.parquet(*[f"{path}/{f}" for f in added]), latest
+
+
+def tx_delete(
+    keys: DataFrame,
+    path: str,
+    key_col: str,
+    txn: str | None = None,
+) -> int:
+    """Copy-on-write DELETE by key (the right-to-be-forgotten path):
+    rows whose ``key_col`` appears in ``keys`` are removed; every file
+    whose footer range cannot contain a target key is untouched
+    metadata, exactly as in :func:`tx_merge`. Note the deleted rows
+    remain readable via time travel until :func:`tx_vacuum` — a real
+    erasure run is delete + vacuum, and that pairing is the documented
+    compliance contract (same as Delta's)."""
+    spark = keys.sparkSession
+    from pyspark.sql import functions as F
+
+    if keys.filter(F.col(key_col).isNull()).limit(1).count():
+        raise ValueError(f"keys carry NULL {key_col}")
+    if txn is not None and (prior := _committed_txns(spark, path).get(txn)) is not None:
+        return prior
+    files, snap_version = _snapshot_files(spark, path)
+    bounds = keys.agg(
+        F.min(key_col).alias("lo"), F.max(key_col).alias("hi")
+    ).collect()[0]
+    touched = []
+    for f in files:
+        mm = _footer_min_max(f"{path}/{f}".replace("file:", ""), key_col)
+        if mm is None or not (mm[1] < bounds["lo"] or mm[0] > bounds["hi"]):
+            touched.append(f)
+    if not touched:
+        # nothing can match — still commit an empty delete so the txn
+        # id is recorded for idempotence
+        return _commit_rewrite(
+            spark, path, [], [], snap_version, txn, "delete"
+        )
+    survivors = spark.read.parquet(*[f"{path}/{f}" for f in touched]).join(
+        keys.select(key_col).distinct(), key_col, "left_anti"
+    )
+    stage_dir = f"{path}/_staging/{uuid.uuid4().hex}"
+    survivors.write.mode("overwrite").parquet(stage_dir)
+    fs, sdir = hadoop_fs(spark, stage_dir)
+    added = []
+    for st in fs.listStatus(sdir):
+        if not st.getPath().getName().endswith(".parquet"):
+            continue
+        name = f"{uuid.uuid4().hex}.parquet"
+        if not fs.rename(st.getPath(), hadoop_fs(spark, f"{path}/data/{name}")[1]):
+            raise RuntimeError("could not place data file after delete")
+        added.append(f"data/{name}")
+    fs.delete(sdir, True)
+    return _commit_rewrite(
+        spark, path, added, touched, snap_version, txn, "delete"
+    )

@@ -316,3 +316,55 @@ def test_change_feed_incremental_consumption(spark, tmp_path):
     tx_vacuum(spark, t)
     with pytest.raises(ValueError, match="vacuumed"):
         tx_changes(spark, t, 0)
+
+
+def test_delete_by_key_prunes_and_travels(spark, tmp_path):
+    from distributed_mapreduce__spark.sources.txlog import (
+        _snapshot_files,
+        tx_delete,
+        tx_vacuum,
+    )
+
+    t = str(tmp_path / "t")
+    tx_write(_df(spark, 0, 100, "low").coalesce(1), t)
+    tx_write(_df(spark, 1000, 1100, "high").coalesce(1), t)
+    before, _ = _snapshot_files(spark, t)
+    keys = spark.createDataFrame([(1050,), (1051,)], "id long")
+    v = tx_delete(keys, t, "id", txn="erase-1")
+    after, _ = _snapshot_files(spark, t)
+    assert set(before) & set(after)  # the low file untouched (pruned)
+    ids = _ids(spark, t)
+    assert 1050 not in ids and 1051 not in ids
+    assert len(ids) == 198
+    # idempotent retry
+    assert tx_delete(keys, t, "id", txn="erase-1") == v
+    assert len(_ids(spark, t)) == 198
+    # time travel still sees the deleted rows until vacuum — then not
+    assert 1050 in _ids(spark, t, version=1)
+    tx_vacuum(spark, t)
+    import glob
+
+    live = glob.glob(f"{t}/data/*.parquet")
+    got = sorted(
+        r.id for r in spark.read.parquet(*live).collect()
+    )
+    assert 1050 not in got  # physically erased everywhere
+    # delete with keys that cannot match any footer range: zero rewrites
+    far = spark.createDataFrame([(999999,)], "id long")
+    b2, _ = _snapshot_files(spark, t)
+    tx_delete(far, t, "id")
+    a2, _ = _snapshot_files(spark, t)
+    assert b2 == a2
+
+
+def test_schema_evolution_merge_schema_read(spark, tmp_path):
+    from distributed_mapreduce__spark.sources.txlog import tx_read as tr
+
+    t = str(tmp_path / "t")
+    tx_write(_df(spark, 0, 3, "a"), t)
+    widened = _df(spark, 3, 5, "b").withColumn("score", F.lit(0.5))
+    tx_write(widened, t)
+    cols = set(tr(spark, t, merge_schema=True).columns)
+    assert cols == {"id", "tag", "score"}
+    rows = {r.id: r.score for r in tr(spark, t, merge_schema=True).collect()}
+    assert rows[4] == 0.5 and rows[0] is None
