@@ -45,6 +45,7 @@ from __future__ import annotations
 
 import json
 import uuid
+from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -162,46 +163,117 @@ def _committed_txns(spark, path: str) -> dict[str, int]:
     return out
 
 
+
+def _stage_and_place(df: DataFrame, path: str) -> list[str]:
+    """Write ``df`` invisibly under _staging, then rename its part
+    files into data/ under fresh UUID names. Returns the placed
+    relative paths."""
+    spark = df.sparkSession
+    stage_dir = f"{path}/_staging/{uuid.uuid4().hex}"
+    df.write.mode("overwrite").parquet(stage_dir)
+    fs, sdir = hadoop_fs(spark, stage_dir)
+    fs.mkdirs(hadoop_fs(spark, f"{path}/data")[1])
+    added = []
+    for st in fs.listStatus(sdir):
+        if not st.getPath().getName().endswith(".parquet"):
+            continue
+        name = f"{uuid.uuid4().hex}.parquet"
+        if not fs.rename(st.getPath(), hadoop_fs(spark, f"{path}/data/{name}")[1]):
+            raise RuntimeError(f"could not place data file {name}")
+        added.append(f"data/{name}")
+    fs.delete(sdir, True)
+    return added
+
+
+def _json_stat(v):
+    """Commit-log-safe stat value: numbers/strings verbatim, everything
+    else (dates, timestamps, decimals) as its string form — ISO forms
+    order lexically, so range pruning stays sound."""
+    if v is None or isinstance(v, (int, float, str, bool)):
+        return v
+    return str(v)
+
+
+def _collect_stats(
+    spark, path: str, files: list[str], cols
+) -> dict[str, dict[str, list]]:
+    """Per-placed-file [min, max] for ``cols`` in ONE job (grouped on
+    input_file_name) — the write-time stats pass Delta does, amortized
+    into the commit so later MERGE/DELETE/reads skip files from the
+    LOG, with zero per-file I/O."""
+    from pyspark.sql import functions as F
+
+    aggs = []
+    for c in cols:
+        aggs.append(F.min(c).alias(f"__lo_{c}"))
+        aggs.append(F.max(c).alias(f"__hi_{c}"))
+    rows = (
+        spark.read.parquet(*[f"{path}/{f}" for f in files])
+        .groupBy(F.input_file_name().alias("__f"))
+        .agg(*aggs)
+        .collect()
+    )
+    out: dict[str, dict[str, list]] = {}
+    for r in rows:
+        name = "data/" + r["__f"].rsplit("/", 1)[-1]
+        out[name] = {
+            c: [_json_stat(r[f"__lo_{c}"]), _json_stat(r[f"__hi_{c}"])]
+            for c in cols
+        }
+    return out
+
+
+def _log_stats(spark, path: str) -> dict[str, dict[str, list]]:
+    """file -> {col: [lo, hi]} folded from checkpoints + commits.
+    Files written without ``stats_cols`` simply have no entry (callers
+    must treat absence as cannot-prune)."""
+    out: dict[str, dict[str, list]] = {}
+    for v, kind in _list_commits(spark, path):
+        name = (
+            f"{v:0{_PAD}d}.checkpoint.json"
+            if kind == "checkpoint"
+            else f"{v:0{_PAD}d}.json"
+        )
+        for f, st in (_load(spark, path, name).get("stats") or {}).items():
+            out.setdefault(f, st)
+    return out
+
+
 def tx_write(
     df: DataFrame,
     path: str,
     mode: str = "append",
     txn: str | None = None,
     max_retries: int = 20,
+    stats_cols: "Sequence[str] | None" = None,
 ) -> int:
     """Commit ``df`` to the table at ``path``; returns the committed
     version. ``mode='append'`` adds files; ``'overwrite'`` makes the
     new files the whole snapshot (history stays readable via time
     travel until :func:`tx_vacuum`). ``txn`` makes retries idempotent:
     if a commit carrying this id already exists, nothing is written
-    and its version is returned."""
+    and its version is returned.
+
+    ``stats_cols`` records per-file [min, max] for the named columns
+    IN the commit (one extra grouped pass over the just-written
+    files): later :func:`tx_merge` / :func:`tx_delete` / filtered
+    :func:`tx_read` then skip files from the log alone — zero footer
+    I/O — the Delta stats model."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
     spark = df.sparkSession
     if txn is not None and (prior := _committed_txns(spark, path).get(txn)) is not None:
         return prior
 
-    # 1. stage the write (cluster-side; invisible to readers)
-    stage_id = uuid.uuid4().hex
-    stage_dir = f"{path}/_staging/{stage_id}"
-    df.write.mode("overwrite").parquet(stage_dir)
-    fs, sdir = hadoop_fs(spark, stage_dir)
-    parts = [
-        st.getPath()
-        for st in fs.listStatus(sdir)
-        if st.getPath().getName().endswith(".parquet")
-    ]
-    # 2. move parts into data/ under fresh names (renames, not copies)
-    fs.mkdirs(hadoop_fs(spark, f"{path}/data")[1])
-    added = []
-    for p in parts:
-        name = f"{uuid.uuid4().hex}.parquet"
-        if not fs.rename(p, hadoop_fs(spark, f"{path}/data/{name}")[1]):
-            raise RuntimeError(f"could not place data file for {p}")
-        added.append(f"data/{name}")
-    fs.delete(sdir, True)
+    added = _stage_and_place(df, path)
+    stats = (
+        _collect_stats(spark, path, added, stats_cols)
+        if stats_cols and added
+        else None
+    )
+    fs = hadoop_fs(spark, path)[0]
 
-    # 3. optimistic commit loop
+    # optimistic commit loop
     for _ in range(max_retries):
         if txn is not None and (
             prior := _committed_txns(spark, path).get(txn)
@@ -221,6 +293,8 @@ def tx_write(
             "remove": [],
             "txn": txn,
         }
+        if stats:
+            payload["stats"] = stats
         if _write_atomic(
             spark,
             fs,
@@ -239,10 +313,14 @@ def tx_write(
 def _write_checkpoint(spark, path: str, version: int) -> None:
     files, _ = _snapshot_files(spark, path, version)
     fs = hadoop_fs(spark, path)[0]
+    live_stats = {
+        f: st for f, st in _log_stats(spark, path).items() if f in set(files)
+    }
     payload = {
         "version": version,
         "files": files,
         "txns": _committed_txns(spark, path),
+        "stats": live_stats,
     }
     # checkpoints are an optimization; losing the race to an identical
     # concurrent checkpoint is fine
@@ -259,6 +337,7 @@ def tx_read(
     path: str,
     version: int | None = None,
     merge_schema: bool = False,
+    where: "tuple[str, object, object] | None" = None,
 ) -> DataFrame:
     """Snapshot read: the table as of ``version`` (default: latest).
     Hands Spark the explicit live-file list — no directory listing of
@@ -267,8 +346,32 @@ def tx_read(
     ``merge_schema=True`` unions the live files' schemas (appends that
     ADDED columns over the table's life read back with NULLs for old
     files — parquet mergeSchema semantics); the default reads with the
-    first file's schema, Spark's cheaper footer handling."""
+    first file's schema, Spark's cheaper footer handling.
+
+    ``where=(col, lo, hi)`` is log-stats data skipping: live files
+    whose recorded [min, max] range misses [lo, hi] are dropped from
+    the scan BEFORE Spark sees them (on top of parquet's own row-group
+    pruning), and the filter is also applied to the result so
+    correctness never depends on stats coverage. Either bound may be
+    None (one-sided)."""
     files, _ = _snapshot_files(spark, path, version)
+    if where is not None:
+        col, lo, hi = where
+        lo_j = None if lo is None else _json_stat(lo)
+        hi_j = None if hi is None else _json_stat(hi)
+        logged = _log_stats(spark, path)
+        kept = []
+        for f in files:
+            st = (logged.get(f) or {}).get(col)
+            if st is None or st[0] is None:
+                kept.append(f)  # no stats → cannot skip
+                continue
+            if (hi_j is not None and st[0] > hi_j) or (
+                lo_j is not None and st[1] < lo_j
+            ):
+                continue
+            kept.append(f)
+        files = kept
     if not files:
         # an overwrite with an empty DataFrame is a legal empty table:
         # recover the schema from any historical file, else give up
@@ -279,7 +382,16 @@ def tx_read(
     reader = spark.read
     if merge_schema:
         reader = reader.option("mergeSchema", "true")
-    return reader.parquet(*[f"{path}/{f}" for f in files])
+    out = reader.parquet(*[f"{path}/{f}" for f in files])
+    if where is not None:
+        from pyspark.sql import functions as F
+
+        col, lo, hi = where
+        if lo is not None:
+            out = out.filter(F.col(col) >= F.lit(lo))
+        if hi is not None:
+            out = out.filter(F.col(col) <= F.lit(hi))
+    return out
 
 
 def tx_history(spark: SparkSession, path: str) -> list[dict]:
@@ -379,6 +491,38 @@ def _footer_min_max(local_path: str, col: str):
     return None if lo is None else (lo, hi)
 
 
+def _files_overlapping_keys(
+    spark, path: str, files: list[str], keys: DataFrame, key_col: str
+) -> list[str]:
+    """The files a key-targeted rewrite must touch: range-prune against
+    the COMMIT-LOG stats when the writer recorded them (zero I/O),
+    parquet footers otherwise (~KB metadata read per file); a file with
+    neither yields to correctness and is rewritten."""
+    from pyspark.sql import functions as F
+
+    bounds = keys.agg(
+        F.min(key_col).alias("lo"), F.max(key_col).alias("hi")
+    ).collect()[0]
+    lo, hi = _json_stat(bounds["lo"]), _json_stat(bounds["hi"])
+    logged = _log_stats(spark, path)
+    touched = []
+    for f in files:
+        st = (logged.get(f) or {}).get(key_col)
+        if st is not None and st[0] is not None:
+            fmin, fmax = st
+        else:
+            mm = _footer_min_max(
+                f"{path}/{f}".replace("file:", ""), key_col
+            )
+            if mm is None:
+                touched.append(f)
+                continue
+            fmin, fmax = _json_stat(mm[0]), _json_stat(mm[1])
+        if not (fmax < lo or fmin > hi):
+            touched.append(f)
+    return touched
+
+
 def tx_merge(
     updates: DataFrame,
     path: str,
@@ -415,15 +559,7 @@ def tx_merge(
         return prior
 
     files, snap_version = _snapshot_files(spark, path)
-    bounds = updates.agg(
-        F.min(key_col).alias("lo"), F.max(key_col).alias("hi")
-    ).collect()[0]
-    touched = []
-    for f in files:
-        mm = _footer_min_max(f"{path}/{f}".replace("file:", ""), key_col)
-        # no stats → can't prune → must rewrite (correctness first)
-        if mm is None or not (mm[1] < bounds["lo"] or mm[0] > bounds["hi"]):
-            touched.append(f)
+    touched = _files_overlapping_keys(spark, path, files, updates, key_col)
 
     keys = updates.select(key_col)
     if touched:
@@ -434,21 +570,10 @@ def tx_merge(
     else:
         new_data = updates
 
-    # stage + place (same discipline as tx_write)
-    stage_dir = f"{path}/_staging/{uuid.uuid4().hex}"
-    new_data.write.mode("overwrite").parquet(stage_dir)
-    fs, sdir = hadoop_fs(spark, stage_dir)
-    added = []
-    for st in fs.listStatus(sdir):
-        if not st.getPath().getName().endswith(".parquet"):
-            continue
-        name = f"{uuid.uuid4().hex}.parquet"
-        if not fs.rename(st.getPath(), hadoop_fs(spark, f"{path}/data/{name}")[1]):
-            raise RuntimeError("could not place merged data file")
-        added.append(f"data/{name}")
-    fs.delete(sdir, True)
+    added = _stage_and_place(new_data, path)
     return _commit_rewrite(
-        spark, path, added, touched, snap_version, txn, "merge"
+        spark, path, added, touched, snap_version, txn, "merge",
+        stats=_rewrite_stats(spark, path, touched, added, key_col),
     )
 
 
@@ -461,6 +586,7 @@ def _commit_rewrite(
     txn: str | None,
     action: str,
     max_retries: int = 20,
+    stats: dict | None = None,
 ) -> int:
     """Commit a rewrite (merge/compact): remove+add in one version,
     with the still-live conflict check — if anything we remove was
@@ -484,6 +610,8 @@ def _commit_rewrite(
             "remove": removed,
             "txn": txn,
         }
+        if stats:
+            payload["stats"] = stats
         if _write_atomic(
             spark,
             fs,
@@ -494,6 +622,23 @@ def _commit_rewrite(
                 _write_checkpoint(spark, path, next_v)
             return next_v
     raise RuntimeError(f"could not commit {action} after {max_retries} races")
+
+
+def _rewrite_stats(
+    spark, path: str, touched: list[str], added: list[str], key_col: str | None
+) -> dict | None:
+    """Stats for a rewrite's output files: whatever stat columns the
+    touched inputs carried (plus the rewrite's own key column) are
+    recomputed on the new files, so a stats-covered table STAYS
+    log-prunable through merges/deletes/compactions instead of
+    degrading to footer fallbacks file by file."""
+    logged = _log_stats(spark, path)
+    cols = {c for f in touched for c in (logged.get(f) or {})}
+    if key_col is not None and any(f in logged for f in touched):
+        cols.add(key_col)
+    if not cols or not added:
+        return None
+    return _collect_stats(spark, path, added, sorted(cols))
 
 
 def tx_compact(
@@ -526,20 +671,10 @@ def tx_compact(
     merged = spark.read.parquet(*[f"{path}/{f}" for f in chosen]).coalesce(
         target_files
     )
-    stage_dir = f"{path}/_staging/{uuid.uuid4().hex}"
-    merged.write.mode("overwrite").parquet(stage_dir)
-    _, sdir = hadoop_fs(spark, stage_dir)
-    added = []
-    for st in fs.listStatus(sdir):
-        if not st.getPath().getName().endswith(".parquet"):
-            continue
-        name = f"{uuid.uuid4().hex}.parquet"
-        if not fs.rename(st.getPath(), hadoop_fs(spark, f"{path}/data/{name}")[1]):
-            raise RuntimeError("could not place compacted data file")
-        added.append(f"data/{name}")
-    fs.delete(sdir, True)
+    added = _stage_and_place(merged, path)
     return _commit_rewrite(
-        spark, path, added, chosen, snap_version, None, "compact"
+        spark, path, added, chosen, snap_version, None, "compact",
+        stats=_rewrite_stats(spark, path, chosen, added, None),
     )
 
 
@@ -622,14 +757,7 @@ def tx_delete(
     if txn is not None and (prior := _committed_txns(spark, path).get(txn)) is not None:
         return prior
     files, snap_version = _snapshot_files(spark, path)
-    bounds = keys.agg(
-        F.min(key_col).alias("lo"), F.max(key_col).alias("hi")
-    ).collect()[0]
-    touched = []
-    for f in files:
-        mm = _footer_min_max(f"{path}/{f}".replace("file:", ""), key_col)
-        if mm is None or not (mm[1] < bounds["lo"] or mm[0] > bounds["hi"]):
-            touched.append(f)
+    touched = _files_overlapping_keys(spark, path, files, keys, key_col)
     if not touched:
         # nothing can match — still commit an empty delete so the txn
         # id is recorded for idempotence
@@ -639,18 +767,8 @@ def tx_delete(
     survivors = spark.read.parquet(*[f"{path}/{f}" for f in touched]).join(
         keys.select(key_col).distinct(), key_col, "left_anti"
     )
-    stage_dir = f"{path}/_staging/{uuid.uuid4().hex}"
-    survivors.write.mode("overwrite").parquet(stage_dir)
-    fs, sdir = hadoop_fs(spark, stage_dir)
-    added = []
-    for st in fs.listStatus(sdir):
-        if not st.getPath().getName().endswith(".parquet"):
-            continue
-        name = f"{uuid.uuid4().hex}.parquet"
-        if not fs.rename(st.getPath(), hadoop_fs(spark, f"{path}/data/{name}")[1]):
-            raise RuntimeError("could not place data file after delete")
-        added.append(f"data/{name}")
-    fs.delete(sdir, True)
+    added = _stage_and_place(survivors, path)
     return _commit_rewrite(
-        spark, path, added, touched, snap_version, txn, "delete"
+        spark, path, added, touched, snap_version, txn, "delete",
+        stats=_rewrite_stats(spark, path, touched, added, key_col),
     )

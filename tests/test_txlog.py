@@ -368,3 +368,92 @@ def test_schema_evolution_merge_schema_read(spark, tmp_path):
     assert cols == {"id", "tag", "score"}
     rows = {r.id: r.score for r in tr(spark, t, merge_schema=True).collect()}
     assert rows[4] == 0.5 and rows[0] is None
+
+
+def test_log_stats_prune_without_footer_io(spark, tmp_path, monkeypatch):
+    """stats_cols at write time records per-file [min,max] in the
+    commit; merge/delete/filtered reads then prune from the LOG alone.
+    Pinned by making footer reads explode — with stats in the log they
+    must never be consulted."""
+    from distributed_mapreduce__spark.sources import txlog as T
+
+    t = str(tmp_path / "t")
+    tx_write(_df(spark, 0, 100, "low").coalesce(1), t, stats_cols=["id"])
+    tx_write(_df(spark, 1000, 1100, "high").coalesce(1), t, stats_cols=["id"])
+    # commit JSON carries the ranges
+    c0 = json.load(open(f"{t}/_txlog/{0:0{_PAD}d}.json"))
+    (stats0,) = c0["stats"].values()
+    assert stats0["id"] == [0, 99]
+
+    def boom(*a, **k):
+        raise AssertionError("footer consulted despite log stats")
+
+    monkeypatch.setattr(T, "_footer_min_max", boom)
+
+    # filtered read scans ONLY the overlapping file
+    narrow = T.tx_read(spark, t, where=("id", 1000, 1010))
+    assert len(narrow.inputFiles()) == 1
+    assert sorted(r.id for r in narrow.collect()) == list(range(1000, 1011))
+    # one-sided bound
+    assert len(T.tx_read(spark, t, where=("id", None, 50)).inputFiles()) == 1
+
+    # delete prunes from the log (footer hook would raise)
+    T.tx_delete(spark.createDataFrame([(7,)], "id long"), t, "id")
+    assert 7 not in set(T.tx_read(spark, t).select("id").toPandas()["id"])
+
+    # merge likewise — and its rewrite output re-records stats, so the
+    # table STAYS log-prunable afterwards (footer hook still armed)
+    upd = spark.createDataFrame([(1050, "U")], "id long, tag string")
+    T.tx_merge(upd, t, "id")
+    got = {r.id: r.tag for r in T.tx_read(spark, t).collect()}
+    assert got[1050] == "U" and got[0] == "low" and len(got) == 199
+    T.tx_delete(spark.createDataFrame([(1051,)], "id long"), t, "id")
+    assert len(T.tx_read(spark, t).collect()) == 198
+
+
+def test_stats_survive_checkpoint_and_vacuum(spark, tmp_path, monkeypatch):
+    from distributed_mapreduce__spark.sources import txlog as T
+
+    t = str(tmp_path / "t")
+    tx_write(_df(spark, 0, 50, "a").coalesce(1), t, stats_cols=["id"])
+    tx_write(_df(spark, 500, 550, "b").coalesce(1), t, stats_cols=["id"])
+    tx_vacuum(spark, t)  # folds live stats into the checkpoint
+
+    def boom(*a, **k):
+        raise AssertionError("footer consulted despite checkpointed stats")
+
+    monkeypatch.setattr(T, "_footer_min_max", boom)
+    assert len(T.tx_read(spark, t, where=("id", 510, 520)).inputFiles()) == 1
+
+
+def test_stats_absence_means_keep_never_wrong(spark, tmp_path):
+    """A table written WITHOUT stats_cols has no log stats — filtered
+    reads must keep every file (prune only on evidence) and rely on
+    the residual filter for correctness."""
+    from distributed_mapreduce__spark.sources import txlog as T
+
+    t = str(tmp_path / "t")
+    tx_write(_df(spark, 0, 100, "a").coalesce(1), t)
+    tx_write(_df(spark, 1000, 1100, "b").coalesce(1), t)
+    out = T.tx_read(spark, t, where=("id", 0, 10))
+    assert len(out.inputFiles()) == 2  # nothing prunable
+    assert sorted(r.id for r in out.collect()) == list(range(11))
+
+
+def test_rewrite_output_recorded_stats(spark, tmp_path):
+    """Merge/compact outputs re-record stats for the columns their
+    inputs carried, so coverage survives rewrites."""
+    from distributed_mapreduce__spark.sources import txlog as T
+
+    t = str(tmp_path / "t")
+    tx_write(_df(spark, 0, 100, "a").coalesce(1), t, stats_cols=["id"])
+    tx_write(_df(spark, 1000, 1100, "b").coalesce(1), t, stats_cols=["id"])
+    T.tx_merge(
+        spark.createDataFrame([(5, "U")], "id long, tag string"), t, "id"
+    )
+    T.tx_compact(spark, t, target_files=1)
+    logged = T._log_stats(spark, t)
+    files, _ = T._snapshot_files(spark, t)
+    assert all(f in logged and "id" in logged[f] for f in files)
+    (only,) = files
+    assert logged[only]["id"] == [0, 1099]
