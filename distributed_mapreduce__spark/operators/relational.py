@@ -289,3 +289,95 @@ def with_contiguous_ids(
             yield pdf
 
     return arranged.mapInPandas(enumerate_rows, schema)
+
+
+def join_auto(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    how: str = "inner",
+    salt_by: str | None = None,
+    strategy: str = "auto",
+    left_rows: int | None = None,
+    right_rows: int | None = None,
+    broadcast_max_rows: int = 1_000_000,
+    skew_share: float = 0.2,
+    sample_rows: int = 100_000,
+    n_salts: int = 16,
+    route_out: dict | None = None,
+) -> DataFrame:
+    """Join front door (the E6 auto-router, same contract as the
+    counting/quantile/similarity front doors): callers state the JOIN,
+    the engine picks the physical strategy —
+
+    - **broadcast** when the build side is dimension-sized
+      (``right_rows`` ≤ ``broadcast_max_rows``; pass the row count
+      from a profile sidecar to make routing plan-only, else one count
+      job runs) and ``how`` admits a right build side;
+    - **salted** when a deterministic sample of the probe side's keys
+      shows one key owning ≥ ``skew_share`` of rows (the
+      one-reducer-drowns regime AQE's skew splitting handles only
+      moderately) AND the caller named a ``salt_by`` column that
+      varies within the hot key;
+    - **plain** otherwise — AQE's runtime coalescing/skew handling is
+      the right default for even keys.
+
+    Routing never affects correctness — every branch computes the same
+    join (property-tested); it only moves the shuffle/replication
+    cost. ``strategy`` forces a branch; ``route_out`` (a dict) gets
+    ``{"route": ..., "why": ...}`` for observability. Sampling is
+    seeded (deterministic across retries) and bounded by
+    ``sample_rows``.
+    """
+    routes = ("auto", "broadcast", "salted", "plain")
+    if strategy not in routes:
+        raise ValueError(f"strategy must be one of {routes}")
+    broadcastable = how in ("inner", "left", "left_outer", "semi",
+                            "left_semi", "anti", "left_anti")
+    why = f"forced strategy={strategy!r}"
+    if strategy == "auto":
+        n_right = right_rows if right_rows is not None else right.count()
+        if n_right <= broadcast_max_rows and broadcastable:
+            strategy, why = "broadcast", (
+                f"right side {n_right} rows <= {broadcast_max_rows}"
+            )
+        else:
+            n_left = left_rows if left_rows is not None else left.count()
+            frac = min(1.0, sample_rows / max(n_left, 1))
+            sampled = left.select(on).sample(False, frac, seed=7)
+            top = (
+                sampled.groupBy(on)
+                .count()
+                .orderBy(F.desc("count"))
+                .limit(1)
+                .collect()
+            )
+            n_sampled = max(int(n_left * frac), 1)
+            share = (top[0]["count"] / n_sampled) if top else 0.0
+            if share >= skew_share and salt_by is not None:
+                strategy, why = "salted", (
+                    f"hot key {top[0][on]!r} holds ~{share:.0%} of probe rows"
+                )
+            elif share >= skew_share:
+                strategy, why = "plain", (
+                    f"hot key holds ~{share:.0%} but no salt_by column "
+                    "was named — relying on AQE skew splitting"
+                )
+            else:
+                strategy, why = "plain", f"max key share ~{share:.0%}, even"
+    if route_out is not None:
+        route_out.update({"route": strategy, "why": why})
+    if strategy == "broadcast":
+        if not broadcastable:
+            raise ValueError(f"cannot broadcast the right side of {how!r}")
+        return left.join(F.broadcast(right), on, how)
+    if strategy == "salted":
+        if salt_by is None:
+            raise ValueError("salted route requires salt_by")
+        if how != "inner":
+            raise ValueError(
+                "salted route supports inner joins (replicating the "
+                "build side breaks outer-join null semantics)"
+            )
+        return salted_join(left, right, on, salt_by, n_salts=n_salts)
+    return left.join(right, on, how)

@@ -763,3 +763,35 @@ def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_name_r").alias("name_r"),
         "distance",
     )
+
+
+@register_local(
+    "orders_customer_join_auto",
+    oracle="""
+    SELECT c_mktsegment,
+           count(*) AS n_orders,
+           CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def orders_customer_join_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The join FRONT DOOR (relational.join_auto) under the value
+    oracle: the caller states orders⋈customer and the router picks the
+    physical strategy (broadcast here — customer is dimension-sized;
+    at a 100 TB fact/fact join the same call routes to plain-with-AQE
+    or salted). Routing is observability-logged but never semantic:
+    the oracle is the plain SQL join."""
+    from ..operators.relational import join_auto
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    joined = join_auto(
+        orders.withColumnRenamed("o_custkey", "custkey"),
+        customer.withColumnRenamed("c_custkey", "custkey"),
+        "custkey",
+    )
+    return joined.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(dec("o_totalprice")).cast("double").alias("revenue"),
+    )
