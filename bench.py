@@ -193,14 +193,14 @@ def main() -> None:
         import importlib.util
         import tempfile
 
-        spec = importlib.util.spec_from_file_location(
-            "bench_r6_ops", os.path.join(REPO, "scripts", "bench_r6_ops.py")
-        )
-        mod = importlib.util.module_from_spec(spec)
-        spec.loader.exec_module(mod)
-        new_ops = mod.measure(
-            spark, sf_dir, tempfile.mkdtemp(prefix="bench_new_ops_")
-        )
+        tmp = tempfile.mkdtemp(prefix="bench_new_ops_")
+        for script in ("bench_r6_ops.py", "bench_r7_ops.py"):
+            spec = importlib.util.spec_from_file_location(
+                script[:-3], os.path.join(REPO, "scripts", script)
+            )
+            mod = importlib.util.module_from_spec(spec)
+            spec.loader.exec_module(mod)
+            new_ops.update(mod.measure(spark, sf_dir, tmp))
 
     total = round(sum(timings.values()), 3)
     load_end = os.getloadavg()[0]

@@ -131,3 +131,18 @@ def test_no_python_in_the_path_and_no_cartesian(spark, tiny):
     )
     assert "Python" not in plan  # pure column algebra (codegen-able)
     assert "Cartesian" not in plan
+
+
+def test_model_parquet_round_trip(spark, tiny, tmp_path):
+    """The model is a plain DataFrame — persist it as parquet (train
+    once, score many, the KenLM-artifact pattern) and scoring under
+    the reloaded model is identical."""
+    model = train_ngram_lm(tiny, n=3)
+    p = str(tmp_path / "lm")
+    model.write.parquet(p)
+    reloaded = spark.read.parquet(p)
+    a = {(r.doc_id): (r.n_tokens, r.avg_logscore)
+         for r in ngram_lm_scores(tiny, model).collect()}
+    b = {(r.doc_id): (r.n_tokens, r.avg_logscore)
+         for r in ngram_lm_scores(tiny, reloaded).collect()}
+    assert a == b
