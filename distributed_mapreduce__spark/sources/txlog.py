@@ -709,6 +709,14 @@ def tx_changes(
     if latest is None:
         raise FileNotFoundError(f"no transactional table at {path}")
     start = -1 if since_version is None else since_version
+    if start > latest:
+        # a checkpoint from the future (wrong table? rolled-back log?)
+        # silently returning (None, latest) would REGRESS the caller's
+        # cursor and re-deliver rows on the next tick
+        raise ValueError(
+            f"since_version {start} is beyond the log's latest version "
+            f"{latest} at {path}; wrong table or corrupted cursor"
+        )
     # a resumable start must still EXIST in the log (commit or
     # checkpoint): a vacuumed-away version can't prove which adds the
     # caller already saw, so silently skipping would risk double reads

@@ -457,3 +457,12 @@ def test_rewrite_output_recorded_stats(spark, tmp_path):
     assert all(f in logged and "id" in logged[f] for f in files)
     (only,) = files
     assert logged[only]["id"] == [0, 1099]
+
+
+def test_change_feed_future_cursor_rejected(spark, tmp_path):
+    from distributed_mapreduce__spark.sources.txlog import tx_changes
+
+    t = str(tmp_path / "t")
+    tx_write(_df(spark, 0, 3, "a"), t)
+    with pytest.raises(ValueError, match="beyond the log"):
+        tx_changes(spark, t, 99)
