@@ -209,14 +209,19 @@ def test_report_false_fast_path_same_output_fewer_jobs(spark, corpus, tmp_path):
         seed=0,
     )
 
-    def n_jobs():
-        return len(spark.sparkContext.statusTracker().getJobIdsForGroup(None))
+    def max_job():
+        # max job id, not len(): ids are monotone while the UI store
+        # EVICTS old entries past spark.ui.retainedJobs — len() deltas
+        # go wrong in a long shared session (full-suite flake)
+        ids = spark.sparkContext.statusTracker().getJobIdsForGroup(None)
+        return max(ids) if ids else 0
 
-    j0 = n_jobs()
+    j0 = max_job()
     full = build_training_set(docs, out_slow, **kwargs)
-    j_slow = n_jobs() - j0
+    j1 = max_job()
+    j_slow = j1 - j0
     fast = build_training_set(docs, out_fast, report=False, **kwargs)
-    j_fast = n_jobs() - j0 - j_slow
+    j_fast = max_job() - j1
 
     # same split totals, same doc ids in training order
     assert fast["splits"] == full["splits"]
