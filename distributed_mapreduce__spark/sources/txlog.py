@@ -780,3 +780,36 @@ def tx_delete(
         spark, path, added, touched, snap_version, txn, "delete",
         stats=_rewrite_stats(spark, path, touched, added, key_col),
     )
+
+
+def tx_optimize_zorder(
+    spark: SparkSession,
+    path: str,
+    cols: Sequence[str],
+    n_files: int = 16,
+    bits: int = 4,
+) -> int:
+    """OPTIMIZE ... ZORDER BY: rewrite the LIVE snapshot clustered on
+    the Z-order curve over ``cols`` (sources/layout.zorder_by) and
+    record per-file [min, max] stats for those columns in the commit —
+    after this, ``tx_read(where=(c, lo, hi))`` on ANY of the clustered
+    columns prunes most files from the log alone (the
+    multi-dimensional data-skipping layout Delta ships as OPTIMIZE
+    ZORDER). Bit-identical contents (remove+add commit, conflict-
+    checked like every rewrite); time travel to the pre-optimize
+    layout survives until :func:`tx_vacuum`. Cost is the standard
+    global-sort shape: one sketch pass + one range shuffle over the
+    snapshot, amortized over every later pruned scan."""
+    from .layout import zorder_by
+
+    files, snap_version = _snapshot_files(spark, path)
+    if not files:
+        raise FileNotFoundError(f"nothing to optimize at {path}")
+    df = spark.read.parquet(*[f"{path}/{f}" for f in files])
+    clustered = zorder_by(df, list(cols), n_files=n_files, bits=bits)
+    added = _stage_and_place(clustered, path)
+    stats = _collect_stats(spark, path, added, sorted(cols)) if added else None
+    return _commit_rewrite(
+        spark, path, added, files, snap_version, None, "zorder",
+        stats=stats,
+    )

@@ -466,3 +466,35 @@ def test_change_feed_future_cursor_rejected(spark, tmp_path):
     tx_write(_df(spark, 0, 3, "a"), t)
     with pytest.raises(ValueError, match="beyond the log"):
         tx_changes(spark, t, 99)
+
+
+def test_optimize_zorder_prunes_both_columns(spark, tmp_path):
+    """OPTIMIZE ZORDER over two columns: contents bit-identical, and a
+    range read on EITHER column afterwards scans a fraction of the
+    files via log stats alone — the multi-dimensional skipping claim
+    measured with inputFiles()."""
+    from distributed_mapreduce__spark.sources.txlog import (
+        tx_optimize_zorder,
+        tx_read,
+    )
+
+    t = str(tmp_path / "t")
+    # x and y deliberately uncorrelated: a linear sort on one leaves
+    # the other unprunable; the z-curve bounds both
+    df = spark.range(0, 20_000).select(
+        F.col("id").alias("x"),
+        ((F.col("id") * 48271) % 20_000).alias("y"),
+    )
+    tx_write(df.repartition(8), t)
+    before = sorted(map(tuple, tx_read(spark, t).collect()))
+    v = tx_optimize_zorder(spark, t, ["x", "y"], n_files=16)
+    assert v is not None
+    after_df = tx_read(spark, t)
+    assert sorted(map(tuple, after_df.collect())) == before
+    n_total = len(after_df.inputFiles())
+    assert n_total >= 8
+    for col in ("x", "y"):
+        narrow = tx_read(spark, t, where=(col, 1000, 1999))
+        assert len(narrow.inputFiles()) <= n_total // 2, col
+        got = sorted(r[col] for r in narrow.select(col).collect())
+        assert got == list(range(1000, 2000))
