@@ -243,8 +243,18 @@ def hashed_doc_vectors(
     engine-portable one every sketch here uses — DuckDB replays the
     whole construction bit-for-bit up to float associativity."""
     from ..functions.hashing import md5_long
+    from ..plans.partitioning import spread
 
-    tf = term_frequencies(docs, col)
+    # tf inlined rather than via term_frequencies: the doc-length join
+    # that function carries is dead weight here (idf smoothing needs
+    # only df), and dropping it removes two shuffles from the plan
+    tf = (
+        spread(docs)
+        .select("doc_id", F.explode(_tokens(col)).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
     dfreq = doc_frequencies(tf)
     n = docs.agg(F.count("*").alias("n_docs"))
     w = F.col("tf") * (

@@ -131,6 +131,7 @@ def test_no_python_in_the_path_and_no_cartesian(spark, tiny):
     )
     assert "Python" not in plan  # pure column algebra (codegen-able)
     assert "Cartesian" not in plan
+    assert "BroadcastNestedLoop" not in plan  # expression equi-joins hash
 
 
 def test_model_parquet_round_trip(spark, tiny, tmp_path):
