@@ -253,11 +253,21 @@ def lm_perplexity_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus (operators/ngram_lm.py; Brants et al. 2007 + the CCNet
     perplexity-filter recipe). Self-scoring keeps the oracle closed
     over one table; train-on-A-score-B is the same two calls and is
-    covered by tests/test_ngram_lm.py."""
+    covered by tests/test_ngram_lm.py.
+
+    The model is materialized to parquet and scored from the reload —
+    the production train-once/score-many shape (KenLM-artifact
+    analog): the scoring plan reads the vocabulary-sized model table
+    three times (one per order slice) instead of recomputing the
+    training aggregation three times in one mega-plan."""
+    import tempfile
+
     from ..operators.ngram_lm import ngram_lm_scores, train_ngram_lm
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    model = train_ngram_lm(docs, n=3)
+    model_path = tempfile.mkdtemp(prefix="lm_model_") + "/m"
+    train_ngram_lm(docs, n=3).write.parquet(model_path)
+    model = spark.read.parquet(model_path)
     return ngram_lm_scores(docs, model, n=3).select(
         "doc_id",
         "n_tokens",
