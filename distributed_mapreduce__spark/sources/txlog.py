@@ -813,3 +813,38 @@ def tx_optimize_zorder(
         spark, path, added, files, snap_version, None, "zorder",
         stats=stats,
     )
+
+
+def tx_diff(
+    spark: SparkSession, path: str, from_version: int, to_version: int | None = None
+) -> DataFrame:
+    """Row-level diff between two snapshots: the union of rows present
+    in exactly one of the two versions, tagged ``change`` =
+    'added' | 'removed' (multiset semantics via exceptAll, so N extra
+    copies of a duplicate row report N times).
+
+    File-level fast path: files common to both snapshots are dropped
+    from BOTH scans before comparing (immutable files contribute
+    identical rows by construction), so the diff's cost scales with
+    the CHANGED files, not the table — diffing two adjacent
+    append-only versions reads just the appended files. Requires both
+    versions to still replay (pre-vacuum)."""
+    from pyspark.sql import functions as F
+
+    old_files, _ = _snapshot_files(spark, path, from_version)
+    new_files, to_version = _snapshot_files(spark, path, to_version)
+    common = set(old_files) & set(new_files)
+    old_only = [f for f in old_files if f not in common]
+    new_only = [f for f in new_files if f not in common]
+
+    def read(files):
+        if not files:
+            return tx_read(spark, path, version=to_version).limit(0)
+        return spark.read.parquet(*[f"{path}/{f}" for f in files])
+
+    old_df, new_df = read(old_only), read(new_only)
+    added = new_df.exceptAll(old_df).withColumn("change", F.lit("added"))
+    removed = old_df.exceptAll(new_df).withColumn(
+        "change", F.lit("removed")
+    )
+    return added.unionByName(removed)

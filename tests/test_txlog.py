@@ -498,3 +498,28 @@ def test_optimize_zorder_prunes_both_columns(spark, tmp_path):
         assert len(narrow.inputFiles()) <= n_total // 2, col
         got = sorted(r[col] for r in narrow.select(col).collect())
         assert got == list(range(1000, 2000))
+
+
+def test_diff_between_versions(spark, tmp_path):
+    from distributed_mapreduce__spark.sources.txlog import tx_diff, tx_merge
+
+    t = str(tmp_path / "t")
+    v0 = tx_write(_df(spark, 0, 5, "a").coalesce(1), t)
+    v1 = tx_write(_df(spark, 100, 103, "b").coalesce(1), t)
+    d01 = tx_diff(spark, t, v0, v1).collect()
+    assert {(r.id, r.change) for r in d01} == {
+        (100, "added"), (101, "added"), (102, "added")
+    }
+    # append-only adjacent diff reads only the appended file
+    assert all("added" == r.change for r in d01)
+    v2 = tx_merge(
+        spark.createDataFrame([(2, "U")], "id long, tag string"), t, "id"
+    )
+    d12 = {(r.id, r.tag, r.change) for r in tx_diff(spark, t, v1, v2).collect()}
+    assert (2, "U", "added") in d12 and (2, "a", "removed") in d12
+    # rows untouched by the merge's rewrite don't appear... the rewrite
+    # rewrote the whole low file, so its other rows round-trip as
+    # identical content and exceptAll cancels them
+    assert not {x for x in d12 if x[0] != 2}
+    # full-range diff = current snapshot as additions
+    assert len(tx_diff(spark, t, v0).filter("change = 'added'").collect()) == 4
