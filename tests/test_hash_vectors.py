@@ -74,3 +74,31 @@ def test_feeds_ann_operator_end_to_end(spark):
     top = cosine_topk(queries, emb, k=2).orderBy("rank").collect()
     # rank 1 is the near-duplicate (self is excluded by the operator)
     assert top[0].neighbor_id == 2
+
+
+def test_bag_of_words_invariance_vs_lm_order_sensitivity(spark):
+    """Contract pair: hashed TF-IDF vectors are bag-of-words (word
+    order cannot move them — same corpus-side df, same tf multiset),
+    while the n-gram LM is exactly the operator that IS
+    order-sensitive. Together they document which tool measures what."""
+    from distributed_mapreduce__spark.operators.ngram_lm import (
+        ngram_lm_scores,
+        train_ngram_lm,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog"
+    shuffled = "dog lazy the over jumps fox brown quick the"
+    docs = spark.createDataFrame(
+        [(1, base), (2, shuffled)], "doc_id long, text string"
+    )
+    vecs = {
+        r.doc_id: list(r.embedding)
+        for r in hashed_doc_vectors(docs, dim=64).collect()
+    }
+    assert vecs[1] == pytest.approx(vecs[2])  # identical bag → identical vector
+
+    model = train_ngram_lm(
+        spark.createDataFrame([(0, base)], "doc_id long, text string"), n=3
+    )
+    ppl = {r.doc_id: r.ppl for r in ngram_lm_scores(docs, model).collect()}
+    assert ppl[1] < ppl[2]  # order destroyed → perplexity explodes
