@@ -431,7 +431,16 @@ def tx_vacuum(spark: SparkSession, path: str) -> list[str]:
     written first, folding the committed-txn map in so idempotent
     retries stay safe). Time travel to pre-vacuum versions is
     deliberately destroyed — the same trade Delta's VACUUM makes.
-    Returns the deleted file paths."""
+    Returns the deleted file paths.
+
+    Run from ONE maintenance process at a time, and not concurrently
+    with readers that are mid-time-travel: vacuum only removes files
+    dead in the LATEST snapshot, so current-snapshot readers and
+    concurrent appenders are safe, but a reader replaying an OLD
+    version can lose its files mid-read (Delta's retention window is
+    the production mitigation; this minimal port vacuums immediately).
+    The _staging sweep at the end likewise assumes no writer is
+    between stage and commit at that instant."""
     files, version = _snapshot_files(spark, path)
     _write_checkpoint(spark, path, version)
     fs = hadoop_fs(spark, path)[0]
