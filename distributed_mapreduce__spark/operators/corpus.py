@@ -134,6 +134,8 @@ def build_training_set(
     rows_per_shard: int = 10_000,
     seed: int = 0,
     report: bool = True,
+    workdir: str | None = None,
+    input_token: str = "",
 ) -> dict:
     """Crawl → training shards, one call: the full modern curation
     recipe composed from the engine's proven operators, in the order a
@@ -169,6 +171,19 @@ def build_training_set(
     totals — every count is taken on a persisted intermediate, so the
     report costs one cheap action per stage, not a recompute chain.
 
+    ``workdir`` makes the pipeline RESUMABLE: each stage's output is
+    committed to a transactional table under ``workdir/<stage>``
+    (sources/txlog.py) keyed by a fingerprint chained over every
+    upstream stage's configuration — a re-run after a crash (or a
+    config tweak to a LATE stage) reads the committed snapshots of
+    every stage whose fingerprint still matches and recomputes only
+    from the first divergence. ``input_token`` is the caller's dataset
+    version string: it seeds the chain, so changing the input corpus
+    (or ``eval_docs`` / ``lm_model``) MUST come with a new token —
+    the usual build-cache contract, stated loudly because the corpus
+    itself is unhashable at 100 TB. The funnel report gains
+    ``resumed_stages`` naming what was skipped.
+
     ``report=False`` is the production fast path: it skips every
     per-stage persist + count, fusing the whole funnel into ONE plan
     per split write (Catalyst pipelines the stages; at 100 TB the
@@ -193,6 +208,8 @@ def build_training_set(
     from .sampling import deterministic_shuffle
     from ..sources.sinks import write_training_shards
 
+    import hashlib as _hl
+
     cached: list[DataFrame] = []
     want_report = report
 
@@ -203,6 +220,53 @@ def build_training_set(
         cached.append(df)
         return df
 
+    fp_chain = _hl.md5(f"v1|{input_token}".encode()).hexdigest()[:16]
+
+    def _fp(*parts) -> str:
+        nonlocal fp_chain
+        fp_chain = _hl.md5(
+            "|".join([fp_chain, *map(repr, parts)]).encode()
+        ).hexdigest()[:16]
+        return fp_chain
+
+    resumed: list[str] = []
+
+    def _ckpt(name: str, fingerprint: str, compute):
+        """workdir mode: the stage's output lives in a transactional
+        table keyed by the config-chain fingerprint; a matching
+        committed fingerprint that still OWNS the latest snapshot is
+        read back instead of recomputed (an overwrite by a different
+        config retires older fingerprints from reuse — reusing a txn
+        that no longer produced the current snapshot would silently
+        serve the other config's data)."""
+        if workdir is None:
+            return _stage(compute())
+        from ..sources.txlog import _committed_txns, tx_read, tx_write
+
+        spark = docs.sparkSession
+        path = f"{workdir}/{name}"
+        prefix = f"{name}:{fingerprint}:"
+        try:
+            done = _committed_txns(spark, path)
+        except Exception:  # noqa: BLE001 — table absent on first run
+            done = {}
+        latest = max(done.values()) if done else None
+        if any(t.startswith(prefix) and v == latest for t, v in done.items()):
+            resumed.append(name)
+        else:
+            # txn carries an attempt counter: rolling BACK to a config
+            # whose fingerprint committed earlier must RE-commit (the
+            # table meanwhile holds another config's snapshot), and a
+            # bare fingerprint txn would be silently skipped by
+            # tx_write's idempotence — while a crash-retry of THIS
+            # attempt (same counter, nothing committed in between)
+            # still dedupes exactly-once
+            tx_write(
+                compute(), path, mode="overwrite",
+                txn=f"{prefix}{len(done)}",
+            )
+        return tx_read(spark, path)
+
     funnel: dict = {"n_input": docs.count()} if want_report else {}
     cur = docs
     if "url" in cur.columns:
@@ -211,42 +275,71 @@ def build_training_set(
         # the (much heavier) document bodies
         from .urls import url_dedup
 
-        cur = _stage(url_dedup(cur, url_col="url", tie_col="doc_id"))
+        src = cur
+        cur = _ckpt(
+            "url_dedup", _fp("url_dedup"),
+            lambda: url_dedup(src, url_col="url", tie_col="doc_id"),
+        )
         if want_report:
             funnel["n_after_url_dedup"] = cur.count()
     if html:
         cur = cur.withColumn("text", strip_html("text"))
     if clean:
-        meta = cur.drop("text")
-        cleaned = clean_lines(cur, **(dict(clean_opts or {}))).select(
-            "doc_id", "text"
+
+        def _do_clean(src=cur):
+            meta = src.drop("text")
+            cleaned = clean_lines(src, **(dict(clean_opts or {}))).select(
+                "doc_id", "text"
+            )
+            return cleaned.join(meta, "doc_id")
+
+        cur = _ckpt(
+            "clean",
+            _fp("clean", html, sorted((clean_opts or {}).items())),
+            _do_clean,
         )
-        cur = _stage(cleaned.join(meta, "doc_id"))
         if want_report:
             funnel["n_after_clean"] = cur.count()
 
-    cur = _stage(exact_dedup_canonical(cur))
+    cur = _ckpt(
+        "exact_dedup", _fp("exact_dedup"),
+        lambda src=cur: exact_dedup_canonical(src),
+    )
     if want_report:
         funnel["n_after_exact_dedup"] = cur.count()
 
     if near_dup_threshold is not None:
-        pairs = near_dup_pairs(
-            cur,
-            threshold=near_dup_threshold,
-            doc_count=funnel.get("n_after_exact_dedup"),
-        ).select("doc_a", "doc_b")
-        cur = _stage(dedup_survivors(cur, pairs, id_col="doc_id"))
+
+        def _do_near(src=cur):
+            pairs = near_dup_pairs(
+                src,
+                threshold=near_dup_threshold,
+                doc_count=funnel.get("n_after_exact_dedup"),
+            ).select("doc_a", "doc_b")
+            return dedup_survivors(src, pairs, id_col="doc_id")
+
+        cur = _ckpt(
+            "near_dedup", _fp("near_dedup", near_dup_threshold), _do_near
+        )
         if want_report:
             funnel["n_after_near_dedup"] = cur.count()
 
     if eval_docs is not None:
-        hits = (
-            decontaminate_bloom(cur, eval_docs, n=contamination_ngram)
-            .filter(F.col("n_shared") >= F.lit(contamination_min_grams))
-            .select(F.col("train_doc").alias("doc_id"))
-            .distinct()
+
+        def _do_decontam(src=cur):
+            hits = (
+                decontaminate_bloom(src, eval_docs, n=contamination_ngram)
+                .filter(F.col("n_shared") >= F.lit(contamination_min_grams))
+                .select(F.col("train_doc").alias("doc_id"))
+                .distinct()
+            )
+            return src.join(hits, "doc_id", "left_anti")
+
+        cur = _ckpt(
+            "decontam",
+            _fp("decontam", contamination_ngram, contamination_min_grams),
+            _do_decontam,
         )
-        cur = _stage(cur.join(hits, "doc_id", "left_anti"))
         if want_report:
             funnel["n_after_decontamination"] = cur.count()
 
@@ -258,29 +351,41 @@ def build_training_set(
             )
         from .ngram_lm import perplexity_filter
 
-        cur = _stage(perplexity_filter(cur, lm_model, lm_max_ppl))
+        cur = _ckpt(
+            "lm_filter", _fp("lm_filter", lm_max_ppl),
+            lambda src=cur: perplexity_filter(src, lm_model, lm_max_ppl),
+        )
         if want_report:
             funnel["n_after_lm_filter"] = cur.count()
 
-    cur = cur.withColumn("quality", quality_expr("text")).filter(
-        F.col("quality") >= F.lit(min_quality)
-    )
-    if languages is not None:
-        if "lang" not in cur.columns:
-            # raw-crawl input (e.g. warc_documents) carries no lang —
-            # predict it with the heuristic lang-ID operator (broadcast
-            # profile join; 'und' when no profile word hits)
-            from .text_analysis import lang_id, language_profiles_df
+    def _do_split(src=cur):
+        out = src.withColumn("quality", quality_expr("text")).filter(
+            F.col("quality") >= F.lit(min_quality)
+        )
+        if languages is not None:
+            if "lang" not in out.columns:
+                # raw-crawl input (e.g. warc_documents) carries no lang
+                # — predict it with the heuristic lang-ID operator
+                # (broadcast profile join; 'und' when no word hits)
+                from .text_analysis import lang_id, language_profiles_df
 
-            pred = lang_id(
-                cur.select("doc_id", "text").withColumn(
-                    "lang", F.lit(None).cast("string")
-                ),
-                language_profiles_df(cur.sparkSession),
-            ).select("doc_id", F.col("pred_lang").alias("lang"))
-            cur = cur.join(pred, "doc_id")
-        cur = cur.filter(F.col("lang").isin(list(languages)))
-    cur = _stage(hash_split(cur, F.col("doc_id").cast("string"), splits, seed=seed))
+                pred = lang_id(
+                    out.select("doc_id", "text").withColumn(
+                        "lang", F.lit(None).cast("string")
+                    ),
+                    language_profiles_df(out.sparkSession),
+                ).select("doc_id", F.col("pred_lang").alias("lang"))
+                out = out.join(pred, "doc_id")
+            out = out.filter(F.col("lang").isin(list(languages)))
+        return hash_split(
+            out, F.col("doc_id").cast("string"), splits, seed=seed
+        )
+
+    cur = _ckpt(
+        "split",
+        _fp("split", min_quality, languages, sorted(splits.items()), seed),
+        _do_split,
+    )
     if want_report:
         funnel["n_after_quality"] = cur.count()
 
@@ -305,4 +410,6 @@ def build_training_set(
         funnel["splits"][name] = {"n_rows": rows["n"], "n_shards": rows["shards"]}
     for df in cached:  # all actions are done — release the cache
         df.unpersist()
+    if workdir is not None and want_report:
+        funnel["resumed_stages"] = resumed
     return funnel

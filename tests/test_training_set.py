@@ -288,3 +288,73 @@ def test_lm_perplexity_stage_drops_garbled_doc(spark, corpus, tmp_path):
         build_training_set(
             docs, str(tmp_path / "out2"), clean=False, lm_max_ppl=5.0
         )
+
+
+def test_workdir_makes_pipeline_resumable(spark, corpus, tmp_path):
+    """The resumable capstone: with a workdir, every stage commits to a
+    transactional table keyed by a config-chain fingerprint. A full
+    re-run resumes every stage (no recompute), a LATE-stage config
+    change recomputes only from the divergence, and the shards are
+    identical to the non-checkpointed run's."""
+    docs, eval_docs, _ = corpus
+    wd = str(tmp_path / "wd")
+    kwargs = dict(
+        eval_docs=eval_docs,
+        clean=True,
+        clean_opts=CLEAN_OPTS,
+        min_quality=0.0,
+        near_dup_threshold=0.5,
+        rows_per_shard=50,
+        seed=0,
+    )
+    plain = build_training_set(docs, str(tmp_path / "plain"), **kwargs)
+    r1 = build_training_set(
+        docs, str(tmp_path / "o1"), workdir=wd, input_token="ds-v1", **kwargs
+    )
+    assert r1["resumed_stages"] == []
+    assert r1["splits"] == plain["splits"]
+    for k in plain:
+        if k.startswith("n_after"):
+            assert r1[k] == plain[k], k
+
+    # identical re-run: every checkpointed stage resumes
+    r2 = build_training_set(
+        docs, str(tmp_path / "o2"), workdir=wd, input_token="ds-v1", **kwargs
+    )
+    assert set(r2["resumed_stages"]) == {
+        "clean", "exact_dedup", "near_dedup", "decontam", "split"
+    }
+    assert r2["splits"] == r1["splits"]
+    a = sorted(
+        r.doc_id
+        for r in spark.read.parquet(str(tmp_path / "o1" / "train")).collect()
+    )
+    b = sorted(
+        r.doc_id
+        for r in spark.read.parquet(str(tmp_path / "o2" / "train")).collect()
+    )
+    assert a == b
+
+    # late-stage config change: upstream resumes, split recomputes
+    r3 = build_training_set(
+        docs, str(tmp_path / "o3"), workdir=wd, input_token="ds-v1",
+        **{**kwargs, "seed": 1},
+    )
+    assert set(r3["resumed_stages"]) == {
+        "clean", "exact_dedup", "near_dedup", "decontam"
+    }
+
+    # rolling BACK to the old seed must NOT reuse the stale snapshot
+    # (the split table now holds seed=1 output; the seed=0 fingerprint
+    # no longer owns the latest snapshot)
+    r4 = build_training_set(
+        docs, str(tmp_path / "o4"), workdir=wd, input_token="ds-v1", **kwargs
+    )
+    assert "split" not in r4["resumed_stages"]
+    assert r4["splits"] == r1["splits"]
+
+    # new dataset token: whole chain recomputes
+    r5 = build_training_set(
+        docs, str(tmp_path / "o5"), workdir=wd, input_token="ds-v2", **kwargs
+    )
+    assert r5["resumed_stages"] == []
