@@ -50,3 +50,42 @@ def txlog_snapshot_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_qty"),
         )
     )
+
+
+_TT_ORACLE = """
+SELECT o_orderpriority,
+       count(*) AS n_orders,
+       CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS total_price
+FROM orders
+WHERE o_orderkey % 2 = 0
+GROUP BY o_orderpriority
+"""
+
+
+@register_local("txlog_time_travel_agg", oracle=_TT_ORACLE)
+def txlog_time_travel_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel under the value oracle: commit the EVEN orders as
+    v0, OVERWRITE with all orders as v1, then aggregate the v0
+    snapshot — the result must equal a direct query over the even
+    half, proving an overwrite is a metadata swap that leaves history
+    bit-exact (until tx_vacuum)."""
+    import tempfile
+
+    from ..sources.txlog import tx_read, tx_write
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    table = tempfile.mkdtemp(prefix="txlog_tt_") + "/t"
+    v0 = tx_write(orders.filter(F.col("o_orderkey") % 2 == 0), table)
+    tx_write(orders, table, mode="overwrite")
+    return (
+        tx_read(spark, table, version=v0)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+    )

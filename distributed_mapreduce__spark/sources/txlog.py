@@ -857,3 +857,36 @@ def tx_diff(
         "change", F.lit("removed")
     )
     return added.unionByName(removed)
+
+
+def tx_maintain(
+    spark: SparkSession,
+    path: str,
+    max_live_files: int = 32,
+    compact_target: int = 4,
+    vacuum: bool = True,
+) -> dict:
+    """One-call table maintenance (the ops runbook as code): compact
+    when fragmentation exceeds ``max_live_files`` (repeating until the
+    live count is under the bar — each pass bounded by
+    ``tx_compact``'s max_input_files), then optionally vacuum dead
+    files + truncate the log. Returns what happened:
+    ``{"compactions": n, "files_before": a, "files_after": b,
+    "vacuumed": k}``. Run it from the single maintenance process the
+    vacuum contract already requires; streaming appenders keep running
+    (their files are never in a compaction's remove set while live
+    conflicts abort loudly rather than corrupt)."""
+    before = len(_snapshot_files(spark, path)[0])
+    compactions = 0
+    while len(_snapshot_files(spark, path)[0]) > max_live_files:
+        if tx_compact(spark, path, target_files=compact_target) is None:
+            break
+        compactions += 1
+    after = len(_snapshot_files(spark, path)[0])
+    vacuumed = len(tx_vacuum(spark, path)) if vacuum else 0
+    return {
+        "compactions": compactions,
+        "files_before": before,
+        "files_after": after,
+        "vacuumed": vacuumed,
+    }

@@ -523,3 +523,26 @@ def test_diff_between_versions(spark, tmp_path):
     assert not {x for x in d12 if x[0] != 2}
     # full-range diff = current snapshot as additions
     assert len(tx_diff(spark, t, v0).filter("change = 'added'").collect()) == 4
+
+
+def test_maintain_converges_and_cleans(spark, tmp_path):
+    from distributed_mapreduce__spark.sources.txlog import (
+        _snapshot_files,
+        tx_maintain,
+    )
+
+    t = str(tmp_path / "t")
+    for i in range(12):
+        tx_write(_df(spark, i * 2, i * 2 + 2, f"b{i}").coalesce(1), t)
+    want = _ids(spark, t)
+    rep = tx_maintain(spark, t, max_live_files=3, compact_target=2)
+    assert rep["files_before"] == 12
+    assert rep["files_after"] <= 3
+    assert rep["compactions"] >= 1
+    assert rep["vacuumed"] >= 1  # retired inputs physically gone
+    assert _ids(spark, t) == want  # contents untouched
+    files, _ = _snapshot_files(spark, t)
+    assert len(files) == rep["files_after"]
+    # already-tidy table: maintenance is a cheap no-op
+    rep2 = tx_maintain(spark, t, max_live_files=3, compact_target=2)
+    assert rep2["compactions"] == 0
