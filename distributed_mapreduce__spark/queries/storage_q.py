@@ -89,3 +89,52 @@ def txlog_time_travel_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_price"),
         )
     )
+
+
+_BUCKET_ORACLE = """
+SELECT o_orderkey,
+       count(*) AS n_items,
+       CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS total_qty
+FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+GROUP BY o_orderkey
+"""
+
+
+@register_local("bucketed_join_agg", oracle=_BUCKET_ORACLE)
+def bucketed_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pay-the-shuffle-once layout under the value oracle: orders
+    and lineitem are written as co-bucketed tables
+    (sources/layout.write_bucketed, 8 buckets on the join key), then
+    joined and aggregated ON that key — a plan whose join AND
+    aggregation carry zero shuffle Exchanges (pinned by
+    tests/test_bucketed_layout.py; here the oracle proves the layout
+    changes no values). Tables are external (data in a temp dir) and
+    re-registered per call via overwrite."""
+    import tempfile
+
+    from ..sources.layout import write_bucketed
+
+    d = tempfile.mkdtemp(prefix="bucketed_q_")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    lineitem = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    )
+    write_bucketed(
+        orders, "q_b_orders", f"{d}/orders", ["o_orderkey"], 8,
+        sort_cols=["o_orderkey"],
+    )
+    write_bucketed(
+        lineitem, "q_b_lineitem", f"{d}/lineitem", ["l_orderkey"], 8,
+        sort_cols=["l_orderkey"],
+    )
+    bo, bl = spark.table("q_b_orders"), spark.table("q_b_lineitem")
+    return (
+        bo.join(bl, bo.o_orderkey == bl.l_orderkey)
+        .groupBy("o_orderkey")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_qty"),
+        )
+    )
