@@ -40,7 +40,7 @@ def events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tumbling(load_table(spark, sf_dir, "events"), "10 minutes", "event_type")
 
 
-@register(
+@register_local(
     "events_sliding",
     oracle=f"""
     SELECT window_start,

@@ -295,7 +295,7 @@ def nation_segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- rollup ----------------------------------------------------------------
 
 
-@register(
+@register_local(
     "rollup_returns",
     oracle="""
     SELECT l_returnflag, l_linestatus,
@@ -706,7 +706,7 @@ def approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- date-part aggregation -------------------------------------------------
 
 
-@register(
+@register_local(
     "orders_per_month",
     oracle="""
     SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
@@ -765,7 +765,7 @@ def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register_local(
+@register(
     "orders_customer_join_auto",
     oracle="""
     SELECT c_mktsegment,

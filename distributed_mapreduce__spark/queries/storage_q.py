@@ -7,7 +7,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..registry import register_local
+from ..registry import register, register_local
 from ..sources.tables import load_table
 
 _TX_ORACLE = """
@@ -19,7 +19,7 @@ GROUP BY l_returnflag
 """
 
 
-@register_local("txlog_snapshot_agg", oracle=_TX_ORACLE)
+@register("txlog_snapshot_agg", oracle=_TX_ORACLE)
 def txlog_snapshot_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Write lineitem into a fresh transactional table as three
     idempotent append commits (sources/txlog.py), deliberately REPLAY

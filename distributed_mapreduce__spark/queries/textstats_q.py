@@ -105,7 +105,7 @@ def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@register_local(
     "doc_fingerprint",
     oracle="""
     SELECT doc_id,
@@ -192,8 +192,11 @@ def lang_quality_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: all orders from the positioned token stream, divide by PRE-prune
 #: context totals, then score each position at the longest matching
 #: order with a 0.4 backoff factor per skipped level and the 1e-9 OOV
-#: floor. avg(ln(score)) is the one float aggregate — rounded to 9
-#: decimals on BOTH engines (repo float-parity convention).
+#: floor. avg(ln(score)) is the one float aggregate — rounded to 6
+#: decimals on BOTH engines (repo float-parity convention; 6 decimals
+#: keeps the cross-engine sum-order noise ~9 orders of magnitude away
+#: from any rounding boundary, so the driver's EXACT value hash is
+#: stable, not merely tolerance-close).
 _LM_ORACLE = f"""
 WITH tarr AS (
   SELECT doc_id,
@@ -241,13 +244,13 @@ s AS (
 )
 SELECT doc_id,
        count(*) AS n_tokens,
-       round(avg(ln(sc)), 9) AS avg_logscore,
-       round(exp(-avg(ln(sc))), 9) AS ppl
+       round(avg(ln(sc)), 6) AS avg_logscore,
+       round(exp(-avg(ln(sc))), 6) AS ppl
 FROM s GROUP BY doc_id
 """
 
 
-@register_local("lm_perplexity_docs", oracle=_LM_ORACLE)
+@register("lm_perplexity_docs", oracle=_LM_ORACLE)
 def lm_perplexity_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stupid-backoff trigram LM trained on the corpus, scoring the
     corpus (operators/ngram_lm.py; Brants et al. 2007 + the CCNet
@@ -271,8 +274,8 @@ def lm_perplexity_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_lm_scores(docs, model, n=3).select(
         "doc_id",
         "n_tokens",
-        F.round("avg_logscore", 9).alias("avg_logscore"),
-        F.round("ppl", 9).alias("ppl"),
+        F.round("avg_logscore", 6).alias("avg_logscore"),
+        F.round("ppl", 6).alias("ppl"),
     )
 
 
@@ -316,12 +319,14 @@ nrm AS (SELECT doc_id, v,
                                 (a, b) -> a + b)) AS nn
         FROM dense)
 SELECT doc_id,
-       CASE WHEN nn > 0 THEN list_transform(v, x -> x / nn) ELSE v END AS embedding
+       CASE WHEN nn > 0
+            THEN list_transform(v, x -> round(x / nn, 6))
+            ELSE list_transform(v, x -> round(x, 6)) END AS embedding
 FROM nrm
 """
 
 
-@register_local("doc_hash_vectors", oracle=_HASH_VEC_ORACLE)
+@register("doc_hash_vectors", oracle=_HASH_VEC_ORACLE)
 def doc_hash_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature-hashed TF-IDF document vectors at dim=64
     (operators/text_ranking.hashed_doc_vectors) — the model-free text →
@@ -331,4 +336,12 @@ def doc_hash_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.text_ranking import hashed_doc_vectors
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    return hashed_doc_vectors(docs, dim=64)
+    return hashed_doc_vectors(docs, dim=64).select(
+        "doc_id",
+        # component-wise 6-decimal rounding on BOTH engines: the
+        # driver's exact value hash must not hinge on the last float
+        # ulp of a cross-engine summation order
+        F.transform("embedding", lambda x: F.round(x, 6)).alias(
+            "embedding"
+        ),
+    )
