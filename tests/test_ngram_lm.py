@@ -115,9 +115,9 @@ def test_registered_query_matches_duckdb_replay(spark, sf_dir):
     from .oracle_utils import compare_query
 
     registry.load_all()
-    df = registry.LOCAL_QUERIES["lm_perplexity_docs"](spark, sf_dir)
+    df = registry.QUERIES["lm_perplexity_docs"](spark, sf_dir)
     compare_query(
-        spark, sf_dir, df, registry.LOCAL_ORACLES["lm_perplexity_docs"]
+        spark, sf_dir, df, registry.ORACLES["lm_perplexity_docs"]
     )
 
 
