@@ -227,7 +227,29 @@ def main() -> None:
             "exhausted) — timings are contended; rerun idle before "
             "comparing across rounds"
         )
-    print(json.dumps(out))
+    # The driver captures only a bounded stdout TAIL and parses the
+    # last JSON line; the full dict outgrew that window in round 7
+    # (BENCH_r07.json "parsed": null). So: full provenance to the
+    # artifact file, compact headline as the final stdout line.
+    artifact = os.environ.get(
+        "SPARK_GRAFT_BENCH_ARTIFACT", os.path.join(REPO, "bench_artifact.json")
+    )
+    with open(artifact, "w") as fh:
+        json.dump(out, fh, indent=1)
+    headline = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": out["unit"],
+        "queries": timings,
+        "sf": out["sf"],
+        "passes": PASSES,
+        "load_start": out["load_start"],
+        "contended": out["contended"],
+        "artifact": artifact,
+    }
+    if new_ops:
+        headline["new_ops_total"] = out["new_ops_total"]
+    print(json.dumps(headline))
     spark.stop()
 
 

@@ -265,7 +265,13 @@ def hashed_doc_vectors(
         md5_long(F.col("term"), seed=seed + 1) % 2 == 0, F.lit(1.0)
     ).otherwise(F.lit(-1.0))
     comps = (
-        tf.join(F.broadcast(dfreq), "term")
+        # dfreq is vocabulary-sized (one row per distinct term):
+        # UNHINTED join — AQE broadcasts when the vocabulary is
+        # actually small, but on a web corpus (10^8+ terms) a forced
+        # broadcast is a guaranteed OOM. Same discipline as the LM
+        # scorer's unhinted context joins (ngram_lm.py). Only `n`
+        # (one total row) keeps its broadcast hint.
+        tf.join(dfreq, "term")
         .join(F.broadcast(n))
         .select(
             "doc_id",

@@ -318,7 +318,7 @@ def rollup_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- cube ------------------------------------------------------------------
 
 
-@register(
+@register_local(
     "cube_status_priority",
     oracle="""
     SELECT o_orderstatus, o_orderpriority,
@@ -664,7 +664,7 @@ def orders_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- approximate sketches --------------------------------------------------
 
 
-@register(
+@register_local(
     "approx_stats",
     oracle="""
     SELECT l_returnflag,

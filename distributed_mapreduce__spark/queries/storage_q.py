@@ -1,6 +1,8 @@
-"""Storage-layer queries: the transactional table format under the
-value oracle (local tier — the driver cap holds distinct operator
-families; the test suite gates this with identical rigor)."""
+"""Storage-layer queries: the transactional table format and the
+bucketed zero-Exchange layout under the value oracle. All three are
+driver-tier since round 8 (VERDICT r7 #4 rotated `bucketed_join_agg`
+and `txlog_time_travel_agg` in, displacing two redundant relational
+demos)."""
 
 from __future__ import annotations
 
@@ -62,7 +64,7 @@ GROUP BY o_orderpriority
 """
 
 
-@register_local("txlog_time_travel_agg", oracle=_TT_ORACLE)
+@register("txlog_time_travel_agg", oracle=_TT_ORACLE)
 def txlog_time_travel_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time travel under the value oracle: commit the EVEN orders as
     v0, OVERWRITE with all orders as v1, then aggregate the v0
@@ -100,7 +102,7 @@ GROUP BY o_orderkey
 """
 
 
-@register_local("bucketed_join_agg", oracle=_BUCKET_ORACLE)
+@register("bucketed_join_agg", oracle=_BUCKET_ORACLE)
 def bucketed_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The pay-the-shuffle-once layout under the value oracle: orders
     and lineitem are written as co-bucketed tables

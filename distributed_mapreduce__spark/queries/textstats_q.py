@@ -325,14 +325,21 @@ SELECT doc_id,
 FROM nrm
 """
 
+# The driver's comparator canonicalizes via pandas over scalar cells
+# and cannot hash ARRAY columns (CORRECTNESS_r07: doc_hash_vectors err
+# "unhashable type: 'list'"), so the DRIVER row is the POSEXPLODEd
+# (doc_id, i, component) shape; the array-shaped query stays in the
+# local tier as the ANN-bridge contract (its oracle runner handles
+# arrays).
+_HASH_VEC_EXPLODED_ORACLE = f"""
+WITH base AS ({_HASH_VEC_ORACLE}
+)
+SELECT doc_id, CAST(t.i AS INT) AS i, embedding[t.i + 1] AS component
+FROM base CROSS JOIN generate_series(0, 63) AS t(i)
+"""
 
-@register("doc_hash_vectors", oracle=_HASH_VEC_ORACLE)
-def doc_hash_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Feature-hashed TF-IDF document vectors at dim=64
-    (operators/text_ranking.hashed_doc_vectors) — the model-free text →
-    embedding bridge into the ANN family, whole construction replayed
-    by the DuckDB oracle (hash buckets, signs, weights, densify,
-    normalize)."""
+
+def _hash_vec_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.text_ranking import hashed_doc_vectors
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
@@ -345,3 +352,26 @@ def doc_hash_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
             "embedding"
         ),
     )
+
+
+@register("doc_hash_vectors", oracle=_HASH_VEC_EXPLODED_ORACLE)
+def doc_hash_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashed TF-IDF document vectors at dim=64
+    (operators/text_ranking.hashed_doc_vectors) — the model-free text →
+    embedding bridge into the ANN family, whole construction replayed
+    by the DuckDB oracle (hash buckets, signs, weights, densify,
+    normalize). Registered in the exploded (doc_id, i, component)
+    shape because the driver comparator cannot canonicalize array
+    cells; :func:`doc_hash_vectors_array` is the array-shaped
+    contract."""
+    return _hash_vec_df(spark, sf_dir).select(
+        "doc_id", F.posexplode("embedding").alias("i", "component")
+    )
+
+
+@register_local("doc_hash_vectors_array", oracle=_HASH_VEC_ORACLE)
+def doc_hash_vectors_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The array-shaped variant (embedding ARRAY<DOUBLE>) — what ANN
+    consumers actually take; oracle-gated by the suite, which handles
+    list cells."""
+    return _hash_vec_df(spark, sf_dir)

@@ -102,3 +102,22 @@ def test_bag_of_words_invariance_vs_lm_order_sensitivity(spark):
     )
     ppl = {r.doc_id: r.ppl for r in ngram_lm_scores(docs, model).collect()}
     assert ppl[1] < ppl[2]  # order destroyed → perplexity explodes
+
+
+def test_no_forced_vocabulary_broadcast(spark):
+    """VERDICT r7 #2: the document-frequency table is vocabulary-sized
+    (one row per distinct term, 10^8+ on a web corpus) so nothing in
+    hashed_doc_vectors may FORCE it into a broadcast hash join. With
+    the size-based estimator disabled, any HashedRelationBroadcastMode
+    in the plan could only come from a hint; the one intentional
+    broadcast (the 1-row corpus total `n`) is a nested-loop
+    IdentityBroadcastMode join and stays allowed."""
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = hashed_doc_vectors(docs, dim=64)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "HashedRelationBroadcastMode" not in plan, plan
