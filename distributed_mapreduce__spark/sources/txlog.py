@@ -16,12 +16,16 @@ Protocol (everything readers trust is reached by atomic rename):
 
 - **Write**: stage the DataFrame's parquet output under ``_staging``,
   move the part files into ``data/`` under fresh UUID names (renames,
-  not copies), then commit ``{version, action, add, remove, txn}`` by
-  writing ``<v>.json.tmp`` and renaming to ``<v>.json``. Hadoop rename
-  does not replace an existing destination, so two racing writers
-  cannot both own version v — the loser re-reads the log and retries
-  at v+1 (optimistic concurrency, exactly the HDFS arm of the Delta
-  paper; object stores need put-if-absent instead).
+  not copies), then commit ``{version, action, add, remove, txn}``
+  through the scheme's :class:`CommitClaimer` so exactly one of any
+  number of racing writers owns version v; losers re-read the log and
+  retry at v+1 (optimistic concurrency, the Delta paper's model).
+  Arms: local FS claims via POSIX ``O_CREAT|O_EXCL`` (its rename
+  REPLACES, so rename alone cannot be the claim), HDFS claims via its
+  atomic no-replace rename, and object stores must register a
+  put-if-absent arm (:func:`register_claimer`) — attempting to commit
+  to ``s3a://``/``gs://``/... without one raises instead of silently
+  dropping racing commits.
 - **Read**: replay commits 0..v (or from the newest checkpoint ≤ v —
   replay cost is bounded by CHECKPOINT_EVERY, not table age) into the
   live file set, then ``spark.read.parquet(*files)``. A crash between
@@ -70,23 +74,136 @@ def _read_small(spark, fs, p) -> bytes:
         raw.close()
 
 
+class CommitClaimer:
+    """Pluggable commit-publish arm: how exactly ONE writer comes to
+    own a log filename, per filesystem semantics. ``publish`` must
+    guarantee (a) readers never observe a torn file and (b) of any
+    number of concurrent publishers of the same path, at most one
+    returns True and its payload is what readers see.
+
+    Arms shipped here: :class:`ExclusiveClaimClaimer` (local FS —
+    POSIX ``O_CREAT|O_EXCL`` claim file, because RawLocalFileSystem's
+    rename silently REPLACES an existing destination, so
+    exists→rename alone has a TOCTOU window) and
+    :class:`HdfsRenameClaimer` (HDFS — rename itself is atomic and
+    does not replace, so the rename result is the claim). An
+    object-store port registers a put-if-absent arm for its scheme
+    (S3 ``If-None-Match:*``, GCS ``ifGenerationMatch=0``) via
+    :func:`register_claimer` — one function, nothing else changes."""
+
+    def publish(self, spark, fs, final_path_str: str, payload: bytes) -> bool:
+        raise NotImplementedError
+
+
+#: test seam: called by ExclusiveClaimClaimer between winning the
+#: claim and renaming the payload into place (race tests widen the
+#: window here and prove the claim, not timing, decides the winner)
+_after_claim_hook = None
+
+
+class ExclusiveClaimClaimer(CommitClaimer):
+    """Local-filesystem arm. The version is claimed by an atomic
+    ``open(final + '.claim', O_CREAT|O_EXCL)`` — the one primitive
+    POSIX makes exclusive — then the payload is published whole-file
+    by tmp+rename (readers never see a torn commit; nobody else can
+    be renaming onto this path because nobody else holds the claim).
+    A final file that exists WITHOUT our claim (an out-of-band
+    writer) is honored as a lost race."""
+
+    def publish(self, spark, fs, final_path_str: str, payload: bytes) -> bool:
+        import os
+
+        local = final_path_str
+        if local.startswith("file://"):
+            local = local[7:]
+        elif local.startswith("file:"):
+            local = local[5:]
+        os.makedirs(os.path.dirname(local), exist_ok=True)
+        try:
+            os.close(os.open(local + ".claim", os.O_CREAT | os.O_EXCL | os.O_WRONLY))
+        except FileExistsError:
+            return False  # another writer owns this version
+        if _after_claim_hook is not None:
+            _after_claim_hook()
+        if os.path.exists(local):
+            # claimed, but an out-of-band writer already published the
+            # version (e.g. a non-claiming tool touched the log):
+            # yield rather than replace its commit
+            return False
+        tmp = local + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "wb") as f:
+            f.write(payload)
+            f.flush()
+            os.fsync(f.fileno())
+        os.rename(tmp, local)
+        return True
+
+
+class HdfsRenameClaimer(CommitClaimer):
+    """HDFS arm: tmp + rename, where HDFS's rename is atomic and
+    FAILS when the destination exists — the rename result itself is
+    the binding claim (the exists() pre-check is only a fast path).
+    Correct on HDFS and any FS with no-replace rename semantics;
+    NOT correct on raw local FS (use ExclusiveClaimClaimer) or
+    object stores (register a put-if-absent arm)."""
+
+    def publish(self, spark, fs, final_path_str: str, payload: bytes) -> bool:
+        tmp = hadoop_fs(spark, final_path_str + f".tmp-{uuid.uuid4().hex}")[1]
+        out = fs.create(tmp, True)
+        try:
+            out.write(bytearray(payload))
+        finally:
+            out.close()
+        final = hadoop_fs(spark, final_path_str)[1]
+        if fs.exists(final):
+            fs.delete(tmp, False)
+            return False
+        ok = fs.rename(tmp, final)
+        if not ok:
+            fs.delete(tmp, False)
+        return ok
+
+
+#: scheme -> claimer. None covers scheme-less paths (local in this
+#: sandbox's default FS).
+_CLAIMERS: dict = {
+    None: ExclusiveClaimClaimer(),
+    "file": ExclusiveClaimClaimer(),
+    "hdfs": HdfsRenameClaimer(),
+    "viewfs": HdfsRenameClaimer(),
+}
+
+#: object-store schemes where rename is copy+delete (neither atomic
+#: nor exclusive): refuse loudly until a put-if-absent claimer is
+#: registered, instead of silently dropping racing commits
+_RENAME_UNSAFE_SCHEMES = {"s3", "s3a", "s3n", "gs", "abfs", "abfss", "wasb", "oss"}
+
+
+def register_claimer(scheme: str, claimer: CommitClaimer) -> None:
+    """Install the commit-publish arm for a filesystem scheme (the
+    one-function object-store port: put-if-absent for s3a/gs/abfs)."""
+    _CLAIMERS[scheme] = claimer
+
+
+def _claimer_for(path_str: str) -> CommitClaimer:
+    scheme = None
+    if ":" in path_str.split("/", 1)[0]:
+        scheme = path_str.split(":", 1)[0]
+    if scheme in _CLAIMERS:
+        return _CLAIMERS[scheme]
+    if scheme in _RENAME_UNSAFE_SCHEMES:
+        raise NotImplementedError(
+            f"scheme {scheme!r} has copy+delete rename semantics; register "
+            "a put-if-absent CommitClaimer for it (register_claimer) — "
+            "see the protocol note at the top of this module"
+        )
+    return _CLAIMERS["hdfs"]  # no-replace-rename FS family default
+
+
 def _write_atomic(spark, fs, final_path_str: str, payload: bytes) -> bool:
-    """tmp + rename; False if the destination already exists (lost a
-    version race)."""
-    tmp = hadoop_fs(spark, final_path_str + f".tmp-{uuid.uuid4().hex}")[1]
-    out = fs.create(tmp, True)
-    try:
-        out.write(bytearray(payload))
-    finally:
-        out.close()
-    final = hadoop_fs(spark, final_path_str)[1]
-    if fs.exists(final):
-        fs.delete(tmp, False)
-        return False
-    ok = fs.rename(tmp, final)
-    if not ok:
-        fs.delete(tmp, False)
-    return ok
+    """Publish a commit file; False = lost the version race. Atomicity
+    is delegated to the scheme's :class:`CommitClaimer`."""
+    return _claimer_for(final_path_str).publish(spark, fs, final_path_str, payload)
 
 
 def _list_commits(spark, path: str) -> list[tuple[int, str]]:
@@ -450,7 +567,9 @@ def tx_vacuum(spark: SparkSession, path: str) -> list[str]:
         if f not in live:
             fs.delete(hadoop_fs(spark, f)[1], False)
             deleted.append(f)
-    # drop commit entries (and stale checkpoints) below the new one
+    # drop commit entries (and stale checkpoints) below the new one —
+    # plus their .claim siblings (safe: the surviving checkpoint pins
+    # the version counter, so truncated versions are never re-claimed)
     for v, kind in _list_commits(spark, path):
         if v < version or (v == version and kind == "commit"):
             name = (
@@ -459,6 +578,9 @@ def tx_vacuum(spark: SparkSession, path: str) -> list[str]:
                 else f"{v:0{_PAD}d}.json"
             )
             fs.delete(hadoop_fs(spark, f"{path}/_txlog/{name}")[1], False)
+            claim = hadoop_fs(spark, f"{path}/_txlog/{name}.claim")[1]
+            if fs.exists(claim):
+                fs.delete(claim, False)
     # orphaned staging dirs (crashed writers) are unreferenced by
     # construction — sweep them too
     sfs, sdir = hadoop_fs(spark, f"{path}/_staging")
@@ -500,19 +622,29 @@ def _footer_min_max(local_path: str, col: str):
     return None if lo is None else (lo, hi)
 
 
-def _files_overlapping_keys(
-    spark, path: str, files: list[str], keys: DataFrame, key_col: str
-) -> list[str]:
-    """The files a key-targeted rewrite must touch: range-prune against
-    the COMMIT-LOG stats when the writer recorded them (zero I/O),
-    parquet footers otherwise (~KB metadata read per file); a file with
-    neither yields to correctness and is rewritten."""
+def _key_bounds(keys: DataFrame, key_col: str):
+    """(lo, hi) of ``key_col`` in JSON-stat form; (None, None) for an
+    empty frame (min/max of zero rows is NULL)."""
     from pyspark.sql import functions as F
 
     bounds = keys.agg(
         F.min(key_col).alias("lo"), F.max(key_col).alias("hi")
     ).collect()[0]
-    lo, hi = _json_stat(bounds["lo"]), _json_stat(bounds["hi"])
+    return _json_stat(bounds["lo"]), _json_stat(bounds["hi"])
+
+
+def _files_overlapping_keys(
+    spark, path: str, files: list[str], lo, hi, key_col: str
+) -> list[str]:
+    """The files a key-targeted rewrite must touch: range-prune against
+    the COMMIT-LOG stats when the writer recorded them (zero I/O),
+    parquet footers otherwise (~KB metadata read per file); a file with
+    neither yields to correctness and is rewritten."""
+    if lo is None or hi is None:
+        # empty keys/updates frame: nothing can overlap — callers then
+        # take their empty-commit path instead of comparing None
+        # against file stats
+        return []
     logged = _log_stats(spark, path)
     touched = []
     for f in files:
@@ -550,11 +682,15 @@ def tx_merge(
     MERGE. Requires ``updates`` to carry at most one row per key and
     no NULL keys (both checked).
 
-    Concurrency: appends racing this merge are safe (their files are
-    not in our remove set). A CONCURRENT rewrite of the same files
-    (another merge/compaction) is detected at commit time — if any
-    file we mean to remove is no longer live, the commit aborts with a
-    loud conflict error instead of resurrecting or double-applying.
+    Concurrency: a CONCURRENT rewrite of the same files (another
+    merge/compaction) is detected at commit time — if any file we
+    mean to remove is no longer live, the commit aborts with a loud
+    conflict error instead of resurrecting or double-applying. A
+    concurrent APPEND whose key-range stats overlap the updates' key
+    range likewise aborts (committing anyway would leave duplicate
+    keys — Delta's ConcurrentAppendException under its default
+    isolation); appends provably disjoint from the update range
+    proceed untouched.
     """
     spark = updates.sparkSession
     from pyspark.sql import functions as F
@@ -568,7 +704,8 @@ def tx_merge(
         return prior
 
     files, snap_version = _snapshot_files(spark, path)
-    touched = _files_overlapping_keys(spark, path, files, updates, key_col)
+    lo, hi = _key_bounds(updates, key_col)
+    touched = _files_overlapping_keys(spark, path, files, lo, hi, key_col)
 
     keys = updates.select(key_col)
     if touched:
@@ -583,7 +720,60 @@ def tx_merge(
     return _commit_rewrite(
         spark, path, added, touched, snap_version, txn, "merge",
         stats=_rewrite_stats(spark, path, touched, added, key_col),
+        conflict_keys=None if lo is None else (key_col, lo, hi),
     )
+
+
+def _concurrent_append_conflicts(
+    spark,
+    path: str,
+    snap_version: int,
+    key_col: str,
+    lo,
+    hi,
+    our_added: set,
+) -> list[str]:
+    """Files ADDED by commits after ``snap_version`` that may carry
+    keys in [lo, hi] — Delta's ConcurrentAppendException condition: a
+    key-targeted rewrite that committed over them would leave
+    duplicate (merge) or surviving (delete) rows for keys it claims to
+    own. Range check uses the commit's own stats, the folded log
+    stats, then the parquet footer; a file provably disjoint from the
+    key range is not a conflict (same pruning contract as
+    :func:`_files_overlapping_keys`); a file with no stats at all
+    cannot be proven disjoint and conflicts conservatively."""
+    logged = _log_stats(spark, path)
+    conflicts = []
+    for v, kind in _list_commits(spark, path):
+        if kind != "commit" or v <= snap_version:
+            continue
+        c = _load(spark, path, f"{v:0{_PAD}d}.json")
+        for f in c.get("add", []):
+            if f in our_added:
+                continue
+            st = ((c.get("stats") or {}).get(f) or {}).get(key_col) or (
+                logged.get(f) or {}
+            ).get(key_col)
+            if st is not None and st[0] is not None:
+                fmin, fmax = st
+            else:
+                local = f"{path}/{f}".replace("file:", "")
+                mm = _footer_min_max(local, key_col)
+                if mm is None:
+                    # zero-row part files (Spark writes one per
+                    # partition) carry no stats but hold no keys
+                    # either — only a file with ROWS and no provable
+                    # range conflicts conservatively
+                    import pyarrow.parquet as pq
+
+                    if pq.ParquetFile(local).metadata.num_rows == 0:
+                        continue
+                    conflicts.append(f)  # cannot prove disjoint
+                    continue
+                fmin, fmax = _json_stat(mm[0]), _json_stat(mm[1])
+            if not (fmax < lo or fmin > hi):
+                conflicts.append(f)
+    return conflicts
 
 
 def _commit_rewrite(
@@ -596,10 +786,18 @@ def _commit_rewrite(
     action: str,
     max_retries: int = 20,
     stats: dict | None = None,
+    conflict_keys: "tuple[str, object, object] | None" = None,
 ) -> int:
-    """Commit a rewrite (merge/compact): remove+add in one version,
-    with the still-live conflict check — if anything we remove was
-    already removed by a commit after our snapshot, abort loudly."""
+    """Commit a rewrite (merge/delete/compact): remove+add in one
+    version, with two conflict checks run at commit time, every retry:
+
+    - still-live: if anything we remove was already removed by a
+      commit after our snapshot, abort loudly (concurrent rewrite).
+    - ``conflict_keys=(key_col, lo, hi)``: if a commit after our
+      snapshot ADDED files whose key range overlaps the rewrite's
+      target range, abort loudly (concurrent append — committing
+      anyway would duplicate merged keys / resurrect deleted ones;
+      Delta raises ConcurrentAppendException for exactly this)."""
     fs = hadoop_fs(spark, path)[0]
     for _ in range(max_retries):
         live_now, _ = _snapshot_files(spark, path)
@@ -610,6 +808,18 @@ def _commit_rewrite(
                 f"{snap_version}: {sorted(gone)[:3]}... — re-run the "
                 f"{action} on the new snapshot"
             )
+        if conflict_keys is not None:
+            key_col, lo, hi = conflict_keys
+            clashing = _concurrent_append_conflicts(
+                spark, path, snap_version, key_col, lo, hi, set(added)
+            )
+            if clashing:
+                raise RuntimeError(
+                    f"conflict: commits after version {snap_version} "
+                    f"appended files overlapping the {action}'s "
+                    f"{key_col} range: {sorted(clashing)[:3]}... — "
+                    f"re-run the {action} on the new snapshot"
+                )
         versions = [v for v, _ in _list_commits(spark, path)]
         next_v = (max(versions) + 1) if versions else 0
         payload = {
@@ -774,12 +984,17 @@ def tx_delete(
     if txn is not None and (prior := _committed_txns(spark, path).get(txn)) is not None:
         return prior
     files, snap_version = _snapshot_files(spark, path)
-    touched = _files_overlapping_keys(spark, path, files, keys, key_col)
+    lo, hi = _key_bounds(keys, key_col)
+    touched = _files_overlapping_keys(spark, path, files, lo, hi, key_col)
     if not touched:
-        # nothing can match — still commit an empty delete so the txn
-        # id is recorded for idempotence
+        # no live file can match — still commit an empty delete so the
+        # txn id is recorded for idempotence. The concurrent-append
+        # check still applies when keys were targeted: an append
+        # racing in rows for those keys must conflict, not survive a
+        # delete that claims to have removed them.
         return _commit_rewrite(
-            spark, path, [], [], snap_version, txn, "delete"
+            spark, path, [], [], snap_version, txn, "delete",
+            conflict_keys=None if lo is None else (key_col, lo, hi),
         )
     survivors = spark.read.parquet(*[f"{path}/{f}" for f in touched]).join(
         keys.select(key_col).distinct(), key_col, "left_anti"
@@ -788,6 +1003,7 @@ def tx_delete(
     return _commit_rewrite(
         spark, path, added, touched, snap_version, txn, "delete",
         stats=_rewrite_stats(spark, path, touched, added, key_col),
+        conflict_keys=(key_col, lo, hi),
     )
 
 
