@@ -130,6 +130,7 @@ def build_training_set(
     contamination_min_grams: int = 1,
     lm_model: DataFrame | None = None,
     lm_max_ppl: float | None = None,
+    lang_classifier=None,
     splits: Mapping[str, float] = DEFAULT_SPLITS,
     rows_per_shard: int = 10_000,
     seed: int = 0,
@@ -156,8 +157,11 @@ def build_training_set(
                           drops any train doc sharing ≥
                           ``contamination_min_grams`` eval n-grams)
     6.  quality gate + language allow-list (when the input carries no
-        ``lang`` column — raw crawl text — it is predicted with the
-        heuristic lang-ID operator first)
+        ``lang`` column — raw crawl text — it is predicted first:
+        with the opt-in trained model when ``lang_classifier`` is
+        passed (classifier.train_lang_classifier's PipelineModel, one
+        shuffle-free scoring pass), else with the heuristic lang-ID
+        operator)
     7.  content-addressed split tags (growth-stable hash_split)
     8.  deterministic global shuffle (seeded training order)
     9.  per-split bounded shards + manifest
@@ -364,26 +368,41 @@ def build_training_set(
         )
         if languages is not None:
             if "lang" not in out.columns:
-                # raw-crawl input (e.g. warc_documents) carries no lang
-                # — predict it with the heuristic lang-ID operator
-                # (broadcast profile join; 'und' when no word hits)
-                from .text_analysis import lang_id, language_profiles_df
+                if lang_classifier is not None:
+                    # opt-in trained lang-ID: one shuffle-free model
+                    # scoring pass (classifier.predict_language)
+                    from .classifier import predict_language
 
-                pred = lang_id(
-                    out.select("doc_id", "text").withColumn(
-                        "lang", F.lit(None).cast("string")
-                    ),
-                    language_profiles_df(out.sparkSession),
-                ).select("doc_id", F.col("pred_lang").alias("lang"))
+                    pred = predict_language(
+                        lang_classifier, out.select("doc_id", "text")
+                    ).select("doc_id", F.col("pred_lang").alias("lang"))
+                else:
+                    # raw-crawl input (e.g. warc_documents) carries no
+                    # lang — predict it with the heuristic lang-ID
+                    # operator (broadcast profile join; 'und' when no
+                    # word hits)
+                    from .text_analysis import lang_id, language_profiles_df
+
+                    pred = lang_id(
+                        out.select("doc_id", "text").withColumn(
+                            "lang", F.lit(None).cast("string")
+                        ),
+                        language_profiles_df(out.sparkSession),
+                    ).select("doc_id", F.col("pred_lang").alias("lang"))
                 out = out.join(pred, "doc_id")
             out = out.filter(F.col("lang").isin(list(languages)))
         return hash_split(
             out, F.col("doc_id").cast("string"), splits, seed=seed
         )
 
+    split_fp_args = [min_quality, languages, sorted(splits.items()), seed]
+    if lang_classifier is not None:
+        # a different predictor produces a different split input — the
+        # resume fingerprint must not collide with the heuristic arm
+        split_fp_args.append("lang-model")
     cur = _ckpt(
         "split",
-        _fp("split", min_quality, languages, sorted(splits.items()), seed),
+        _fp("split", *split_fp_args),
         _do_split,
     )
     if want_report:
