@@ -67,6 +67,28 @@ def register_local(
     return deco
 
 
+def resolve(name: str) -> QueryFn:
+    """Look a query up across BOTH tiers (driver + local).
+
+    Tests, bench, and tooling should use this instead of indexing
+    ``QUERIES`` directly: queries rotate between tiers across rounds
+    to stay under the driver's 50-slot cap, and a direct ``QUERIES[...]``
+    lookup breaks on demotion (round-8 postmortem).
+    """
+    try:
+        return QUERIES[name]
+    except KeyError:
+        return LOCAL_QUERIES[name]
+
+
+def resolve_oracle(name: str) -> str:
+    """Oracle SQL for ``name`` from either tier (KeyError if none)."""
+    try:
+        return ORACLES[name]
+    except KeyError:
+        return LOCAL_ORACLES[name]
+
+
 def load_all() -> None:
     """Import every query module so registrations run (idempotent)."""
     from .queries import (  # noqa: F401

@@ -13,7 +13,7 @@ def test_sketches_within_tolerance(spark, sf_dir):
     """The registered query emits within-tolerance booleans (so the
     oracle can check them cross-engine); locally also pin the tighter
     raw bounds on the underlying sketches."""
-    rows = registry.QUERIES["approx_stats"](spark, sf_dir).collect()
+    rows = registry.resolve("approx_stats")(spark, sf_dir).collect()
     assert rows
     for r in rows:
         assert r.approx_parts_ok, r

@@ -115,7 +115,7 @@ def test_registered_query_matches_duckdb_replay(spark, sf_dir):
     from .oracle_utils import compare_query
 
     registry.load_all()
-    df = registry.QUERIES["lm_perplexity_docs"](spark, sf_dir)
+    df = registry.resolve("lm_perplexity_docs")(spark, sf_dir)
     compare_query(
         spark, sf_dir, df, registry.ORACLES["lm_perplexity_docs"]
     )

@@ -131,7 +131,7 @@ def test_env_pointed_sidecars_drive_registered_front_doors(spark, tmp_path, monk
         "key_counts_auto", "quantile_quantity",
     ]
     baseline = {
-        n: sorted(map(tuple, registry.QUERIES[n](spark, SF).collect()),
+        n: sorted(map(tuple, registry.resolve(n)(spark, SF).collect()),
                   key=lambda t: tuple(map(repr, t)))
         for n in names
     }
@@ -150,7 +150,7 @@ def test_env_pointed_sidecars_drive_registered_front_doors(spark, tmp_path, monk
     assert table_hints(spark, "lineitem") == li_hints
     assert table_hints(spark, "nonexistent_table") is None
     for n in names:
-        hinted = sorted(map(tuple, registry.QUERIES[n](spark, SF).collect()),
+        hinted = sorted(map(tuple, registry.resolve(n)(spark, SF).collect()),
                         key=lambda t: tuple(map(repr, t)))
         assert hinted == baseline[n], n
 

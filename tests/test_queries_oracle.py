@@ -67,7 +67,7 @@ def test_ml_minhash_matches_portable_pairs(spark, sf_dir):
     }
     portable = {
         (r.doc_a, r.doc_b)
-        for r in registry.QUERIES["dedup_minhash_pairs"](spark, sf_dir).collect()
+        for r in registry.resolve("dedup_minhash_pairs")(spark, sf_dir).collect()
     }
     assert ml_pairs == portable
 

@@ -29,12 +29,12 @@ def _pairs(df):
 
 @pytest.fixture(scope="module")
 def exact(spark):
-    return _pairs(registry.LOCAL_QUERIES["similarity_topk"](spark, SF))
+    return _pairs(registry.resolve("similarity_topk")(spark, SF))
 
 
 def test_multiprobe_recall_beats_single(spark, exact):
-    sp = _pairs(registry.LOCAL_QUERIES["similarity_topk_lsh"](spark, SF))
-    mp = _pairs(registry.QUERIES["similarity_topk_lsh_multiprobe"](spark, SF))
+    sp = _pairs(registry.resolve("similarity_topk_lsh")(spark, SF))
+    mp = _pairs(registry.resolve("similarity_topk_lsh_multiprobe")(spark, SF))
     assert len(mp & exact) >= len(sp & exact)
     assert len(mp) >= len(sp)
 
@@ -76,7 +76,7 @@ def test_neardup_lsh_recall_on_planted_pairs(spark):
     assert len(truth) >= n_planted > 0  # fixture is non-vacuous
     lsh = {
         (r.id_a, r.id_b)
-        for r in registry.QUERIES["embedding_neardup_lsh"](spark, SF).collect()
+        for r in registry.resolve("embedding_neardup_lsh")(spark, SF).collect()
     }
     assert lsh <= truth  # exact verify ⇒ perfect precision
     recall = len(lsh & truth) / len(truth)
@@ -89,10 +89,10 @@ def test_ann_sims_match_exact_scorer(spark):
     pairs are scored, never the score."""
     exact_sims = {
         (r.query_id, r.neighbor_id): r.sim
-        for r in registry.LOCAL_QUERIES["similarity_topk"](spark, SF).collect()
+        for r in registry.resolve("similarity_topk")(spark, SF).collect()
     }
     for fn in (
-        registry.QUERIES["similarity_topk_lsh_multiprobe"],
+        registry.resolve("similarity_topk_lsh_multiprobe"),
         similarity_topk_ivf,
     ):
         for r in fn(spark, SF).collect():
