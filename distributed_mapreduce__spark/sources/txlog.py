@@ -20,18 +20,24 @@ Protocol (everything readers trust is reached by atomic rename):
   through the scheme's :class:`CommitClaimer` so exactly one of any
   number of racing writers owns version v; losers re-read the log and
   retry at v+1 (optimistic concurrency, the Delta paper's model).
-  Arms: local FS claims via POSIX ``O_CREAT|O_EXCL`` (its rename
-  REPLACES, so rename alone cannot be the claim), HDFS claims via its
-  atomic no-replace rename, and object stores must register a
-  put-if-absent arm (:func:`register_claimer`) — attempting to commit
-  to ``s3a://``/``gs://``/... without one raises instead of silently
-  dropping racing commits.
+  Arms: local FS publishes via POSIX ``link(2)`` (an atomic
+  put-if-absent with no replace mode — its RENAME replaces, so rename
+  alone cannot be the claim; link's ``EEXIST`` IS the lost race, and
+  a crash at any point leaves only an ignorable unique ``.tmp``),
+  HDFS claims via its atomic no-replace rename, and object stores
+  must register a put-if-absent arm (:func:`register_claimer`) —
+  attempting to commit to ``s3a://``/``gs://``/... without one raises
+  instead of silently dropping racing commits. Scheme-less paths
+  dispatch on the filesystem actually serving them (``fs.defaultFS``),
+  never a local-disk assumption.
 - **Read**: replay commits 0..v (or from the newest checkpoint ≤ v —
   replay cost is bounded by CHECKPOINT_EVERY, not table age) into the
   live file set, then ``spark.read.parquet(*files)``. A crash between
   staging and commit leaves invisible files; a crash mid-commit leaves
-  a ``.tmp`` readers ignore. Torn/unparseable commits are impossible
-  by construction (rename is the only publish).
+  a ``.tmp`` readers ignore (and ``tx_vacuum`` sweeps). Torn or
+  unparseable commits are impossible by construction: the only
+  publish primitives are link(2) and no-replace rename, both of which
+  make a complete, fsynced payload visible atomically or not at all.
 - **Idempotent retries**: a writer that may re-run (Structured
   Streaming foreachBatch, a retried job) passes ``txn``; a commit
   whose ``txn`` already appears in the log is skipped and the original
@@ -81,13 +87,13 @@ class CommitClaimer:
     number of concurrent publishers of the same path, at most one
     returns True and its payload is what readers see.
 
-    Arms shipped here: :class:`ExclusiveClaimClaimer` (local FS —
-    POSIX ``O_CREAT|O_EXCL`` claim file, because RawLocalFileSystem's
-    rename silently REPLACES an existing destination, so
-    exists→rename alone has a TOCTOU window) and
-    :class:`HdfsRenameClaimer` (HDFS — rename itself is atomic and
-    does not replace, so the rename result is the claim). An
-    object-store port registers a put-if-absent arm for its scheme
+    Arms shipped here: :class:`HardLinkClaimer` (local FS — POSIX
+    ``link(2)`` is an atomic put-if-absent: it fails with ``EEXIST``
+    when the destination exists, with no replace variant, so the link
+    result IS the claim and there is no separate claim file to
+    orphan) and :class:`HdfsRenameClaimer` (HDFS — rename itself is
+    atomic and does not replace, so the rename result is the claim).
+    An object-store port registers a put-if-absent arm for its scheme
     (S3 ``If-None-Match:*``, GCS ``ifGenerationMatch=0``) via
     :func:`register_claimer` — one function, nothing else changes."""
 
@@ -95,20 +101,26 @@ class CommitClaimer:
         raise NotImplementedError
 
 
-#: test seam: called by ExclusiveClaimClaimer between winning the
-#: claim and renaming the payload into place (race tests widen the
-#: window here and prove the claim, not timing, decides the winner)
-_after_claim_hook = None
+#: test seam: called by HardLinkClaimer between writing the payload
+#: tmp and the link(2) that publishes it (race tests widen the window
+#: here and prove the link's atomicity, not timing, decides the winner)
+_prepublish_hook = None
 
 
-class ExclusiveClaimClaimer(CommitClaimer):
-    """Local-filesystem arm. The version is claimed by an atomic
-    ``open(final + '.claim', O_CREAT|O_EXCL)`` — the one primitive
-    POSIX makes exclusive — then the payload is published whole-file
-    by tmp+rename (readers never see a torn commit; nobody else can
-    be renaming onto this path because nobody else holds the claim).
-    A final file that exists WITHOUT our claim (an out-of-band
-    writer) is honored as a lost race."""
+class HardLinkClaimer(CommitClaimer):
+    """Local-filesystem arm. The payload is written whole-file (and
+    fsynced) to a unique ``.tmp``, then published by
+    ``os.link(tmp, final)`` — POSIX ``link(2)`` atomically fails with
+    ``EEXIST`` if the destination exists and has no replace mode, so
+    of any number of racing publishers exactly one's link lands and
+    that one's bytes are what readers see. Readers never observe a
+    torn commit (the tmp was complete before the link), and a writer
+    that crashes at ANY point leaves only an ignorable unique
+    ``.tmp`` hardlink — there is no claim file whose orphan could
+    wedge the version (the round-8 claim-file protocol had exactly
+    that hazard: a crash between claim and rename required manual
+    recovery). RawLocalFileSystem's REPLACING rename is never used as
+    a publish step here."""
 
     def publish(self, spark, fs, final_path_str: str, payload: bytes) -> bool:
         import os
@@ -119,24 +131,28 @@ class ExclusiveClaimClaimer(CommitClaimer):
         elif local.startswith("file:"):
             local = local[5:]
         os.makedirs(os.path.dirname(local), exist_ok=True)
-        try:
-            os.close(os.open(local + ".claim", os.O_CREAT | os.O_EXCL | os.O_WRONLY))
-        except FileExistsError:
-            return False  # another writer owns this version
-        if _after_claim_hook is not None:
-            _after_claim_hook()
-        if os.path.exists(local):
-            # claimed, but an out-of-band writer already published the
-            # version (e.g. a non-claiming tool touched the log):
-            # yield rather than replace its commit
-            return False
         tmp = local + f".tmp-{uuid.uuid4().hex}"
         with open(tmp, "wb") as f:
             f.write(payload)
             f.flush()
             os.fsync(f.fileno())
-        os.rename(tmp, local)
-        return True
+        if _prepublish_hook is not None:
+            _prepublish_hook()
+        try:
+            os.link(tmp, local)
+            won = True
+        except FileExistsError:
+            won = False  # another writer published this version first
+        finally:
+            os.unlink(tmp)
+        if won:
+            # make the new directory entry durable
+            dfd = os.open(os.path.dirname(local), os.O_RDONLY)
+            try:
+                os.fsync(dfd)
+            finally:
+                os.close(dfd)
+        return won
 
 
 class HdfsRenameClaimer(CommitClaimer):
@@ -164,11 +180,13 @@ class HdfsRenameClaimer(CommitClaimer):
         return ok
 
 
-#: scheme -> claimer. None covers scheme-less paths (local in this
-#: sandbox's default FS).
+#: scheme -> claimer. Scheme-less paths are resolved through the
+#: Hadoop FileSystem object actually serving them (never assumed
+#: local: on a cluster whose fs.defaultFS is hdfs://, a scheme-less
+#: table path IS an HDFS path, and publishing via os.link on the
+#: driver's local disk would silently drop the commit).
 _CLAIMERS: dict = {
-    None: ExclusiveClaimClaimer(),
-    "file": ExclusiveClaimClaimer(),
+    "file": HardLinkClaimer(),
     "hdfs": HdfsRenameClaimer(),
     "viewfs": HdfsRenameClaimer(),
 }
@@ -185,10 +203,16 @@ def register_claimer(scheme: str, claimer: CommitClaimer) -> None:
     _CLAIMERS[scheme] = claimer
 
 
-def _claimer_for(path_str: str) -> CommitClaimer:
+def _claimer_for(path_str: str, fs=None) -> CommitClaimer:
     scheme = None
     if ":" in path_str.split("/", 1)[0]:
         scheme = path_str.split(":", 1)[0]
+    if scheme is None and fs is not None:
+        # scheme-less path: dispatch on the filesystem ACTUALLY
+        # serving it (fs.defaultFS), not a local-disk assumption
+        scheme = fs.getUri().getScheme() or "file"
+    if scheme is None:
+        scheme = "file"  # no fs handle: direct local-path use (tests)
     if scheme in _CLAIMERS:
         return _CLAIMERS[scheme]
     if scheme in _RENAME_UNSAFE_SCHEMES:
@@ -203,7 +227,9 @@ def _claimer_for(path_str: str) -> CommitClaimer:
 def _write_atomic(spark, fs, final_path_str: str, payload: bytes) -> bool:
     """Publish a commit file; False = lost the version race. Atomicity
     is delegated to the scheme's :class:`CommitClaimer`."""
-    return _claimer_for(final_path_str).publish(spark, fs, final_path_str, payload)
+    return _claimer_for(final_path_str, fs).publish(
+        spark, fs, final_path_str, payload
+    )
 
 
 def _list_commits(spark, path: str) -> list[tuple[int, str]]:
@@ -567,9 +593,9 @@ def tx_vacuum(spark: SparkSession, path: str) -> list[str]:
         if f not in live:
             fs.delete(hadoop_fs(spark, f)[1], False)
             deleted.append(f)
-    # drop commit entries (and stale checkpoints) below the new one —
-    # plus their .claim siblings (safe: the surviving checkpoint pins
-    # the version counter, so truncated versions are never re-claimed)
+    # drop commit entries (and stale checkpoints) below the new one
+    # (safe: the surviving checkpoint pins the version counter, so
+    # truncated versions are never re-published)
     for v, kind in _list_commits(spark, path):
         if v < version or (v == version and kind == "commit"):
             name = (
@@ -578,9 +604,13 @@ def tx_vacuum(spark: SparkSession, path: str) -> list[str]:
                 else f"{v:0{_PAD}d}.json"
             )
             fs.delete(hadoop_fs(spark, f"{path}/_txlog/{name}")[1], False)
-            claim = hadoop_fs(spark, f"{path}/_txlog/{name}.claim")[1]
-            if fs.exists(claim):
-                fs.delete(claim, False)
+    # sweep crashed-writer debris from the log dir: orphan payload
+    # tmps (any claimer arm) and legacy round-8 .claim markers — both
+    # are inert (readers and publishers ignore them) but cost listing
+    for st in fs.listStatus(hadoop_fs(spark, f"{path}/_txlog")[1]):
+        name = st.getPath().getName()
+        if ".tmp" in name or name.endswith(".claim"):
+            fs.delete(st.getPath(), False)
     # orphaned staging dirs (crashed writers) are unreferenced by
     # construction — sweep them too
     sfs, sdir = hadoop_fs(spark, f"{path}/_staging")
