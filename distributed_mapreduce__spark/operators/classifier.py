@@ -173,13 +173,47 @@ def train_lang_classifier(
     return Pipeline(stages=[grams, tf, indexer, lr]).fit(train_df)
 
 
+def _indexer_labels(model) -> list[str]:
+    """Label vocabulary of the pipeline's StringIndexerModel stage,
+    read explicitly by stage type (not a hasattr scan):
+    ``labelsArray[0]`` on current Spark, ``labels`` as the fallback
+    for versions predating the multi-column API."""
+    from pyspark.ml.feature import StringIndexerModel
+
+    idx = next(s for s in model.stages if isinstance(s, StringIndexerModel))
+    try:
+        return list(idx.labelsArray[0])
+    except (AttributeError, IndexError):
+        return list(idx.labels)
+
+
+def lang_model_fingerprint(model) -> str:
+    """Stable identity of a FITTED lang classifier: sha256 over the
+    label vocabulary + LR coefficient matrix + intercepts. Two models
+    agree on this iff they score identically, so resume fingerprints
+    (``corpus.build_training_set``) fold it in — a retrained model
+    never silently resumes a split checkpoint computed from an old
+    model's predictions (ADVICE r8)."""
+    import hashlib
+
+    lr = model.stages[-1]
+    h = hashlib.sha256()
+    h.update("\x00".join(_indexer_labels(model)).encode())
+    h.update(lr.coefficientMatrix.toArray().tobytes())
+    h.update(lr.interceptVector.toArray().tobytes())
+    return h.hexdigest()[:16]
+
+
 def predict_language(model, docs: DataFrame) -> DataFrame:
     """(doc_id, pred_lang): model-based language ID for every document
     — one map pass, zero shuffles added (the coefficient matrix and
-    the label vocabulary are broadcast with the model)."""
-    labels = next(
-        s.labels for s in model.stages if hasattr(s, "labels")
-    )
+    the label vocabulary are broadcast with the model).
+
+    The scoring frame deliberately carries no ``anchor_lang`` column;
+    StringIndexerModel.transform skips itself when its input column is
+    absent (contract pinned by test_lang_classifier), so the pipeline
+    scores unlabeled documents without a dummy label column."""
+    labels = _indexer_labels(model)
     scored = model.transform(_lang_char_frame(docs))
     vocab = F.array(*[F.lit(l) for l in labels])
     return scored.select(

@@ -398,8 +398,12 @@ def build_training_set(
     split_fp_args = [min_quality, languages, sorted(splits.items()), seed]
     if lang_classifier is not None:
         # a different predictor produces a different split input — the
-        # resume fingerprint must not collide with the heuristic arm
-        split_fp_args.append("lang-model")
+        # resume fingerprint must not collide with the heuristic arm,
+        # NOR with a different/retrained model (the fingerprint hashes
+        # the fitted coefficients + label vocabulary, ADVICE r8)
+        from .classifier import lang_model_fingerprint
+
+        split_fp_args.append(f"lang-model:{lang_model_fingerprint(lang_classifier)}")
     cur = _ckpt(
         "split",
         _fp("split", *split_fp_args),

@@ -1,0 +1,162 @@
+"""Trained lang-ID (char-n-gram LR over hashed features): the model
+must recover the heuristic anchor's decision surface on UNSEEN docs,
+keep 'und' as an honest no-signal class, score deterministically, and
+carry a fitted-model fingerprint that the capstone's resume keying
+folds in (VERDICT r8 #2 / ADVICE r8)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from distributed_mapreduce__spark.operators.classifier import (
+    lang_model_fingerprint,
+    lang_training_frame,
+    predict_language,
+    train_lang_classifier,
+)
+from distributed_mapreduce__spark.operators.sampling import hash_split
+from distributed_mapreduce__spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.01"
+
+
+def _docs_with_und(spark):
+    """documents + planted no-signal docs (digits/punctuation only —
+    zero profile-word hits, so the heuristic anchors them 'und')."""
+    base = load_table(spark, SF, "documents").select("doc_id", "lang", "text")
+    und = spark.createDataFrame(
+        [
+            (900000 + i, None, f"{i * 7919} ... {i * 104729} !!! ### 42")
+            for i in range(40)
+        ],
+        "doc_id long, lang string, text string",
+    )
+    return base.unionByName(und)
+
+
+@pytest.fixture(scope="module")
+def split(spark):
+    docs = _docs_with_und(spark)
+    s = hash_split(docs, F.col("doc_id").cast("string"), {"train": 0.7, "test": 0.3})
+    train = s.filter(F.col("split") == "train").drop("split")
+    test = s.filter(F.col("split") == "test").drop("split")
+    return train, test
+
+
+@pytest.fixture(scope="module")
+def model(split):
+    train, _ = split
+    return train_lang_classifier(lang_training_frame(train))
+
+
+def test_heldout_agreement_with_heuristic_anchor(spark, split, model):
+    """≥0.9 agreement with the heuristic's labels on documents the
+    model never saw (the same bar as the quality classifier)."""
+    _, test = split
+    truth = lang_training_frame(test).select("doc_id", "anchor_lang")
+    pred = predict_language(model, test.select("doc_id", "text"))
+    joined = pred.join(truth, "doc_id")
+    n = joined.count()
+    agree = joined.filter(F.col("pred_lang") == F.col("anchor_lang")).count()
+    assert n > 50  # non-vacuous held-out set
+    assert agree / n >= 0.9, f"held-out lang agreement {agree / n:.3f}"
+
+
+def test_und_is_a_first_class_no_signal_label(spark, split, model):
+    """'und' survives training as a real class: it is in the fitted
+    label vocabulary, and held-out no-signal docs (digits/punct only)
+    predominantly score 'und' rather than being forced into a
+    language."""
+    from distributed_mapreduce__spark.operators.classifier import _indexer_labels
+
+    assert "und" in _indexer_labels(model)
+    _, test = split
+    und_docs = test.filter(F.col("doc_id") >= 900000).select("doc_id", "text")
+    n = und_docs.count()
+    assert n > 0  # the 30% split caught some planted docs
+    got_und = (
+        predict_language(model, und_docs)
+        .filter(F.col("pred_lang") == "und")
+        .count()
+    )
+    assert got_und / n >= 0.8, f"no-signal docs mislabeled: {got_und}/{n}"
+
+
+def test_scoring_unlabeled_docs_needs_no_anchor_column(spark, split, model):
+    """predict_language scores frames WITHOUT anchor_lang — this pins
+    the StringIndexerModel.transform skip-when-input-absent behavior
+    the pipeline relies on (ADVICE r8: fragile → so pin it)."""
+    _, test = split
+    bare = test.select("doc_id", "text")
+    assert "anchor_lang" not in bare.columns
+    out = predict_language(model, bare)
+    assert out.columns == ["doc_id", "pred_lang"]
+    assert out.count() == bare.count()  # a prediction for EVERY doc
+    assert out.filter(F.col("pred_lang").isNull()).count() == 0
+
+
+def test_training_and_fingerprint_deterministic(spark, split, model):
+    """Same data → identical fitted model: the fingerprint (labels +
+    coefficients + intercepts) matches across two independent fits,
+    and predictions are identical."""
+    train, test = split
+    again = train_lang_classifier(lang_training_frame(train))
+    assert lang_model_fingerprint(again) == lang_model_fingerprint(model)
+    a = {
+        r.doc_id: r.pred_lang
+        for r in predict_language(model, test.select("doc_id", "text")).collect()
+    }
+    b = {
+        r.doc_id: r.pred_lang
+        for r in predict_language(again, test.select("doc_id", "text")).collect()
+    }
+    assert a == b
+
+
+def test_fingerprint_distinguishes_models(spark, split, model):
+    """A model trained on DIFFERENT data fingerprints differently —
+    the property build_training_set's resume keying depends on."""
+    train, _ = split
+    half = train.filter(F.col("doc_id") % 2 == 0)
+    other = train_lang_classifier(lang_training_frame(half))
+    assert lang_model_fingerprint(other) != lang_model_fingerprint(model)
+
+
+def test_capstone_resume_keys_on_model_identity(spark, split, tmp_path):
+    """ADVICE r8 (low): rerunning build_training_set with a RETRAINED
+    classifier must not resume the stale split checkpoint computed
+    from the old model's predictions — while an identical model still
+    resumes."""
+    from distributed_mapreduce__spark.operators.corpus import build_training_set
+
+    train, _ = split
+    docs = _docs_with_und(spark).limit(120)
+    m1 = train_lang_classifier(lang_training_frame(train))
+    m2 = train_lang_classifier(
+        lang_training_frame(train.filter(F.col("doc_id") % 2 == 0))
+    )
+    wd = str(tmp_path / "wd")
+    kwargs = dict(
+        clean=False,
+        min_quality=0.0,
+        near_dup_threshold=None,
+        languages=["en", "fr", "es", "de", "zh"],
+        rows_per_shard=50,
+        workdir=wd,
+        input_token="lc-v1",
+    )
+    r1 = build_training_set(
+        docs.drop("lang"), str(tmp_path / "o1"), lang_classifier=m1, **kwargs
+    )
+    assert r1["resumed_stages"] == []
+    # same model again: split resumes
+    r2 = build_training_set(
+        docs.drop("lang"), str(tmp_path / "o2"), lang_classifier=m1, **kwargs
+    )
+    assert "split" in r2["resumed_stages"]
+    # retrained model: split must RECOMPUTE
+    r3 = build_training_set(
+        docs.drop("lang"), str(tmp_path / "o3"), lang_classifier=m2, **kwargs
+    )
+    assert "split" not in r3["resumed_stages"]
