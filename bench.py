@@ -88,6 +88,14 @@ PROFILE_TABLES = {
 
 
 IDLE_LOAD = float(os.environ.get("SPARK_GRAFT_BENCH_IDLE_LOAD", "2.0"))
+
+#: Mid-run contention threshold for the 1-min load sampled after each
+#: query. The bench's OWN local[32] work reads 2-4.3 in known-idle runs
+#: (BENCH_r06/r07_idle query_load), so ≥6 means an outside process
+#: joined mid-run and the per-query timings are suspect even if the
+#: box was idle at the start (VERDICT r8 #4: the start-only stamp
+#: claimed contended=false while the back half ran under load 7.6-9.6).
+IDLE_LOAD_HI = float(os.environ.get("SPARK_GRAFT_BENCH_IDLE_LOAD_HI", "6.0"))
 IDLE_RETRIES = int(os.environ.get("SPARK_GRAFT_BENCH_IDLE_RETRIES", "10"))
 IDLE_WAIT_SEC = float(os.environ.get("SPARK_GRAFT_BENCH_IDLE_WAIT_SEC", "30"))
 
@@ -216,7 +224,13 @@ def main() -> None:
         "query_load": q_load,
         "query_spread": q_spread,
         "profile_sidecars": profiled,
-        "contended": load_start >= IDLE_LOAD,
+        # contended covers the WHOLE run: idle-wait exhausted at start,
+        # OR outside load ramping past what the bench itself generates
+        # at any per-query sample point
+        "contended": bool(
+            load_start >= IDLE_LOAD
+            or (q_load and max(q_load.values()) >= IDLE_LOAD_HI)
+        ),
     }
     if new_ops:
         out["new_ops"] = new_ops
@@ -225,6 +239,13 @@ def main() -> None:
         out["load_note"] = (
             f"box under load ({load_start:.1f} at start, idle wait "
             "exhausted) — timings are contended; rerun idle before "
+            "comparing across rounds"
+        )
+    elif out["contended"]:
+        out["load_note"] = (
+            f"outside load ramped to {max(q_load.values()):.1f} mid-run "
+            f"(own-load ceiling {IDLE_LOAD_HI}) — per-query timings in "
+            "the affected stretch are contended; rerun idle before "
             "comparing across rounds"
         )
     # The driver captures only a bounded stdout TAIL and parses the
