@@ -199,7 +199,32 @@ _RENAME_UNSAFE_SCHEMES = {"s3", "s3a", "s3n", "gs", "abfs", "abfss", "wasb", "os
 
 def register_claimer(scheme: str, claimer: CommitClaimer) -> None:
     """Install the commit-publish arm for a filesystem scheme (the
-    one-function object-store port: put-if-absent for s3a/gs/abfs)."""
+    one-function object-store port: put-if-absent for s3a/gs/abfs).
+
+    Port sketch for S3 (not exercisable from this sandbox — no
+    network): conditional PUT with ``If-None-Match: *`` (public S3
+    API since 2024-08) makes the object write itself the claim::
+
+        class S3ConditionalPutClaimer(CommitClaimer):
+            def publish(self, spark, fs, path, payload):
+                bucket, key = _split_s3_uri(path)
+                try:
+                    boto3.client("s3").put_object(
+                        Bucket=bucket, Key=key, Body=payload,
+                        IfNoneMatch="*")
+                    return True
+                except ClientError as e:  # 412 = lost the race
+                    if e.response["Error"]["Code"] in (
+                            "PreconditionFailed", "412"):
+                        return False
+                    raise
+
+        register_claimer("s3a", S3ConditionalPutClaimer())
+
+    GCS: ``x-goog-if-generation-match: 0`` on the upload. ABFS:
+    ``If-None-Match: *`` on Put Blob. All three are single-request
+    atomic put-if-absent — no claim files, no rename, nothing to
+    vacuum on crash."""
     _CLAIMERS[scheme] = claimer
 
 
