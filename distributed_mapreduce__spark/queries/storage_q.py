@@ -140,3 +140,68 @@ def bucketed_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_qty"),
         )
     )
+
+
+_MULTI_TX_ORACLE = """
+SELECT o_orderpriority,
+       count(*) AS n_items,
+       CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS total_qty
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey % 2 = 1
+GROUP BY o_orderpriority
+"""
+
+
+@register_local("multi_tx_agg", oracle=_MULTI_TX_ORACLE)
+def multi_tx_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table transactions under the value oracle
+    (sources/multitx.tx_multi): load the odd orders + their lineitems
+    as TWO atomic cross-table transactions (orders table and lineitem
+    table commit together or not at all), replay one transaction id
+    (exactly-once: must be a no-op), then join the two transactional
+    tables and aggregate. Equality with the direct-on-parquet oracle
+    proves the coordinator-record protocol neither loses, duplicates,
+    nor tears a batch across tables."""
+    import tempfile
+
+    from ..sources.multitx import tx_multi
+    from ..sources.txlog import tx_read
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    line = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    )
+    d = tempfile.mkdtemp(prefix="multitx_q_")
+    to, tl = f"{d}/orders", f"{d}/lineitem"
+    for batch, rem in (("m0", 1), ("m1", 3)):
+        tx_multi(
+            {
+                to: orders.filter(F.col("o_orderkey") % 4 == rem),
+                tl: line.filter(F.col("l_orderkey") % 4 == rem),
+            },
+            coordinator=d,
+            txn=batch,
+        )
+    # a retried transaction: committed txid → identical versions, no
+    # second append on either table
+    tx_multi(
+        {
+            to: orders.filter(F.col("o_orderkey") % 4 == 1),
+            tl: line.filter(F.col("l_orderkey") % 4 == 1),
+        },
+        coordinator=d,
+        txn="m0",
+    )
+    o, li = tx_read(spark, to), tx_read(spark, tl)
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_qty"),
+        )
+    )

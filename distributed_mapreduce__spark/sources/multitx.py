@@ -1,0 +1,217 @@
+"""Atomic multi-table transactions over txlog tables.
+
+Closes the "single-table transactions only" gap: :func:`tx_multi`
+appends to ANY number of txlog tables such that either every table's
+commit becomes visible or none does — across crashes at any point.
+The design is the catalog-commit shape (Iceberg REST-catalog
+multi-table commits; Delta's coordinated-commits direction), rebuilt
+on this module's own primitives:
+
+1. **Stage + provisionally commit per table.** Each participant gets a
+   normal optimistic log commit (same version race, same claimers)
+   whose payload carries ``{"multi": {"coordinator", "txid"}}``.
+   Provisional commits occupy a version but are INVISIBLE to readers
+   (``txlog._snapshot_files`` skips them while unresolved).
+2. **Publish ONE coordinator record.** The transaction's atomic commit
+   point is a put-if-absent write of
+   ``<coordinator>/_multitx/<txid>.json``. The instant it lands, every
+   participant's provisional commit is committed — readers of any
+   table resolve through the same record, so there is no state where
+   table A shows the transaction and a crash left table B without it.
+3. **Abort is a tombstone on the SAME filename.** ``tx_multi_abort``
+   put-if-absent-writes ``{"aborted": true}`` to the identical path, so
+   commit-vs-abort is arbitrated by the scheme's
+   :class:`~.txlog.CommitClaimer` — exactly one wins, no precedence
+   rules, no torn outcomes.
+
+Crash matrix: die before any commit → nothing visible, staged files
+are vacuum debris. Die between table commits → some tables hold
+pending commits; nothing visible; a retry with the same ``txn`` id
+reuses them (per-table ``txn`` dedup) and finishes; or an operator
+runs :func:`tx_multi_abort` to kill the orphan. Die after the record
+→ everything visible; retry returns the recorded versions.
+
+Safety interlocks in txlog: checkpoints refuse to fold an unresolved
+multi commit (``_write_checkpoint``), and ``tx_vacuum`` neither
+truncates the log nor deletes provisional files while one is pending
+— an aborted transaction's files become ordinary vacuum debris.
+
+100 TB posture: the coordinator record is one KB-sized JSON per
+transaction; participants pay exactly what a plain ``tx_write`` pays
+(driver-side renames + small JSON I/O, data moves executor-side).
+Readers pay one existence probe per UNRESOLVED commit in replay
+range, and terminal resolutions are cached process-wide.
+
+Scope: ``append`` only. A multi-table overwrite/merge would need
+cross-table conflict detection with no serializable order to appeal
+to; refusing is the honest contract (single-table rewrites keep their
+full conflict checks via :func:`~.txlog.tx_merge`).
+
+Reference parity: the reference engine (master/master.go) has no
+storage transactions at all; this extends the round-7/8 txlog family.
+"""
+
+from __future__ import annotations
+
+import json
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .sinks import hadoop_fs
+from .txlog import (
+    _collect_stats,
+    _commit_with_retries,
+    _committed_txns,
+    _list_commits,
+    _load,
+    _multi_record_path,
+    _multi_status,
+    _read_small,
+    _stage_and_place,
+    _write_atomic,
+    _PAD,
+)
+
+
+class MultiTxAborted(RuntimeError):
+    """The transaction's coordinator slot holds an abort tombstone."""
+
+
+def _read_record(spark, coordinator: str, txid: str) -> dict | None:
+    fs, p = hadoop_fs(spark, _multi_record_path(coordinator, txid))
+    if not fs.exists(p):
+        return None
+    return json.loads(_read_small(spark, fs, p).decode("utf-8"))
+
+
+def tx_multi(
+    writes: "dict[str, DataFrame]",
+    coordinator: str,
+    txn: str | None = None,
+    stats_cols=None,
+    max_retries: int = 20,
+) -> "dict[str, int]":
+    """Atomically append each DataFrame to its table: all become
+    visible together, or none do. Returns {table path: version}.
+
+    ``coordinator`` is the directory whose ``_multitx/`` holds the
+    commit records — use one coordinator per related table group (a
+    "catalog"); participants may live on any filesystem. ``txn``
+    makes crash-retries idempotent AND exactly-once: a retry resumes
+    half-done table commits and republishing is a no-op; omit it and
+    a fresh txid is drawn (a retry after a mid-flight crash would
+    then leave the first attempt pending until aborted).
+    ``stats_cols`` records per-file [min,max] in each participant's
+    commit, same as :func:`~.txlog.tx_write`."""
+    if not writes:
+        raise ValueError("tx_multi needs at least one table")
+    spark = next(iter(writes.values())).sparkSession
+    txid = txn or uuid.uuid4().hex
+
+    if (rec := _read_record(spark, coordinator, txid)) is not None:
+        if rec.get("aborted"):
+            raise MultiTxAborted(f"transaction {txid!r} was aborted")
+        return dict(rec["tables"])  # idempotent replay of a success
+
+    table_txn = f"multi:{txid}"
+    versions: dict[str, int] = {}
+    # deterministic participant order so concurrent retries of the
+    # same txn converge instead of deadlocking on different prefixes
+    for path in sorted(writes):
+        if (prior := _committed_txns(spark, path).get(table_txn)) is not None:
+            versions[path] = prior  # resumed from a crashed attempt
+            continue
+        added = _stage_and_place(writes[path], path)
+        stats = (
+            _collect_stats(spark, path, added, stats_cols)
+            if stats_cols and added
+            else None
+        )
+        fs = hadoop_fs(spark, path)[0]
+
+        def build(next_v: int, added=added, stats=stats) -> dict:
+            payload = {
+                "version": next_v,
+                "action": "append",
+                "add": added,
+                "remove": [],
+                "txn": table_txn,
+                "multi": {"coordinator": coordinator, "txid": txid},
+            }
+            if stats:
+                payload["stats"] = stats
+            return payload
+
+        versions[path] = _commit_with_retries(
+            spark, path, fs, build, table_txn, max_retries
+        )
+
+    # the atomic commit point: one put-if-absent record resolves every
+    # participant's provisional commit at once
+    fs = hadoop_fs(spark, coordinator)[0]
+    record = {"txid": txid, "tables": versions}
+    if not _write_atomic(
+        spark,
+        fs,
+        _multi_record_path(coordinator, txid),
+        json.dumps(record).encode(),
+    ):
+        rec = _read_record(spark, coordinator, txid)
+        if rec is None or rec.get("aborted"):
+            raise MultiTxAborted(
+                f"transaction {txid!r} was aborted before publish; its "
+                "provisional commits are dead and its files are vacuum debris"
+            )
+        return dict(rec["tables"])  # a concurrent retry published first
+    return versions
+
+
+def tx_multi_abort(spark: SparkSession, coordinator: str, txid: str) -> bool:
+    """Kill a pending transaction (e.g. its writer is known dead).
+    True = the abort tombstone won the coordinator slot (or one was
+    already there); False = too late, the transaction committed first.
+    Racing the writer is safe either way: the slot is put-if-absent,
+    so exactly one outcome exists."""
+    if _write_atomic(
+        spark,
+        hadoop_fs(spark, coordinator)[0],
+        _multi_record_path(coordinator, txid),
+        json.dumps({"txid": txid, "aborted": True}).encode(),
+    ):
+        return True
+    rec = _read_record(spark, coordinator, txid)
+    return bool(rec and rec.get("aborted"))
+
+
+def tx_multi_status(spark: SparkSession, coordinator: str, txid: str) -> dict:
+    """{'status': committed|aborted|pending, 'tables': {...}|None}."""
+    rec = _read_record(spark, coordinator, txid)
+    if rec is None:
+        return {"status": "pending", "tables": None}
+    if rec.get("aborted"):
+        return {"status": "aborted", "tables": None}
+    return {"status": "committed", "tables": dict(rec["tables"])}
+
+
+def tx_multi_pending(spark: SparkSession, path: str) -> "list[dict]":
+    """Operator visibility: this table's provisional commits whose
+    transactions are still unresolved — each blocks checkpoint folding
+    and log truncation until its writer finishes or an operator
+    aborts it."""
+    out = []
+    for v, kind in _list_commits(spark, path):
+        if kind != "commit":
+            continue
+        c = _load(spark, path, f"{v:0{_PAD}d}.json")
+        m = c.get("multi")
+        if m and _multi_status(spark, m["coordinator"], m["txid"]) == "pending":
+            out.append(
+                {
+                    "version": v,
+                    "txid": m["txid"],
+                    "coordinator": m["coordinator"],
+                    "n_added": len(c.get("add", [])),
+                }
+            )
+    return out

@@ -280,6 +280,64 @@ def _load(spark, path: str, name: str) -> dict:
     return json.loads(_read_small(spark, fs, p).decode("utf-8"))
 
 
+# --- multi-table transaction resolution (see sources/multitx.py) ---------
+#
+# A commit carrying {"multi": {"coordinator", "txid"}} is PROVISIONAL:
+# it applies to the snapshot only once the coordinator record
+# <coordinator>/_multitx/<txid>.json exists and is not an abort
+# tombstone. Commit and abort race put-if-absent on that ONE filename,
+# so the scheme's CommitClaimer arbitrates and the transaction resolves
+# atomically for every participant table at once.
+
+#: terminal resolutions only ((coordinator, txid) -> committed|aborted);
+#: 'pending' is never cached — it can still flip either way
+_MULTI_CACHE: dict = {}
+
+
+def _multi_record_path(coordinator: str, txid: str) -> str:
+    return f"{coordinator}/_multitx/{txid}.json"
+
+
+def _multi_status(spark, coordinator: str, txid: str) -> str:
+    """'committed' | 'aborted' | 'pending' for a multi-table txn."""
+    key = (coordinator, txid)
+    if key in _MULTI_CACHE:
+        return _MULTI_CACHE[key]
+    fs, p = hadoop_fs(spark, _multi_record_path(coordinator, txid))
+    if not fs.exists(p):
+        return "pending"
+    rec = json.loads(_read_small(spark, fs, p).decode("utf-8"))
+    status = "aborted" if rec.get("aborted") else "committed"
+    _MULTI_CACHE[key] = status
+    return status
+
+
+def _has_pending_multi(spark, path: str, version: int) -> bool:
+    """Any provisional multi-txn commit ≤ version still unresolved?"""
+    for v, kind in _list_commits(spark, path):
+        if kind != "commit" or v > version:
+            continue
+        m = _load(spark, path, f"{v:0{_PAD}d}.json").get("multi")
+        if m and _multi_status(spark, m["coordinator"], m["txid"]) == "pending":
+            return True
+    return False
+
+
+def _pending_multi_adds(spark, path: str) -> list[str]:
+    """Data files added by still-PENDING multi-txn commits — invisible
+    to snapshots, but must survive vacuum: the transaction may yet
+    resolve committed."""
+    out: list[str] = []
+    for v, kind in _list_commits(spark, path):
+        if kind != "commit":
+            continue
+        c = _load(spark, path, f"{v:0{_PAD}d}.json")
+        m = c.get("multi")
+        if m and _multi_status(spark, m["coordinator"], m["txid"]) == "pending":
+            out.extend(c.get("add", []))
+    return out
+
+
 def _snapshot_files(
     spark, path: str, version: int | None = None
 ) -> tuple[list[str], int]:
@@ -307,6 +365,14 @@ def _snapshot_files(
         if v < start or v > version:
             continue
         c = _load(spark, path, f"{v:0{_PAD}d}.json")
+        m = c.get("multi")
+        if m is not None and (
+            _multi_status(spark, m["coordinator"], m["txid"]) != "committed"
+        ):
+            # provisional multi-table commit: pending or aborted →
+            # invisible (it becomes visible atomically, for every
+            # participant table, when the coordinator record lands)
+            continue
         if c["action"] == "overwrite":
             live = set()
         live -= set(c.get("remove", []))
@@ -441,7 +507,27 @@ def tx_write(
     )
     fs = hadoop_fs(spark, path)[0]
 
-    # optimistic commit loop
+    def build(next_v: int) -> dict:
+        payload = {
+            "version": next_v,
+            "action": mode,
+            "add": added,
+            "remove": [],
+            "txn": txn,
+        }
+        if stats:
+            payload["stats"] = stats
+        return payload
+
+    return _commit_with_retries(spark, path, fs, build, txn, max_retries)
+
+
+def _commit_with_retries(
+    spark, path: str, fs, build_payload, txn: str | None, max_retries: int
+) -> int:
+    """Optimistic commit loop shared by tx_write and tx_multi:
+    ``build_payload(next_v) -> dict`` is called fresh per attempt;
+    returns the committed version."""
     for _ in range(max_retries):
         if txn is not None and (
             prior := _committed_txns(spark, path).get(txn)
@@ -454,20 +540,11 @@ def tx_write(
         # counter (restarting at 0 would order new commits BEFORE it)
         versions = [v for v, _ in _list_commits(spark, path)]
         next_v = (max(versions) + 1) if versions else 0
-        payload = {
-            "version": next_v,
-            "action": mode,
-            "add": added,
-            "remove": [],
-            "txn": txn,
-        }
-        if stats:
-            payload["stats"] = stats
         if _write_atomic(
             spark,
             fs,
             f"{path}/_txlog/{next_v:0{_PAD}d}.json",
-            json.dumps(payload).encode(),
+            json.dumps(build_payload(next_v)).encode(),
         ):
             if (next_v + 1) % CHECKPOINT_EVERY == 0:
                 _write_checkpoint(spark, path, next_v)
@@ -478,7 +555,15 @@ def tx_write(
     )
 
 
-def _write_checkpoint(spark, path: str, version: int) -> None:
+def _write_checkpoint(spark, path: str, version: int) -> bool:
+    """Write a full-snapshot checkpoint at ``version``; returns False
+    (written nothing) when an UNRESOLVED multi-table commit sits in
+    the fold range — folding it would freeze a still-undecided
+    transaction as absent, and a later coordinator publish would then
+    never surface its files. Checkpoints are an optimization; skipping
+    is always safe."""
+    if _has_pending_multi(spark, path, version):
+        return False
     files, _ = _snapshot_files(spark, path, version)
     fs = hadoop_fs(spark, path)[0]
     live_stats = {
@@ -498,6 +583,7 @@ def _write_checkpoint(spark, path: str, version: int) -> None:
         f"{path}/_txlog/{version:0{_PAD}d}.checkpoint.json",
         json.dumps(payload).encode(),
     )
+    return True
 
 
 def tx_read(
@@ -570,15 +656,19 @@ def tx_history(spark: SparkSession, path: str) -> list[dict]:
         if kind != "commit":
             continue
         c = _load(spark, path, f"{v:0{_PAD}d}.json")
-        out.append(
-            {
-                "version": v,
-                "action": c["action"],
-                "n_added": len(c.get("add", [])),
-                "n_removed": len(c.get("remove", [])),
-                "txn": c.get("txn"),
-            }
-        )
+        entry = {
+            "version": v,
+            "action": c["action"],
+            "n_added": len(c.get("add", [])),
+            "n_removed": len(c.get("remove", [])),
+            "txn": c.get("txn"),
+        }
+        if (m := c.get("multi")) is not None:
+            entry["multi_txid"] = m["txid"]
+            entry["multi_status"] = _multi_status(
+                spark, m["coordinator"], m["txid"]
+            )
+        out.append(entry)
     return out
 
 
@@ -610,9 +700,15 @@ def tx_vacuum(spark: SparkSession, path: str) -> list[str]:
     The _staging sweep at the end likewise assumes no writer is
     between stage and commit at that instant."""
     files, version = _snapshot_files(spark, path)
-    _write_checkpoint(spark, path, version)
+    # a pending multi-table txn blocks the checkpoint (see
+    # _write_checkpoint): then its provisional files must survive the
+    # sweep (the txn may yet commit) and the log must not be truncated
+    # (the commit entries carry the only record of its adds)
+    folded = _write_checkpoint(spark, path, version)
     fs = hadoop_fs(spark, path)[0]
     live = {f"{path}/{f}" for f in files}
+    if not folded:
+        live |= {f"{path}/{f}" for f in _pending_multi_adds(spark, path)}
     deleted = []
     for f in _all_data_files(spark, path):
         if f not in live:
@@ -622,7 +718,7 @@ def tx_vacuum(spark: SparkSession, path: str) -> list[str]:
     # (safe: the surviving checkpoint pins the version counter, so
     # truncated versions are never re-published)
     for v, kind in _list_commits(spark, path):
-        if v < version or (v == version and kind == "commit"):
+        if folded and (v < version or (v == version and kind == "commit")):
             name = (
                 f"{v:0{_PAD}d}.checkpoint.json"
                 if kind == "checkpoint"

@@ -1,0 +1,205 @@
+"""Multi-table transactions (sources/multitx): all participant tables
+become visible together or not at all — across crashes at any point —
+with commit-vs-abort arbitrated by one put-if-absent coordinator slot,
+and vacuum/checkpoint interlocks protecting in-flight transactions."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from distributed_mapreduce__spark.sources import multitx, txlog
+from distributed_mapreduce__spark.sources.multitx import (
+    MultiTxAborted,
+    tx_multi,
+    tx_multi_abort,
+    tx_multi_pending,
+    tx_multi_status,
+)
+from distributed_mapreduce__spark.sources.txlog import (
+    tx_history,
+    tx_read,
+    tx_vacuum,
+    tx_write,
+)
+
+
+def _df(spark, lo, hi, tag):
+    return spark.range(lo, hi).select(
+        F.col("id"), F.lit(tag).alias("tag")
+    )
+
+
+def _ids(spark, path, version=None):
+    return sorted(r.id for r in tx_read(spark, path, version).collect())
+
+
+def _crash_mid_flight(spark, tmp_path, monkeypatch, txid):
+    """Run tx_multi up to (but not through) the coordinator publish —
+    the per-table provisional commits land, then the 'process dies'."""
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    tx_write(_df(spark, 0, 2, "seed"), a)
+    tx_write(_df(spark, 0, 3, "seed"), b)
+    coord = str(tmp_path / "catalog")
+
+    real = multitx._write_atomic
+
+    def dying_publish(spark_, fs, path, payload):
+        if "_multitx/" in path:
+            raise RuntimeError("simulated crash before coordinator publish")
+        return real(spark_, fs, path, payload)
+
+    monkeypatch.setattr(multitx, "_write_atomic", dying_publish)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        tx_multi(
+            {a: _df(spark, 10, 12, "tx"), b: _df(spark, 20, 24, "tx")},
+            coord,
+            txn=txid,
+        )
+    monkeypatch.setattr(multitx, "_write_atomic", real)
+    return a, b, coord
+
+
+def test_atomic_two_table_append(spark, tmp_path):
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    tx_write(_df(spark, 0, 2, "seed"), a)
+    coord = str(tmp_path / "catalog")
+    versions = tx_multi(
+        {a: _df(spark, 10, 13, "tx"), b: _df(spark, 20, 22, "tx")},
+        coord,
+        txn="t1",
+        stats_cols=["id"],
+    )
+    assert versions[a] == 1 and versions[b] == 0  # b born in the txn
+    assert _ids(spark, a) == [0, 1, 10, 11, 12]
+    assert _ids(spark, b) == [20, 21]
+    assert tx_multi_status(spark, coord, "t1") == {
+        "status": "committed",
+        "tables": versions,
+    }
+    hist = tx_history(spark, a)
+    assert hist[-1]["multi_status"] == "committed"
+    assert hist[-1]["txn"] == "multi:t1"
+    # idempotent replay: same txn returns the SAME versions, no new
+    # commits on either table
+    again = tx_multi(
+        {a: _df(spark, 10, 13, "tx"), b: _df(spark, 20, 22, "tx")},
+        coord,
+        txn="t1",
+    )
+    assert again == versions
+    assert len(tx_history(spark, a)) == len(hist)
+    # time travel: the pre-txn version of a excludes the txn's rows
+    assert _ids(spark, a, version=0) == [0, 1]
+
+
+def test_crash_before_publish_leaves_nothing_visible(
+    spark, tmp_path, monkeypatch
+):
+    a, b, coord = _crash_mid_flight(spark, tmp_path, monkeypatch, "t2")
+    # provisional commits exist but NO table shows the transaction
+    assert _ids(spark, a) == [0, 1]
+    assert _ids(spark, b) == [0, 1, 2]
+    assert tx_multi_status(spark, coord, "t2")["status"] == "pending"
+    pend = tx_multi_pending(spark, a)
+    assert len(pend) == 1 and pend[0]["txid"] == "t2"
+    # retry with the SAME txn resumes the provisional commits (no
+    # double-append) and completes the transaction
+    versions = tx_multi(
+        {a: _df(spark, 10, 12, "tx"), b: _df(spark, 20, 24, "tx")},
+        coord,
+        txn="t2",
+    )
+    assert _ids(spark, a) == [0, 1, 10, 11]
+    assert _ids(spark, b) == [0, 1, 2, 20, 21, 22, 23]
+    assert tx_multi_pending(spark, a) == []
+    # the resumed run reused the crashed attempt's provisional commits
+    assert versions[a] == tx_history(spark, a)[-1]["version"]
+
+
+def test_abort_kills_pending_and_blocks_retry(spark, tmp_path, monkeypatch):
+    a, b, coord = _crash_mid_flight(spark, tmp_path, monkeypatch, "t3")
+    assert tx_multi_abort(spark, coord, "t3") is True
+    assert tx_multi_status(spark, coord, "t3")["status"] == "aborted"
+    # nothing ever becomes visible, and a retry refuses loudly
+    assert _ids(spark, a) == [0, 1]
+    with pytest.raises(MultiTxAborted):
+        tx_multi(
+            {a: _df(spark, 10, 12, "tx"), b: _df(spark, 20, 24, "tx")},
+            coord,
+            txn="t3",
+        )
+    # the aborted transaction is terminal: vacuum folds the log and
+    # collects its provisional data files
+    before = len(txlog._all_data_files(spark, a))
+    deleted = tx_vacuum(spark, a)
+    assert len(deleted) == before - len(txlog._snapshot_files(spark, a)[0])
+    assert _ids(spark, a) == [0, 1]
+    assert tx_multi_pending(spark, a) == []
+
+
+def test_abort_after_commit_is_too_late(spark, tmp_path):
+    a = str(tmp_path / "a")
+    coord = str(tmp_path / "catalog")
+    tx_multi({a: _df(spark, 0, 5, "tx")}, coord, txn="t4")
+    assert tx_multi_abort(spark, coord, "t4") is False
+    assert _ids(spark, a) == [0, 1, 2, 3, 4]
+    assert tx_multi_status(spark, coord, "t4")["status"] == "committed"
+
+
+def test_vacuum_and_checkpoint_protect_inflight_txn(
+    spark, tmp_path, monkeypatch
+):
+    a, b, coord = _crash_mid_flight(spark, tmp_path, monkeypatch, "t5")
+    # checkpoint refuses to fold the undecided commit
+    latest = txlog._snapshot_files(spark, a)[1]
+    assert txlog._write_checkpoint(spark, a, latest) is False
+    # vacuum must neither delete the provisional files nor truncate
+    n_files = len(txlog._all_data_files(spark, a))
+    n_commits = len(txlog._list_commits(spark, a))
+    assert tx_vacuum(spark, a) == []
+    assert len(txlog._all_data_files(spark, a)) == n_files
+    assert len(txlog._list_commits(spark, a)) == n_commits
+    # resolution unblocks both: finish the txn, then checkpoint folds
+    tx_multi(
+        {a: _df(spark, 10, 12, "tx"), b: _df(spark, 20, 24, "tx")},
+        coord,
+        txn="t5",
+    )
+    assert txlog._write_checkpoint(spark, a, latest) is True
+    tx_vacuum(spark, a)
+    assert _ids(spark, a) == [0, 1, 10, 11]
+
+
+def test_interleaves_with_plain_writes(spark, tmp_path, monkeypatch):
+    """Plain tx_write traffic flows THROUGH a pending transaction:
+    later single-table commits stay visible while the multi commit
+    stays invisible, and resolution slots the txn's rows in without
+    disturbing either side."""
+    a, b, coord = _crash_mid_flight(spark, tmp_path, monkeypatch, "t6")
+    tx_write(_df(spark, 100, 103, "after"), a)
+    assert _ids(spark, a) == [0, 1, 100, 101, 102]
+    tx_multi(
+        {a: _df(spark, 10, 12, "tx"), b: _df(spark, 20, 24, "tx")},
+        coord,
+        txn="t6",
+    )
+    assert _ids(spark, a) == [0, 1, 10, 11, 100, 101, 102]
+    # history shows all three commits in version order
+    assert [h["action"] for h in tx_history(spark, a)] == [
+        "append", "append", "append"
+    ]
+
+
+def test_empty_participant_and_validation(spark, tmp_path):
+    a = str(tmp_path / "a")
+    coord = str(tmp_path / "catalog")
+    with pytest.raises(ValueError, match="at least one table"):
+        tx_multi({}, coord)
+    versions = tx_multi(
+        {a: _df(spark, 0, 0, "empty")}, coord, txn="t7"
+    )
+    assert versions[a] == 0  # an empty append is a legal commit
+    assert tx_multi_status(spark, coord, "t7")["status"] == "committed"
