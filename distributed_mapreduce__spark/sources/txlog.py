@@ -68,6 +68,16 @@ CHECKPOINT_EVERY = 10
 _PAD = 20  # zero-padded version filenames sort lexicographically
 
 
+def _abs(path: str, f: str) -> str:
+    """Resolve a commit file ref: ordinary adds are RELATIVE to the
+    table root ("data/<uuid>.parquet"); shallow-clone commits
+    (:func:`tx_clone`) reference the source table's files ABSOLUTELY
+    and pass through unchanged."""
+    if f.startswith("/") or "://" in f or f.startswith("file:"):
+        return f
+    return f"{path}/{f}"
+
+
 def _read_small(spark, fs, p) -> bytes:
     raw = fs.open(p)
     try:
@@ -442,7 +452,7 @@ def _collect_stats(
         aggs.append(F.min(c).alias(f"__lo_{c}"))
         aggs.append(F.max(c).alias(f"__hi_{c}"))
     rows = (
-        spark.read.parquet(*[f"{path}/{f}" for f in files])
+        spark.read.parquet(*[_abs(path, f) for f in files])
         .groupBy(F.input_file_name().alias("__f"))
         .agg(*aggs)
         .collect()
@@ -636,7 +646,7 @@ def tx_read(
     reader = spark.read
     if merge_schema:
         reader = reader.option("mergeSchema", "true")
-    out = reader.parquet(*[f"{path}/{f}" for f in files])
+    out = reader.parquet(*[_abs(path, f) for f in files])
     if where is not None:
         from pyspark.sql import functions as F
 
@@ -706,9 +716,9 @@ def tx_vacuum(spark: SparkSession, path: str) -> list[str]:
     # (the commit entries carry the only record of its adds)
     folded = _write_checkpoint(spark, path, version)
     fs = hadoop_fs(spark, path)[0]
-    live = {f"{path}/{f}" for f in files}
+    live = {_abs(path, f) for f in files}
     if not folded:
-        live |= {f"{path}/{f}" for f in _pending_multi_adds(spark, path)}
+        live |= {_abs(path, f) for f in _pending_multi_adds(spark, path)}
     deleted = []
     for f in _all_data_files(spark, path):
         if f not in live:
@@ -804,7 +814,7 @@ def _files_overlapping_keys(
             fmin, fmax = st
         else:
             mm = _footer_min_max(
-                f"{path}/{f}".replace("file:", ""), key_col
+                _abs(path, f).replace("file:", ""), key_col
             )
             if mm is None:
                 touched.append(f)
@@ -861,7 +871,7 @@ def tx_merge(
     keys = updates.select(key_col)
     if touched:
         survivors = spark.read.parquet(
-            *[f"{path}/{f}" for f in touched]
+            *[_abs(path, f) for f in touched]
         ).join(keys, key_col, "left_anti")
         new_data = survivors.unionByName(updates)
     else:
@@ -908,7 +918,7 @@ def _concurrent_append_conflicts(
             if st is not None and st[0] is not None:
                 fmin, fmax = st
             else:
-                local = f"{path}/{f}".replace("file:", "")
+                local = _abs(path, f).replace("file:", "")
                 mm = _footer_min_max(local, key_col)
                 if mm is None:
                     # zero-row part files (Spark writes one per
@@ -1032,13 +1042,13 @@ def tx_compact(
     fs = hadoop_fs(spark, path)[0]
     sized = []
     for f in files:
-        st = fs.getFileStatus(hadoop_fs(spark, f"{path}/{f}")[1])
+        st = fs.getFileStatus(hadoop_fs(spark, _abs(path, f))[1])
         sized.append((st.getLen(), f))
     sized.sort()
     chosen = [f for _, f in sized[:max_input_files]]
     if len(chosen) <= target_files:
         return None
-    merged = spark.read.parquet(*[f"{path}/{f}" for f in chosen]).coalesce(
+    merged = spark.read.parquet(*[_abs(path, f) for f in chosen]).coalesce(
         target_files
     )
     added = _stage_and_place(merged, path)
@@ -1111,7 +1121,7 @@ def tx_changes(
         added.extend(c.get("add", []))
     if not added:
         return None, latest
-    return spark.read.parquet(*[f"{path}/{f}" for f in added]), latest
+    return spark.read.parquet(*[_abs(path, f) for f in added]), latest
 
 
 def tx_delete(
@@ -1147,7 +1157,7 @@ def tx_delete(
             spark, path, [], [], snap_version, txn, "delete",
             conflict_keys=None if lo is None else (key_col, lo, hi),
         )
-    survivors = spark.read.parquet(*[f"{path}/{f}" for f in touched]).join(
+    survivors = spark.read.parquet(*[_abs(path, f) for f in touched]).join(
         keys.select(key_col).distinct(), key_col, "left_anti"
     )
     added = _stage_and_place(survivors, path)
@@ -1181,7 +1191,7 @@ def tx_optimize_zorder(
     files, snap_version = _snapshot_files(spark, path)
     if not files:
         raise FileNotFoundError(f"nothing to optimize at {path}")
-    df = spark.read.parquet(*[f"{path}/{f}" for f in files])
+    df = spark.read.parquet(*[_abs(path, f) for f in files])
     clustered = zorder_by(df, list(cols), n_files=n_files, bits=bits)
     added = _stage_and_place(clustered, path)
     stats = _collect_stats(spark, path, added, sorted(cols)) if added else None
@@ -1216,7 +1226,7 @@ def tx_diff(
     def read(files):
         if not files:
             return tx_read(spark, path, version=to_version).limit(0)
-        return spark.read.parquet(*[f"{path}/{f}" for f in files])
+        return spark.read.parquet(*[_abs(path, f) for f in files])
 
     old_df, new_df = read(old_only), read(new_only)
     added = new_df.exceptAll(old_df).withColumn("change", F.lit("added"))
@@ -1257,3 +1267,89 @@ def tx_maintain(
         "files_after": after,
         "vacuumed": vacuumed,
     }
+
+
+def tx_restore(
+    spark: SparkSession, path: str, version: int, max_retries: int = 20
+) -> int:
+    """RESTORE TABLE ... VERSION AS OF: commit a metadata-only
+    overwrite whose file set IS the historical version's — no data is
+    copied or rewritten, and the restore itself is a new version (the
+    pre-restore state stays time-travelable until ``tx_vacuum``), the
+    Delta RESTORE semantics. Raises if the target version was already
+    truncated by vacuum, or if any of its files has been physically
+    deleted (restore-after-vacuum cannot resurrect data)."""
+    files, eff = _snapshot_files(spark, path, version)
+    fs = hadoop_fs(spark, path)[0]
+    for f in files:
+        if not fs.exists(hadoop_fs(spark, _abs(path, f))[1]):
+            raise FileNotFoundError(
+                f"cannot restore {path} to version {eff}: {f} was "
+                "physically deleted (vacuum destroys pre-vacuum restore "
+                "targets)"
+            )
+    stats = {f: st for f, st in _log_stats(spark, path).items() if f in set(files)}
+
+    def build(next_v: int) -> dict:
+        payload = {
+            "version": next_v,
+            "action": "overwrite",
+            "add": files,
+            "remove": [],
+            "txn": None,
+            "restore_of": eff,
+        }
+        if stats:
+            payload["stats"] = stats
+        return payload
+
+    return _commit_with_retries(spark, path, fs, build, None, max_retries)
+
+
+def tx_clone(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    version: int | None = None,
+    max_retries: int = 20,
+) -> int:
+    """Shallow clone: create table ``dst`` whose first commit
+    REFERENCES ``src``'s live files (as of ``version``) absolutely —
+    zero data copied, the Delta SHALLOW CLONE semantics. The clone is
+    immediately independent: appends/merges/compactions on either side
+    never touch the other (the clone's own writes land in its own
+    ``data/``; copy-on-write rewrites replace source REFERENCES with
+    clone-local files), and the clone carries the source's column
+    stats so data skipping keeps working.
+
+    Caveat (same as Delta's): ``tx_vacuum`` on the SOURCE only knows
+    its own log, so it can delete files a clone still references —
+    vacuum the source only when no clone of it is live. Vacuum on the
+    clone never deletes source files (they live outside its
+    ``data/``)."""
+    fs, dlog = hadoop_fs(spark, f"{dst}/_txlog")
+    if fs.exists(dlog):
+        raise FileExistsError(f"clone destination {dst} already exists")
+    files, eff = _snapshot_files(spark, src, version)
+    refs = [_abs(src, f) for f in files]
+    src_stats = _log_stats(spark, src)
+    stats = {
+        _abs(src, f): src_stats[f] for f in files if f in src_stats
+    }
+
+    def build(next_v: int) -> dict:
+        payload = {
+            "version": next_v,
+            "action": "overwrite",
+            "add": refs,
+            "remove": [],
+            "txn": None,
+            "clone_of": {"src": src, "version": eff},
+        }
+        if stats:
+            payload["stats"] = stats
+        return payload
+
+    return _commit_with_retries(
+        spark, dst, hadoop_fs(spark, dst)[0], build, None, max_retries
+    )
