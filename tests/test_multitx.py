@@ -203,3 +203,60 @@ def test_empty_participant_and_validation(spark, tmp_path):
     )
     assert versions[a] == 0  # an empty append is a legal commit
     assert tx_multi_status(spark, coord, "t7")["status"] == "committed"
+
+
+def test_streaming_fanout_exactly_once_across_tables(spark, tmp_path):
+    """The multi-sink streaming contract: foreachBatch routes each
+    micro-batch into TWO tables through one tx_multi (txn=batch id).
+    A checkpoint restart re-offers batches — both tables must stay
+    exactly-once, and no batch may ever land in one table but not the
+    other (the single-sink idiom can't promise that; the coordinator
+    record makes it structural)."""
+    src = str(tmp_path / "src")
+    evens, odds = str(tmp_path / "evens"), str(tmp_path / "odds")
+    coord = str(tmp_path / "catalog")
+    ckpt = str(tmp_path / "ck")
+    full = _df(spark, 0, 30, "s")
+    full.repartition(3).write.mode("overwrite").parquet(src)
+
+    def route(df, bid):
+        tx_multi(
+            {
+                evens: df.filter(F.col("id") % 2 == 0),
+                odds: df.filter(F.col("id") % 2 == 1),
+            },
+            coord,
+            txn=f"b{bid}",
+        )
+
+    def start():
+        stream = (
+            spark.readStream.schema(full.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        return (
+            stream.writeStream.foreachBatch(route)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert _ids(spark, evens) == list(range(0, 30, 2))
+    assert _ids(spark, odds) == list(range(1, 30, 2))
+    q2 = start()  # restart: batches re-offered → still exactly-once
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    assert _ids(spark, evens) == list(range(0, 30, 2))
+    assert _ids(spark, odds) == list(range(1, 30, 2))
+    # every batch committed atomically: the two tables hold the SAME
+    # transaction ids
+    a = {h["txn"] for h in txlog.tx_history(spark, evens)}
+    b = {h["txn"] for h in txlog.tx_history(spark, odds)}
+    assert a == b and len(a) == 3  # one per micro-batch (3 src files)
