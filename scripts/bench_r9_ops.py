@@ -1,0 +1,96 @@
+#!/usr/bin/env python3
+"""Measure the round-9 storage operators end-to-end — folded into
+bench.py's ``new_ops`` section alongside the round-6/7 sets.
+
+Covered:
+
+- multi_tx: two atomic cross-table transactions (orders + lineitem
+  halves) through the coordinator-record protocol, then a joined read
+- tx_restore: append → overwrite → RESTORE (metadata-only) → read
+- tx_clone: shallow clone of the lineitem table + clone-local append
+  + read (zero data copied at clone time)
+
+Usage: python scripts/bench_r9_ops.py [sf_dir ...] — or import
+``measure`` (bench.py does).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def _noop(df):
+    df.write.format("noop").mode("overwrite").save()
+
+
+def measure(spark, sf_dir: str, tmp: str) -> dict[str, float]:
+    from distributed_mapreduce__spark.sources.multitx import tx_multi
+    from distributed_mapreduce__spark.sources.tables import load_table
+    from distributed_mapreduce__spark.sources.txlog import (
+        tx_clone,
+        tx_read,
+        tx_restore,
+        tx_write,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    line = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    )
+    orders.count(), line.count()  # warm
+    out: dict[str, float] = {}
+
+    # two atomic cross-table transactions, then a joined read
+    to, tl, coord = f"{tmp}/mt_orders", f"{tmp}/mt_line", f"{tmp}/mt_cat"
+    t0 = time.perf_counter()
+    for batch, rem in (("m0", 0), ("m1", 1)):
+        tx_multi(
+            {
+                to: orders.filter(F.col("o_orderkey") % 2 == rem),
+                tl: line.filter(F.col("l_orderkey") % 2 == rem),
+            },
+            coordinator=coord,
+            txn=batch,
+        )
+    o, li = tx_read(spark, to), tx_read(spark, tl)
+    _noop(o.join(li, o.o_orderkey == li.l_orderkey))
+    out["multi_tx_2batch_join_read"] = round(time.perf_counter() - t0, 3)
+
+    # RESTORE: append → overwrite → metadata-only restore → read
+    tr = f"{tmp}/restore_t"
+    t0 = time.perf_counter()
+    tx_write(line, tr)
+    tx_write(line.limit(1000), tr, mode="overwrite")
+    tx_restore(spark, tr, 0)
+    _noop(tx_read(spark, tr))
+    out["txlog_restore_read"] = round(time.perf_counter() - t0, 3)
+
+    # shallow CLONE + clone-local append + read
+    tc = f"{tmp}/clone_t"
+    t0 = time.perf_counter()
+    tx_clone(spark, tr, tc)
+    tx_write(line.limit(5000), tc)
+    _noop(tx_read(spark, tc))
+    out["txlog_clone_append_read"] = round(time.perf_counter() - t0, 3)
+    return out
+
+
+if __name__ == "__main__":
+    import tempfile
+
+    from distributed_mapreduce__spark.session import build_session
+
+    spark = build_session(app_name="bench_r9_ops")
+    for sf_dir in sys.argv[1:] or ["/root/testdata/sf0.1"]:
+        res = measure(spark, sf_dir, tempfile.mkdtemp(prefix="bench_r9_"))
+        print(json.dumps({"sf_dir": sf_dir, **res}))
