@@ -121,3 +121,27 @@ def test_no_forced_vocabulary_broadcast(spark):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
     assert "HashedRelationBroadcastMode" not in plan, plan
+
+
+def test_dense_paths_agree(spark, monkeypatch):
+    """The single-aggregation dense path (dim ≤ _DENSE_AGG_MAX_DIM)
+    and the wide-dim per-(doc,bucket) fallback are the same operator:
+    forcing the fallback at dim=64 must reproduce the fast path's
+    vectors exactly."""
+    from distributed_mapreduce__spark.operators import text_ranking
+
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    fast = {
+        r.doc_id: r.embedding
+        for r in text_ranking.hashed_doc_vectors(docs).collect()
+    }
+    monkeypatch.setattr(text_ranking, "_DENSE_AGG_MAX_DIM", 0)
+    wide = {
+        r.doc_id: r.embedding
+        for r in text_ranking.hashed_doc_vectors(docs).collect()
+    }
+    assert fast.keys() == wide.keys()
+    for k in fast:
+        assert max(
+            abs(a - b) for a, b in zip(fast[k], wide[k])
+        ) < 1e-9, k
