@@ -1058,6 +1058,66 @@ def tx_compact(
     )
 
 
+def _change_sets(
+    spark, path: str, since_version: int | None
+) -> tuple[list[tuple[int, list[str]]], int]:
+    """Change-feed core: ``([(version, added files)], cursor)`` for
+    every commit after ``since_version``. A no-new-rows version
+    (compaction, aborted multi-table txn) appears with an empty file
+    list so callers can checkpoint past it. The drain STOPS before the
+    first still-PENDING multi-table commit — it can yet resolve either
+    committed or aborted, so its adds are neither deliverable nor
+    skippable; ``cursor`` is then that version minus one and a later
+    pull re-probes. Raises on history-rewrite commits."""
+    commits = _list_commits(spark, path)
+    versions = [v for v, k in commits if k == "commit"]
+    ck_versions = [v for v, k in commits if k == "checkpoint"]
+    latest = max(versions + ck_versions) if (versions or ck_versions) else None
+    if latest is None:
+        raise FileNotFoundError(f"no transactional table at {path}")
+    start = -1 if since_version is None else since_version
+    if start > latest:
+        # a checkpoint from the future (wrong table? rolled-back log?)
+        # silently returning nothing would REGRESS the caller's cursor
+        # and re-deliver rows on the next tick
+        raise ValueError(
+            f"since_version {start} is beyond the log's latest version "
+            f"{latest} at {path}; wrong table or corrupted cursor"
+        )
+    # a resumable start must still EXIST in the log (commit or
+    # checkpoint): a vacuumed-away version can't prove which adds the
+    # caller already saw, so silently skipping would risk double reads
+    if start >= 0 and start < latest and start not in set(versions) | set(ck_versions):
+        raise ValueError(
+            f"version {start} was vacuumed from the log at {path}; "
+            "reprocess from a snapshot read"
+        )
+    out: list[tuple[int, list[str]]] = []
+    for v in versions:
+        if v <= start:
+            continue
+        c = _load(spark, path, f"{v:0{_PAD}d}.json")
+        m = c.get("multi")
+        if m is not None:
+            status = _multi_status(spark, m["coordinator"], m["txid"])
+            if status == "pending":
+                return out, v - 1
+            if status == "aborted":
+                out.append((v, []))  # never became visible; nothing new
+                continue
+        if c["action"] == "compact":
+            out.append((v, []))  # pure rewrite, contents identical
+            continue
+        if c["action"] != "append" or c.get("remove"):
+            raise ValueError(
+                f"commit {v} is {c['action']!r} (rewrites history); an "
+                "incremental reader must reprocess the snapshot via "
+                "tx_read, then resume from that version"
+            )
+        out.append((v, c.get("add", [])))
+    return out, latest
+
+
 def tx_changes(
     spark: SparkSession, path: str, since_version: int | None = None
 ) -> tuple[DataFrame | None, int]:
@@ -1081,47 +1141,49 @@ def tx_changes(
     change feed enforces unless row-tracking is on. Cost is O(new
     files): the log names them; no directory diffing, no re-read of
     consumed data.
+
+    Multi-table commits (sources/multitx.py) are honored the way
+    snapshots honor them: committed ones deliver normally, aborted
+    ones were never visible and deliver nothing, and the drain stops
+    BEFORE a still-pending one — the returned cursor parks just below
+    it and a later call re-probes the coordinator record.
+
+    For per-commit granularity (bounded micro-batches, one idempotent
+    txn id per source version) use :func:`tx_changes_by_version`.
     """
-    commits = _list_commits(spark, path)
-    versions = [v for v, k in commits if k == "commit"]
-    ck_versions = [v for v, k in commits if k == "checkpoint"]
-    latest = max(versions + ck_versions) if (versions or ck_versions) else None
-    if latest is None:
-        raise FileNotFoundError(f"no transactional table at {path}")
-    start = -1 if since_version is None else since_version
-    if start > latest:
-        # a checkpoint from the future (wrong table? rolled-back log?)
-        # silently returning (None, latest) would REGRESS the caller's
-        # cursor and re-deliver rows on the next tick
-        raise ValueError(
-            f"since_version {start} is beyond the log's latest version "
-            f"{latest} at {path}; wrong table or corrupted cursor"
-        )
-    # a resumable start must still EXIST in the log (commit or
-    # checkpoint): a vacuumed-away version can't prove which adds the
-    # caller already saw, so silently skipping would risk double reads
-    if start >= 0 and start < latest and start not in set(versions) | set(ck_versions):
-        raise ValueError(
-            f"version {start} was vacuumed from the log at {path}; "
-            "reprocess from a snapshot read"
-        )
-    added: list[str] = []
-    for v in versions:
-        if v <= start:
-            continue
-        c = _load(spark, path, f"{v:0{_PAD}d}.json")
-        if c["action"] == "compact":
-            continue  # pure rewrite, contents identical — nothing new
-        if c["action"] != "append" or c.get("remove"):
-            raise ValueError(
-                f"commit {v} is {c['action']!r} (rewrites history); an "
-                "incremental reader must reprocess the snapshot via "
-                "tx_read, then resume from that version"
-            )
-        added.extend(c.get("add", []))
+    sets, cursor = _change_sets(spark, path, since_version)
+    added = [f for _, files in sets for f in files]
     if not added:
-        return None, latest
-    return spark.read.parquet(*[_abs(path, f) for f in added]), latest
+        return None, cursor
+    return spark.read.parquet(*[_abs(path, f) for f in added]), cursor
+
+
+def tx_changes_by_version(
+    spark: SparkSession, path: str, since_version: int | None = None
+):
+    """Per-commit change feed: yields ``(version, DataFrame | None)``
+    for every commit after ``since_version``, in commit order —
+    ``None`` marks a version that added no rows (compaction, aborted
+    multi-table txn, empty append) which the caller must still
+    checkpoint past.
+
+    This is the granularity an exactly-once consumer wants: one
+    idempotent unit of work per SOURCE version, so a crash-and-replay
+    re-derives the identical batch boundaries. The all-at-once
+    :func:`tx_changes` cannot give that — its batch spans every
+    unconsumed version, so a replay that races a concurrent append
+    would widen the batch and double-deliver the overlap under a new
+    idempotence key. ``streaming/table_stream.py`` builds on this.
+
+    Same contract as :func:`tx_changes` otherwise: raises on
+    history-rewrite commits and vacuumed cursors, stops before a
+    pending multi-table commit."""
+    sets, _ = _change_sets(spark, path, since_version)
+    for v, files in sets:
+        if not files:
+            yield v, None
+        else:
+            yield v, spark.read.parquet(*[_abs(path, f) for f in files])
 
 
 def tx_delete(

@@ -1,0 +1,129 @@
+"""Checkpointed incremental table→table pipelines over the txlog
+change feed — the "readStream from a table, writeStream to a table"
+pattern (Delta streaming source/sink semantics; Structured Streaming's
+available-now trigger) rebuilt on this package's own primitives.
+
+Exactly-once without any coordination protocol, from three pieces that
+already exist:
+
+1. **At-least-once pull.** :func:`~..sources.txlog.tx_changes_by_version`
+   re-derives the identical per-source-version batches on every call —
+   the commit log IS the replayable offset range (Kafka-offset shape,
+   but versions instead of offsets).
+2. **Idempotent commit.** Each source version is written to the sink
+   table under txn id ``{name}:v{version}`` — a replayed batch finds
+   its txn already in the sink's log and is a no-op
+   (sources/txlog.py tx_write's streaming-sink contract).
+3. **Cursor persisted AFTER the write.** A crash in any window —
+   before the write, between write and cursor persist, mid-persist —
+   re-runs the version; step 2 absorbs the duplicate. The cursor file
+   is pure optimization (skip re-probing consumed versions), never a
+   correctness anchor.
+
+Per-version granularity is load-bearing: draining all unconsumed
+versions as ONE batch (plain ``tx_changes``) under one txn id would
+widen the batch on a crash-replay that races a concurrent source
+append — the overlap would commit twice under the new id. One txn per
+source version makes batch boundaries deterministic forever.
+
+100 TB posture: each micro-batch is exactly one source commit's files
+— batch size is bounded by the producer's commit size, not by how far
+behind the consumer is; a consumer that was down for a week processes
+a week of commits as a week of bounded batches, never one giant one.
+The cursor is a one-line JSON; all data movement is executor-side
+parquet scan → transform → parquet write.
+
+Reference parity: the reference engine (master/master.go) streams
+nothing and stores nothing transactional; this extends the round-7/9
+txlog family (see also streaming/foreach_sink.py for the Structured
+Streaming foreachBatch variant of the same idempotence argument).
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..sources.sinks import hadoop_fs
+from ..sources.txlog import _read_small, tx_changes_by_version, tx_write
+
+_CURSOR = "cursor.json"
+
+
+def load_cursor(spark: SparkSession, checkpoint: str) -> int | None:
+    """Last fully-processed source version, or None before first run."""
+    fs, p = hadoop_fs(spark, f"{checkpoint}/{_CURSOR}")
+    if not fs.exists(p):
+        return None
+    data = _read_small(spark, fs, p)
+    return int(json.loads(data.decode("utf-8"))["version"])
+
+
+def save_cursor(spark: SparkSession, checkpoint: str, version: int) -> None:
+    """Persist the cursor via tmp-write + delete + rename. The
+    non-atomic delete/rename window is safe by design: a crash that
+    loses the cursor only forces re-pulling versions whose sink txns
+    already exist — re-delivery is absorbed, never duplicated."""
+    fs, final = hadoop_fs(spark, f"{checkpoint}/{_CURSOR}")
+    _, tmp = hadoop_fs(spark, f"{checkpoint}/{_CURSOR}.tmp")
+    payload = json.dumps({"version": version}).encode("utf-8")
+    out = fs.create(tmp, True)
+    try:
+        out.write(payload)
+    finally:
+        out.close()
+    if fs.exists(final):
+        fs.delete(final, False)
+    if not fs.rename(tmp, final):
+        raise IOError(f"could not publish cursor at {checkpoint}")
+
+
+def pipe_available_now(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    transform: "Callable[[DataFrame], DataFrame] | None" = None,
+    *,
+    checkpoint: str,
+    name: str = "pipe",
+    stats_cols=None,
+) -> dict:
+    """Drain every unconsumed commit of the txlog table at ``src``
+    into the txlog table at ``dst``, one sink commit per source
+    version, exactly once — then return. (Structured Streaming's
+    ``Trigger.AvailableNow`` shape: process the backlog, stop.)
+
+    ``transform`` maps each micro-batch DataFrame (rows added by one
+    source commit) to the rows to append; None = identity. It must be
+    deterministic-per-batch in the eventual-consistency sense any
+    foreachBatch sink requires — a replay re-runs it on the identical
+    input, and only the txn id guards the result.
+
+    ``name`` namespaces the txn ids, so several independent pipes can
+    feed the same sink table; reusing a name against the same sink
+    with a DIFFERENT source or transform silently dedups — treat the
+    (name, checkpoint) pair as the pipeline's identity.
+
+    Raises (from the change feed) on source history rewrites —
+    reprocess the snapshot, re-seed the cursor with
+    :func:`save_cursor`, and resume.
+
+    Returns ``{"cursor", "versions", "writes"}``: the persisted
+    cursor, versions consumed this call, sink commits made this call.
+    """
+    if src.rstrip("/") == dst.rstrip("/"):
+        raise ValueError("src and dst are the same table; refusing a feedback loop")
+    cur = load_cursor(spark, checkpoint)
+    n_versions = n_writes = 0
+    last = cur
+    for v, batch in tx_changes_by_version(spark, src, cur):
+        if batch is not None:
+            out = transform(batch) if transform is not None else batch
+            tx_write(out, dst, txn=f"{name}:v{v}", stats_cols=stats_cols)
+            n_writes += 1
+        save_cursor(spark, checkpoint, v)
+        n_versions += 1
+        last = v
+    return {"cursor": last, "versions": n_versions, "writes": n_writes}
