@@ -8,6 +8,7 @@ public and small).
 Layout under ``<path>/``::
 
     data/<uuid>.parquet            immutable data files
+    _deletes/<uuid>.parquet        merge-on-read delete key files
     _staging/<uuid>/               in-flight writer output (invisible)
     _txlog/<v>.json                commit v (20-digit zero-padded name)
     _txlog/<v>.checkpoint.json     full snapshot every CHECKPOINT_EVERY
@@ -43,6 +44,16 @@ Protocol (everything readers trust is reached by atomic rename):
   whose ``txn`` already appears in the log is skipped and the original
   version returned — the streaming-sink exactly-once contract.
 
+- **Merge-on-read deletes**: ``tx_delete(mode='merge_on_read')``
+  commits a KB-sized equality tombstone instead of rewriting data
+  (Iceberg equality-delete / Delta deletion-vector economics: a
+  sparse delete over a 100 TB table costs O(|keys|), not O(touched
+  files)). Readers apply tombstones as broadcast anti-joins scoped by
+  per-file add-version (``eps``) so later re-inserts of a deleted key
+  survive; file-set operations refuse while tombstones are live and
+  ``tx_apply_deletes`` / ``tx_maintain`` settles the debt into a
+  bounded copy-on-write rewrite.
+
 100 TB posture: commits carry file LISTS (metadata, KBs), never data;
 snapshot reads hand Spark an explicit file list so partition discovery
 is O(live files) with zero directory listing of ``data/``; appends
@@ -53,6 +64,7 @@ and small JSON I/O only — no row ever passes through it.
 
 from __future__ import annotations
 
+import bisect
 import json
 import uuid
 from collections.abc import Sequence
@@ -348,11 +360,17 @@ def _pending_multi_adds(spark, path: str) -> list[str]:
     return out
 
 
-def _snapshot_files(
+def _snapshot_state(
     spark, path: str, version: int | None = None
-) -> tuple[list[str], int]:
-    """(live data files, effective version) by replaying the log —
-    from the newest checkpoint at/below ``version`` when one exists."""
+) -> tuple[dict, list, int]:
+    """Full snapshot replay: ``(eps, mor, effective version)`` where
+    ``eps`` maps each live data file to the version that ADDED it and
+    ``mor`` lists the live merge-on-read delete tombstones
+    ``{"version", "col", "files"}`` in commit order. A tombstone at
+    version v applies to exactly the files with ``eps[f] < v`` — rows
+    appended AFTER a delete are never its targets (Iceberg's
+    data-sequence-number rule for equality deletes). Replays from the
+    newest checkpoint at/below ``version`` when one exists."""
     commits = _list_commits(spark, path)
     versions = sorted({v for v, _ in commits})
     if not versions:
@@ -365,11 +383,17 @@ def _snapshot_files(
             f"(have {versions[0]}..{versions[-1]})"
         )
     ckpts = [v for v, kind in commits if kind == "checkpoint" and v <= version]
-    live: set[str] = set()
+    eps: dict = {}
+    mor: list = []
     start = 0
     if ckpts:
         ck = _load(spark, path, f"{ckpts[-1]:0{_PAD}d}.checkpoint.json")
-        live = set(ck["files"])
+        # pre-eps checkpoints default every folded file to the
+        # checkpoint version: safe, because such checkpoints cannot
+        # carry live tombstones (mor absent too) and any FUTURE
+        # tombstone v > ckpt applies to all of them regardless
+        eps = dict(ck.get("eps") or {f: ckpts[-1] for f in ck["files"]})
+        mor = list(ck.get("mor") or [])
         start = ckpts[-1] + 1
     for v in versions:
         if v < start or v > version:
@@ -384,10 +408,47 @@ def _snapshot_files(
             # participant table, when the coordinator record lands)
             continue
         if c["action"] == "overwrite":
-            live = set()
-        live -= set(c.get("remove", []))
-        live |= set(c.get("add", []))
-    return sorted(live), version
+            # whole-table replacement obsoletes pending tombstones too
+            eps = {}
+            mor = []
+        for f in c.get("remove", []):
+            eps.pop(f, None)
+        for f in c.get("add", []):
+            eps[f] = v
+        if c.get("mor"):
+            mor.append(
+                {"version": v, "col": c["mor"]["col"], "files": c["mor"]["files"]}
+            )
+        if c.get("mor_clears"):
+            cleared = set(c["mor_clears"])
+            mor = [t for t in mor if t["version"] not in cleared]
+    return eps, mor, version
+
+
+def _snapshot_files(
+    spark, path: str, version: int | None = None
+) -> tuple[list[str], int]:
+    """(live data files, effective version) by replaying the log —
+    from the newest checkpoint at/below ``version`` when one exists.
+    NOTE: file-level only; callers that READ rows must honor live
+    merge-on-read tombstones (see :func:`_snapshot_state` /
+    :func:`_require_no_mor`)."""
+    eps, _, version = _snapshot_state(spark, path, version)
+    return sorted(eps), version
+
+
+def _require_no_mor(spark, path: str, op: str, version: int | None = None):
+    """Refuse ``op`` while merge-on-read tombstones are live: file-set
+    operations (compact/zorder/merge/diff/restore/clone) would either
+    resurrect logically-deleted rows or double-apply tombstones. The
+    fix is always the same bounded rewrite: ``tx_apply_deletes``."""
+    _, mor, _ = _snapshot_state(spark, path, version)
+    if mor:
+        vs = [t["version"] for t in mor]
+        raise ValueError(
+            f"{op} on {path} with live merge-on-read delete tombstones "
+            f"(versions {vs}); run tx_apply_deletes first"
+        )
 
 
 def _committed_txns(spark, path: str) -> dict[str, int]:
@@ -427,6 +488,31 @@ def _stage_and_place(df: DataFrame, path: str) -> list[str]:
         added.append(f"data/{name}")
     fs.delete(sdir, True)
     return added
+
+
+def _stage_deletes(keys: DataFrame, path: str) -> list[str]:
+    """Stage a merge-on-read tombstone's key set under ``_deletes/``
+    (NOT ``data/`` — tombstones carry a one-column schema that must
+    never leak into schema recovery or the data-file sweep). Delete
+    key sets are small by use-case; coalesce(1) keeps the read-side
+    broadcast a single KB-scale file."""
+    spark = keys.sparkSession
+    stage_dir = f"{path}/_staging/{uuid.uuid4().hex}"
+    keys.coalesce(1).write.mode("overwrite").parquet(stage_dir)
+    fs, sdir = hadoop_fs(spark, stage_dir)
+    fs.mkdirs(hadoop_fs(spark, f"{path}/_deletes")[1])
+    placed = []
+    for st in fs.listStatus(sdir):
+        if not st.getPath().getName().endswith(".parquet"):
+            continue
+        name = f"{uuid.uuid4().hex}.parquet"
+        if not fs.rename(
+            st.getPath(), hadoop_fs(spark, f"{path}/_deletes/{name}")[1]
+        ):
+            raise RuntimeError(f"could not place tombstone file {name}")
+        placed.append(f"_deletes/{name}")
+    fs.delete(sdir, True)
+    return placed
 
 
 def _json_stat(v):
@@ -574,7 +660,8 @@ def _write_checkpoint(spark, path: str, version: int) -> bool:
     is always safe."""
     if _has_pending_multi(spark, path, version):
         return False
-    files, _ = _snapshot_files(spark, path, version)
+    eps, mor, _ = _snapshot_state(spark, path, version)
+    files = sorted(eps)
     fs = hadoop_fs(spark, path)[0]
     live_stats = {
         f: st for f, st in _log_stats(spark, path).items() if f in set(files)
@@ -582,6 +669,11 @@ def _write_checkpoint(spark, path: str, version: int) -> bool:
     payload = {
         "version": version,
         "files": files,
+        # per-file add-versions + live merge-on-read tombstones: both
+        # must survive log truncation or tombstones would stop scoping
+        # correctly (a file's eps decides which tombstones hit it)
+        "eps": eps,
+        "mor": mor,
         "txns": _committed_txns(spark, path),
         "stats": live_stats,
     }
@@ -617,8 +709,15 @@ def tx_read(
     the scan BEFORE Spark sees them (on top of parquet's own row-group
     pruning), and the filter is also applied to the result so
     correctness never depends on stats coverage. Either bound may be
-    None (one-sided)."""
-    files, _ = _snapshot_files(spark, path, version)
+    None (one-sided).
+
+    Live merge-on-read delete tombstones (``tx_delete(mode=
+    'merge_on_read')``) are applied at scan time: files are grouped by
+    which tombstones postdate their add-version and each group gets a
+    broadcast anti-join per applicable tombstone — no shuffle, and
+    rows appended after a delete are never its victims."""
+    eps, mor, _ = _snapshot_state(spark, path, version)
+    files = sorted(eps)
     if where is not None:
         col, lo, hi = where
         lo_j = None if lo is None else _json_stat(lo)
@@ -646,7 +745,7 @@ def tx_read(
     reader = spark.read
     if merge_schema:
         reader = reader.option("mergeSchema", "true")
-    out = reader.parquet(*[_abs(path, f) for f in files])
+    out = _read_with_mor(spark, path, reader, files, eps, mor)
     if where is not None:
         from pyspark.sql import functions as F
 
@@ -655,6 +754,43 @@ def tx_read(
             out = out.filter(F.col(col) >= F.lit(lo))
         if hi is not None:
             out = out.filter(F.col(col) <= F.lit(hi))
+    return out
+
+
+def _read_with_mor(
+    spark, path: str, reader, files: list[str], eps: dict, mor: list
+) -> DataFrame:
+    """Scan ``files`` honoring live merge-on-read tombstones. Files
+    sharing the same applicable tombstone suffix form one epoch group
+    (at most len(mor)+1 groups, and maintenance keeps len(mor) small);
+    each group chains one BROADCAST anti-join per applicable tombstone
+    — the scan itself stays a plain pushdown-friendly parquet read and
+    nothing shuffles, which is the point of merge-on-read at 100 TB:
+    a sparse delete costs a KB-sized broadcast at read time instead of
+    rewriting every touched file at delete time."""
+    if not mor:
+        return reader.parquet(*[_abs(path, f) for f in files])
+    from pyspark.sql import functions as F
+
+    tomb_versions = [t["version"] for t in mor]
+    groups: dict[int, list[str]] = {}
+    for f in files:
+        i = bisect.bisect_right(tomb_versions, eps[f])
+        groups.setdefault(i, []).append(f)
+    parts = []
+    for i in sorted(groups):
+        df = reader.parquet(*[_abs(path, f) for f in groups[i]])
+        for t in mor[i:]:
+            if not t["files"]:
+                continue
+            keys = spark.read.parquet(
+                *[_abs(path, f) for f in t["files"]]
+            )
+            df = df.join(F.broadcast(keys), t["col"], "left_anti")
+        parts.append(df)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
     return out
 
 
@@ -678,6 +814,10 @@ def tx_history(spark: SparkSession, path: str) -> list[dict]:
             entry["multi_status"] = _multi_status(
                 spark, m["coordinator"], m["txid"]
             )
+        if c.get("mor"):
+            entry["mor_col"] = c["mor"]["col"]
+        if c.get("mor_clears"):
+            entry["mor_clears"] = c["mor_clears"]
         out.append(entry)
     return out
 
@@ -709,7 +849,8 @@ def tx_vacuum(spark: SparkSession, path: str) -> list[str]:
     the production mitigation; this minimal port vacuums immediately).
     The _staging sweep at the end likewise assumes no writer is
     between stage and commit at that instant."""
-    files, version = _snapshot_files(spark, path)
+    eps, mor, version = _snapshot_state(spark, path)
+    files = sorted(eps)
     # a pending multi-table txn blocks the checkpoint (see
     # _write_checkpoint): then its provisional files must survive the
     # sweep (the txn may yet commit) and the log must not be truncated
@@ -724,6 +865,26 @@ def tx_vacuum(spark: SparkSession, path: str) -> list[str]:
         if f not in live:
             fs.delete(hadoop_fs(spark, f)[1], False)
             deleted.append(f)
+    # tombstone sweep: a merge-on-read key file is live while its
+    # tombstone is (LIVE tombstones are folded into the checkpoint);
+    # after apply_deletes / overwrite it is debris like any dead data
+    # file. Without a fresh checkpoint (pending multi), retained
+    # commits may still name tombstones — keep everything named.
+    live_tombs = {_abs(path, f) for t in mor for f in t["files"]}
+    if not folded:
+        for v, kind in _list_commits(spark, path):
+            if kind != "commit":
+                continue
+            c = _load(spark, path, f"{v:0{_PAD}d}.json")
+            if c.get("mor"):
+                live_tombs |= {_abs(path, f) for f in c["mor"]["files"]}
+    ddir_fs, ddir = hadoop_fs(spark, f"{path}/_deletes")
+    if ddir_fs.exists(ddir):
+        for st in ddir_fs.listStatus(ddir):
+            full = _abs(path, f"_deletes/{st.getPath().getName()}")
+            if full not in live_tombs:
+                ddir_fs.delete(st.getPath(), False)
+                deleted.append(full)
     # drop commit entries (and stale checkpoints) below the new one
     # (safe: the surviving checkpoint pins the version counter, so
     # truncated versions are never re-published)
@@ -864,6 +1025,7 @@ def tx_merge(
     if txn is not None and (prior := _committed_txns(spark, path).get(txn)) is not None:
         return prior
 
+    _require_no_mor(spark, path, "tx_merge")
     files, snap_version = _snapshot_files(spark, path)
     lo, hi = _key_bounds(updates, key_col)
     touched = _files_overlapping_keys(spark, path, files, lo, hi, key_col)
@@ -948,6 +1110,7 @@ def _commit_rewrite(
     max_retries: int = 20,
     stats: dict | None = None,
     conflict_keys: "tuple[str, object, object] | None" = None,
+    extra: dict | None = None,
 ) -> int:
     """Commit a rewrite (merge/delete/compact): remove+add in one
     version, with two conflict checks run at commit time, every retry:
@@ -961,13 +1124,25 @@ def _commit_rewrite(
       Delta raises ConcurrentAppendException for exactly this)."""
     fs = hadoop_fs(spark, path)[0]
     for _ in range(max_retries):
-        live_now, _ = _snapshot_files(spark, path)
-        gone = set(removed) - set(live_now)
+        eps_now, mor_now, _ = _snapshot_state(spark, path)
+        gone = set(removed) - set(eps_now)
         if gone:
             raise RuntimeError(
                 f"conflict: files rewritten concurrently since version "
                 f"{snap_version}: {sorted(gone)[:3]}... — re-run the "
                 f"{action} on the new snapshot"
+            )
+        # a rewrite's outputs carry the REWRITE's add-version, so any
+        # merge-on-read tombstone it didn't fold in would no longer
+        # apply to them — rows would silently dodge their delete. The
+        # rewrite must therefore commit against exactly the tombstone
+        # set it planned for (none, unless it is an apply_deletes).
+        planned = set((extra or {}).get("mor_clears", []))
+        if {t["version"] for t in mor_now} != planned:
+            raise RuntimeError(
+                f"conflict: merge-on-read tombstones changed since "
+                f"version {snap_version}; re-run the {action} (or "
+                "tx_apply_deletes) on the new snapshot"
             )
         if conflict_keys is not None:
             key_col, lo, hi = conflict_keys
@@ -992,6 +1167,8 @@ def _commit_rewrite(
         }
         if stats:
             payload["stats"] = stats
+        if extra:
+            payload.update(extra)
         if _write_atomic(
             spark,
             fs,
@@ -1036,6 +1213,7 @@ def tx_compact(
     loop to converge). Returns the committed version, or None if ≤1
     live file. Same conflict check as merge — concurrent rewrites of
     the chosen files abort loudly; concurrent appends are unaffected."""
+    _require_no_mor(spark, path, "tx_compact")
     files, snap_version = _snapshot_files(spark, path)
     if len(files) <= 1:
         return None
@@ -1191,21 +1369,60 @@ def tx_delete(
     path: str,
     key_col: str,
     txn: str | None = None,
+    mode: str = "copy_on_write",
 ) -> int:
-    """Copy-on-write DELETE by key (the right-to-be-forgotten path):
-    rows whose ``key_col`` appears in ``keys`` are removed; every file
-    whose footer range cannot contain a target key is untouched
-    metadata, exactly as in :func:`tx_merge`. Note the deleted rows
-    remain readable via time travel until :func:`tx_vacuum` — a real
-    erasure run is delete + vacuum, and that pairing is the documented
-    compliance contract (same as Delta's)."""
+    """DELETE by key. ``mode='copy_on_write'`` (default, the
+    right-to-be-forgotten path): rows whose ``key_col`` appears in
+    ``keys`` are physically removed now; every file whose footer range
+    cannot contain a target key is untouched metadata, exactly as in
+    :func:`tx_merge`. Note the deleted rows remain readable via time
+    travel until :func:`tx_vacuum` — a real erasure run is delete +
+    vacuum, and that pairing is the documented compliance contract
+    (same as Delta's).
+
+    ``mode='merge_on_read'``: commit a KB-sized equality-delete
+    tombstone (the distinct keys, as parquet under ``_deletes/``)
+    instead of rewriting any data file — O(|keys|) regardless of how
+    many of the table's files the keys touch, the Iceberg
+    equality-delete / Delta deletion-vector trade. Readers apply it as
+    a broadcast anti-join scoped to files added BEFORE the delete
+    (later appends of the same key survive). The debt is carried
+    visibly: compact/zorder/merge/diff/restore/clone refuse while
+    tombstones are live, and :func:`tx_apply_deletes` (run standalone
+    or via :func:`tx_maintain`) settles them into a normal
+    copy-on-write rewrite. Physical erasure therefore requires
+    apply + vacuum, not just the tombstone commit.
+
+    Serialization note: a merge-on-read delete applies to every row
+    whose file predates its COMMIT version — a concurrent append that
+    wins the version race is deleted from too (the delete serialized
+    after it). Copy-on-write instead aborts on such races."""
     spark = keys.sparkSession
     from pyspark.sql import functions as F
 
+    if mode not in ("copy_on_write", "merge_on_read"):
+        raise ValueError(f"mode must be copy_on_write|merge_on_read, got {mode!r}")
     if keys.filter(F.col(key_col).isNull()).limit(1).count():
         raise ValueError(f"keys carry NULL {key_col}")
     if txn is not None and (prior := _committed_txns(spark, path).get(txn)) is not None:
         return prior
+    if mode == "merge_on_read":
+        # existence check (and version-counter anchor) before staging
+        _snapshot_files(spark, path)
+        tomb_files = _stage_deletes(keys.select(key_col).distinct(), path)
+        fs = hadoop_fs(spark, path)[0]
+
+        def build(next_v: int) -> dict:
+            return {
+                "version": next_v,
+                "action": "delete",
+                "add": [],
+                "remove": [],
+                "txn": txn,
+                "mor": {"col": key_col, "files": tomb_files},
+            }
+
+        return _commit_with_retries(spark, path, fs, build, txn, 20)
     files, snap_version = _snapshot_files(spark, path)
     lo, hi = _key_bounds(keys, key_col)
     touched = _files_overlapping_keys(spark, path, files, lo, hi, key_col)
@@ -1230,6 +1447,62 @@ def tx_delete(
     )
 
 
+def tx_apply_deletes(spark: SparkSession, path: str) -> int | None:
+    """Settle every live merge-on-read tombstone into a physical
+    rewrite: files a tombstone applies to are re-written without the
+    deleted rows (same epoch-scoped anti-joins the reader runs), the
+    commit removes the originals and records ``mor_clears`` so replay
+    drops the tombstones. Returns the committed version, or None when
+    no tombstones are live.
+
+    This is the maintenance half of the merge-on-read contract: reads
+    stay cheap while deletes accumulate, then ONE bounded rewrite —
+    touching only tombstone-applicable files, never the whole table —
+    restores the invariant the file-set operations
+    (compact/zorder/merge/diff/restore/clone) require. Concurrent
+    appends are unaffected (their files postdate every tombstone);
+    concurrent rewrites of the touched files abort loudly via the
+    still-live check. Physical erasure of both the dead data files and
+    the tombstone key files still requires :func:`tx_vacuum`."""
+    eps, mor, snap_version = _snapshot_state(spark, path)
+    if not mor:
+        return None
+    tomb_versions = [t["version"] for t in mor]
+    groups: dict[int, list[str]] = {}
+    for f in sorted(eps):
+        i = bisect.bisect_right(tomb_versions, eps[f])
+        if i < len(mor):  # at least one tombstone applies
+            groups.setdefault(i, []).append(f)
+    touched = [f for fl in groups.values() for f in fl]
+    if not touched:
+        # tombstones outlived every applicable file (e.g. the files
+        # were CoW-deleted): clear them with a metadata-only commit
+        return _commit_rewrite(
+            spark, path, [], [], snap_version, None, "apply_deletes",
+            extra={"mor_clears": tomb_versions},
+        )
+    from pyspark.sql import functions as F
+
+    parts = []
+    for i in sorted(groups):
+        df = spark.read.parquet(*[_abs(path, f) for f in groups[i]])
+        for t in mor[i:]:
+            if not t["files"]:
+                continue
+            keys = spark.read.parquet(*[_abs(path, f) for f in t["files"]])
+            df = df.join(F.broadcast(keys), t["col"], "left_anti")
+        parts.append(df)
+    survivors = parts[0]
+    for p in parts[1:]:
+        survivors = survivors.unionByName(p)
+    added = _stage_and_place(survivors, path)
+    return _commit_rewrite(
+        spark, path, added, touched, snap_version, None, "apply_deletes",
+        stats=_rewrite_stats(spark, path, touched, added, None),
+        extra={"mor_clears": tomb_versions},
+    )
+
+
 def tx_optimize_zorder(
     spark: SparkSession,
     path: str,
@@ -1250,6 +1523,7 @@ def tx_optimize_zorder(
     snapshot, amortized over every later pruned scan."""
     from .layout import zorder_by
 
+    _require_no_mor(spark, path, "tx_optimize_zorder")
     files, snap_version = _snapshot_files(spark, path)
     if not files:
         raise FileNotFoundError(f"nothing to optimize at {path}")
@@ -1279,6 +1553,8 @@ def tx_diff(
     versions to still replay (pre-vacuum)."""
     from pyspark.sql import functions as F
 
+    _require_no_mor(spark, path, "tx_diff", from_version)
+    _require_no_mor(spark, path, "tx_diff", to_version)
     old_files, _ = _snapshot_files(spark, path, from_version)
     new_files, to_version = _snapshot_files(spark, path, to_version)
     common = set(old_files) & set(new_files)
@@ -1314,7 +1590,10 @@ def tx_maintain(
     "vacuumed": k}``. Run it from the single maintenance process the
     vacuum contract already requires; streaming appenders keep running
     (their files are never in a compaction's remove set while live
-    conflicts abort loudly rather than corrupt)."""
+    conflicts abort loudly rather than corrupt). Live merge-on-read
+    tombstones are settled first (:func:`tx_apply_deletes`) — the
+    maintenance window is where that debt is designed to be paid."""
+    applied = tx_apply_deletes(spark, path)
     before = len(_snapshot_files(spark, path)[0])
     compactions = 0
     while len(_snapshot_files(spark, path)[0]) > max_live_files:
@@ -1328,6 +1607,7 @@ def tx_maintain(
         "files_before": before,
         "files_after": after,
         "vacuumed": vacuumed,
+        "deletes_applied": applied is not None,
     }
 
 
@@ -1340,7 +1620,10 @@ def tx_restore(
     pre-restore state stays time-travelable until ``tx_vacuum``), the
     Delta RESTORE semantics. Raises if the target version was already
     truncated by vacuum, or if any of its files has been physically
-    deleted (restore-after-vacuum cannot resurrect data)."""
+    deleted (restore-after-vacuum cannot resurrect data), or if the
+    target version carries live merge-on-read tombstones (a file-set
+    restore would resurrect their deleted rows)."""
+    _require_no_mor(spark, path, "tx_restore", version)
     files, eff = _snapshot_files(spark, path, version)
     fs = hadoop_fs(spark, path)[0]
     for f in files:
@@ -1392,6 +1675,7 @@ def tx_clone(
     fs, dlog = hadoop_fs(spark, f"{dst}/_txlog")
     if fs.exists(dlog):
         raise FileExistsError(f"clone destination {dst} already exists")
+    _require_no_mor(spark, src, "tx_clone", version)
     files, eff = _snapshot_files(spark, src, version)
     refs = [_abs(src, f) for f in files]
     src_stats = _log_stats(spark, src)
