@@ -1236,17 +1236,18 @@ def tx_compact(
     )
 
 
-def _change_sets(
+def _change_commits(
     spark, path: str, since_version: int | None
-) -> tuple[list[tuple[int, list[str]]], int]:
-    """Change-feed core: ``([(version, added files)], cursor)`` for
-    every commit after ``since_version``. A no-new-rows version
-    (compaction, aborted multi-table txn) appears with an empty file
-    list so callers can checkpoint past it. The drain STOPS before the
-    first still-PENDING multi-table commit — it can yet resolve either
-    committed or aborted, so its adds are neither deliverable nor
-    skippable; ``cursor`` is then that version minus one and a later
-    pull re-probes. Raises on history-rewrite commits."""
+) -> tuple[list[tuple[int, dict | None]], int]:
+    """Change-feed replay core: ``([(version, commit dict)], cursor)``
+    for every commit after ``since_version`` — no action
+    interpretation (that's the caller's contract), except multi-table
+    resolution: an aborted provisional commit appears as ``None``
+    (never visible, nothing to deliver) and the drain STOPS before the
+    first still-PENDING one — it can yet resolve either committed or
+    aborted, so its adds are neither deliverable nor skippable;
+    ``cursor`` is then that version minus one and a later pull
+    re-probes."""
     commits = _list_commits(spark, path)
     versions = [v for v, k in commits if k == "commit"]
     ck_versions = [v for v, k in commits if k == "checkpoint"]
@@ -1270,7 +1271,7 @@ def _change_sets(
             f"version {start} was vacuumed from the log at {path}; "
             "reprocess from a snapshot read"
         )
-    out: list[tuple[int, list[str]]] = []
+    out: list[tuple[int, dict | None]] = []
     for v in versions:
         if v <= start:
             continue
@@ -1281,10 +1282,29 @@ def _change_sets(
             if status == "pending":
                 return out, v - 1
             if status == "aborted":
-                out.append((v, []))  # never became visible; nothing new
+                out.append((v, None))  # never became visible
                 continue
-        if c["action"] == "compact":
-            out.append((v, []))  # pure rewrite, contents identical
+        out.append((v, c))
+    return out, latest
+
+
+def _change_sets(
+    spark, path: str, since_version: int | None
+) -> tuple[list[tuple[int, list[str]]], int]:
+    """Insert-only change-feed interpretation: ``([(version, added
+    files)], cursor)``. A no-new-rows version (compaction,
+    apply-deletes settlement, aborted multi-table txn) appears with an
+    empty file list so callers can checkpoint past it. Raises on
+    commits that change or rewrite visible rows beyond appending
+    (overwrite, merge, delete — including merge-on-read tombstones:
+    row REMOVAL is not representable here; use :func:`tx_changes_cdf`
+    for a feed that is)."""
+    raw, cursor = _change_commits(spark, path, since_version)
+    out: list[tuple[int, list[str]]] = []
+    for v, c in raw:
+        if c is None or c["action"] in ("compact", "apply_deletes"):
+            # aborted multi / pure physical rewrites: logical no-ops
+            out.append((v, []))
             continue
         if c["action"] != "append" or c.get("remove"):
             raise ValueError(
@@ -1293,7 +1313,7 @@ def _change_sets(
                 "tx_read, then resume from that version"
             )
         out.append((v, c.get("add", [])))
-    return out, latest
+    return out, cursor
 
 
 def tx_changes(
@@ -1362,6 +1382,69 @@ def tx_changes_by_version(
             yield v, None
         else:
             yield v, spark.read.parquet(*[_abs(path, f) for f in files])
+
+
+def tx_changes_cdf(
+    spark: SparkSession,
+    path: str,
+    since_version: int | None = None,
+    preimage: bool = False,
+):
+    """CDC-complete per-commit change feed: yields ``(version, kind,
+    DataFrame | None)`` with kind ``'insert'`` for appends and
+    ``'delete'`` for merge-on-read delete commits — the Delta
+    change-data-feed contract extended to row removal, which the
+    insert-only :func:`tx_changes` must refuse. ``None`` frames mark
+    logical no-op versions the caller still checkpoints past
+    (compaction, apply-deletes settlement, aborted multi-table txn).
+
+    Delete frames carry the tombstone KEY rows by default — O(|keys|),
+    no table scan, exactly what a replicating consumer needs.
+    ``preimage=True`` instead materializes the full deleted rows by
+    semi-joining the pre-delete snapshot (``tx_read`` at version-1,
+    which composes correctly with earlier tombstones) against the
+    keys — one bounded scan per delete version, the price Delta CDF
+    pays without row tracking.
+
+    Still raises on overwrite / merge / copy-on-write delete commits:
+    those rewrite rows in place, and without stored pre/post images
+    the honest contract is reprocess-from-snapshot.
+    ``streaming/table_stream.pipe_available_now(cdc_key=...)`` builds
+    replication on this."""
+    from pyspark.sql import functions as F
+
+    raw, _ = _change_commits(spark, path, since_version)
+    for v, c in raw:
+        if c is None or c["action"] in ("compact", "apply_deletes"):
+            yield v, None, None
+            continue
+        if c["action"] == "delete" and c.get("mor"):
+            tomb = c["mor"]
+            if not tomb["files"]:
+                yield v, None, None
+                continue
+            keys = spark.read.parquet(*[_abs(path, f) for f in tomb["files"]])
+            if preimage:
+                deleted = tx_read(spark, path, version=v - 1).join(
+                    F.broadcast(keys), tomb["col"], "semi"
+                )
+                yield v, "delete", deleted
+            else:
+                yield v, "delete", keys
+            continue
+        if c["action"] != "append" or c.get("remove"):
+            raise ValueError(
+                f"commit {v} is {c['action']!r} (rewrites rows in "
+                "place); reprocess the snapshot via tx_read, then "
+                "resume from that version"
+            )
+        files = c.get("add", [])
+        if not files:
+            yield v, None, None
+        else:
+            yield v, "insert", spark.read.parquet(
+                *[_abs(path, f) for f in files]
+            )
 
 
 def tx_delete(

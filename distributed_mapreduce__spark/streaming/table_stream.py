@@ -47,7 +47,13 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from ..sources.sinks import hadoop_fs
-from ..sources.txlog import _read_small, tx_changes_by_version, tx_write
+from ..sources.txlog import (
+    _read_small,
+    tx_changes_by_version,
+    tx_changes_cdf,
+    tx_delete,
+    tx_write,
+)
 
 _CURSOR = "cursor.json"
 
@@ -89,6 +95,7 @@ def pipe_available_now(
     checkpoint: str,
     name: str = "pipe",
     stats_cols=None,
+    cdc_key: str | None = None,
 ) -> dict:
     """Drain every unconsumed commit of the txlog table at ``src``
     into the txlog table at ``dst``, one sink commit per source
@@ -106,6 +113,17 @@ def pipe_available_now(
     with a DIFFERENT source or transform silently dedups — treat the
     (name, checkpoint) pair as the pipeline's identity.
 
+    ``cdc_key`` switches the source feed from insert-only to
+    CDC-complete (:func:`~..sources.txlog.tx_changes_cdf`): source
+    merge-on-read deletes REPLICATE instead of raising, applied to the
+    sink as merge-on-read deletes on ``cdc_key`` under the same
+    version-numbered txn ids (idempotent like every other batch, and
+    O(|keys|) — no scan on either side). ``transform`` still applies
+    to inserts only and must preserve the key column's meaning; rows
+    the transform filtered out are deleted-by-key harmlessly. Sink
+    tombstones settle at the sink's own maintenance
+    (:func:`~..sources.txlog.tx_maintain`).
+
     Raises (from the change feed) on source history rewrites —
     reprocess the snapshot, re-seed the cursor with
     :func:`save_cursor`, and resume.
@@ -118,10 +136,26 @@ def pipe_available_now(
     cur = load_cursor(spark, checkpoint)
     n_versions = n_writes = 0
     last = cur
-    for v, batch in tx_changes_by_version(spark, src, cur):
+    if cdc_key is None:
+        feed = (
+            (v, "insert" if batch is not None else None, batch)
+            for v, batch in tx_changes_by_version(spark, src, cur)
+        )
+    else:
+        feed = tx_changes_cdf(spark, src, cur)
+    for v, kind, batch in feed:
         if batch is not None:
-            out = transform(batch) if transform is not None else batch
-            tx_write(out, dst, txn=f"{name}:v{v}", stats_cols=stats_cols)
+            if kind == "insert":
+                out = transform(batch) if transform is not None else batch
+                tx_write(out, dst, txn=f"{name}:v{v}", stats_cols=stats_cols)
+            else:
+                tx_delete(
+                    batch.select(cdc_key).distinct(),
+                    dst,
+                    cdc_key,
+                    txn=f"{name}:v{v}",
+                    mode="merge_on_read",
+                )
             n_writes += 1
         save_cursor(spark, checkpoint, v)
         n_versions += 1

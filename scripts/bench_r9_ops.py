@@ -9,6 +9,12 @@ Covered:
 - tx_restore: append → overwrite → RESTORE (metadata-only) → read
 - tx_clone: shallow clone of the lineitem table + clone-local append
   + read (zero data copied at clone time)
+- mor_delete: merge-on-read DELETE of ~1% of lineitem keys (KB-sized
+  tombstone commit, no file rewrite) + full read through the
+  broadcast anti-join, then tx_apply_deletes settlement
+- table_pipe: three appends drained through the exactly-once
+  table→table pipe (one idempotent sink commit per source version)
+  + sink read
 
 Usage: python scripts/bench_r9_ops.py [sf_dir ...] — or import
 ``measure`` (bench.py does).
@@ -82,6 +88,47 @@ def measure(spark, sf_dir: str, tmp: str) -> dict[str, float]:
     tx_write(line.limit(5000), tc)
     _noop(tx_read(spark, tc))
     out["txlog_clone_append_read"] = round(time.perf_counter() - t0, 3)
+
+    # merge-on-read DELETE of ~1% of keys + anti-join read + settle
+    from distributed_mapreduce__spark.sources.txlog import (
+        tx_apply_deletes,
+        tx_delete,
+    )
+
+    tm = f"{tmp}/mor_t"
+    tx_write(line, tm)
+    keys = (
+        line.select("l_orderkey")
+        .filter(F.col("l_orderkey") % 100 == 0)
+        .distinct()
+    )
+    t0 = time.perf_counter()
+    tx_delete(keys, tm, "l_orderkey", mode="merge_on_read")
+    _noop(tx_read(spark, tm))
+    out["mor_delete_read"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    tx_apply_deletes(spark, tm)
+    _noop(tx_read(spark, tm))
+    out["mor_apply_deletes_read"] = round(time.perf_counter() - t0, 3)
+
+    # exactly-once table→table pipe: 3 source commits drained
+    from distributed_mapreduce__spark.streaming.table_stream import (
+        pipe_available_now,
+    )
+
+    ps, pd, pc = f"{tmp}/pipe_src", f"{tmp}/pipe_dst", f"{tmp}/pipe_ckpt"
+    for rem in range(3):
+        tx_write(line.filter(F.col("l_orderkey") % 3 == rem), ps)
+    t0 = time.perf_counter()
+    pipe_available_now(
+        spark,
+        ps,
+        pd,
+        lambda df: df.filter(F.col("l_quantity") > 10),
+        checkpoint=pc,
+    )
+    _noop(tx_read(spark, pd))
+    out["table_pipe_3batch_read"] = round(time.perf_counter() - t0, 3)
     return out
 
 

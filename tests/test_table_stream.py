@@ -11,9 +11,12 @@ from pyspark.sql import functions as F
 
 from distributed_mapreduce__spark.sources import multitx
 from distributed_mapreduce__spark.sources.txlog import (
+    tx_apply_deletes,
     tx_changes,
     tx_changes_by_version,
+    tx_changes_cdf,
     tx_compact,
+    tx_delete,
     tx_history,
     tx_read,
     tx_write,
@@ -35,6 +38,10 @@ def _ids(spark, path):
 
 def _double(df):
     return df.select((F.col("id") * 2).alias("id"), "tag")
+
+
+def _keys(spark, ids):
+    return spark.createDataFrame([(i,) for i in ids], "id long")
 
 
 def test_pipe_processes_backlog_then_is_quiet(spark, tmp_path):
@@ -215,6 +222,79 @@ def test_changefeed_skips_aborted_multi(spark, tmp_path, monkeypatch):
     tx_write(_df(spark, 10, 11), src)
     df3, _ = tx_changes(spark, src, cursor)
     assert sorted(r.id for r in df3.collect()) == [10]
+
+
+def test_cdf_yields_inserts_and_delete_keys(spark, tmp_path):
+    src = str(tmp_path / "src")
+    tx_write(_df(spark, 0, 5, "a"), src)                       # v0
+    tx_delete(_keys(spark, [1, 3]), src, "id", mode="merge_on_read")  # v1
+    tx_write(_df(spark, 3, 4, "back"), src)                         # v2
+
+    got = []
+    for v, kind, df in tx_changes_cdf(spark, src, None):
+        got.append((v, kind, sorted(r.id for r in df.collect()) if df is not None else None))
+    assert got == [
+        (0, "insert", [0, 1, 2, 3, 4]),
+        (1, "delete", [1, 3]),
+        (2, "insert", [3]),
+    ]
+    # preimage variant: full deleted rows, tags intact
+    frames = list(tx_changes_cdf(spark, src, 0, preimage=True))
+    v, kind, df = frames[0]
+    assert (v, kind) == (1, "delete")
+    assert {(r.id, r.tag) for r in df.collect()} == {(1, "a"), (3, "a")}
+
+
+def test_cdf_raises_on_copy_on_write_delete(spark, tmp_path):
+    src = str(tmp_path / "src")
+    tx_write(_df(spark, 0, 5), src)
+    tx_delete(_keys(spark, [1]), src, "id")  # CoW: rewrites in place
+    with pytest.raises(ValueError, match="rewrites rows"):
+        list(tx_changes_cdf(spark, src, None))
+
+
+def test_cdc_pipe_replicates_inserts_and_deletes(spark, tmp_path):
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    ckpt = str(tmp_path / "ckpt")
+    tx_write(_df(spark, 0, 7), src)
+    pipe_available_now(spark, src, dst, checkpoint=ckpt, cdc_key="id")
+
+    tx_delete(_keys(spark, [2, 4]), src, "id", mode="merge_on_read")
+    tx_write(_df(spark, 4, 5, "back"), src)  # re-insert after delete
+    r = pipe_available_now(spark, src, dst, checkpoint=ckpt, cdc_key="id")
+    assert r["versions"] == 2 and r["writes"] == 2
+    assert _ids(spark, dst) == _ids(spark, src) == [0, 1, 3, 4, 5, 6]
+
+    # crash-replay: lose the cursor, re-drain — txn dedup on BOTH the
+    # insert and the delete arms, sink history unchanged
+    (tmp_path / "ckpt" / "cursor.json").unlink()
+    n_before = len(tx_history(spark, dst))
+    pipe_available_now(spark, src, dst, checkpoint=ckpt, cdc_key="id")
+    assert len(tx_history(spark, dst)) == n_before
+    assert _ids(spark, dst) == [0, 1, 3, 4, 5, 6]
+
+    # settlement on the source is a logical no-op for the feed
+    tx_apply_deletes(spark, src)
+    r2 = pipe_available_now(spark, src, dst, checkpoint=ckpt, cdc_key="id")
+    assert r2["writes"] == 0 and r2["versions"] == 1
+    assert _ids(spark, dst) == [0, 1, 3, 4, 5, 6]
+
+
+def test_cdc_pipe_transform_applies_to_inserts_only(spark, tmp_path):
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    ckpt = str(tmp_path / "ckpt")
+    tx_write(_df(spark, 0, 10), src)
+    tx_delete(_keys(spark, [1, 8]), src, "id", mode="merge_on_read")
+    pipe_available_now(
+        spark,
+        src,
+        dst,
+        lambda df: df.filter(F.col("id") < 5),
+        checkpoint=ckpt,
+        cdc_key="id",
+    )
+    # 8 was filtered out by the transform; deleting it is harmless
+    assert _ids(spark, dst) == [0, 2, 3, 4]
 
 
 def test_by_version_boundaries_match_commits(spark, tmp_path):
