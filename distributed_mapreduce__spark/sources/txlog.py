@@ -77,6 +77,17 @@ from .sinks import hadoop_fs
 #: per read is bounded by this, not by table age.
 CHECKPOINT_EVERY = 10
 
+#: Table-format feature level this build can READ (the Delta protocol
+#: minReaderVersion idea): 1 = base log (append/overwrite/rewrites/
+#: stats/multi-table), 2 = merge-on-read delete tombstones. Commits
+#: and checkpoints that USE a level-2 feature are stamped
+#: ``"reader": 2``; replay refuses any stamp above this constant
+#: instead of silently misreading — a level-1 reader replaying a
+#: tombstone commit would see "no files changed" and resurrect every
+#: logically-deleted row. Time travel to versions below the first
+#: stamped commit keeps working regardless.
+READER_VERSION = 2
+
 _PAD = 20  # zero-padded version filenames sort lexicographically
 
 
@@ -360,6 +371,18 @@ def _pending_multi_adds(spark, path: str) -> list[str]:
     return out
 
 
+def _check_reader(record: dict, path: str, version: int) -> None:
+    """Refuse to replay a commit/checkpoint stamped with a feature
+    level above what this build understands (see READER_VERSION)."""
+    needs = record.get("reader", 1)
+    if needs > READER_VERSION:
+        raise RuntimeError(
+            f"version {version} of the table at {path} requires reader "
+            f"version {needs}; this build supports {READER_VERSION} — "
+            "reading anyway could silently misinterpret the log"
+        )
+
+
 def _snapshot_state(
     spark, path: str, version: int | None = None
 ) -> tuple[dict, list, int]:
@@ -388,6 +411,7 @@ def _snapshot_state(
     start = 0
     if ckpts:
         ck = _load(spark, path, f"{ckpts[-1]:0{_PAD}d}.checkpoint.json")
+        _check_reader(ck, path, ckpts[-1])
         # pre-eps checkpoints default every folded file to the
         # checkpoint version: safe, because such checkpoints cannot
         # carry live tombstones (mor absent too) and any FUTURE
@@ -399,6 +423,7 @@ def _snapshot_state(
         if v < start or v > version:
             continue
         c = _load(spark, path, f"{v:0{_PAD}d}.json")
+        _check_reader(c, path, v)
         m = c.get("multi")
         if m is not None and (
             _multi_status(spark, m["coordinator"], m["txid"]) != "committed"
@@ -677,6 +702,8 @@ def _write_checkpoint(spark, path: str, version: int) -> bool:
         "txns": _committed_txns(spark, path),
         "stats": live_stats,
     }
+    if mor:
+        payload["reader"] = 2  # folded tombstones: level-2 readers only
     # checkpoints are an optimization; losing the race to an identical
     # concurrent checkpoint is fine
     _write_atomic(
@@ -833,46 +860,64 @@ def _all_data_files(spark, path: str) -> list[str]:
     ]
 
 
-def tx_vacuum(spark: SparkSession, path: str) -> list[str]:
-    """Delete data files not referenced by the LATEST snapshot and
-    truncate the log below the newest checkpoint (a fresh checkpoint is
-    written first, folding the committed-txn map in so idempotent
-    retries stay safe). Time travel to pre-vacuum versions is
-    deliberately destroyed — the same trade Delta's VACUUM makes.
-    Returns the deleted file paths.
+def tx_vacuum(
+    spark: SparkSession, path: str, retain_last: int = 0
+) -> list[str]:
+    """Delete data files not referenced by any RETAINED snapshot and
+    truncate the log below the retention pivot (a fresh checkpoint is
+    written at the pivot first, folding the committed-txn map in so
+    idempotent retries stay safe). ``retain_last=0`` keeps only the
+    latest snapshot time-travelable (the aggressive default);
+    ``retain_last=N`` keeps the last N versions BELOW the latest
+    readable too — the retention window that lets in-flight
+    time-travel readers and change-feed consumers finish before their
+    versions age out (Delta's retention period, expressed in versions
+    rather than wall-clock because the log, not mtime, is what's
+    trustworthy here). Returns the deleted file paths.
 
-    Run from ONE maintenance process at a time, and not concurrently
-    with readers that are mid-time-travel: vacuum only removes files
-    dead in the LATEST snapshot, so current-snapshot readers and
-    concurrent appenders are safe, but a reader replaying an OLD
-    version can lose its files mid-read (Delta's retention window is
-    the production mitigation; this minimal port vacuums immediately).
-    The _staging sweep at the end likewise assumes no writer is
-    between stage and commit at that instant."""
-    eps, mor, version = _snapshot_state(spark, path)
-    files = sorted(eps)
+    Run from ONE maintenance process at a time: vacuum only removes
+    files dead in every retained snapshot, so current-snapshot readers
+    and concurrent appenders are safe, but a reader replaying a
+    version OLDER than the window can lose its files mid-read. The
+    _staging sweep at the end likewise assumes no writer is between
+    stage and commit at that instant."""
+    commits = _list_commits(spark, path)
+    all_versions = sorted({v for v, _ in commits})
+    if not all_versions:
+        raise FileNotFoundError(f"no transactional table at {path}")
+    latest = all_versions[-1]
+    keep_from = max(0, len(all_versions) - 1 - max(0, retain_last))
+    pivot = all_versions[keep_from]
+    retained = all_versions[keep_from:]
+    # union of everything any retained snapshot references
+    live: set = set()
+    live_tombs: set = set()
+    for v in retained:
+        eps_v, mor_v, _ = _snapshot_state(spark, path, v)
+        live |= {_abs(path, f) for f in eps_v}
+        live_tombs |= {_abs(path, f) for t in mor_v for f in t["files"]}
     # a pending multi-table txn blocks the checkpoint (see
-    # _write_checkpoint): then its provisional files must survive the
-    # sweep (the txn may yet commit) and the log must not be truncated
-    # (the commit entries carry the only record of its adds)
-    folded = _write_checkpoint(spark, path, version)
+    # _write_checkpoint): then the log must not be truncated (the
+    # commit entries carry the only record of its adds). Its
+    # provisional files must survive the sweep EITHER WAY — with a
+    # retention window the pending commit can sit above the pivot,
+    # where a successful pivot checkpoint says nothing about it.
+    folded = _write_checkpoint(spark, path, pivot)
     fs = hadoop_fs(spark, path)[0]
-    live = {_abs(path, f) for f in files}
-    if not folded:
-        live |= {_abs(path, f) for f in _pending_multi_adds(spark, path)}
+    live |= {_abs(path, f) for f in _pending_multi_adds(spark, path)}
     deleted = []
     for f in _all_data_files(spark, path):
         if f not in live:
             fs.delete(hadoop_fs(spark, f)[1], False)
             deleted.append(f)
-    # tombstone sweep: a merge-on-read key file is live while its
-    # tombstone is (LIVE tombstones are folded into the checkpoint);
-    # after apply_deletes / overwrite it is debris like any dead data
-    # file. Without a fresh checkpoint (pending multi), retained
-    # commits may still name tombstones — keep everything named.
-    live_tombs = {_abs(path, f) for t in mor for f in t["files"]}
+    # tombstone sweep: a merge-on-read key file is live while any
+    # retained snapshot's tombstone set names it (live tombstones are
+    # folded into the pivot checkpoint); after apply_deletes /
+    # overwrite it is debris like any dead data file. Without a fresh
+    # checkpoint (pending multi), retained commits may still name
+    # tombstones — keep everything named.
     if not folded:
-        for v, kind in _list_commits(spark, path):
+        for v, kind in commits:
             if kind != "commit":
                 continue
             c = _load(spark, path, f"{v:0{_PAD}d}.json")
@@ -885,11 +930,12 @@ def tx_vacuum(spark: SparkSession, path: str) -> list[str]:
             if full not in live_tombs:
                 ddir_fs.delete(st.getPath(), False)
                 deleted.append(full)
-    # drop commit entries (and stale checkpoints) below the new one
-    # (safe: the surviving checkpoint pins the version counter, so
-    # truncated versions are never re-published)
-    for v, kind in _list_commits(spark, path):
-        if folded and (v < version or (v == version and kind == "commit")):
+    # drop commit entries (and stale checkpoints) below the pivot
+    # (safe: the surviving pivot checkpoint pins the version counter,
+    # so truncated versions are never re-published); commits in the
+    # retention window stay replayable on top of it
+    for v, kind in commits:
+        if folded and (v < pivot or (v == pivot and kind == "commit")):
             name = (
                 f"{v:0{_PAD}d}.checkpoint.json"
                 if kind == "checkpoint"
@@ -1276,6 +1322,7 @@ def _change_commits(
         if v <= start:
             continue
         c = _load(spark, path, f"{v:0{_PAD}d}.json")
+        _check_reader(c, path, v)
         m = c.get("multi")
         if m is not None:
             status = _multi_status(spark, m["coordinator"], m["txid"])
@@ -1503,6 +1550,7 @@ def tx_delete(
                 "remove": [],
                 "txn": txn,
                 "mor": {"col": key_col, "files": tomb_files},
+                "reader": 2,
             }
 
         return _commit_with_retries(spark, path, fs, build, txn, 20)
@@ -1562,7 +1610,7 @@ def tx_apply_deletes(spark: SparkSession, path: str) -> int | None:
         # were CoW-deleted): clear them with a metadata-only commit
         return _commit_rewrite(
             spark, path, [], [], snap_version, None, "apply_deletes",
-            extra={"mor_clears": tomb_versions},
+            extra={"mor_clears": tomb_versions, "reader": 2},
         )
     from pyspark.sql import functions as F
 
@@ -1582,7 +1630,7 @@ def tx_apply_deletes(spark: SparkSession, path: str) -> int | None:
     return _commit_rewrite(
         spark, path, added, touched, snap_version, None, "apply_deletes",
         stats=_rewrite_stats(spark, path, touched, added, None),
-        extra={"mor_clears": tomb_versions},
+        extra={"mor_clears": tomb_versions, "reader": 2},
     )
 
 

@@ -180,6 +180,34 @@ def test_rewrite_commit_aborts_when_tombstone_races_in(spark, tmp_path):
         _commit_rewrite(spark, t, [], [], snap, None, "compact")
 
 
+def test_reader_version_guard(spark, tmp_path):
+    """Tombstone commits are stamped with the table-format feature
+    level; a reader that doesn't understand a stamped level must
+    refuse rather than silently resurrect logically-deleted rows."""
+    import json
+
+    t = str(tmp_path / "t")
+    tx_write(_df(spark, range(3)), t)
+    v = tx_delete(_keys(spark, [1]), t, "id", mode="merge_on_read")
+    log = tmp_path / "t" / "_txlog"
+    commit = json.loads((log / f"{v:020d}.json").read_text())
+    assert commit["reader"] == 2
+
+    # a commit stamped with a FUTURE feature level blocks replay...
+    (log / f"{v + 1:020d}.json").write_text(
+        json.dumps(
+            {"version": v + 1, "action": "append", "add": [],
+             "remove": [], "txn": None, "reader": 99}
+        )
+    )
+    with pytest.raises(RuntimeError, match="reader version 99"):
+        tx_read(spark, t)
+    with pytest.raises(RuntimeError, match="reader version 99"):
+        tx_changes(spark, t, None)
+    # ...but time travel below it keeps working
+    assert _ids(spark, t, version=v) == [0, 2]
+
+
 def test_where_skipping_composes_with_tombstones(spark, tmp_path):
     t = str(tmp_path / "t")
     tx_write(_df(spark, range(10)), t, stats_cols=["id"])
