@@ -176,6 +176,65 @@ def upsert_rollup(
     )
 
 
+def retract_rollup(
+    events: DataFrame,
+    store_path: str,
+    duration: str,
+    keys: tuple[str, ...] = (),
+    batch_id: str = "0",
+) -> None:
+    """Fold a DELETION batch into the rollup store: the same window
+    partials as :func:`upsert_rollup` but NEGATED — additive
+    count/sum partials make retraction free at merge time
+    (incremental view maintenance under deletes, the classic
+    counting-algorithm shape). ``events`` must be the deleted rows
+    themselves (a CDC pre-image, e.g.
+    ``tx_changes_cdf(preimage=True)``'s delete frames), not keys:
+    the window and value of every retracted row decide which partial
+    shrinks. Windows whose count reaches zero vanish from
+    :func:`read_rollup`, matching a from-scratch recompute.
+
+    Same idempotence and batch-id discipline as upsert (one dynamic
+    partition per batch id; retried batches replace their own write);
+    retracting MORE than was inserted leaves a negative-count window
+    visible in reads — loud, attributable misuse rather than silent
+    clamping."""
+    bid = str(batch_id)
+    if bid.startswith("c") and bid[1:].isdigit():
+        raise ValueError(
+            f"batch_id {bid!r} is in the reserved compaction namespace c<n>"
+        )
+    retired = {
+        s
+        for m in _read_markers(events.sparkSession, store_path)
+        for s in m["sources"]
+    }
+    if bid in retired:
+        raise ValueError(
+            f"batch_id {bid!r} was retired by a committed compaction of "
+            f"{store_path}; rows written under it would be invisible to "
+            "read_rollup. Use a fresh batch id (or a fresh store)."
+        )
+    _check_duration(events.sparkSession, store_path, duration)
+    (
+        rollup_batch(events, duration, *keys)
+        .select(
+            "window_start",
+            "window_end",
+            *keys,
+            (-F.col("n_events")).alias("n_events"),
+            (-F.col("sum_value_dec"))
+            .cast("decimal(38,4)")
+            .alias("sum_value_dec"),
+        )
+        .withColumn("batch", F.lit(bid))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch")
+        .parquet(f"{store_path}/partials")
+    )
+
+
 def claim_rollup_writer(
     spark, store_path: str, writer: str, checkpoint_path: str
 ) -> None:
@@ -382,6 +441,10 @@ def read_rollup(
             F.sum("n_events").alias("n_events"),
             F.sum("sum_value_dec").alias("sum_value_dec"),
         )
+        # fully-retracted windows (insert + equal retraction netting to
+        # zero) vanish, matching a from-scratch recompute; a NEGATIVE
+        # count (over-retraction) stays visible as the loud misuse it is
+        .filter(F.col("n_events") != 0)
         .select(
             "window_start",
             "window_end",

@@ -161,3 +161,45 @@ def pipe_available_now(
         n_versions += 1
         last = v
     return {"cursor": last, "versions": n_versions, "writes": n_writes}
+
+
+def rollup_view_available_now(
+    spark: SparkSession,
+    src: str,
+    store: str,
+    duration: str,
+    keys: tuple = (),
+    *,
+    checkpoint: str,
+) -> dict:
+    """Maintain a continuous-aggregate VIEW of the txlog table at
+    ``src`` in the rollup store at ``store`` — incrementally, under
+    both appends AND merge-on-read deletes, exactly once. (Incremental
+    view maintenance with retraction: inserts fold positive window
+    partials, CDC delete pre-images fold NEGATED ones, and the
+    additive store nets them out — no history rescan, ever.)
+
+    Each source version becomes one idempotent store batch
+    (``batch_id='v<N>'``, dynamic-partition overwrite), cursor
+    persisted after the fold — the same crash calculus as
+    :func:`pipe_available_now`. Delete versions use the change feed's
+    ``preimage=True`` arm: retraction needs the deleted rows' window
+    column and value, not just their keys; that one bounded
+    pre-delete-snapshot semi-join is the entire cost of supporting
+    deletes. The invariant (pinned by tests) is
+    ``read_rollup(store) == full recompute over tx_read(src)`` after
+    every tick."""
+    from ..operators.timeseries import retract_rollup, upsert_rollup
+
+    cur = load_cursor(spark, checkpoint)
+    n_versions = n_folds = 0
+    last = cur
+    for v, kind, batch in tx_changes_cdf(spark, src, cur, preimage=True):
+        if batch is not None:
+            fold = upsert_rollup if kind == "insert" else retract_rollup
+            fold(batch, store, duration, keys, batch_id=f"v{v}")
+            n_folds += 1
+        save_cursor(spark, checkpoint, v)
+        n_versions += 1
+        last = v
+    return {"cursor": last, "versions": n_versions, "folds": n_folds}
