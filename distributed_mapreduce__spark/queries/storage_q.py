@@ -205,3 +205,100 @@ def multi_tx_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_qty"),
         )
     )
+
+
+_MOR_ORACLE = """
+SELECT l_returnflag,
+       count(*) AS n_items,
+       CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS total_qty
+FROM lineitem
+WHERE (l_orderkey % 10 <> 3) OR (l_orderkey % 100 = 3)
+GROUP BY l_returnflag
+"""
+
+
+@register_local("mor_delete_agg", oracle=_MOR_ORACLE)
+def mor_delete_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read delete under the value oracle: commit lineitem,
+    DELETE every tenth order key as a KB-sized tombstone (no file
+    rewritten — sources/txlog.py tx_delete(mode='merge_on_read')),
+    then RE-APPEND the hundredth-key subset of the deleted rows and
+    aggregate. Equality with the direct predicate oracle proves both
+    halves of the read-side contract at once: tombstoned rows are
+    invisible, and rows appended AFTER the tombstone dodge it (the
+    add-version epoch rule), bit-exactly under the value hash."""
+    import tempfile
+
+    from ..sources.txlog import tx_delete, tx_read, tx_write
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_quantity"
+    )
+    table = tempfile.mkdtemp(prefix="mor_q_") + "/t"
+    tx_write(li, table)
+    keys = (
+        li.filter(F.col("l_orderkey") % 10 == 3)
+        .select("l_orderkey")
+        .distinct()
+    )
+    tx_delete(keys, table, "l_orderkey", mode="merge_on_read")
+    tx_write(li.filter(F.col("l_orderkey") % 100 == 3), table)
+    return (
+        tx_read(spark, table)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_qty"),
+        )
+    )
+
+
+_VIEW_ORACLE = """
+SELECT make_timestamp((epoch_us(ts) // 3600000000) * 3600000000) AS window_start,
+       event_type,
+       count(*) AS n_events,
+       CAST(CAST(sum(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_value
+FROM events
+WHERE event_type <> 'click'
+GROUP BY 1, 2
+"""
+
+
+@register_local("cdc_rollup_view_agg", oracle=_VIEW_ORACLE)
+def cdc_rollup_view_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance under deletes, end-to-end under
+    the value oracle: ACID-ingest events as two txlog appends,
+    merge-on-read DELETE one event type, then drive the CDC view
+    maintainer (streaming/table_stream.rollup_view_available_now —
+    inserts fold positive hourly partials, the delete folds a NEGATED
+    pre-image partial) and read the store. Equality with a direct
+    hourly aggregate over the surviving rows proves insert folding,
+    retraction, and zero-window elision reproduce the full recompute
+    bit-exactly — without the store ever re-scanning history."""
+    import tempfile
+
+    from ..operators.timeseries import read_rollup
+    from ..sources.txlog import tx_delete, tx_write
+    from ..streaming.table_stream import rollup_view_available_now
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "value", "event_type"
+    )
+    d = tempfile.mkdtemp(prefix="cdc_view_q_")
+    table, store, ckpt = f"{d}/t", f"{d}/store", f"{d}/ckpt"
+    tx_write(events.filter(F.col("event_id") % 2 == 0), table)
+    tx_write(events.filter(F.col("event_id") % 2 == 1), table)
+    tx_delete(
+        spark.createDataFrame([("click",)], "event_type string"),
+        table,
+        "event_type",
+        mode="merge_on_read",
+    )
+    rollup_view_available_now(
+        spark, table, store, "1 hour", ("event_type",), checkpoint=ckpt
+    )
+    return read_rollup(spark, store, ("event_type",)).select(
+        "window_start", "event_type", "n_events", "sum_value"
+    )
