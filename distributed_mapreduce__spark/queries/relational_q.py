@@ -268,7 +268,7 @@ def part_supp_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- distinct / count-distinct --------------------------------------------
 
 
-@register(
+@register_local(
     "nation_segment_stats",
     oracle="""
     SELECT n_name,
@@ -434,7 +434,7 @@ def key_counts_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- pivot -----------------------------------------------------------------
 
 
-@register(
+@register_local(
     "pivot_status_by_flag",
     oracle="""
     SELECT l_returnflag,
@@ -504,7 +504,7 @@ def buyer_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- scalar-aggregate subquery --------------------------------------------
 
 
-@register(
+@register_local(
     "orders_above_avg",
     oracle="""
     SELECT o_orderkey, o_totalprice

@@ -1,8 +1,10 @@
 """Storage-layer queries: the transactional table format and the
-bucketed zero-Exchange layout under the value oracle. All three are
-driver-tier since round 8 (VERDICT r7 #4 rotated `bucketed_join_agg`
-and `txlog_time_travel_agg` in, displacing two redundant relational
-demos)."""
+bucketed zero-Exchange layout under the value oracle. Driver-tier
+since round 8 (VERDICT r7 #4 rotated `bucketed_join_agg` and
+`txlog_time_travel_agg` in); round 10 promoted the round-9 family
+(`multi_tx_agg`, `mor_delete_agg`, `cdc_rollup_view_agg`) per VERDICT
+r9 #3, displacing three redundant relational demos to the local
+tier."""
 
 from __future__ import annotations
 
@@ -152,7 +154,7 @@ GROUP BY o_orderpriority
 """
 
 
-@register_local("multi_tx_agg", oracle=_MULTI_TX_ORACLE)
+@register("multi_tx_agg", oracle=_MULTI_TX_ORACLE)
 def multi_tx_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-table transactions under the value oracle
     (sources/multitx.tx_multi): load the odd orders + their lineitems
@@ -217,7 +219,7 @@ GROUP BY l_returnflag
 """
 
 
-@register_local("mor_delete_agg", oracle=_MOR_ORACLE)
+@register("mor_delete_agg", oracle=_MOR_ORACLE)
 def mor_delete_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Merge-on-read delete under the value oracle: commit lineitem,
     DELETE every tenth order key as a KB-sized tombstone (no file
@@ -266,7 +268,7 @@ GROUP BY 1, 2
 """
 
 
-@register_local("cdc_rollup_view_agg", oracle=_VIEW_ORACLE)
+@register("cdc_rollup_view_agg", oracle=_VIEW_ORACLE)
 def cdc_rollup_view_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental view maintenance under deletes, end-to-end under
     the value oracle: ACID-ingest events as two txlog appends,
@@ -301,4 +303,54 @@ def cdc_rollup_view_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return read_rollup(spark, store, ("event_type",)).select(
         "window_start", "event_type", "n_events", "sum_value"
+    )
+
+
+_SQL_TX_ORACLE = """
+SELECT l_linestatus,
+       count(*) AS n_items,
+       CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS total_price
+FROM lineitem
+WHERE l_orderkey % 4 <> 2
+GROUP BY l_linestatus
+"""
+
+
+@register_local("txlog_sql_agg", oracle=_SQL_TX_ORACLE)
+def txlog_sql_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL over a transactional table (sources/txlog.tx_view): ingest
+    lineitem as txlog appends, merge-on-read DELETE one residue class
+    of order keys, register the snapshot as a temp view, and run the
+    aggregate through ``spark.sql`` — proving the SQL surface sees the
+    same protocol semantics (log-replay file list, tombstone
+    anti-joins) as the function API, bit-exact under the value
+    oracle."""
+    import tempfile
+
+    from ..sources.txlog import tx_delete, tx_view, tx_write
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linestatus", "l_extendedprice"
+    )
+    table = tempfile.mkdtemp(prefix="txsql_q_") + "/t"
+    tx_write(li.filter(F.col("l_orderkey") % 2 == 0), table)
+    tx_write(li.filter(F.col("l_orderkey") % 2 == 1), table)
+    tx_delete(
+        li.filter(F.col("l_orderkey") % 4 == 2)
+        .select("l_orderkey")
+        .distinct(),
+        table,
+        "l_orderkey",
+        mode="merge_on_read",
+    )
+    tx_view(spark, table, "txq_lineitem")
+    return spark.sql(
+        """
+        SELECT l_linestatus,
+               count(*) AS n_items,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS total_price
+        FROM txq_lineitem
+        GROUP BY l_linestatus
+        """
     )

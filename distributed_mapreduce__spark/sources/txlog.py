@@ -193,7 +193,7 @@ class HdfsRenameClaimer(CommitClaimer):
     FAILS when the destination exists — the rename result itself is
     the binding claim (the exists() pre-check is only a fast path).
     Correct on HDFS and any FS with no-replace rename semantics;
-    NOT correct on raw local FS (use ExclusiveClaimClaimer) or
+    NOT correct on raw local FS (use HardLinkClaimer) or
     object stores (register a put-if-absent arm)."""
 
     def publish(self, spark, fs, final_path_str: str, payload: bytes) -> bool:
@@ -819,6 +819,30 @@ def _read_with_mor(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def tx_view(
+    spark: SparkSession,
+    path: str,
+    name: str,
+    version: int | None = None,
+    merge_schema: bool = False,
+) -> DataFrame:
+    """SQL access to a transactional table: register the snapshot at
+    ``version`` (default: latest) as temp view ``name`` and return the
+    DataFrame, so ``spark.sql(f"SELECT ... FROM {name}")`` reads the
+    table with full protocol semantics — log-replay file list,
+    merge-on-read tombstones applied, multi-table visibility rules.
+
+    The view is a SNAPSHOT, not a live binding: it pins the file set
+    resolved now; commits made after registration are invisible until
+    ``tx_view`` is called again (exactly Spark's temp-view-over-
+    DataFrame semantics, and the right default for a repeatable query
+    session). Time travel is just ``version=``: register two views of
+    two versions and diff them in SQL."""
+    df = tx_read(spark, path, version=version, merge_schema=merge_schema)
+    df.createOrReplaceTempView(name)
+    return df
 
 
 def tx_history(spark: SparkSession, path: str) -> list[dict]:
