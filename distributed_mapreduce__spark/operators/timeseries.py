@@ -125,6 +125,28 @@ def rollup_batch(events: DataFrame, duration: str, *keys: str) -> DataFrame:
     )
 
 
+def _guard_batch_id(spark, store_path: str, bid: str) -> None:
+    """Shared batch-id discipline for every fold flavor: the ``c<n>``
+    namespace belongs to compaction targets, and an id RETIRED by a
+    committed compaction can never be reused — its dir would be
+    silently subtracted from every read. Both misuses raise loudly."""
+    if bid.startswith("c") and bid[1:].isdigit():
+        raise ValueError(
+            f"batch_id {bid!r} is in the reserved compaction namespace c<n>"
+        )
+    retired = {
+        s for m in _read_markers(spark, store_path) for s in m["sources"]
+    }
+    if bid in retired:
+        raise ValueError(
+            f"batch_id {bid!r} was retired by a committed compaction of "
+            f"{store_path}; rows written under it would be invisible to "
+            "read_rollup. Use a fresh batch id (or a fresh store) — e.g. "
+            "a restarted stream whose checkpoint was lost must not reuse "
+            "its old id sequence."
+        )
+
+
 def upsert_rollup(
     events: DataFrame,
     store_path: str,
@@ -148,23 +170,7 @@ def upsert_rollup(
     or a fresh id prefix).
     """
     bid = str(batch_id)
-    if bid.startswith("c") and bid[1:].isdigit():
-        raise ValueError(
-            f"batch_id {bid!r} is in the reserved compaction namespace c<n>"
-        )
-    retired = {
-        s
-        for m in _read_markers(events.sparkSession, store_path)
-        for s in m["sources"]
-    }
-    if bid in retired:
-        raise ValueError(
-            f"batch_id {bid!r} was retired by a committed compaction of "
-            f"{store_path}; rows written under it would be invisible to "
-            "read_rollup. Use a fresh batch id (or a fresh store) — e.g. "
-            "a restarted stream whose checkpoint was lost must not reuse "
-            "its old id sequence."
-        )
+    _guard_batch_id(events.sparkSession, store_path, bid)
     _check_duration(events.sparkSession, store_path, duration)
     (
         rollup_batch(events, duration, *keys)
@@ -200,21 +206,7 @@ def retract_rollup(
     visible in reads — loud, attributable misuse rather than silent
     clamping."""
     bid = str(batch_id)
-    if bid.startswith("c") and bid[1:].isdigit():
-        raise ValueError(
-            f"batch_id {bid!r} is in the reserved compaction namespace c<n>"
-        )
-    retired = {
-        s
-        for m in _read_markers(events.sparkSession, store_path)
-        for s in m["sources"]
-    }
-    if bid in retired:
-        raise ValueError(
-            f"batch_id {bid!r} was retired by a committed compaction of "
-            f"{store_path}; rows written under it would be invisible to "
-            "read_rollup. Use a fresh batch id (or a fresh store)."
-        )
+    _guard_batch_id(events.sparkSession, store_path, bid)
     _check_duration(events.sparkSession, store_path, duration)
     (
         rollup_batch(events, duration, *keys)
@@ -224,6 +216,54 @@ def retract_rollup(
             *keys,
             (-F.col("n_events")).alias("n_events"),
             (-F.col("sum_value_dec"))
+            .cast("decimal(38,4)")
+            .alias("sum_value_dec"),
+        )
+        .withColumn("batch", F.lit(bid))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch")
+        .parquet(f"{store_path}/partials")
+    )
+
+
+def fold_rollup_cdf(
+    inserts: DataFrame,
+    deletes: DataFrame,
+    store_path: str,
+    duration: str,
+    keys: tuple[str, ...] = (),
+    batch_id: str = "0",
+) -> None:
+    """Fold one CDC batch carrying BOTH inserted and deleted rows
+    (e.g. a merge commit's update post-images and pre-images from
+    ``tx_changes_cdf``'s 'cdf' frames) into the rollup store as ONE
+    batch partition: insert partials plus NEGATED delete partials net
+    out per window before the write. One batch id per source version
+    keeps the fold atomic-per-version — there is no crash window where
+    the retraction landed but the insertion didn't (two separate
+    :func:`upsert_rollup`/:func:`retract_rollup` calls would have
+    one), and replays replace the whole signed partition idempotently.
+    Same guards and store schema as the single-sided folds."""
+    bid = str(batch_id)
+    _guard_batch_id(inserts.sparkSession, store_path, bid)
+    _check_duration(inserts.sparkSession, store_path, duration)
+    pos = rollup_batch(inserts, duration, *keys)
+    neg = rollup_batch(deletes, duration, *keys).select(
+        "window_start",
+        "window_end",
+        *keys,
+        (-F.col("n_events")).alias("n_events"),
+        (-F.col("sum_value_dec"))
+        .cast("decimal(38,4)")
+        .alias("sum_value_dec"),
+    )
+    (
+        pos.unionByName(neg)
+        .groupBy("window_start", "window_end", *keys)
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("sum_value_dec")
             .cast("decimal(38,4)")
             .alias("sum_value_dec"),
         )

@@ -9,6 +9,8 @@ Layout under ``<path>/``::
 
     data/<uuid>.parquet            immutable data files
     _deletes/<uuid>.parquet        merge-on-read delete key files
+    _cdf/<uuid>.parquet            change-row sidecars for rewrites
+                                   (table schema + _change_type)
     _staging/<uuid>/               in-flight writer output (invisible)
     _txlog/<v>.json                commit v (20-digit zero-padded name)
     _txlog/<v>.checkpoint.json     full snapshot every CHECKPOINT_EVERY
@@ -53,6 +55,18 @@ Protocol (everything readers trust is reached by atomic rename):
   survive; file-set operations refuse while tombstones are live and
   ``tx_apply_deletes`` / ``tx_maintain`` settles the debt into a
   bounded copy-on-write rewrite.
+
+- **Change-data-feed sidecars**: copy-on-write rewrites (``tx_merge``,
+  ``tx_delete(mode='copy_on_write')``) stage their change rows —
+  update pre/post-images, inserts, deleted rows, tagged by a
+  ``_change_type`` column — as parquet under ``_cdf/`` and name the
+  files in the commit (Delta's CDF approach: provenance is recorded
+  AT write time, when the rewrite has the rows in hand anyway, so
+  :func:`tx_changes_cdf` never reconstructs a rewrite by diffing).
+  Sidecars are additive metadata: snapshot replay ignores them, so no
+  reader-version bump — an older build still reads every snapshot
+  correctly and still (honestly) raises on the feed. Opt out per
+  rewrite with ``cdf=False`` on write-hot tables nothing streams from.
 
 100 TB posture: commits carry file LISTS (metadata, KBs), never data;
 snapshot reads hand Spark an explicit file list so partition discovery
@@ -540,6 +554,33 @@ def _stage_deletes(keys: DataFrame, path: str) -> list[str]:
     return placed
 
 
+def _stage_cdf(rows: DataFrame, path: str) -> list[str]:
+    """Stage a rewrite's change rows (table schema + ``_change_type``)
+    under ``_cdf/`` — NOT ``data/``: sidecars are change-feed payload,
+    never part of any snapshot, and must not leak into schema recovery
+    or the data-file sweep. Cost is bounded by the rewrite itself: the
+    change rows are a subset of the touched files' rows plus the
+    updates, both already in flight. A crash before the commit leaves
+    unreferenced files ``tx_vacuum`` sweeps."""
+    spark = rows.sparkSession
+    stage_dir = f"{path}/_staging/{uuid.uuid4().hex}"
+    rows.write.mode("overwrite").parquet(stage_dir)
+    fs, sdir = hadoop_fs(spark, stage_dir)
+    fs.mkdirs(hadoop_fs(spark, f"{path}/_cdf")[1])
+    placed = []
+    for st in fs.listStatus(sdir):
+        if not st.getPath().getName().endswith(".parquet"):
+            continue
+        name = f"{uuid.uuid4().hex}.parquet"
+        if not fs.rename(
+            st.getPath(), hadoop_fs(spark, f"{path}/_cdf/{name}")[1]
+        ):
+            raise RuntimeError(f"could not place cdf file {name}")
+        placed.append(f"_cdf/{name}")
+    fs.delete(sdir, True)
+    return placed
+
+
 def _json_stat(v):
     """Commit-log-safe stat value: numbers/strings verbatim, everything
     else (dates, timestamps, decimals) as its string form — ISO forms
@@ -966,6 +1007,25 @@ def tx_vacuum(
                 else f"{v:0{_PAD}d}.json"
             )
             fs.delete(hadoop_fs(spark, f"{path}/_txlog/{name}")[1], False)
+    # CDF sidecar sweep: a _cdf file is live while any SURVIVING
+    # commit names it (change-feed consumers inside the retention
+    # window may still read it); sidecars of truncated commits — and
+    # of crashed rewrites that never committed — are debris. Re-list
+    # after truncation so the survivors decide.
+    live_cdf: set = set()
+    for v, kind in _list_commits(spark, path):
+        if kind != "commit":
+            continue
+        c = _load(spark, path, f"{v:0{_PAD}d}.json")
+        for f in (c.get("cdf") or {}).get("files", []):
+            live_cdf.add(_abs(path, f))
+    cfs, cdir = hadoop_fs(spark, f"{path}/_cdf")
+    if cfs.exists(cdir):
+        for st in cfs.listStatus(cdir):
+            full = _abs(path, f"_cdf/{st.getPath().getName()}")
+            if full not in live_cdf:
+                cfs.delete(st.getPath(), False)
+                deleted.append(full)
     # sweep crashed-writer debris from the log dir: orphan payload
     # tmps (any claimer arm) and legacy round-8 .claim markers — both
     # are inert (readers and publishers ignore them) but cost listing
@@ -1061,6 +1121,7 @@ def tx_merge(
     path: str,
     key_col: str,
     txn: str | None = None,
+    cdf: bool = True,
 ) -> int:
     """Copy-on-write MERGE (upsert by key): rows in ``updates`` replace
     same-key rows; unmatched keys append. Returns the committed
@@ -1083,6 +1144,16 @@ def tx_merge(
     keys — Delta's ConcurrentAppendException under its default
     isolation); appends provably disjoint from the update range
     proceed untouched.
+
+    ``cdf=True`` (default) records the merge's change rows — update
+    pre-images, update post-images, and inserts, tagged by a
+    ``_change_type`` column — as a ``_cdf/`` sidecar named in the
+    commit, so :func:`tx_changes_cdf` delivers the merge to
+    incremental consumers instead of raising (one routine upsert no
+    longer poisons every downstream pipe into full reprocess). Cost is
+    one extra scan of the touched files (already stats-pruned to the
+    files that can contain the keys) plus a write sized by the change
+    rows; pass ``cdf=False`` on write-hot tables nothing streams from.
     """
     spark = updates.sparkSession
     from pyspark.sql import functions as F
@@ -1109,11 +1180,37 @@ def tx_merge(
     else:
         new_data = updates
 
+    extra = None
+    if cdf:
+        ct = "_change_type"
+        if touched:
+            old = spark.read.parquet(*[_abs(path, f) for f in touched])
+            old_keys = old.select(key_col)
+            changes = (
+                old.join(keys, key_col, "semi")
+                .withColumn(ct, F.lit("update_preimage"))
+                .unionByName(
+                    updates.join(old_keys, key_col, "semi").withColumn(
+                        ct, F.lit("update_postimage")
+                    )
+                )
+                .unionByName(
+                    updates.join(old_keys, key_col, "left_anti").withColumn(
+                        ct, F.lit("insert")
+                    )
+                )
+            )
+        else:
+            # no live file overlaps the key range: every row is new
+            changes = updates.withColumn(ct, F.lit("insert"))
+        extra = {"cdf": {"files": _stage_cdf(changes, path), "key": key_col}}
+
     added = _stage_and_place(new_data, path)
     return _commit_rewrite(
         spark, path, added, touched, snap_version, txn, "merge",
         stats=_rewrite_stats(spark, path, touched, added, key_col),
         conflict_keys=None if lo is None else (key_col, lo, hi),
+        extra=extra,
     )
 
 
@@ -1462,26 +1559,39 @@ def tx_changes_cdf(
     preimage: bool = False,
 ):
     """CDC-complete per-commit change feed: yields ``(version, kind,
-    DataFrame | None)`` with kind ``'insert'`` for appends and
-    ``'delete'`` for merge-on-read delete commits — the Delta
-    change-data-feed contract extended to row removal, which the
-    insert-only :func:`tx_changes` must refuse. ``None`` frames mark
-    logical no-op versions the caller still checkpoints past
-    (compaction, apply-deletes settlement, aborted multi-table txn).
+    DataFrame | None)`` with kind ``'insert'`` for appends,
+    ``'delete'`` for delete commits (merge-on-read tombstones AND
+    copy-on-write rewrites), and ``'cdf'`` for merge commits — the
+    Delta change-data-feed contract extended to row removal and
+    in-place rewrites, which the insert-only :func:`tx_changes` must
+    refuse. ``None`` frames mark logical no-op versions the caller
+    still checkpoints past (compaction, apply-deletes settlement,
+    aborted multi-table txn, empty delete).
 
-    Delete frames carry the tombstone KEY rows by default — O(|keys|),
-    no table scan, exactly what a replicating consumer needs.
-    ``preimage=True`` instead materializes the full deleted rows by
-    semi-joining the pre-delete snapshot (``tx_read`` at version-1,
-    which composes correctly with earlier tombstones) against the
-    keys — one bounded scan per delete version, the price Delta CDF
-    pays without row tracking.
+    Merge-on-read delete frames carry the tombstone KEY rows by
+    default — O(|keys|), no table scan, exactly what a replicating
+    consumer needs. ``preimage=True`` instead materializes the full
+    deleted rows by semi-joining the pre-delete snapshot (``tx_read``
+    at version-1, which composes correctly with earlier tombstones)
+    against the keys — one bounded scan per delete version, the price
+    Delta CDF pays without row tracking. Copy-on-write delete frames
+    always carry the FULL deleted rows regardless of ``preimage`` —
+    the rewrite already materialized them into its ``_cdf/`` sidecar,
+    so they are free to deliver.
 
-    Still raises on overwrite / merge / copy-on-write delete commits:
-    those rewrite rows in place, and without stored pre/post images
-    the honest contract is reprocess-from-snapshot.
-    ``streaming/table_stream.pipe_available_now(cdc_key=...)`` builds
-    replication on this."""
+    ``'cdf'`` frames (merge commits) carry the table schema plus a
+    ``_change_type`` column ∈ {'insert', 'update_preimage',
+    'update_postimage'} read straight from the merge's sidecar — no
+    diffing, no snapshot scan. A consumer replicates one by deleting
+    every changed key then appending the post-side rows (see
+    ``streaming/table_stream.pipe_available_now(cdc_key=...)``), or
+    maintains an aggregate by retracting pre-images and folding
+    post-images (``rollup_view_available_now``).
+
+    Still raises on overwrite commits, and on merge / copy-on-write
+    delete commits written with ``cdf=False`` (or by an older build):
+    without stored change rows the honest contract is
+    reprocess-from-snapshot."""
     from pyspark.sql import functions as F
 
     raw, _ = _change_commits(spark, path, since_version)
@@ -1503,11 +1613,22 @@ def tx_changes_cdf(
             else:
                 yield v, "delete", keys
             continue
+        if c["action"] in ("merge", "delete") and c.get("cdf") is not None:
+            files = c["cdf"]["files"]
+            if not files:
+                yield v, None, None
+                continue
+            rows = spark.read.parquet(*[_abs(path, f) for f in files])
+            if c["action"] == "delete":
+                yield v, "delete", rows.drop("_change_type")
+            else:
+                yield v, "cdf", rows
+            continue
         if c["action"] != "append" or c.get("remove"):
             raise ValueError(
                 f"commit {v} is {c['action']!r} (rewrites rows in "
-                "place); reprocess the snapshot via tx_read, then "
-                "resume from that version"
+                "place) and carries no cdf sidecar; reprocess the "
+                "snapshot via tx_read, then resume from that version"
             )
         files = c.get("add", [])
         if not files:
@@ -1524,6 +1645,7 @@ def tx_delete(
     key_col: str,
     txn: str | None = None,
     mode: str = "copy_on_write",
+    cdf: bool = True,
 ) -> int:
     """DELETE by key. ``mode='copy_on_write'`` (default, the
     right-to-be-forgotten path): rows whose ``key_col`` appears in
@@ -1550,7 +1672,13 @@ def tx_delete(
     Serialization note: a merge-on-read delete applies to every row
     whose file predates its COMMIT version — a concurrent append that
     wins the version race is deleted from too (the delete serialized
-    after it). Copy-on-write instead aborts on such races."""
+    after it). Copy-on-write instead aborts on such races.
+
+    ``cdf=True`` (default, copy-on-write only): record the deleted
+    rows themselves as a ``_cdf/`` sidecar named in the commit, so
+    :func:`tx_changes_cdf` delivers the delete instead of raising —
+    free beyond the rewrite's own semi-join (merge-on-read deletes
+    are already CDC-complete via their tombstone key files)."""
     spark = keys.sparkSession
     from pyspark.sql import functions as F
 
@@ -1586,19 +1714,31 @@ def tx_delete(
         # txn id is recorded for idempotence. The concurrent-append
         # check still applies when keys were targeted: an append
         # racing in rows for those keys must conflict, not survive a
-        # delete that claims to have removed them.
+        # delete that claims to have removed them. The empty cdf entry
+        # lets the change feed checkpoint past this as a no-op instead
+        # of raising on the 'delete' action.
         return _commit_rewrite(
             spark, path, [], [], snap_version, txn, "delete",
             conflict_keys=None if lo is None else (key_col, lo, hi),
+            extra={"cdf": {"files": [], "key": key_col}} if cdf else None,
         )
-    survivors = spark.read.parquet(*[_abs(path, f) for f in touched]).join(
-        keys.select(key_col).distinct(), key_col, "left_anti"
-    )
+    key_set = keys.select(key_col).distinct()
+    old = spark.read.parquet(*[_abs(path, f) for f in touched])
+    survivors = old.join(key_set, key_col, "left_anti")
+    extra = None
+    if cdf:
+        deleted_rows = old.join(key_set, key_col, "semi").withColumn(
+            "_change_type", F.lit("delete")
+        )
+        extra = {
+            "cdf": {"files": _stage_cdf(deleted_rows, path), "key": key_col}
+        }
     added = _stage_and_place(survivors, path)
     return _commit_rewrite(
         spark, path, added, touched, snap_version, txn, "delete",
         stats=_rewrite_stats(spark, path, touched, added, key_col),
         conflict_keys=(key_col, lo, hi),
+        extra=extra,
     )
 
 

@@ -115,22 +115,35 @@ def pipe_available_now(
 
     ``cdc_key`` switches the source feed from insert-only to
     CDC-complete (:func:`~..sources.txlog.tx_changes_cdf`): source
-    merge-on-read deletes REPLICATE instead of raising, applied to the
+    deletes (merge-on-read tombstones AND copy-on-write rewrites) and
+    source MERGEs REPLICATE instead of raising. Deletes apply to the
     sink as merge-on-read deletes on ``cdc_key`` under the same
     version-numbered txn ids (idempotent like every other batch, and
-    O(|keys|) — no scan on either side). ``transform`` still applies
-    to inserts only and must preserve the key column's meaning; rows
-    the transform filtered out are deleted-by-key harmlessly. Sink
-    tombstones settle at the sink's own maintenance
+    O(|keys|) — no scan on either side). A merge applies as TWO sink
+    commits under txn ids ``{name}:v{v}.rm`` then ``{name}:v{v}``: a
+    merge-on-read delete of every changed key, then an append of the
+    post-image rows — the appended rows postdate the tombstone, so
+    the epoch rule makes this an exact upsert, with NO sink rewrite
+    (O(changes), never O(touched sink files)) and no interaction with
+    the sink's live tombstones (a sink-side ``tx_merge`` would refuse
+    those). Each of the two commits is individually idempotent, so a
+    crash between them replays cleanly: the delete dedups, the append
+    lands. ``transform`` still applies to insert/post-image rows only
+    and must preserve the key column's meaning; update keys whose
+    post-image the transform filtered out are simply deleted on the
+    sink (the ``.rm`` tombstone already named them). Sink tombstones
+    settle at the sink's own maintenance
     (:func:`~..sources.txlog.tx_maintain`).
 
-    Raises (from the change feed) on source history rewrites —
-    reprocess the snapshot, re-seed the cursor with
-    :func:`save_cursor`, and resume.
+    Raises (from the change feed) on source overwrites and on
+    rewrites committed with ``cdf=False`` — reprocess the snapshot,
+    re-seed the cursor with :func:`save_cursor`, and resume.
 
     Returns ``{"cursor", "versions", "writes"}``: the persisted
     cursor, versions consumed this call, sink commits made this call.
     """
+    from pyspark.sql import functions as F
+
     if src.rstrip("/") == dst.rstrip("/"):
         raise ValueError("src and dst are the same table; refusing a feedback loop")
     cur = load_cursor(spark, checkpoint)
@@ -148,7 +161,8 @@ def pipe_available_now(
             if kind == "insert":
                 out = transform(batch) if transform is not None else batch
                 tx_write(out, dst, txn=f"{name}:v{v}", stats_cols=stats_cols)
-            else:
+                n_writes += 1
+            elif kind == "delete":
                 tx_delete(
                     batch.select(cdc_key).distinct(),
                     dst,
@@ -156,7 +170,21 @@ def pipe_available_now(
                     txn=f"{name}:v{v}",
                     mode="merge_on_read",
                 )
-            n_writes += 1
+                n_writes += 1
+            else:  # 'cdf': a source merge — delete-then-append upsert
+                tx_delete(
+                    batch.select(cdc_key).distinct(),
+                    dst,
+                    cdc_key,
+                    txn=f"{name}:v{v}.rm",
+                    mode="merge_on_read",
+                )
+                post = batch.filter(
+                    F.col("_change_type").isin("insert", "update_postimage")
+                ).drop("_change_type")
+                out = transform(post) if transform is not None else post
+                tx_write(out, dst, txn=f"{name}:v{v}", stats_cols=stats_cols)
+                n_writes += 2
         save_cursor(spark, checkpoint, v)
         n_versions += 1
         last = v
@@ -174,10 +202,11 @@ def rollup_view_available_now(
 ) -> dict:
     """Maintain a continuous-aggregate VIEW of the txlog table at
     ``src`` in the rollup store at ``store`` — incrementally, under
-    both appends AND merge-on-read deletes, exactly once. (Incremental
-    view maintenance with retraction: inserts fold positive window
-    partials, CDC delete pre-images fold NEGATED ones, and the
-    additive store nets them out — no history rescan, ever.)
+    appends, deletes (merge-on-read AND copy-on-write), and MERGEs,
+    exactly once. (Incremental view maintenance with retraction:
+    inserts fold positive window partials, CDC delete pre-images fold
+    NEGATED ones, and a merge folds both sides SIGNED in one batch —
+    the additive store nets them out; no history rescan, ever.)
 
     Each source version becomes one idempotent store batch
     (``batch_id='v<N>'``, dynamic-partition overwrite), cursor
@@ -186,18 +215,43 @@ def rollup_view_available_now(
     ``preimage=True`` arm: retraction needs the deleted rows' window
     column and value, not just their keys; that one bounded
     pre-delete-snapshot semi-join is the entire cost of supporting
-    deletes. The invariant (pinned by tests) is
-    ``read_rollup(store) == full recompute over tx_read(src)`` after
-    every tick."""
-    from ..operators.timeseries import retract_rollup, upsert_rollup
+    merge-on-read deletes (copy-on-write deletes and merges carry
+    their pre-images in the commit's own cdf sidecar — free). Merge
+    versions net update pre-images against post-images + inserts in
+    ONE signed fold (``fold_rollup_cdf``), so even a crash replay
+    never exposes a half-applied merge to readers. The invariant
+    (pinned by tests) is ``read_rollup(store) == full recompute over
+    tx_read(src)`` after every tick."""
+    from pyspark.sql import functions as F
+
+    from ..operators.timeseries import (
+        fold_rollup_cdf,
+        retract_rollup,
+        upsert_rollup,
+    )
 
     cur = load_cursor(spark, checkpoint)
     n_versions = n_folds = 0
     last = cur
     for v, kind, batch in tx_changes_cdf(spark, src, cur, preimage=True):
         if batch is not None:
-            fold = upsert_rollup if kind == "insert" else retract_rollup
-            fold(batch, store, duration, keys, batch_id=f"v{v}")
+            if kind == "cdf":
+                ct = F.col("_change_type")
+                fold_rollup_cdf(
+                    batch.filter(
+                        ct.isin("insert", "update_postimage")
+                    ).drop("_change_type"),
+                    batch.filter(ct == "update_preimage").drop(
+                        "_change_type"
+                    ),
+                    store,
+                    duration,
+                    keys,
+                    batch_id=f"v{v}",
+                )
+            else:
+                fold = upsert_rollup if kind == "insert" else retract_rollup
+                fold(batch, store, duration, keys, batch_id=f"v{v}")
             n_folds += 1
         save_cursor(spark, checkpoint, v)
         n_versions += 1

@@ -134,3 +134,62 @@ def test_view_crash_replay_is_idempotent(spark, tmp_path):
     )
     assert r["folds"] == 2
     assert _view(spark, store) == before
+
+
+def test_view_maintains_through_merges_and_cow_deletes(spark, tmp_path):
+    """Round 10: the view survives the ROUTINE upsert path. A tx_merge
+    folds update pre-images negated and post-images + inserts positive
+    in ONE signed batch (fold_rollup_cdf), a copy-on-write delete
+    retracts its sidecar rows — view == full recompute after every
+    tick, including a crash replay."""
+    from distributed_mapreduce__spark.sources.txlog import tx_merge
+
+    table = str(tmp_path / "ingest")
+    store = str(tmp_path / "view")
+    ckpt = str(tmp_path / "ckpt")
+    ev = load_table(spark, SF, "events").select(
+        "event_id", "ts", "value", "event_type"
+    )
+    tx_write(ev.filter(F.col("event_id") % 2 == 0), table)
+    rollup_view_available_now(
+        spark, table, store, "1 hour", ("event_type",), checkpoint=ckpt
+    )
+    assert _view(spark, store) == _full(spark, table)
+
+    # MERGE: move one residue class to a different event_type (update)
+    # and add brand-new synthetic rows (insert), one commit
+    upd = ev.filter(F.col("event_id") % 10 == 4).withColumn(
+        "event_type", F.lit("merged")
+    )
+    ins = (
+        ev.filter(F.col("event_id") % 2 == 1)
+        .limit(50)
+        .withColumn("event_id", -F.col("event_id"))
+    )
+    tx_merge(upd.unionByName(ins), table, "event_id")
+    rollup_view_available_now(
+        spark, table, store, "1 hour", ("event_type",), checkpoint=ckpt
+    )
+    assert _view(spark, store) == _full(spark, table)
+
+    # copy-on-write delete retracts through the sidecar
+    gone = (
+        tx_read(spark, table)
+        .filter(F.col("event_type") == "merged")
+        .select("event_id")
+    )
+    tx_delete(gone, table, "event_id")  # CoW, cdf on
+    rollup_view_available_now(
+        spark, table, store, "1 hour", ("event_type",), checkpoint=ckpt
+    )
+    view = _view(spark, store)
+    assert view == _full(spark, table)
+    assert not any(k[1] == "merged" for k in view)
+
+    # crash replay: wipe the cursor, re-drain — dynamic-partition
+    # overwrite replaces each signed batch in place, view unchanged
+    (tmp_path / "ckpt" / "cursor.json").unlink()
+    rollup_view_available_now(
+        spark, table, store, "1 hour", ("event_type",), checkpoint=ckpt
+    )
+    assert _view(spark, store) == _full(spark, table)

@@ -245,12 +245,141 @@ def test_cdf_yields_inserts_and_delete_keys(spark, tmp_path):
     assert {(r.id, r.tag) for r in df.collect()} == {(1, "a"), (3, "a")}
 
 
-def test_cdf_raises_on_copy_on_write_delete(spark, tmp_path):
+def test_cdf_yields_cow_delete_rows(spark, tmp_path):
+    """Round 10: a copy-on-write delete now carries its deleted rows
+    in a _cdf sidecar, and the feed delivers them as a 'delete' frame
+    with FULL rows (already materialized — free) regardless of the
+    preimage flag."""
+    src = str(tmp_path / "src")
+    tx_write(_df(spark, 0, 5, "a"), src)
+    tx_delete(_keys(spark, [1, 3]), src, "id")  # CoW rewrite, cdf on
+    frames = list(tx_changes_cdf(spark, src, 0))
+    assert [(v, k) for v, k, _ in frames] == [(1, "delete")]
+    assert {(r.id, r.tag) for r in frames[0][2].collect()} == {
+        (1, "a"),
+        (3, "a"),
+    }
+    # rows-removed honesty: the insert-only feed still refuses
+    with pytest.raises(ValueError, match="delete"):
+        list(tx_changes_by_version(spark, src, 0))
+
+
+def test_cdf_raises_on_rewrite_without_sidecar(spark, tmp_path):
+    """cdf=False is the documented opt-out for write-hot tables nothing
+    streams from — the feed then keeps the honest
+    reprocess-from-snapshot contract."""
+    from distributed_mapreduce__spark.sources.txlog import tx_merge
+
     src = str(tmp_path / "src")
     tx_write(_df(spark, 0, 5), src)
-    tx_delete(_keys(spark, [1]), src, "id")  # CoW: rewrites in place
-    with pytest.raises(ValueError, match="rewrites rows"):
+    tx_delete(_keys(spark, [1]), src, "id", cdf=False)
+    with pytest.raises(ValueError, match="no cdf sidecar"):
         list(tx_changes_cdf(spark, src, None))
+
+    src2 = str(tmp_path / "src2")
+    tx_write(_df(spark, 0, 5), src2)
+    tx_merge(_df(spark, 2, 4, "upd"), src2, "id", cdf=False)
+    with pytest.raises(ValueError, match="no cdf sidecar"):
+        list(tx_changes_cdf(spark, src2, None))
+
+
+def test_cdf_yields_merge_pre_and_post_images(spark, tmp_path):
+    """A merge commit delivers one 'cdf' frame tagged by _change_type:
+    pre-image for every matched key's OLD row, post-image for its new
+    row, insert for unmatched keys — read straight from the sidecar,
+    no diffing."""
+    from distributed_mapreduce__spark.sources.txlog import tx_merge
+
+    src = str(tmp_path / "src")
+    tx_write(_df(spark, 0, 5, "a"), src)  # v0: ids 0..4 tag=a
+    # updates: ids 3,4 exist (update), ids 7,8 are new (insert)
+    upd = _df(spark, 3, 5, "new").unionByName(_df(spark, 7, 9, "new"))
+    tx_merge(upd, src, "id")  # v1
+    frames = list(tx_changes_cdf(spark, src, 0))
+    assert [(v, k) for v, k, _ in frames] == [(1, "cdf")]
+    got = {
+        (r.id, r.tag, r._change_type) for r in frames[0][2].collect()
+    }
+    assert got == {
+        (3, "a", "update_preimage"),
+        (4, "a", "update_preimage"),
+        (3, "new", "update_postimage"),
+        (4, "new", "update_postimage"),
+        (7, "new", "insert"),
+        (8, "new", "insert"),
+    }
+    # a merge that touches no live file is pure inserts
+    tx_merge(_df(spark, 100, 102, "far"), src, "id")  # v2
+    frames2 = list(tx_changes_cdf(spark, src, 1))
+    got2 = {
+        (r.id, r._change_type) for r in frames2[0][2].collect()
+    }
+    assert got2 == {(100, "insert"), (101, "insert")}
+
+
+def test_cdc_pipe_replicates_merge_exactly_once(spark, tmp_path):
+    """The r9 #1 gap closed: a routine MERGE on the source replicates
+    to the sink (delete-then-append under per-version txn ids) instead
+    of poisoning the pipe — including through crash-replay and a
+    replay racing new source commits."""
+    from distributed_mapreduce__spark.sources.txlog import tx_merge
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    ckpt = str(tmp_path / "ckpt")
+    tx_write(_df(spark, 0, 6, "a"), src)
+    pipe_available_now(spark, src, dst, checkpoint=ckpt, cdc_key="id")
+
+    upd = _df(spark, 2, 4, "upd").unionByName(_df(spark, 10, 12, "upd"))
+    tx_merge(upd, src, "id")
+    tx_delete(_keys(spark, [5]), src, "id")  # CoW delete replicates too
+    r = pipe_available_now(spark, src, dst, checkpoint=ckpt, cdc_key="id")
+    assert r["versions"] == 2 and r["writes"] == 3  # merge=2 + delete=1
+
+    def table(path):
+        return {(x.id, x.tag) for x in tx_read(spark, path).collect()}
+
+    expect = {(0, "a"), (1, "a"), (2, "upd"), (3, "upd"), (4, "a"),
+              (10, "upd"), (11, "upd")}
+    assert table(src) == expect and table(dst) == expect
+
+    # crash-replay: lose the cursor AND race a concurrent source
+    # append — the replayed merge/delete batches dedup by txn id, the
+    # new append delivers once
+    (tmp_path / "ckpt" / "cursor.json").unlink()
+    tx_write(_df(spark, 20, 21, "late"), src)
+    pipe_available_now(spark, src, dst, checkpoint=ckpt, cdc_key="id")
+    assert table(dst) == expect | {(20, "late")}
+    # idempotence held across every arm: re-drain changes nothing
+    n = len(tx_history(spark, dst))
+    (tmp_path / "ckpt" / "cursor.json").unlink()
+    pipe_available_now(spark, src, dst, checkpoint=ckpt, cdc_key="id")
+    assert len(tx_history(spark, dst)) == n
+
+
+def test_cdc_pipe_merge_transform_dropped_updates_delete(spark, tmp_path):
+    """An update whose post-image the transform filters out must not
+    leave the STALE pre-image row on the sink: the .rm tombstone
+    already named every changed key, so the dropped row disappears."""
+    from distributed_mapreduce__spark.sources.txlog import tx_merge
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    ckpt = str(tmp_path / "ckpt")
+    tx_write(_df(spark, 0, 6, "a"), src)
+    keep_small = lambda df: df.filter(F.col("id") < 4)  # noqa: E731
+    pipe_available_now(
+        spark, src, dst, keep_small, checkpoint=ckpt, cdc_key="id"
+    )
+    # update ids 2 (kept by transform) and 5 (dropped by transform)
+    tx_merge(
+        _df(spark, 2, 3, "upd").unionByName(_df(spark, 5, 6, "upd")),
+        src,
+        "id",
+    )
+    pipe_available_now(
+        spark, src, dst, keep_small, checkpoint=ckpt, cdc_key="id"
+    )
+    got = {(x.id, x.tag) for x in tx_read(spark, dst).collect()}
+    assert got == {(0, "a"), (1, "a"), (2, "upd"), (3, "a")}
 
 
 def test_cdc_pipe_replicates_inserts_and_deletes(spark, tmp_path):

@@ -836,3 +836,57 @@ def test_multiprocess_same_version_race_one_winner(tmp_path):
         assert _json.load(f)["w"] == int(winners[0].split(".")[0])
     # no stray tmps: every loser unlinked its payload
     assert os.listdir(os.path.dirname(final)) == [os.path.basename(final)]
+
+
+def test_vacuum_sweeps_cdf_sidecars_with_their_commits(spark, tmp_path):
+    """_cdf sidecars live exactly as long as the commit that names
+    them: retained-window commits keep theirs (a change-feed consumer
+    may still read them), truncated commits' sidecars are swept, and a
+    crashed rewrite's orphan sidecar (staged, never committed) is
+    debris."""
+    import glob
+
+    from distributed_mapreduce__spark.sources.txlog import (
+        _stage_cdf,
+        tx_changes_cdf,
+        tx_merge,
+    )
+
+    t = str(tmp_path / "t")
+    tx_write(_df(spark, 0, 6, "a"), t)                     # v0
+    tx_merge(_df(spark, 2, 4, "u1"), t, "id")              # v1: cdf
+    tx_write(_df(spark, 10, 12, "b"), t)                   # v2
+    tx_merge(_df(spark, 10, 11, "u2"), t, "id")            # v3: cdf
+    # orphan: a rewrite that staged its sidecar then crashed pre-commit
+    _stage_cdf(
+        _df(spark, 99, 100, "x").withColumn(
+            "_change_type", F.lit("insert")
+        ),
+        t,
+    )
+    def commit_cdf(version):
+        with open(f"{t}/_txlog/{version:0{_PAD}d}.json") as fh:
+            return {
+                f"{t}/{f}" for f in json.load(fh)["cdf"]["files"]
+            }
+
+    v1_files, v3_files = commit_cdf(1), commit_cdf(3)
+    on_disk = set(glob.glob(f"{t}/_cdf/*.parquet"))
+    assert v1_files | v3_files < on_disk  # + the orphan
+
+    # retain v3 (latest) + 1 below → v1's sidecar is truncated away
+    # with its commit, v3's survives and its feed still delivers; the
+    # orphan is gone either way
+    tx_vacuum(spark, t, retain_last=1)
+    assert set(glob.glob(f"{t}/_cdf/*.parquet")) == v3_files
+    frames = list(tx_changes_cdf(spark, t, 2))
+    assert [(v, k) for v, k, _ in frames] == [(3, "cdf")]
+    assert {r._change_type for r in frames[0][2].collect()} == {
+        "update_preimage",
+        "update_postimage",
+    }
+
+    # aggressive vacuum: nothing references any sidecar anymore
+    tx_vacuum(spark, t)
+    assert glob.glob(f"{t}/_cdf/*.parquet") == []
+    assert _ids(spark, t) == [0, 1, 2, 3, 4, 5, 10, 11]
