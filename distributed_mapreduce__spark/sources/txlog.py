@@ -80,6 +80,7 @@ from __future__ import annotations
 
 import bisect
 import json
+import time
 import uuid
 from collections.abc import Sequence
 
@@ -103,6 +104,10 @@ CHECKPOINT_EVERY = 10
 READER_VERSION = 2
 
 _PAD = 20  # zero-padded version filenames sort lexicographically
+
+#: commit-timestamp source, a seam so tests can drive wall-clock
+#: retention (tx_vacuum retain_hours) deterministically
+_now = time.time
 
 
 def _abs(path: str, f: str) -> str:
@@ -227,6 +232,83 @@ class HdfsRenameClaimer(CommitClaimer):
         return ok
 
 
+def _split_object_uri(path: str) -> tuple[str, str]:
+    """``s3a://bucket/a/b.json`` -> ``("bucket", "a/b.json")``."""
+    rest = path.split("://", 1)[1]
+    bucket, _, key = rest.partition("/")
+    if not bucket or not key:
+        raise ValueError(f"not a bucket/key object URI: {path!r}")
+    return bucket, key
+
+
+class S3ConditionalPutClaimer(CommitClaimer):
+    """Object-store arm: S3 conditional PUT — ``If-None-Match: *``
+    (public S3 API since 2024-08; also honored by GCS's XML interop
+    layer and MinIO) makes the object write ITSELF the atomic
+    put-if-absent claim. Single request: no claim files, no rename,
+    nothing to vacuum on crash — of any number of racing publishers of
+    one log filename, S3 persists exactly one body and answers the
+    rest ``412 PreconditionFailed``, which maps to "lost the version
+    race, re-read the log and retry at v+1".
+
+    ``client`` is anything with boto3's
+    ``put_object(Bucket=, Key=, Body=, IfNoneMatch=) -> dict`` shape,
+    raising an error that carries ``.response["Error"]["Code"]`` on
+    failure (botocore's ClientError). Injected for tests (see
+    tests/test_txlog.py's FakeS3 race harness — this sandbox has no
+    network); default lazily constructs ``boto3.client("s3")``.
+
+    Two non-success codes are protocol, not errors:
+
+    - ``412 PreconditionFailed`` — the object exists: lost the race.
+    - ``409 ConditionalRequestConflict`` — S3 detected CONCURRENT
+      conditional writes of the same key and rejected this one
+      without deciding a winner; the documented client contract is
+      retry, after which the request resolves to success (we won) or
+      412 (someone else did). Bounded retries, then raise.
+
+    Opt in per scheme (never silently):
+    ``register_claimer("s3a", S3ConditionalPutClaimer())``."""
+
+    #: bounded retries for 409 ConditionalRequestConflict storms
+    MAX_CONFLICT_RETRIES = 8
+
+    def __init__(self, client=None):
+        self._client = client
+
+    def _c(self):
+        if self._client is None:
+            import boto3  # soft dep: only reached on a real S3 path
+
+            self._client = boto3.client("s3")
+        return self._client
+
+    def publish(self, spark, fs, final_path_str: str, payload: bytes) -> bool:
+        bucket, key = _split_object_uri(final_path_str)
+        for _ in range(self.MAX_CONFLICT_RETRIES):
+            try:
+                self._c().put_object(
+                    Bucket=bucket, Key=key, Body=payload, IfNoneMatch="*"
+                )
+                return True
+            except Exception as e:  # noqa: BLE001 — code-dispatch below
+                code = str(
+                    (getattr(e, "response", None) or {})
+                    .get("Error", {})
+                    .get("Code", "")
+                )
+                if code in ("PreconditionFailed", "412"):
+                    return False  # object exists: lost the race
+                if code in ("ConditionalRequestConflict", "409"):
+                    continue  # concurrent writers collided: retry
+                raise
+        raise RuntimeError(
+            f"S3 conditional PUT of {final_path_str} kept answering "
+            f"ConditionalRequestConflict after "
+            f"{self.MAX_CONFLICT_RETRIES} retries"
+        )
+
+
 #: scheme -> claimer. Scheme-less paths are resolved through the
 #: Hadoop FileSystem object actually serving them (never assumed
 #: local: on a cluster whose fs.defaultFS is hdfs://, a scheme-less
@@ -248,30 +330,16 @@ def register_claimer(scheme: str, claimer: CommitClaimer) -> None:
     """Install the commit-publish arm for a filesystem scheme (the
     one-function object-store port: put-if-absent for s3a/gs/abfs).
 
-    Port sketch for S3 (not exercisable from this sandbox — no
-    network): conditional PUT with ``If-None-Match: *`` (public S3
-    API since 2024-08) makes the object write itself the claim::
-
-        class S3ConditionalPutClaimer(CommitClaimer):
-            def publish(self, spark, fs, path, payload):
-                bucket, key = _split_s3_uri(path)
-                try:
-                    boto3.client("s3").put_object(
-                        Bucket=bucket, Key=key, Body=payload,
-                        IfNoneMatch="*")
-                    return True
-                except ClientError as e:  # 412 = lost the race
-                    if e.response["Error"]["Code"] in (
-                            "PreconditionFailed", "412"):
-                        return False
-                    raise
-
-        register_claimer("s3a", S3ConditionalPutClaimer())
-
-    GCS: ``x-goog-if-generation-match: 0`` on the upload. ABFS:
-    ``If-None-Match: *`` on Put Blob. All three are single-request
-    atomic put-if-absent — no claim files, no rename, nothing to
-    vacuum on crash."""
+    S3 ships here: ``register_claimer("s3a",
+    S3ConditionalPutClaimer())`` — conditional PUT with
+    ``If-None-Match: *``, race-tested against an in-memory store
+    implementing the same semantics (no network in this sandbox).
+    A GCS-native port sets ``x-goog-if-generation-match: 0`` on the
+    upload; ABFS sends ``If-None-Match: *`` on Put Blob. All three
+    are single-request atomic put-if-absent — no claim files, no
+    rename, nothing to vacuum on crash. Registration is deliberately
+    explicit (opt-in per deployment): a wrong-but-silent default on an
+    object store would drop racing commits."""
     _CLAIMERS[scheme] = claimer
 
 
@@ -702,11 +770,15 @@ def _commit_with_retries(
         # counter (restarting at 0 would order new commits BEFORE it)
         versions = [v for v, _ in _list_commits(spark, path)]
         next_v = (max(versions) + 1) if versions else 0
+        payload = build_payload(next_v)
+        # wall-clock commit stamp: feeds time-based vacuum retention
+        # (and operator forensics); correctness never depends on it
+        payload.setdefault("ts", _now())
         if _write_atomic(
             spark,
             fs,
             f"{path}/_txlog/{next_v:0{_PAD}d}.json",
-            json.dumps(build_payload(next_v)).encode(),
+            json.dumps(payload).encode(),
         ):
             if (next_v + 1) % CHECKPOINT_EVERY == 0:
                 _write_checkpoint(spark, path, next_v)
@@ -926,7 +998,10 @@ def _all_data_files(spark, path: str) -> list[str]:
 
 
 def tx_vacuum(
-    spark: SparkSession, path: str, retain_last: int = 0
+    spark: SparkSession,
+    path: str,
+    retain_last: int = 0,
+    retain_hours: "float | None" = None,
 ) -> list[str]:
     """Delete data files not referenced by any RETAINED snapshot and
     truncate the log below the retention pivot (a fresh checkpoint is
@@ -940,6 +1015,20 @@ def tx_vacuum(
     rather than wall-clock because the log, not mtime, is what's
     trustworthy here). Returns the deleted file paths.
 
+    ``retain_hours=H`` is the wall-clock window operators actually
+    reason in (Delta's default is 7 days): every snapshot that was
+    CURRENT at any instant within the last H hours stays readable —
+    i.e. all versions committed inside the window, plus the newest one
+    committed at/before its left edge (it was the live snapshot when
+    the window opened). The pivot comes from the ``ts`` stamps the
+    commits themselves carry — the log, not file mtime, stays the
+    source of truth — and combines with ``retain_last`` as a union
+    (whichever keeps more). Commits predating the ``ts`` stamp are
+    treated as older than every stamped one; if the stamps are
+    NON-MONOTONIC across versions (writer clock skew), the time→
+    version pivot is ambiguous and this raises instead of guessing —
+    fall back to ``retain_last``.
+
     Run from ONE maintenance process at a time: vacuum only removes
     files dead in every retained snapshot, so current-snapshot readers
     and concurrent appenders are safe, but a reader replaying a
@@ -952,6 +1041,33 @@ def tx_vacuum(
         raise FileNotFoundError(f"no transactional table at {path}")
     latest = all_versions[-1]
     keep_from = max(0, len(all_versions) - 1 - max(0, retain_last))
+    if retain_hours is not None:
+        cutoff = _now() - 3600.0 * retain_hours
+        stamps = [
+            (v, _load(spark, path, f"{v:0{_PAD}d}.json").get("ts"))
+            for v, kind in commits
+            if kind == "commit"
+        ]
+        known = [(v, ts) for v, ts in stamps if ts is not None]
+        for (_, t1), (v2, t2) in zip(known, known[1:]):
+            if t2 < t1:
+                raise ValueError(
+                    f"commit timestamps at {path} are non-monotonic "
+                    f"around version {v2} (writer clock skew); the "
+                    "time-based retention pivot is ambiguous — vacuum "
+                    "with retain_last instead"
+                )
+        # newest version committed at/before the window's left edge:
+        # it was the live snapshot when the window opened. ts-less
+        # commits predate stamping; checkpoint-only versions (their
+        # commit truncated by an earlier vacuum) predate every
+        # surviving commit — both count as at/before the edge, which
+        # only ever retains MORE.
+        commit_vs = {s[0] for s in stamps}
+        at_or_before = [v for v, ts in stamps if ts is None or ts <= cutoff]
+        at_or_before += [v for v in all_versions if v not in commit_vs]
+        time_pivot = max(at_or_before) if at_or_before else all_versions[0]
+        keep_from = min(keep_from, all_versions.index(time_pivot))
     pivot = all_versions[keep_from]
     retained = all_versions[keep_from:]
     # union of everything any retained snapshot references
@@ -1331,6 +1447,7 @@ def _commit_rewrite(
             "add": added,
             "remove": removed,
             "txn": txn,
+            "ts": _now(),
         }
         if stats:
             payload["stats"] = stats
@@ -1588,10 +1705,17 @@ def tx_changes_cdf(
     maintains an aggregate by retracting pre-images and folding
     post-images (``rollup_view_available_now``).
 
-    Still raises on overwrite commits, and on merge / copy-on-write
-    delete commits written with ``cdf=False`` (or by an older build):
-    without stored change rows the honest contract is
-    reprocess-from-snapshot."""
+    ``'overwrite'`` frames carry the whole post-overwrite snapshot
+    (the overwrite's own file set — a snapshot-reset marker, not a
+    row-level diff): a replicating consumer applies it as its own
+    overwrite, which also replays RESTOREs (they commit as
+    metadata-only overwrites). Consumers that cannot represent a
+    reset (e.g. an incremental aggregate store) must raise on it
+    rather than ignore it.
+
+    Still raises on merge / copy-on-write delete commits written with
+    ``cdf=False`` (or by an older build): without stored change rows
+    the honest contract is reprocess-from-snapshot."""
     from pyspark.sql import functions as F
 
     raw, _ = _change_commits(spark, path, since_version)
@@ -1623,6 +1747,11 @@ def tx_changes_cdf(
                 yield v, "delete", rows.drop("_change_type")
             else:
                 yield v, "cdf", rows
+            continue
+        if c["action"] == "overwrite":
+            # snapshot reset: the overwrite's add list IS the whole
+            # table as of v (tx_read handles the empty-table case)
+            yield v, "overwrite", tx_read(spark, path, version=v)
             continue
         if c["action"] != "append" or c.get("remove"):
             raise ValueError(

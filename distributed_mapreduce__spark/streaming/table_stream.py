@@ -133,11 +133,14 @@ def pipe_available_now(
     post-image the transform filtered out are simply deleted on the
     sink (the ``.rm`` tombstone already named them). Sink tombstones
     settle at the sink's own maintenance
-    (:func:`~..sources.txlog.tx_maintain`).
+    (:func:`~..sources.txlog.tx_maintain`). A source OVERWRITE
+    (including RESTORE, which commits as one) replicates as the
+    sink's own overwrite — the snapshot reset carries through, sink
+    tombstones and all, under the same per-version txn id.
 
-    Raises (from the change feed) on source overwrites and on
-    rewrites committed with ``cdf=False`` — reprocess the snapshot,
-    re-seed the cursor with :func:`save_cursor`, and resume.
+    Raises (from the change feed) on rewrites committed with
+    ``cdf=False`` — reprocess the snapshot, re-seed the cursor with
+    :func:`save_cursor`, and resume.
 
     Returns ``{"cursor", "versions", "writes"}``: the persisted
     cursor, versions consumed this call, sink commits made this call.
@@ -169,6 +172,20 @@ def pipe_available_now(
                     cdc_key,
                     txn=f"{name}:v{v}",
                     mode="merge_on_read",
+                )
+                n_writes += 1
+            elif kind == "overwrite":
+                # snapshot reset (incl. RESTORE): replicate as the
+                # sink's own overwrite — one idempotent commit that
+                # also clears any replicated sink tombstones, exactly
+                # as the source's overwrite cleared the source's
+                out = transform(batch) if transform is not None else batch
+                tx_write(
+                    out,
+                    dst,
+                    mode="overwrite",
+                    txn=f"{name}:v{v}",
+                    stats_cols=stats_cols,
                 )
                 n_writes += 1
             else:  # 'cdf': a source merge — delete-then-append upsert
@@ -235,6 +252,16 @@ def rollup_view_available_now(
     last = cur
     for v, kind, batch in tx_changes_cdf(spark, src, cur, preimage=True):
         if batch is not None:
+            if kind == "overwrite":
+                # an additive partial store cannot represent a
+                # snapshot reset; silently folding the new snapshot
+                # would double-count everything before it
+                raise ValueError(
+                    f"source version {v} is an overwrite (snapshot "
+                    "reset); rebuild the view store from a fresh "
+                    "recompute, seed the cursor at that version "
+                    "(save_cursor), and resume"
+                )
             if kind == "cdf":
                 ct = F.col("_change_type")
                 fold_rollup_cdf(

@@ -442,3 +442,63 @@ def test_by_version_boundaries_match_commits(spark, tmp_path):
         for v, df in tx_changes_by_version(spark, src, 0)
     ]
     assert got2 == [(1, [2]), (2, [3, 4, 5, 6])]
+
+
+def test_cdc_pipe_replicates_overwrite_and_restore(spark, tmp_path):
+    """A source overwrite — and RESTORE, which commits as one — is a
+    snapshot reset the cdc pipe carries through as the sink's own
+    overwrite: replicated tombstones clear with it, and the usual
+    txn-id idempotence absorbs crash replays."""
+    from distributed_mapreduce__spark.sources.txlog import tx_restore
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    ckpt = str(tmp_path / "ckpt")
+    tx_write(_df(spark, 0, 5, "a"), src)                         # v0
+    tx_delete(_keys(spark, [1]), src, "id", mode="merge_on_read")  # v1
+    pipe_available_now(spark, src, dst, checkpoint=ckpt, cdc_key="id")
+    assert _ids(spark, dst) == [0, 2, 3, 4]
+
+    tx_write(_df(spark, 100, 103, "b"), src, mode="overwrite")   # v2
+    r = pipe_available_now(spark, src, dst, checkpoint=ckpt, cdc_key="id")
+    assert r["writes"] == 1
+    assert _ids(spark, dst) == [100, 101, 102]
+
+    # RESTORE back to the overwrite (v2's state is the only
+    # tombstone-free one) — wait: restore to v0 has live tombstones
+    # at v1, so restore targets v2... instead restore the OVERWRITE
+    # after appending: append v3, restore to v2, pipe both
+    tx_write(_df(spark, 200, 202, "c"), src)                     # v3
+    tx_restore(spark, src, 2)                                    # v4
+    pipe_available_now(spark, src, dst, checkpoint=ckpt, cdc_key="id")
+    assert _ids(spark, dst) == [100, 101, 102]
+
+    # crash replay across the reset boundary: no duplication
+    (tmp_path / "ckpt" / "cursor.json").unlink()
+    n = len(tx_history(spark, dst))
+    pipe_available_now(spark, src, dst, checkpoint=ckpt, cdc_key="id")
+    assert len(tx_history(spark, dst)) == n
+    assert _ids(spark, dst) == [100, 101, 102]
+
+
+def test_rollup_view_refuses_overwrite_reset(spark, tmp_path):
+    """An additive partial store cannot represent a snapshot reset —
+    the maintainer must raise with the rebuild recipe, never fold."""
+    from distributed_mapreduce__spark.streaming.table_stream import (
+        rollup_view_available_now,
+    )
+
+    src = str(tmp_path / "src")
+    store, ckpt = str(tmp_path / "store"), str(tmp_path / "ckpt")
+    ts_df = spark.sql(
+        "SELECT id AS event_id, timestamp'2024-01-01 00:10:00' AS ts, "
+        "CAST(id AS double) AS value, 'a' AS event_type FROM range(5)"
+    )
+    tx_write(ts_df, src)
+    rollup_view_available_now(
+        spark, src, store, "1 hour", ("event_type",), checkpoint=ckpt
+    )
+    tx_write(ts_df.limit(2), src, mode="overwrite")
+    with pytest.raises(ValueError, match="snapshot reset"):
+        rollup_view_available_now(
+            spark, src, store, "1 hour", ("event_type",), checkpoint=ckpt
+        )

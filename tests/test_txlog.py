@@ -890,3 +890,135 @@ def test_vacuum_sweeps_cdf_sidecars_with_their_commits(spark, tmp_path):
     tx_vacuum(spark, t)
     assert glob.glob(f"{t}/_cdf/*.parquet") == []
     assert _ids(spark, t) == [0, 1, 2, 3, 4, 5, 10, 11]
+
+
+# --- S3 conditional-PUT claimer (round 10: the shipped object-store arm)
+
+
+class _FakeClientError(Exception):
+    """botocore.ClientError shape: carries .response['Error']['Code']."""
+
+    def __init__(self, code):
+        super().__init__(code)
+        self.response = {"Error": {"Code": code}}
+
+
+class _FakeS3:
+    """In-memory S3 implementing the conditional-PUT contract the
+    claimer relies on: If-None-Match:* persists exactly one body per
+    key under concurrency (412 for the rest), with optional injected
+    409 ConditionalRequestConflict storms and a widenable window
+    between the existence check and the store (the same
+    prove-the-primitive-not-the-timing trick as the link(2) race
+    test)."""
+
+    def __init__(self, conflicts=0, window=None):
+        import threading
+
+        self.store = {}
+        self.puts = 0
+        self._lock = threading.Lock()
+        self._conflicts = conflicts
+        self._window = window
+
+    def put_object(self, Bucket, Key, Body, IfNoneMatch=None):
+        assert IfNoneMatch == "*", "claimer must send the precondition"
+        self.puts += 1
+        if self._conflicts > 0:
+            self._conflicts -= 1
+            raise _FakeClientError("ConditionalRequestConflict")
+        if self._window is not None:
+            self._window()  # widen the race window OUTSIDE the lock
+        with self._lock:
+            if (Bucket, Key) in self.store:
+                raise _FakeClientError("PreconditionFailed")
+            self.store[(Bucket, Key)] = bytes(Body)
+        return {}
+
+
+def test_s3_claimer_concurrent_writers_one_winner(spark):
+    """N threads publish the same log filename through the S3 arm: the
+    store must persist exactly one body, exactly one publish returns
+    True, and the True-returner's bytes are what readers see."""
+    import threading
+    import time
+
+    from distributed_mapreduce__spark.sources.txlog import (
+        S3ConditionalPutClaimer,
+    )
+
+    fake = _FakeS3(window=lambda: time.sleep(0.05))
+    claimer = S3ConditionalPutClaimer(client=fake)
+    path = "s3a://bucket/t/_txlog/00000000000000000007.json"
+    barrier = threading.Barrier(6)
+    results = {}
+
+    def writer(tag):
+        barrier.wait()
+        results[tag] = claimer.publish(spark, None, path, f"w{tag}".encode())
+
+    ts = [threading.Thread(target=writer, args=(i,)) for i in range(6)]
+    [t.start() for t in ts]
+    [t.join() for t in ts]
+    assert sorted(results.values()) == [False] * 5 + [True], results
+    winner = next(t for t, ok in results.items() if ok)
+    assert fake.store[("bucket", "t/_txlog/00000000000000000007.json")] == (
+        f"w{winner}".encode()
+    )
+
+
+def test_s3_claimer_retries_conflicts_then_resolves(spark):
+    from distributed_mapreduce__spark.sources.txlog import (
+        S3ConditionalPutClaimer,
+    )
+
+    path = "s3a://b/t/_txlog/x.json"
+    # 409 storm then success: we won
+    fake = _FakeS3(conflicts=3)
+    assert S3ConditionalPutClaimer(client=fake).publish(
+        spark, None, path, b"one"
+    )
+    assert fake.puts == 4
+    # 409 then 412: someone else won while we were retrying
+    fake2 = _FakeS3(conflicts=2)
+    fake2.store[("b", "t/_txlog/x.json")] = b"theirs"
+    assert not S3ConditionalPutClaimer(client=fake2).publish(
+        spark, None, path, b"two"
+    )
+    assert fake2.store[("b", "t/_txlog/x.json")] == b"theirs"
+    # a 409 storm that never resolves raises instead of spinning
+    forever = _FakeS3(conflicts=10**9)
+    with pytest.raises(RuntimeError, match="ConditionalRequestConflict"):
+        S3ConditionalPutClaimer(client=forever).publish(
+            spark, None, path, b"x"
+        )
+    # any OTHER error code propagates — never swallowed into "lost"
+    class _Denied:
+        def put_object(self, **kw):
+            raise _FakeClientError("AccessDenied")
+
+    with pytest.raises(_FakeClientError, match="AccessDenied"):
+        S3ConditionalPutClaimer(client=_Denied()).publish(
+            spark, None, path, b"x"
+        )
+
+
+def test_s3_claimer_registers_for_scheme(spark):
+    """The opt-in registration flips s3a from loud refusal to the
+    conditional-PUT arm, end-to-end through _write_atomic."""
+    from distributed_mapreduce__spark.sources import txlog
+
+    with pytest.raises(NotImplementedError, match="put-if-absent"):
+        txlog._claimer_for("s3a://bucket/t/_txlog/x.json")
+    fake = _FakeS3()
+    txlog.register_claimer("s3a", txlog.S3ConditionalPutClaimer(client=fake))
+    try:
+        assert txlog._write_atomic(
+            spark, None, "s3a://bucket/t/_txlog/v0.json", b"one"
+        )
+        assert not txlog._write_atomic(
+            spark, None, "s3a://bucket/t/_txlog/v0.json", b"two"
+        )
+        assert fake.store[("bucket", "t/_txlog/v0.json")] == b"one"
+    finally:
+        txlog._CLAIMERS.pop("s3a", None)
