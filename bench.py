@@ -32,6 +32,14 @@ box never goes idle the artifact is stamped "contended": true and
 "load_note" says so — an official number should only ever be recorded
 from a run with contended=false. Compare bench numbers like-for-like on
 idle boxes only.
+
+Mid-run contention is detected two ways (contended_stamp, unit-tested):
+the 1-min loadavg sampled before each query against IDLE_LOAD_HI, and —
+because loadavg carries the bench's OWN bursts, letting an outside ramp
+hide just under the ceiling (round 9: 7.96 vs 8.0) — a direct
+/proc/stat probe between queries ("query_busy"), when the bench runs
+nothing: >$SPARK_GRAFT_BENCH_BUSY_HI (default 3.0) CPUs busy at that
+instant is another process, full stop.
 """
 
 from __future__ import annotations
@@ -102,6 +110,79 @@ IDLE_LOAD_HI = float(os.environ.get("SPARK_GRAFT_BENCH_IDLE_LOAD_HI", "8.0"))
 IDLE_RETRIES = int(os.environ.get("SPARK_GRAFT_BENCH_IDLE_RETRIES", "10"))
 IDLE_WAIT_SEC = float(os.environ.get("SPARK_GRAFT_BENCH_IDLE_WAIT_SEC", "30"))
 
+#: Outside-CPU ceiling for the /proc/stat probe sampled BETWEEN
+#: queries, when the bench's own JVM is quiescent: more than this many
+#: CPUs busy at a between-query instant means another process is
+#: running. This closes the r9 gap the 1-min loadavg ceiling cannot:
+#: loadavg carries the bench's OWN 32-thread bursts (idle-box runs
+#: peak 7.1-7.4), so an outside ramp hiding just under IDLE_LOAD_HI
+#: (r9: 7.96 vs the 8.0 ceiling) passed as idle. The instantaneous
+#: probe sees ~0 on a truly idle box regardless of what the bench just
+#: ran (after BUSY_SETTLE_SEC for GC/kworker tails), so its threshold
+#: can sit far below any plausible contention instead of one hair
+#: above the bench's own noise.
+BUSY_HI = float(os.environ.get("SPARK_GRAFT_BENCH_BUSY_HI", "3.0"))
+BUSY_SETTLE_SEC = float(os.environ.get("SPARK_GRAFT_BENCH_BUSY_SETTLE_SEC", "1.0"))
+BUSY_WINDOW_SEC = 0.3
+
+
+def outside_busy() -> float:
+    """CPUs busy right now, from two /proc/stat snapshots
+    BUSY_WINDOW_SEC apart (after a settle sleep so the just-finished
+    query's GC/IO-flush tail drains). Called only between queries,
+    when the bench itself runs nothing — whatever is busy is outside
+    load."""
+    def snap():
+        with open("/proc/stat") as fh:
+            vals = list(map(int, fh.readline().split()[1:]))
+        return sum(vals), vals[3] + vals[4]  # total, idle+iowait
+
+    time.sleep(BUSY_SETTLE_SEC)
+    t0, i0 = snap()
+    time.sleep(BUSY_WINDOW_SEC)
+    t1, i1 = snap()
+    dt = t1 - t0
+    if dt <= 0:
+        return 0.0
+    return (dt - (i1 - i0)) / dt * (os.cpu_count() or 1)
+
+
+def contended_stamp(
+    load_start: float,
+    query_loads: "dict[str, float]",
+    query_busys: "dict[str, float]",
+    idle_load: float = IDLE_LOAD,
+    load_hi: float = IDLE_LOAD_HI,
+    busy_hi: float = BUSY_HI,
+) -> "tuple[bool, str | None]":
+    """(contended, note) for the whole run — pure, unit-tested
+    (tests/test_bench_stamp.py). Contended iff the idle wait was
+    exhausted at start, OR the 1-min load at any per-query sample
+    point exceeded what the bench itself can generate, OR the
+    between-query /proc/stat probe caught outside CPUs burning."""
+    if load_start >= idle_load:
+        return True, (
+            f"box under load ({load_start:.1f} at start, idle wait "
+            "exhausted) — timings are contended; rerun idle before "
+            "comparing across rounds"
+        )
+    if query_loads and max(query_loads.values()) >= load_hi:
+        return True, (
+            f"outside load ramped to {max(query_loads.values()):.1f} "
+            f"mid-run (own-load ceiling {load_hi}) — per-query timings "
+            "in the affected stretch are contended; rerun idle before "
+            "comparing across rounds"
+        )
+    if query_busys and max(query_busys.values()) >= busy_hi:
+        worst = max(query_busys, key=query_busys.get)
+        return True, (
+            f"{query_busys[worst]:.1f} outside CPUs busy at the "
+            f"between-query probe before {worst!r} (ceiling {busy_hi}) "
+            "— another process ran mid-bench; rerun idle before "
+            "comparing across rounds"
+        )
+    return False, None
+
 
 def wait_for_idle() -> float:
     """Block until the 1-min load drops below IDLE_LOAD (or retries run
@@ -161,6 +242,7 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     q_load: dict[str, float] = {}
+    q_busy: dict[str, float] = {}
     q_spread: dict[str, float] = {}
 
     def rel_spread(xs: list) -> float:
@@ -169,6 +251,7 @@ def main() -> None:
 
     for name in names:
         q_load[name] = round(os.getloadavg()[0], 2)
+        q_busy[name] = round(outside_busy(), 2)
         samples = []
         for _ in range(PASSES):
             t0 = time.perf_counter()
@@ -215,6 +298,11 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     load_end = os.getloadavg()[0]
+    # contended covers the WHOLE run: idle-wait exhausted at start, OR
+    # outside load ramping past what the bench itself generates at any
+    # per-query loadavg sample, OR the between-query /proc/stat probe
+    # catching outside CPUs busy while the bench itself was quiescent
+    contended, load_note = contended_stamp(load_start, q_load, q_busy)
     out = {
         "metric": "headline_queries_total",
         "value": total,
@@ -225,32 +313,16 @@ def main() -> None:
         "load_start": round(load_start, 2),
         "load_end": round(load_end, 2),
         "query_load": q_load,
+        "query_busy": q_busy,
         "query_spread": q_spread,
         "profile_sidecars": profiled,
-        # contended covers the WHOLE run: idle-wait exhausted at start,
-        # OR outside load ramping past what the bench itself generates
-        # at any per-query sample point
-        "contended": bool(
-            load_start >= IDLE_LOAD
-            or (q_load and max(q_load.values()) >= IDLE_LOAD_HI)
-        ),
+        "contended": contended,
     }
     if new_ops:
         out["new_ops"] = new_ops
         out["new_ops_total"] = round(sum(new_ops.values()), 3)
-    if load_start >= IDLE_LOAD:
-        out["load_note"] = (
-            f"box under load ({load_start:.1f} at start, idle wait "
-            "exhausted) — timings are contended; rerun idle before "
-            "comparing across rounds"
-        )
-    elif out["contended"]:
-        out["load_note"] = (
-            f"outside load ramped to {max(q_load.values()):.1f} mid-run "
-            f"(own-load ceiling {IDLE_LOAD_HI}) — per-query timings in "
-            "the affected stretch are contended; rerun idle before "
-            "comparing across rounds"
-        )
+    if load_note is not None:
+        out["load_note"] = load_note
     # The driver captures only a bounded stdout TAIL and parses the
     # last JSON line; the full dict outgrew that window in round 7
     # (BENCH_r07.json "parsed": null). So: full provenance to the
