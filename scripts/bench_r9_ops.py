@@ -15,6 +15,12 @@ Covered:
 - table_pipe: three appends drained through the exactly-once
   table→table pipe (one idempotent sink commit per source version)
   + sink read
+- rollup_view_cdc (round 10, VERDICT r9 #6): a mixed
+  insert/insert/delete backlog drained through
+  rollup_view_available_now (the retraction path — the one
+  data-proportional piece of the storage family) + store read
+- cdc_merge_pipe (round 10): a MERGE (update CDF sidecar) replicated
+  through the cdc pipe to a sink table + sink read
 
 Usage: python scripts/bench_r9_ops.py [sf_dir ...] — or import
 ``measure`` (bench.py does).
@@ -129,6 +135,53 @@ def measure(spark, sf_dir: str, tmp: str) -> dict[str, float]:
     )
     _noop(tx_read(spark, pd))
     out["table_pipe_3batch_read"] = round(time.perf_counter() - t0, 3)
+
+    # incremental rollup view under deletes: two event appends + one
+    # merge-on-read delete folded by the CDC maintainer, then a store
+    # read. The delete fold is the data-proportional path (one bounded
+    # pre-delete-snapshot semi-join + a negated window aggregation).
+    from distributed_mapreduce__spark.operators.timeseries import read_rollup
+    from distributed_mapreduce__spark.streaming.table_stream import (
+        rollup_view_available_now,
+    )
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "value", "event_type"
+    )
+    vs, vw, vc = f"{tmp}/view_src", f"{tmp}/view_store", f"{tmp}/view_ckpt"
+    tx_write(events.filter(F.col("event_id") % 2 == 0), vs)
+    tx_write(events.filter(F.col("event_id") % 2 == 1), vs)
+    tx_delete(
+        spark.createDataFrame([("click",)], "event_type string"),
+        vs,
+        "event_type",
+        mode="merge_on_read",
+    )
+    t0 = time.perf_counter()
+    rollup_view_available_now(
+        spark, vs, vw, "1 hour", ("event_type",), checkpoint=vc
+    )
+    _noop(read_rollup(spark, vw, ("event_type",)))
+    out["rollup_view_cdc_3batch_read"] = round(time.perf_counter() - t0, 3)
+
+    # update CDF end-to-end: MERGE ~10% of orders (sidecar capture) +
+    # cdc-pipe replication (delete-then-append upsert) + sink read
+    from distributed_mapreduce__spark.sources.txlog import tx_merge
+
+    ms, md, mc = f"{tmp}/merge_src", f"{tmp}/merge_dst", f"{tmp}/merge_ckpt"
+    full_orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    tx_write(full_orders, ms)
+    pipe_available_now(spark, ms, md, checkpoint=mc, cdc_key="o_orderkey")
+    upd = full_orders.filter(F.col("o_orderkey") % 10 == 3).withColumn(
+        "o_totalprice", -F.col("o_totalprice")
+    )
+    t0 = time.perf_counter()
+    tx_merge(upd, ms, "o_orderkey")
+    pipe_available_now(spark, ms, md, checkpoint=mc, cdc_key="o_orderkey")
+    _noop(tx_read(spark, md))
+    out["cdc_merge_pipe_read"] = round(time.perf_counter() - t0, 3)
     return out
 
 
