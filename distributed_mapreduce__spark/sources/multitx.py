@@ -42,10 +42,16 @@ transaction; participants pay exactly what a plain ``tx_write`` pays
 Readers pay one existence probe per UNRESOLVED commit in replay
 range, and terminal resolutions are cached process-wide.
 
-Scope: ``append`` only. A multi-table overwrite/merge would need
-cross-table conflict detection with no serializable order to appeal
-to; refusing is the honest contract (single-table rewrites keep their
-full conflict checks via :func:`~.txlog.tx_merge`).
+Scope: ``append`` (default) and ``overwrite`` per participant
+(``modes=``, round 10). Overwrite carries single-table overwrite's
+own semantics — a whole-snapshot replacement, last-writer-wins, no
+conflict check to lose — made atomic across tables by the same
+coordinator record; replay applies the reset at the commit's version
+position once resolved, so no reader ever sees table A's new snapshot
+with table B's old one. MERGE stays out of scope: a multi-table merge
+would need cross-table conflict detection with no serializable order
+to appeal to; refusing is the honest contract (single-table merges
+keep their full conflict checks via :func:`~.txlog.tx_merge`).
 
 Reference parity: the reference engine (master/master.go) has no
 storage transactions at all; this extends the round-7/8 txlog family.
@@ -60,6 +66,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from .sinks import hadoop_fs
 from .txlog import (
+    _check_append_schema,
     _collect_stats,
     _commit_with_retries,
     _committed_txns,
@@ -91,8 +98,9 @@ def tx_multi(
     txn: str | None = None,
     stats_cols=None,
     max_retries: int = 20,
+    modes: "dict[str, str] | None" = None,
 ) -> "dict[str, int]":
-    """Atomically append each DataFrame to its table: all become
+    """Atomically commit each DataFrame to its table: all become
     visible together, or none do. Returns {table path: version}.
 
     ``coordinator`` is the directory whose ``_multitx/`` holds the
@@ -103,9 +111,20 @@ def tx_multi(
     a fresh txid is drawn (a retry after a mid-flight crash would
     then leave the first attempt pending until aborted).
     ``stats_cols`` records per-file [min,max] in each participant's
-    commit, same as :func:`~.txlog.tx_write`."""
+    commit, same as :func:`~.txlog.tx_write`.
+
+    ``modes`` maps a table path to ``'append'`` (default) or
+    ``'overwrite'`` — e.g. atomically replacing a dimension snapshot
+    while appending its fact deltas. Overwrite keeps single-table
+    overwrite's last-writer-wins semantics, made cross-table atomic
+    by the coordinator record (the module docstring's scope note)."""
     if not writes:
         raise ValueError("tx_multi needs at least one table")
+    for p, m in (modes or {}).items():
+        if m not in ("append", "overwrite"):
+            raise ValueError(
+                f"modes[{p!r}] must be append|overwrite, got {m!r}"
+            )
     spark = next(iter(writes.values())).sparkSession
     txid = txn or uuid.uuid4().hex
 
@@ -129,15 +148,24 @@ def tx_multi(
             else None
         )
         fs = hadoop_fs(spark, path)[0]
+        mode = (modes or {}).get(path, "append")
+        if mode == "append":
+            # same schema-on-write contract as tx_write (txlog.py)
+            _check_append_schema(writes[path], path, "enforce")
+        schema_json = writes[path].schema.json()
 
-        def build(next_v: int, added=added, stats=stats) -> dict:
+        def build(
+            next_v: int, added=added, stats=stats, mode=mode,
+            schema_json=schema_json,
+        ) -> dict:
             payload = {
                 "version": next_v,
-                "action": "append",
+                "action": mode,
                 "add": added,
                 "remove": [],
                 "txn": table_txn,
                 "multi": {"coordinator": coordinator, "txid": txid},
+                "schema": schema_json,
             }
             if stats:
                 payload["stats"] = stats

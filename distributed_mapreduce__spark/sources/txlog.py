@@ -309,6 +309,50 @@ class S3ConditionalPutClaimer(CommitClaimer):
         )
 
 
+class GcsGenerationMatchClaimer(CommitClaimer):
+    """GCS arm: upload with ``if_generation_match=0`` — generation 0
+    means "the object must not exist yet", GCS's native single-request
+    atomic put-if-absent (the JSON-API precondition the
+    google-cloud-storage client exposes on every upload method).
+    Exactly one of any number of racing publishers lands; the rest get
+    ``412 PreconditionFailed`` = lost the version race.
+
+    ``client`` is anything with google-cloud-storage's
+    ``bucket(name).blob(key).upload_from_string(payload,
+    if_generation_match=0)`` shape, raising an error whose ``code``
+    attribute (or class name) says 412/PreconditionFailed on loss —
+    injected for tests; default lazily constructs
+    ``google.cloud.storage.Client()``. Concurrent-write 429/503
+    backoff is the client library's own documented retry behavior, so
+    unlike S3's 409 there is no conflict loop here.
+
+    Opt in per scheme: ``register_claimer("gs",
+    GcsGenerationMatchClaimer())``."""
+
+    def __init__(self, client=None):
+        self._client = client
+
+    def _c(self):
+        if self._client is None:
+            from google.cloud import storage  # soft dep
+
+            self._client = storage.Client()
+        return self._client
+
+    def publish(self, spark, fs, final_path_str: str, payload: bytes) -> bool:
+        bucket, key = _split_object_uri(final_path_str)
+        try:
+            self._c().bucket(bucket).blob(key).upload_from_string(
+                payload, if_generation_match=0
+            )
+            return True
+        except Exception as e:  # noqa: BLE001 — code-dispatch below
+            code = getattr(e, "code", None)
+            if code == 412 or type(e).__name__ == "PreconditionFailed":
+                return False  # object exists: lost the race
+            raise
+
+
 #: scheme -> claimer. Scheme-less paths are resolved through the
 #: Hadoop FileSystem object actually serving them (never assumed
 #: local: on a cluster whose fs.defaultFS is hdfs://, a scheme-less
@@ -330,16 +374,17 @@ def register_claimer(scheme: str, claimer: CommitClaimer) -> None:
     """Install the commit-publish arm for a filesystem scheme (the
     one-function object-store port: put-if-absent for s3a/gs/abfs).
 
-    S3 ships here: ``register_claimer("s3a",
-    S3ConditionalPutClaimer())`` — conditional PUT with
-    ``If-None-Match: *``, race-tested against an in-memory store
-    implementing the same semantics (no network in this sandbox).
-    A GCS-native port sets ``x-goog-if-generation-match: 0`` on the
-    upload; ABFS sends ``If-None-Match: *`` on Put Blob. All three
-    are single-request atomic put-if-absent — no claim files, no
-    rename, nothing to vacuum on crash. Registration is deliberately
-    explicit (opt-in per deployment): a wrong-but-silent default on an
-    object store would drop racing commits."""
+    Two arms ship here, both race-tested against in-memory stores
+    implementing the same semantics (no network in this sandbox):
+    ``register_claimer("s3a", S3ConditionalPutClaimer())``
+    (conditional PUT with ``If-None-Match: *``) and
+    ``register_claimer("gs", GcsGenerationMatchClaimer())``
+    (``if_generation_match=0``). An ABFS port sends
+    ``If-None-Match: *`` on Put Blob — the identical shape. All are
+    single-request atomic put-if-absent — no claim files, no rename,
+    nothing to vacuum on crash. Registration is deliberately explicit
+    (opt-in per deployment): a wrong-but-silent default on an object
+    store would drop racing commits."""
     _CLAIMERS[scheme] = claimer
 
 
@@ -558,6 +603,121 @@ def _require_no_mor(spark, path: str, op: str, version: int | None = None):
         )
 
 
+def _schema_fields(schema_json: str) -> dict:
+    """{field name: type json} from a StructType json string —
+    nullability and metadata deliberately ignored (parquet readers
+    reconcile those; name/type is what decides data loss)."""
+    import json as _json
+
+    return {
+        f["name"]: _json.dumps(f["type"], sort_keys=True)
+        for f in _json.loads(schema_json).get("fields", [])
+    }
+
+
+def _live_schema_info(
+    spark, path: str, version: int | None = None
+) -> "tuple[str | None, bool]":
+    """(latest recorded schema json | None, evolved) by replaying the
+    log's schema markers: overwrites RESET the schema (and the evolved
+    flag — their file set is homogeneous), schema-carrying appends
+    evolve it. ``evolved=True`` means live files were written under
+    more than one schema, so a correct read needs parquet mergeSchema
+    (:func:`tx_read` turns it on automatically). ``None`` = the table
+    predates schema recording; enforcement is impossible and reads
+    keep their historical behavior."""
+    commits = _list_commits(spark, path)
+    versions = sorted({v for v, _ in commits})
+    if not versions:
+        raise FileNotFoundError(f"no transactional table at {path}")
+    if version is None:
+        version = versions[-1]
+    ckpts = [v for v, kind in commits if kind == "checkpoint" and v <= version]
+    schema: str | None = None
+    evolved = False
+    start = 0
+    if ckpts:
+        ck = _load(spark, path, f"{ckpts[-1]:0{_PAD}d}.checkpoint.json")
+        schema = ck.get("schema")
+        evolved = bool(ck.get("schema_evolved"))
+        start = ckpts[-1] + 1
+    for v in versions:
+        if v < start or v > version:
+            continue
+        c = _load(spark, path, f"{v:0{_PAD}d}.json")
+        m = c.get("multi")
+        if m is not None and (
+            _multi_status(spark, m["coordinator"], m["txid"]) != "committed"
+        ):
+            continue  # invisible commits contribute no schema either
+        if c.get("action") == "overwrite":
+            schema = c.get("schema")
+            evolved = False
+            continue
+        s = c.get("schema")
+        if s is not None:
+            if schema is not None and _schema_fields(s) != _schema_fields(
+                schema
+            ):
+                evolved = True
+                # union by name: existing fields keep their slot, new
+                # ones append — the merged shape parquet mergeSchema
+                # produces
+                import json as _json
+
+                merged = _json.loads(schema)
+                have = {f["name"] for f in merged["fields"]}
+                for f in _json.loads(s)["fields"]:
+                    if f["name"] not in have:
+                        merged["fields"].append(f)
+                schema = _json.dumps(merged)
+            elif schema is None:
+                schema = s
+    return schema, evolved
+
+
+def _check_append_schema(df: DataFrame, path: str, schema_mode: str) -> None:
+    """Schema-on-write (the Delta contract): an append whose schema
+    differs from the table's is refused by default — a reader using
+    the table schema would silently DROP the new columns (or read
+    garbage on a type change). ``schema_mode='merge'`` permits adding
+    or omitting columns (recorded in the commit; reads auto-merge
+    afterwards) but never a same-name TYPE change — no merge mode can
+    make int-then-string readable."""
+    if schema_mode not in ("enforce", "merge"):
+        raise ValueError(
+            f"schema_mode must be enforce|merge, got {schema_mode!r}"
+        )
+    try:
+        current, _ = _live_schema_info(df.sparkSession, path)
+    except FileNotFoundError:
+        return  # first commit defines the schema
+    if current is None:
+        return  # pre-schema-recording table: nothing to enforce against
+    new = df.schema.json()
+    cur_f, new_f = _schema_fields(current), _schema_fields(new)
+    if cur_f == new_f:
+        return
+    clashes = sorted(
+        n for n in cur_f.keys() & new_f.keys() if cur_f[n] != new_f[n]
+    )
+    if clashes:
+        raise ValueError(
+            f"append to {path} changes the TYPE of column(s) {clashes} "
+            "— refused in every schema mode; overwrite (or a new "
+            "table) is the honest way to retype"
+        )
+    if schema_mode == "enforce":
+        added = sorted(new_f.keys() - cur_f.keys())
+        missing = sorted(cur_f.keys() - new_f.keys())
+        raise ValueError(
+            f"append to {path} does not match the table schema "
+            f"(new columns {added}, missing columns {missing}); pass "
+            "schema_mode='merge' to evolve the schema, after which "
+            "reads merge footers automatically"
+        )
+
+
 def _committed_txns(spark, path: str) -> dict[str, int]:
     """txn id -> version, from every commit (checkpoints don't carry
     txns; the log entries stay until tx_vacuum truncates — vacuum
@@ -710,6 +870,7 @@ def tx_write(
     txn: str | None = None,
     max_retries: int = 20,
     stats_cols: "Sequence[str] | None" = None,
+    schema_mode: str = "enforce",
 ) -> int:
     """Commit ``df`` to the table at ``path``; returns the committed
     version. ``mode='append'`` adds files; ``'overwrite'`` makes the
@@ -722,12 +883,26 @@ def tx_write(
     IN the commit (one extra grouped pass over the just-written
     files): later :func:`tx_merge` / :func:`tx_delete` / filtered
     :func:`tx_read` then skip files from the log alone — zero footer
-    I/O — the Delta stats model."""
+    I/O — the Delta stats model.
+
+    ``schema_mode`` is schema-on-write (the Delta contract): an append
+    whose columns differ from the table's raises under the default
+    ``'enforce'`` — a reader on the table schema would silently DROP
+    the new columns; ``'merge'`` permits added/omitted columns, the
+    commit records the evolved schema, and every later
+    :func:`tx_read` merges parquet footers automatically (no
+    ``merge_schema=True`` needed). A same-name TYPE change is refused
+    in both modes; ``mode='overwrite'`` resets the schema freely.
+    Tables written before schema recording existed have nothing to
+    enforce against and keep their historical behavior."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
     spark = df.sparkSession
     if txn is not None and (prior := _committed_txns(spark, path).get(txn)) is not None:
         return prior
+    if mode == "append":
+        _check_append_schema(df, path, schema_mode)
+    schema_json = df.schema.json()
 
     added = _stage_and_place(df, path)
     stats = (
@@ -744,6 +919,7 @@ def tx_write(
             "add": added,
             "remove": [],
             "txn": txn,
+            "schema": schema_json,
         }
         if stats:
             payload["stats"] = stats
@@ -804,6 +980,7 @@ def _write_checkpoint(spark, path: str, version: int) -> bool:
     live_stats = {
         f: st for f, st in _log_stats(spark, path).items() if f in set(files)
     }
+    schema, evolved = _live_schema_info(spark, path, version)
     payload = {
         "version": version,
         "files": files,
@@ -815,6 +992,11 @@ def _write_checkpoint(spark, path: str, version: int) -> bool:
         "txns": _committed_txns(spark, path),
         "stats": live_stats,
     }
+    if schema is not None:
+        # schema enforcement + auto-merge reads must survive log
+        # truncation exactly like eps/mor/txns
+        payload["schema"] = schema
+        payload["schema_evolved"] = evolved
     if mor:
         payload["reader"] = 2  # folded tombstones: level-2 readers only
     # checkpoints are an optimization; losing the race to an identical
@@ -842,7 +1024,12 @@ def tx_read(
     ``merge_schema=True`` unions the live files' schemas (appends that
     ADDED columns over the table's life read back with NULLs for old
     files — parquet mergeSchema semantics); the default reads with the
-    first file's schema, Spark's cheaper footer handling.
+    first file's schema, Spark's cheaper footer handling — EXCEPT when
+    the log records that the live snapshot spans more than one write
+    schema (a ``schema_mode='merge'`` append happened since the last
+    overwrite): then footer merging turns on automatically, so schema
+    evolution never silently drops a column on readers who didn't
+    know to ask.
 
     ``where=(col, lo, hi)`` is log-stats data skipping: live files
     whose recorded [min, max] range misses [lo, hi] are dropped from
@@ -883,6 +1070,8 @@ def tx_read(
             return spark.read.parquet(*all_files).limit(0)
         raise FileNotFoundError(f"table {path} has no data files at all")
     reader = spark.read
+    if not merge_schema:
+        _, merge_schema = _live_schema_info(spark, path, version)
     if merge_schema:
         reader = reader.option("mergeSchema", "true")
     out = _read_with_mor(spark, path, reader, files, eps, mor)

@@ -163,7 +163,16 @@ def pipe_available_now(
         if batch is not None:
             if kind == "insert":
                 out = transform(batch) if transform is not None else batch
-                tx_write(out, dst, txn=f"{name}:v{v}", stats_cols=stats_cols)
+                tx_write(
+                    out,
+                    dst,
+                    txn=f"{name}:v{v}",
+                    stats_cols=stats_cols,
+                    # the sink follows the SOURCE's schema evolution:
+                    # a merge-mode append upstream must not wedge the
+                    # replica (reads auto-merge after, both sides)
+                    schema_mode="merge",
+                )
                 n_writes += 1
             elif kind == "delete":
                 tx_delete(
@@ -200,7 +209,16 @@ def pipe_available_now(
                     F.col("_change_type").isin("insert", "update_postimage")
                 ).drop("_change_type")
                 out = transform(post) if transform is not None else post
-                tx_write(out, dst, txn=f"{name}:v{v}", stats_cols=stats_cols)
+                tx_write(
+                    out,
+                    dst,
+                    txn=f"{name}:v{v}",
+                    stats_cols=stats_cols,
+                    # the sink follows the SOURCE's schema evolution:
+                    # a merge-mode append upstream must not wedge the
+                    # replica (reads auto-merge after, both sides)
+                    schema_mode="merge",
+                )
                 n_writes += 2
         save_cursor(spark, checkpoint, v)
         n_versions += 1

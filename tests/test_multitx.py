@@ -260,3 +260,73 @@ def test_streaming_fanout_exactly_once_across_tables(spark, tmp_path):
     a = {h["txn"] for h in txlog.tx_history(spark, evens)}
     b = {h["txn"] for h in txlog.tx_history(spark, odds)}
     assert a == b and len(a) == 3  # one per micro-batch (3 src files)
+
+
+def test_multi_overwrite_is_atomic_across_tables(spark, tmp_path, monkeypatch):
+    """Round 10 (the r9 'append-only' gap, overwrite half): one
+    transaction atomically REPLACES a dimension snapshot while
+    appending fact deltas — neither side visible until the coordinator
+    record lands, both after, and a crash between the table commits
+    and the record leaves BOTH tables on their old snapshots."""
+    from distributed_mapreduce__spark.sources import multitx
+    from distributed_mapreduce__spark.sources.multitx import tx_multi
+    from distributed_mapreduce__spark.sources.txlog import tx_read, tx_write
+
+    dim, fact = str(tmp_path / "dim"), str(tmp_path / "fact")
+    coord = str(tmp_path / "cat")
+    tx_write(_df(spark, 0, 3, "old"), dim)
+    tx_write(_df(spark, 100, 102, "f0"), fact)
+
+    def ids(path):
+        return sorted(r.id for r in tx_read(spark, path).collect())
+
+    # crash BEFORE the coordinator publish: nothing changed anywhere
+    real = multitx._write_atomic
+
+    def dying(spark_, fs, path, payload):
+        if "_multitx/" in path:
+            raise RuntimeError("crash before record")
+        return real(spark_, fs, path, payload)
+
+    monkeypatch.setattr(multitx, "_write_atomic", dying)
+    with pytest.raises(RuntimeError, match="crash before record"):
+        tx_multi(
+            {dim: _df(spark, 10, 13, "new"), fact: _df(spark, 102, 104, "f1")},
+            coord,
+            txn="swap1",
+            modes={dim: "overwrite"},
+        )
+    monkeypatch.setattr(multitx, "_write_atomic", real)
+    assert ids(dim) == [0, 1, 2] and ids(fact) == [100, 101]
+
+    # the retry completes: the dim snapshot is REPLACED and the fact
+    # rows appended, atomically; a re-retry is a no-op
+    v = tx_multi(
+        {dim: _df(spark, 10, 13, "new"), fact: _df(spark, 102, 104, "f1")},
+        coord,
+        txn="swap1",
+        modes={dim: "overwrite"},
+    )
+    assert ids(dim) == [10, 11, 12] and ids(fact) == [100, 101, 102, 103]
+    assert (
+        tx_multi(
+            {dim: _df(spark, 10, 13, "new"), fact: _df(spark, 102, 104, "f1")},
+            coord,
+            txn="swap1",
+            modes={dim: "overwrite"},
+        )
+        == v
+    )
+    assert ids(dim) == [10, 11, 12] and ids(fact) == [100, 101, 102, 103]
+    # time travel to the pre-swap dim snapshot still works
+    assert sorted(
+        r.id for r in tx_read(spark, dim, version=0).collect()
+    ) == [0, 1, 2]
+
+    # bad mode refused loudly
+    with pytest.raises(ValueError, match="append|overwrite"):
+        tx_multi(
+            {dim: _df(spark, 0, 1, "x")},
+            coord,
+            modes={dim: "merge"},
+        )

@@ -358,16 +358,87 @@ def test_delete_by_key_prunes_and_travels(spark, tmp_path):
 
 
 def test_schema_evolution_merge_schema_read(spark, tmp_path):
+    """Since round 10 a widened append needs schema_mode='merge'
+    (schema-on-write), after which plain tx_read merges footers
+    AUTOMATICALLY — the explicit merge_schema=True stays as a manual
+    override."""
     from distributed_mapreduce__spark.sources.txlog import tx_read as tr
 
     t = str(tmp_path / "t")
     tx_write(_df(spark, 0, 3, "a"), t)
     widened = _df(spark, 3, 5, "b").withColumn("score", F.lit(0.5))
-    tx_write(widened, t)
-    cols = set(tr(spark, t, merge_schema=True).columns)
-    assert cols == {"id", "tag", "score"}
-    rows = {r.id: r.score for r in tr(spark, t, merge_schema=True).collect()}
-    assert rows[4] == 0.5 and rows[0] is None
+    tx_write(widened, t, schema_mode="merge")
+    for kwargs in ({"merge_schema": True}, {}):  # explicit AND automatic
+        cols = set(tr(spark, t, **kwargs).columns)
+        assert cols == {"id", "tag", "score"}
+        rows = {r.id: r.score for r in tr(spark, t, **kwargs).collect()}
+        assert rows[4] == 0.5 and rows[0] is None
+
+
+def test_schema_on_write_enforced(spark, tmp_path):
+    """Round 10 (Delta schema enforcement): an append whose columns
+    differ from the table's raises by default; a same-name TYPE change
+    raises in EVERY mode; overwrite retypes freely; enforcement and
+    the auto-merge flag survive checkpoint folding + vacuum."""
+    from distributed_mapreduce__spark.sources.txlog import tx_read as tr
+
+    t = str(tmp_path / "t")
+    tx_write(_df(spark, 0, 3, "a"), t)
+    widened = _df(spark, 3, 5, "b").withColumn("score", F.lit(0.5))
+    with pytest.raises(ValueError, match="schema_mode='merge'"):
+        tx_write(widened, t)
+    # dropping a column is also a mismatch under enforce
+    with pytest.raises(ValueError, match="missing columns"):
+        tx_write(_df(spark, 5, 6, "c").drop("tag"), t)
+    # a TYPE change is refused even in merge mode
+    retyped = _df(spark, 5, 6, "c").withColumn(
+        "tag", F.lit(7).cast("long")
+    )
+    with pytest.raises(ValueError, match="TYPE"):
+        tx_write(retyped, t, schema_mode="merge")
+    # merge mode evolves; the NEXT plain append must match the EVOLVED
+    # schema (score now part of it)
+    tx_write(widened, t, schema_mode="merge")
+    with pytest.raises(ValueError, match="missing columns"):
+        tx_write(_df(spark, 6, 7, "d"), t)
+    tx_write(
+        _df(spark, 6, 7, "d").withColumn("score", F.lit(1.0)), t
+    )
+    # enforcement + auto-merge survive checkpoint + log truncation
+    tx_vacuum(spark, t, retain_last=0)
+    assert set(tr(spark, t).columns) == {"id", "tag", "score"}
+    with pytest.raises(ValueError, match="missing columns"):
+        tx_write(_df(spark, 7, 8, "e"), t)
+    # overwrite resets the schema — and the auto-merge flag with it
+    tx_write(_df(spark, 100, 102, "o"), t, mode="overwrite")
+    assert set(tr(spark, t).columns) == {"id", "tag"}
+    tx_write(_df(spark, 102, 103, "p"), t)  # matches again
+
+
+def test_schema_enforcement_skips_prestamp_tables(spark, tmp_path):
+    """Tables written before schema recording (or by an older build)
+    have nothing to enforce against: appends keep working, reads keep
+    their historical non-merged behavior."""
+    import json as _json
+
+    from distributed_mapreduce__spark.sources.txlog import _PAD
+
+    t = str(tmp_path / "t")
+    tx_write(_df(spark, 0, 3, "a"), t)
+    # strip the schema marker, simulating a legacy commit
+    p = f"{t}/_txlog/{0:0{_PAD}d}.json"
+    c = _json.load(open(p))
+    del c["schema"]
+    import os
+
+    os.unlink(p)
+    with open(p, "w") as fh:
+        _json.dump(c, fh)
+    # a widened append is accepted (nothing to enforce against)...
+    tx_write(_df(spark, 3, 4, "b").withColumn("x", F.lit(1)), t)
+    # ...and from that commit on the schema IS recorded and enforced
+    with pytest.raises(ValueError, match="missing columns"):
+        tx_write(_df(spark, 4, 5, "c"), t)
 
 
 def test_log_stats_prune_without_footer_io(spark, tmp_path, monkeypatch):
@@ -1022,3 +1093,81 @@ def test_s3_claimer_registers_for_scheme(spark):
         assert fake.store[("bucket", "t/_txlog/v0.json")] == b"one"
     finally:
         txlog._CLAIMERS.pop("s3a", None)
+
+
+class _FakeGcsError(Exception):
+    def __init__(self, code):
+        super().__init__(str(code))
+        self.code = code
+
+
+class _FakeGcs:
+    """In-memory GCS client: bucket().blob().upload_from_string with
+    if_generation_match=0 semantics — first writer wins, the rest get
+    a 412-coded error."""
+
+    def __init__(self):
+        import threading
+
+        self.store = {}
+        self._lock = threading.Lock()
+
+    def bucket(self, name):
+        client = self
+
+        class _Bucket:
+            def blob(self, key):
+                class _Blob:
+                    def upload_from_string(
+                        _b, payload, if_generation_match=None
+                    ):
+                        assert if_generation_match == 0
+                        with client._lock:
+                            if (name, key) in client.store:
+                                raise _FakeGcsError(412)
+                            client.store[(name, key)] = (
+                                payload
+                                if isinstance(payload, bytes)
+                                else payload.encode()
+                            )
+
+                return _Blob()
+
+        return _Bucket()
+
+
+def test_gcs_claimer_one_winner_and_error_propagation(spark):
+    import threading
+
+    from distributed_mapreduce__spark.sources.txlog import (
+        GcsGenerationMatchClaimer,
+    )
+
+    fake = _FakeGcs()
+    claimer = GcsGenerationMatchClaimer(client=fake)
+    path = "gs://bucket/t/_txlog/00000000000000000003.json"
+    barrier = threading.Barrier(4)
+    results = {}
+
+    def writer(tag):
+        barrier.wait()
+        results[tag] = claimer.publish(spark, None, path, f"g{tag}".encode())
+
+    ts = [threading.Thread(target=writer, args=(i,)) for i in range(4)]
+    [t.start() for t in ts]
+    [t.join() for t in ts]
+    assert sorted(results.values()) == [False] * 3 + [True]
+    winner = next(t for t, ok in results.items() if ok)
+    assert fake.store[
+        ("bucket", "t/_txlog/00000000000000000003.json")
+    ] == f"g{winner}".encode()
+
+    # non-412 errors propagate, never read as "lost the race"
+    class _Denied:
+        def bucket(self, name):
+            raise _FakeGcsError(403)
+
+    with pytest.raises(_FakeGcsError):
+        GcsGenerationMatchClaimer(client=_Denied()).publish(
+            spark, None, path, b"x"
+        )
