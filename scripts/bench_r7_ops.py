@@ -86,9 +86,21 @@ def measure(spark, sf_dir: str, tmp: str) -> dict[str, float]:
         .groupBy("l_orderkey")
         .agg(F.lit(0.0).alias("l_extendedprice"))
     )
+    # since round 10 tx_merge records its update-CDF sidecar by
+    # default — measure both paths so the capture cost (one extra scan
+    # of the stats-pruned touched files + the change-row write) stays
+    # visible as a priced feature, not an unexplained regression
     t0 = time.perf_counter()
     tx_merge(upd, table, "l_orderkey")
     out["tx_merge"] = round(time.perf_counter() - t0, 3)
+    upd2 = (
+        li.filter(F.col("l_orderkey") % 991 == 0)
+        .groupBy("l_orderkey")
+        .agg(F.lit(1.0).alias("l_extendedprice"))
+    )
+    t0 = time.perf_counter()
+    tx_merge(upd2, table, "l_orderkey", cdf=False)
+    out["tx_merge_nocdf"] = round(time.perf_counter() - t0, 3)
     t0 = time.perf_counter()
     lo = li.agg(F.max("l_orderkey")).collect()[0][0] // 2
     _noop(tx_read(spark, table, where=("l_orderkey", lo, lo + 1000)))
