@@ -1015,7 +1015,7 @@ def tx_read(
     path: str,
     version: int | None = None,
     merge_schema: bool = False,
-    where: "tuple[str, object, object] | None" = None,
+    where: "tuple | list[tuple] | None" = None,
 ) -> DataFrame:
     """Snapshot read: the table as of ``version`` (default: latest).
     Hands Spark the explicit live-file list — no directory listing of
@@ -1031,12 +1031,16 @@ def tx_read(
     evolution never silently drops a column on readers who didn't
     know to ask.
 
-    ``where=(col, lo, hi)`` is log-stats data skipping: live files
-    whose recorded [min, max] range misses [lo, hi] are dropped from
-    the scan BEFORE Spark sees them (on top of parquet's own row-group
-    pruning), and the filter is also applied to the result so
+    ``where=(col, lo, hi)`` — or a LIST of such conjuncts — is
+    log-stats data skipping: live files whose recorded [min, max]
+    range misses ANY conjunct's [lo, hi] are dropped from the scan
+    BEFORE Spark sees them (on top of parquet's own row-group
+    pruning), and the filters are also applied to the result so
     correctness never depends on stats coverage. Either bound may be
-    None (one-sided).
+    None (one-sided). Multi-column conjuncts are exactly what a
+    Z-ordered layout rewards: after ``tx_optimize_zorder(cols)``,
+    every clustered column's range is tight per file, so an AND of
+    ranges prunes multiplicatively.
 
     Live merge-on-read delete tombstones (``tx_delete(mode=
     'merge_on_read')``) are applied at scan time: files are grouped by
@@ -1045,22 +1049,29 @@ def tx_read(
     rows appended after a delete are never its victims."""
     eps, mor, _ = _snapshot_state(spark, path, version)
     files = sorted(eps)
-    if where is not None:
-        col, lo, hi = where
-        lo_j = None if lo is None else _json_stat(lo)
-        hi_j = None if hi is None else _json_stat(hi)
+    conjuncts = (
+        [] if where is None
+        else [where] if isinstance(where, tuple)
+        else list(where)
+    )
+    if conjuncts:
         logged = _log_stats(spark, path)
         kept = []
         for f in files:
-            st = (logged.get(f) or {}).get(col)
-            if st is None or st[0] is None:
-                kept.append(f)  # no stats → cannot skip
-                continue
-            if (hi_j is not None and st[0] > hi_j) or (
-                lo_j is not None and st[1] < lo_j
-            ):
-                continue
-            kept.append(f)
+            keep = True
+            for col, lo, hi in conjuncts:
+                st = (logged.get(f) or {}).get(col)
+                if st is None or st[0] is None:
+                    continue  # no stats for this column → cannot skip
+                lo_j = None if lo is None else _json_stat(lo)
+                hi_j = None if hi is None else _json_stat(hi)
+                if (hi_j is not None and st[0] > hi_j) or (
+                    lo_j is not None and st[1] < lo_j
+                ):
+                    keep = False  # provably outside one conjunct
+                    break
+            if keep:
+                kept.append(f)
         files = kept
     if not files:
         # an overwrite with an empty DataFrame is a legal empty table:
@@ -1075,14 +1086,14 @@ def tx_read(
     if merge_schema:
         reader = reader.option("mergeSchema", "true")
     out = _read_with_mor(spark, path, reader, files, eps, mor)
-    if where is not None:
+    if conjuncts:
         from pyspark.sql import functions as F
 
-        col, lo, hi = where
-        if lo is not None:
-            out = out.filter(F.col(col) >= F.lit(lo))
-        if hi is not None:
-            out = out.filter(F.col(col) <= F.lit(hi))
+        for col, lo, hi in conjuncts:
+            if lo is not None:
+                out = out.filter(F.col(col) >= F.lit(lo))
+            if hi is not None:
+                out = out.filter(F.col(col) <= F.lit(hi))
     return out
 
 
@@ -1776,8 +1787,9 @@ def _change_sets(
     raw, cursor = _change_commits(spark, path, since_version)
     out: list[tuple[int, list[str]]] = []
     for v, c in raw:
-        if c is None or c["action"] in ("compact", "apply_deletes"):
-            # aborted multi / pure physical rewrites: logical no-ops
+        if c is None or c["action"] in ("compact", "zorder", "apply_deletes"):
+            # aborted multi / pure physical rewrites (compaction and
+            # Z-order re-clustering are bit-identical): logical no-ops
             out.append((v, []))
             continue
         if c["action"] != "append" or c.get("remove"):
@@ -1909,7 +1921,7 @@ def tx_changes_cdf(
 
     raw, _ = _change_commits(spark, path, since_version)
     for v, c in raw:
-        if c is None or c["action"] in ("compact", "apply_deletes"):
+        if c is None or c["action"] in ("compact", "zorder", "apply_deletes"):
             yield v, None, None
             continue
         if c["action"] == "delete" and c.get("mor"):
@@ -2122,24 +2134,55 @@ def tx_optimize_zorder(
     cols: Sequence[str],
     n_files: int = 16,
     bits: int = 4,
-) -> int:
-    """OPTIMIZE ... ZORDER BY: rewrite the LIVE snapshot clustered on
-    the Z-order curve over ``cols`` (sources/layout.zorder_by) and
-    record per-file [min, max] stats for those columns in the commit —
-    after this, ``tx_read(where=(c, lo, hi))`` on ANY of the clustered
-    columns prunes most files from the log alone (the
+    incremental: bool = False,
+) -> int | None:
+    """OPTIMIZE ... ZORDER BY: rewrite clustered on the Z-order curve
+    over ``cols`` (sources/layout.zorder_by) and record per-file
+    [min, max] stats for those columns in the commit — after this,
+    ``tx_read(where=...)`` on ANY of the clustered columns (or an AND
+    of several) prunes most files from the log alone (the
     multi-dimensional data-skipping layout Delta ships as OPTIMIZE
     ZORDER). Bit-identical contents (remove+add commit, conflict-
     checked like every rewrite); time travel to the pre-optimize
-    layout survives until :func:`tx_vacuum`. Cost is the standard
-    global-sort shape: one sketch pass + one range shuffle over the
-    snapshot, amortized over every later pruned scan."""
+    layout survives until :func:`tx_vacuum`.
+
+    ``incremental=False`` (the classic shape) rewrites the WHOLE live
+    snapshot — one sketch pass + one range shuffle over the table,
+    globally optimal clustering, O(table) cost. At 100 TB that is a
+    once-ever event, not maintenance. ``incremental=True`` rewrites
+    ONLY the live files added since the last same-``cols`` zorder
+    commit (each zorder commit stamps its clustering spec; a file is
+    "already clustered" iff the commit that added it carries a
+    matching stamp): the periodic-maintenance shape — each pass costs
+    O(new data), returns None when nothing new needs clustering, and
+    leaves the table as several independently-clustered file groups.
+    Per-file stats pruning neither knows nor cares about group
+    boundaries, so reads prune exactly as well per file; what
+    incremental mode gives up is global tightness ACROSS groups (k
+    groups ⇒ up to k files overlap a point query instead of 1), which
+    a periodic full pass restores."""
     from .layout import zorder_by
 
     _require_no_mor(spark, path, "tx_optimize_zorder")
-    files, snap_version = _snapshot_files(spark, path)
+    eps, _, snap_version = _snapshot_state(spark, path)
+    files = sorted(eps)
     if not files:
         raise FileNotFoundError(f"nothing to optimize at {path}")
+    spec = {"cols": list(cols), "bits": bits}
+    if incremental:
+        clustered_already: set = set()
+        for v, kind in _list_commits(spark, path):
+            if kind != "commit":
+                continue
+            c = _load(spark, path, f"{v:0{_PAD}d}.json")
+            if c.get("zorder") == spec:
+                # only files STILL live from this zorder commit count
+                clustered_already |= {
+                    f for f in c.get("add", []) if eps.get(f) == v
+                }
+        files = [f for f in files if f not in clustered_already]
+        if not files:
+            return None  # everything live is already clustered
     df = spark.read.parquet(*[_abs(path, f) for f in files])
     clustered = zorder_by(df, list(cols), n_files=n_files, bits=bits)
     added = _stage_and_place(clustered, path)
@@ -2147,6 +2190,7 @@ def tx_optimize_zorder(
     return _commit_rewrite(
         spark, path, added, files, snap_version, None, "zorder",
         stats=stats,
+        extra={"zorder": spec},
     )
 
 

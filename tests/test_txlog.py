@@ -1171,3 +1171,64 @@ def test_gcs_claimer_one_winner_and_error_propagation(spark):
         GcsGenerationMatchClaimer(client=_Denied()).publish(
             spark, None, path, b"x"
         )
+
+
+def test_incremental_zorder_rewrites_only_new_files(spark, tmp_path):
+    """Round 10: incremental OPTIMIZE ZORDER is O(new data) — the
+    files a previous same-spec zorder pass produced are never touched
+    again; only later appends are re-clustered. Contents stay
+    bit-identical, multi-column where-pruning works across clustered
+    groups, and the change feed treats the rewrite as a logical no-op
+    (bit-identical, like compaction)."""
+    import random
+
+    from distributed_mapreduce__spark.sources.txlog import (
+        _snapshot_files,
+        tx_changes,
+        tx_optimize_zorder,
+        tx_read,
+    )
+
+    rng = random.Random(7)
+    t = str(tmp_path / "t")
+    rows = [(rng.randrange(256), rng.randrange(256)) for _ in range(3000)]
+    df = spark.createDataFrame(rows, "x int, y int")
+    tx_write(df, t)
+    v1 = tx_optimize_zorder(spark, t, ["x", "y"], n_files=8)
+    assert v1 is not None
+    clustered_after_full = set(_snapshot_files(spark, t)[0])
+
+    # nothing new → incremental pass is a no-op
+    assert (
+        tx_optimize_zorder(spark, t, ["x", "y"], n_files=8, incremental=True)
+        is None
+    )
+
+    # append fresh data, then incrementally cluster: the first pass's
+    # files survive untouched
+    rows2 = [(rng.randrange(256), rng.randrange(256)) for _ in range(2000)]
+    tx_write(spark.createDataFrame(rows2, "x int, y int"), t)
+    v2 = tx_optimize_zorder(
+        spark, t, ["x", "y"], n_files=4, incremental=True
+    )
+    assert v2 is not None
+    now = set(_snapshot_files(spark, t)[0])
+    assert clustered_after_full < now  # old clustered files untouched
+
+    # contents bit-identical through both passes
+    got = sorted((r.x, r.y) for r in tx_read(spark, t).collect())
+    assert got == sorted(rows + rows2)
+
+    # multi-column conjunct pruning spans both clustered groups
+    want = [(x, y) for x, y in rows + rows2 if 10 <= x <= 20 and 200 <= y]
+    pruned = tx_read(
+        spark, t, where=[("x", 10, 20), ("y", 200, None)]
+    )
+    assert sorted((r.x, r.y) for r in pruned.collect()) == sorted(want)
+    # and it actually pruned: the scan reads fewer files than live
+    assert len(pruned.inputFiles()) < len(now)
+
+    # the change feed checkpoints past zorder commits (bit-identical)
+    df3, cursor = tx_changes(spark, t, v1)
+    assert sorted((r.x, r.y) for r in df3.collect()) == sorted(rows2)
+    assert cursor >= v2
