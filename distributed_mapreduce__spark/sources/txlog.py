@@ -718,6 +718,35 @@ def _check_append_schema(df: DataFrame, path: str, schema_mode: str) -> None:
         )
 
 
+def _zorder_marks(spark, path: str, eps: dict, version: int) -> dict:
+    """{live file: clustering spec} — which live files were PRODUCED
+    by a zorder rewrite, and under what spec. Folds through
+    checkpoints (the marks must survive log truncation, or the next
+    incremental OPTIMIZE would re-cluster the whole table); a file
+    rewritten by any later commit gets a fresh uuid name, so stale
+    marks drop out via the ``f in eps`` / ``eps[f] == v`` guards."""
+    commits = _list_commits(spark, path)
+    marks: dict = {}
+    ckpts = [v for v, k in commits if k == "checkpoint" and v <= version]
+    start = 0
+    if ckpts:
+        ck = _load(spark, path, f"{ckpts[-1]:0{_PAD}d}.checkpoint.json")
+        marks = {
+            f: s for f, s in (ck.get("zmarks") or {}).items() if f in eps
+        }
+        start = ckpts[-1] + 1
+    for v, kind in commits:
+        if kind != "commit" or v < start or v > version:
+            continue
+        c = _load(spark, path, f"{v:0{_PAD}d}.json")
+        spec = c.get("zorder")
+        if spec:
+            for f in c.get("add", []):
+                if eps.get(f) == v:
+                    marks[f] = spec
+    return marks
+
+
 def _committed_txns(spark, path: str) -> dict[str, int]:
     """txn id -> version, from every commit (checkpoints don't carry
     txns; the log entries stay until tx_vacuum truncates — vacuum
@@ -997,6 +1026,11 @@ def _write_checkpoint(spark, path: str, version: int) -> bool:
         # truncation exactly like eps/mor/txns
         payload["schema"] = schema
         payload["schema_evolved"] = evolved
+    zmarks = _zorder_marks(spark, path, eps, version)
+    if zmarks:
+        # which live files are already clustered (and how): incremental
+        # OPTIMIZE must not re-cluster the table after truncation
+        payload["zmarks"] = zmarks
     if mor:
         payload["reader"] = 2  # folded tombstones: level-2 readers only
     # checkpoints are an optimization; losing the race to an identical
@@ -1172,6 +1206,7 @@ def tx_history(spark: SparkSession, path: str) -> list[dict]:
             "n_added": len(c.get("add", [])),
             "n_removed": len(c.get("remove", [])),
             "txn": c.get("txn"),
+            "ts": c.get("ts"),
         }
         if (m := c.get("multi")) is not None:
             entry["multi_txid"] = m["txid"]
@@ -2170,17 +2205,8 @@ def tx_optimize_zorder(
         raise FileNotFoundError(f"nothing to optimize at {path}")
     spec = {"cols": list(cols), "bits": bits}
     if incremental:
-        clustered_already: set = set()
-        for v, kind in _list_commits(spark, path):
-            if kind != "commit":
-                continue
-            c = _load(spark, path, f"{v:0{_PAD}d}.json")
-            if c.get("zorder") == spec:
-                # only files STILL live from this zorder commit count
-                clustered_already |= {
-                    f for f in c.get("add", []) if eps.get(f) == v
-                }
-        files = [f for f in files if f not in clustered_already]
+        marks = _zorder_marks(spark, path, eps, snap_version)
+        files = [f for f in files if marks.get(f) != spec]
         if not files:
             return None  # everything live is already clustered
     df = spark.read.parquet(*[_abs(path, f) for f in files])
@@ -2237,19 +2263,35 @@ def tx_maintain(
     max_live_files: int = 32,
     compact_target: int = 4,
     vacuum: bool = True,
+    zorder_cols: "Sequence[str] | None" = None,
+    zorder_bits: int = 4,
+    retain_last: int = 0,
+    retain_hours: "float | None" = None,
 ) -> dict:
-    """One-call table maintenance (the ops runbook as code): compact
-    when fragmentation exceeds ``max_live_files`` (repeating until the
-    live count is under the bar — each pass bounded by
-    ``tx_compact``'s max_input_files), then optionally vacuum dead
-    files + truncate the log. Returns what happened:
-    ``{"compactions": n, "files_before": a, "files_after": b,
-    "vacuumed": k}``. Run it from the single maintenance process the
-    vacuum contract already requires; streaming appenders keep running
-    (their files are never in a compaction's remove set while live
-    conflicts abort loudly rather than corrupt). Live merge-on-read
-    tombstones are settled first (:func:`tx_apply_deletes`) — the
-    maintenance window is where that debt is designed to be paid."""
+    """One-call table maintenance (the ops runbook as code): settle
+    merge-on-read tombstones, compact when fragmentation exceeds
+    ``max_live_files`` (repeating until the live count is under the
+    bar — each pass bounded by ``tx_compact``'s max_input_files),
+    optionally re-cluster, then optionally vacuum dead files +
+    truncate the log (honoring ``retain_last`` / ``retain_hours``).
+    Returns what happened: ``{"compactions": n, "files_before": a,
+    "files_after": b, "vacuumed": k, "deletes_applied": bool,
+    "zordered": bool}``. Run it from the single maintenance process
+    the vacuum contract already requires; streaming appenders keep
+    running (their files are never in a compaction's remove set while
+    live conflicts abort loudly rather than corrupt). Live
+    merge-on-read tombstones are settled first
+    (:func:`tx_apply_deletes`) — the maintenance window is where that
+    debt is designed to be paid.
+
+    ``zorder_cols`` adds INCREMENTAL re-clustering to the pass
+    (:func:`tx_optimize_zorder(incremental=True)`): only files that
+    appeared since the last same-spec clustering rewrite — compaction
+    outputs included, which is why clustering runs AFTER the compact
+    loop (clustering first would leave the compactor merging sorted
+    files into unsorted ones and widening their stat ranges). Each
+    maintenance pass therefore costs O(new data since last pass),
+    never O(table)."""
     applied = tx_apply_deletes(spark, path)
     before = len(_snapshot_files(spark, path)[0])
     compactions = 0
@@ -2257,14 +2299,32 @@ def tx_maintain(
         if tx_compact(spark, path, target_files=compact_target) is None:
             break
         compactions += 1
+    zordered = False
+    if zorder_cols is not None:
+        zordered = (
+            tx_optimize_zorder(
+                spark,
+                path,
+                zorder_cols,
+                n_files=compact_target,  # keep the tidiness goal
+                bits=zorder_bits,
+                incremental=True,
+            )
+            is not None
+        )
     after = len(_snapshot_files(spark, path)[0])
-    vacuumed = len(tx_vacuum(spark, path)) if vacuum else 0
+    vacuumed = (
+        len(tx_vacuum(spark, path, retain_last, retain_hours))
+        if vacuum
+        else 0
+    )
     return {
         "compactions": compactions,
         "files_before": before,
         "files_after": after,
         "vacuumed": vacuumed,
         "deletes_applied": applied is not None,
+        "zordered": zordered,
     }
 
 

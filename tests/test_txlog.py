@@ -1232,3 +1232,47 @@ def test_incremental_zorder_rewrites_only_new_files(spark, tmp_path):
     df3, cursor = tx_changes(spark, t, v1)
     assert sorted((r.x, r.y) for r in df3.collect()) == sorted(rows2)
     assert cursor >= v2
+
+
+def test_maintain_with_incremental_zorder(spark, tmp_path):
+    """tx_maintain(zorder_cols=...) composes the runbook: settle →
+    compact → INCREMENTAL re-cluster → vacuum. A second maintenance
+    pass with no new data does no clustering work; contents stay
+    bit-identical; where-pruning works after maintenance."""
+    import random
+
+    from distributed_mapreduce__spark.sources.txlog import (
+        tx_maintain,
+        tx_read,
+    )
+
+    rng = random.Random(11)
+    t = str(tmp_path / "t")
+    all_rows = []
+    for batch in range(4):
+        rows = [
+            (rng.randrange(128), rng.randrange(128)) for _ in range(800)
+        ]
+        all_rows += rows
+        tx_write(
+            spark.createDataFrame(rows, "x int, y int").repartition(4), t
+        )
+    r = tx_maintain(
+        spark, t, max_live_files=8, compact_target=2,
+        zorder_cols=["x", "y"],
+    )
+    assert r["zordered"] and r["files_after"] <= 8
+    got = sorted((q.x, q.y) for q in tx_read(spark, t).collect())
+    assert got == sorted(all_rows)
+
+    # quiet second pass: nothing to settle, compact, or cluster
+    r2 = tx_maintain(
+        spark, t, max_live_files=8, compact_target=2,
+        zorder_cols=["x", "y"],
+    )
+    assert not r2["zordered"] and r2["compactions"] == 0
+
+    # pruned read stays exact after the full runbook
+    want = [(x, y) for x, y in all_rows if x <= 10 and y >= 100]
+    pruned = tx_read(spark, t, where=[("x", None, 10), ("y", 100, None)])
+    assert sorted((q.x, q.y) for q in pruned.collect()) == sorted(want)
