@@ -718,6 +718,94 @@ def _check_append_schema(df: DataFrame, path: str, schema_mode: str) -> None:
         )
 
 
+def tx_set_properties(
+    spark: SparkSession,
+    path: str,
+    props: dict,
+    txn: str | None = None,
+    max_retries: int = 20,
+) -> int:
+    """SET/UNSET table properties (the Delta TBLPROPERTIES shape): a
+    metadata-only ``meta`` commit carrying a key-delta — given keys
+    merge over the table's current map, ``None`` values unset. Replay
+    folds deltas in version order; checkpoints persist the folded map
+    so properties survive vacuum; data overwrites do NOT reset them
+    (properties belong to the table, not a snapshot). Change feeds
+    treat meta commits as logical no-ops.
+
+    Properties the engine itself consults: ``cdf.enabled`` (bool,
+    default true) — the table-level default for recording update-CDF
+    sidecars on copy-on-write rewrites; the per-call ``cdf=`` argument
+    of :func:`tx_merge` / :func:`tx_delete` overrides it either way.
+    Everything else is user metadata (``tx_properties`` reads it
+    back)."""
+    _snapshot_files(spark, path)  # table must exist; anchors versioning
+    fs = hadoop_fs(spark, path)[0]
+
+    def build(next_v: int) -> dict:
+        return {
+            "version": next_v,
+            "action": "meta",
+            "add": [],
+            "remove": [],
+            "txn": txn,
+            "properties": dict(props),
+        }
+
+    return _commit_with_retries(spark, path, fs, build, txn, max_retries)
+
+
+def tx_properties(
+    spark: SparkSession, path: str, version: int | None = None
+) -> dict:
+    """The table's property map as of ``version`` (default latest) —
+    ``meta`` commit deltas folded in version order over the newest
+    checkpoint's persisted map."""
+    commits = _list_commits(spark, path)
+    versions = sorted({v for v, _ in commits})
+    if not versions:
+        raise FileNotFoundError(f"no transactional table at {path}")
+    if version is None:
+        version = versions[-1]
+    props: dict = {}
+    ckpts = [v for v, k in commits if k == "checkpoint" and v <= version]
+    start = 0
+    if ckpts:
+        ck = _load(spark, path, f"{ckpts[-1]:0{_PAD}d}.checkpoint.json")
+        props = dict(ck.get("properties") or {})
+        start = ckpts[-1] + 1
+    for v, kind in commits:
+        if kind != "commit" or v < start or v > version:
+            continue
+        c = _load(spark, path, f"{v:0{_PAD}d}.json")
+        if c.get("action") != "meta":
+            continue
+        m = c.get("multi")
+        if m is not None and (
+            _multi_status(spark, m["coordinator"], m["txid"]) != "committed"
+        ):
+            continue
+        for k, val in (c.get("properties") or {}).items():
+            if val is None:
+                props.pop(k, None)
+            else:
+                props[k] = val
+    return props
+
+
+def _cdf_default(spark, path: str) -> bool:
+    """Table-level update-CDF default: the ``cdf.enabled`` property,
+    true when unset (CDC-complete by default; opt out per table on
+    write-hot tables nothing streams from, or per call via cdf=)."""
+    try:
+        val = tx_properties(spark, path).get("cdf.enabled", True)
+    except FileNotFoundError:
+        return True
+    if isinstance(val, str):
+        return val.strip().lower() not in ("false", "0", "no")
+    return bool(val)
+
+
 def _zorder_marks(spark, path: str, eps: dict, version: int) -> dict:
     """{live file: clustering spec} — which live files were PRODUCED
     by a zorder rewrite, and under what spec. Folds through
@@ -1031,6 +1119,10 @@ def _write_checkpoint(spark, path: str, version: int) -> bool:
         # which live files are already clustered (and how): incremental
         # OPTIMIZE must not re-cluster the table after truncation
         payload["zmarks"] = zmarks
+    props = tx_properties(spark, path, version)
+    if props:
+        # table properties survive log truncation with the checkpoint
+        payload["properties"] = props
     if mor:
         payload["reader"] = 2  # folded tombstones: level-2 readers only
     # checkpoints are an optimization; losing the race to an identical
@@ -1472,7 +1564,7 @@ def tx_merge(
     path: str,
     key_col: str,
     txn: str | None = None,
-    cdf: bool = True,
+    cdf: "bool | None" = None,
 ) -> int:
     """Copy-on-write MERGE (upsert by key): rows in ``updates`` replace
     same-key rows; unmatched keys append. Returns the committed
@@ -1496,15 +1588,18 @@ def tx_merge(
     isolation); appends provably disjoint from the update range
     proceed untouched.
 
-    ``cdf=True`` (default) records the merge's change rows — update
-    pre-images, update post-images, and inserts, tagged by a
-    ``_change_type`` column — as a ``_cdf/`` sidecar named in the
-    commit, so :func:`tx_changes_cdf` delivers the merge to
-    incremental consumers instead of raising (one routine upsert no
-    longer poisons every downstream pipe into full reprocess). Cost is
-    one extra scan of the touched files (already stats-pruned to the
+    ``cdf`` records the merge's change rows — update pre-images,
+    update post-images, and inserts, tagged by a ``_change_type``
+    column — as a ``_cdf/`` sidecar named in the commit, so
+    :func:`tx_changes_cdf` delivers the merge to incremental
+    consumers instead of raising (one routine upsert no longer
+    poisons every downstream pipe into full reprocess). Cost is one
+    extra scan of the touched files (already stats-pruned to the
     files that can contain the keys) plus a write sized by the change
-    rows; pass ``cdf=False`` on write-hot tables nothing streams from.
+    rows. Default (``None``) follows the table's ``cdf.enabled``
+    property (true when unset — see :func:`tx_set_properties`);
+    ``cdf=False`` opts a single call out, e.g. on write-hot tables
+    nothing streams from.
     """
     spark = updates.sparkSession
     from pyspark.sql import functions as F
@@ -1516,6 +1611,8 @@ def tx_merge(
         raise ValueError(f"updates carry duplicate {key_col} rows")
     if txn is not None and (prior := _committed_txns(spark, path).get(txn)) is not None:
         return prior
+    if cdf is None:
+        cdf = _cdf_default(spark, path)
 
     _require_no_mor(spark, path, "tx_merge")
     files, snap_version = _snapshot_files(spark, path)
@@ -1822,9 +1919,12 @@ def _change_sets(
     raw, cursor = _change_commits(spark, path, since_version)
     out: list[tuple[int, list[str]]] = []
     for v, c in raw:
-        if c is None or c["action"] in ("compact", "zorder", "apply_deletes"):
+        if c is None or c["action"] in (
+            "compact", "zorder", "apply_deletes", "meta"
+        ):
             # aborted multi / pure physical rewrites (compaction and
-            # Z-order re-clustering are bit-identical): logical no-ops
+            # Z-order re-clustering are bit-identical) / property
+            # changes: logical no-ops
             out.append((v, []))
             continue
         if c["action"] != "append" or c.get("remove"):
@@ -1956,7 +2056,9 @@ def tx_changes_cdf(
 
     raw, _ = _change_commits(spark, path, since_version)
     for v, c in raw:
-        if c is None or c["action"] in ("compact", "zorder", "apply_deletes"):
+        if c is None or c["action"] in (
+            "compact", "zorder", "apply_deletes", "meta"
+        ):
             yield v, None, None
             continue
         if c["action"] == "delete" and c.get("mor"):
@@ -2010,7 +2112,7 @@ def tx_delete(
     key_col: str,
     txn: str | None = None,
     mode: str = "copy_on_write",
-    cdf: bool = True,
+    cdf: "bool | None" = None,
 ) -> int:
     """DELETE by key. ``mode='copy_on_write'`` (default, the
     right-to-be-forgotten path): rows whose ``key_col`` appears in
@@ -2039,11 +2141,13 @@ def tx_delete(
     wins the version race is deleted from too (the delete serialized
     after it). Copy-on-write instead aborts on such races.
 
-    ``cdf=True`` (default, copy-on-write only): record the deleted
-    rows themselves as a ``_cdf/`` sidecar named in the commit, so
+    ``cdf`` (copy-on-write only): record the deleted rows themselves
+    as a ``_cdf/`` sidecar named in the commit, so
     :func:`tx_changes_cdf` delivers the delete instead of raising —
     free beyond the rewrite's own semi-join (merge-on-read deletes
-    are already CDC-complete via their tombstone key files)."""
+    are already CDC-complete via their tombstone key files). Default
+    (``None``) follows the table's ``cdf.enabled`` property, true
+    when unset."""
     spark = keys.sparkSession
     from pyspark.sql import functions as F
 
@@ -2053,6 +2157,8 @@ def tx_delete(
         raise ValueError(f"keys carry NULL {key_col}")
     if txn is not None and (prior := _committed_txns(spark, path).get(txn)) is not None:
         return prior
+    if cdf is None:
+        cdf = _cdf_default(spark, path)
     if mode == "merge_on_read":
         # existence check (and version-counter anchor) before staging
         _snapshot_files(spark, path)

@@ -1276,3 +1276,72 @@ def test_maintain_with_incremental_zorder(spark, tmp_path):
     want = [(x, y) for x, y in all_rows if x <= 10 and y >= 100]
     pruned = tx_read(spark, t, where=[("x", None, 10), ("y", 100, None)])
     assert sorted((q.x, q.y) for q in pruned.collect()) == sorted(want)
+
+
+def test_table_properties_set_unset_persist(spark, tmp_path):
+    """Round 10 TBLPROPERTIES: meta commits merge key-deltas, None
+    unsets, the folded map survives checkpoint + vacuum AND data
+    overwrites, and meta commits are logical no-ops in both change
+    feeds."""
+    from distributed_mapreduce__spark.sources.txlog import (
+        tx_changes,
+        tx_changes_cdf,
+        tx_properties,
+        tx_set_properties,
+    )
+
+    t = str(tmp_path / "t")
+    tx_write(_df(spark, 0, 3, "a"), t)
+    tx_set_properties(spark, t, {"owner": "etl", "cdf.enabled": "false"})
+    tx_set_properties(spark, t, {"owner": None, "ttl.days": 7})
+    assert tx_properties(spark, t) == {
+        "cdf.enabled": "false",
+        "ttl.days": 7,
+    }
+    # a data overwrite does NOT reset properties
+    tx_write(_df(spark, 10, 12, "b"), t, mode="overwrite")
+    assert tx_properties(spark, t)["ttl.days"] == 7
+    # survives checkpoint folding + log truncation
+    tx_vacuum(spark, t)
+    assert tx_properties(spark, t) == {
+        "cdf.enabled": "false",
+        "ttl.days": 7,
+    }
+    # feeds checkpoint past meta commits
+    v = tx_set_properties(spark, t, {"note": "x"})
+    df, cursor = tx_changes(spark, t, v - 1)
+    assert df is None and cursor >= v
+    frames = list(tx_changes_cdf(spark, t, v - 1))
+    assert frames and frames[0][1] is None
+
+
+def test_cdf_enabled_property_is_the_default(spark, tmp_path):
+    """cdf.enabled=false makes rewrites skip sidecars by default (the
+    feed then honestly raises); the per-call cdf= argument overrides
+    the property in both directions."""
+    from distributed_mapreduce__spark.sources.txlog import (
+        tx_changes_cdf,
+        tx_delete,
+        tx_merge,
+        tx_set_properties,
+    )
+
+    t = str(tmp_path / "t")
+    tx_write(_df(spark, 0, 5, "a"), t)
+    tx_set_properties(spark, t, {"cdf.enabled": False})
+    v = tx_merge(_df(spark, 1, 3, "u"), t, "id")  # property says no cdf
+    with pytest.raises(ValueError, match="no cdf sidecar"):
+        list(tx_changes_cdf(spark, t, v - 1))
+    # per-call override wins over the property
+    v2 = tx_merge(_df(spark, 3, 4, "w"), t, "id", cdf=True)
+    frames = list(tx_changes_cdf(spark, t, v2 - 1))
+    assert frames[0][1] == "cdf"
+    # flipping the property back restores the default-on behavior
+    tx_set_properties(spark, t, {"cdf.enabled": None})
+    v3 = tx_delete(_keys_tp(spark, [0]), t, "id")
+    frames3 = list(tx_changes_cdf(spark, t, v3 - 1))
+    assert frames3[-1][1] == "delete"
+
+
+def _keys_tp(spark, ids):
+    return spark.createDataFrame([(i,) for i in ids], "id long")
