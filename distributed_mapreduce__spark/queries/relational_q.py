@@ -241,7 +241,7 @@ def order_item_counts_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- multi-key aggregation (fan-out groups) -------------------------------
 
 
-@register(
+@register_local(
     "part_supp_activity",
     oracle="""
     SELECT l_partkey, l_suppkey,

@@ -375,7 +375,7 @@ GROUP BY o_orderpriority
 """
 
 
-@register_local("cdc_merge_pipe_agg", oracle=_MERGE_PIPE_ORACLE)
+@register("cdc_merge_pipe_agg", oracle=_MERGE_PIPE_ORACLE)
 def cdc_merge_pipe_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Update CDF end-to-end under the value oracle (the r9 #1 gap):
     ACID-ingest orders, run a routine MERGE (one residue class's
