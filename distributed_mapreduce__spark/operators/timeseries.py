@@ -564,6 +564,80 @@ def compact_rollup(
     return target
 
 
+def reset_rollup(
+    spark,
+    store_path: str,
+    snapshot: DataFrame,
+    duration: str,
+    keys: tuple[str, ...] = (),
+    reset_id: str = "0",
+) -> str:
+    """Atomically REPLACE the store's contents with the rollup of
+    ``snapshot`` (a full source snapshot — e.g. a txlog overwrite or
+    RESTORE delivered by the change feed): the new partials are
+    written to an invisible compaction-namespace target, then ONE
+    marker commit simultaneously retires every previously-live batch
+    and reveals the target — readers never observe an empty, doubled,
+    or half-reset store, the same crash discipline as
+    :func:`compact_rollup`.
+
+    Idempotent by ``reset_id``: a committed marker stamped with it
+    makes a replay a no-op returning the original target (the view
+    maintainer derives the id from the source version, so crash
+    replays re-derive it). Retiring the old batch ids also makes a
+    FULL history replay safe: a pre-reset version's fold lands on a
+    retired id, which the maintainer recognizes as
+    already-accounted-for and skips (see
+    ``rollup_view_available_now``)."""
+    import json
+
+    from ..sources.sinks import hadoop_fs
+
+    rid = str(reset_id)
+    for m in _read_markers(spark, store_path):
+        if m.get("reset") == rid:
+            return m["target"]  # replay of a committed reset
+    _check_duration(spark, store_path, duration)
+    live = _live_batches(spark, store_path) or []
+    fs, cpath = hadoop_fs(spark, f"{store_path}/_compactions")
+    seq = 0
+    if fs.exists(cpath):
+        for st in fs.listStatus(cpath):
+            name = st.getPath().getName()
+            if name.endswith(".json"):
+                seq = max(seq, int(name.split(".")[0]) + 1)
+    target = f"c{seq}"
+    rollup_batch(snapshot, duration, *keys).write.mode("overwrite").parquet(
+        f"{store_path}/partials/batch={target}"
+    )
+    marker = json.dumps(
+        {"target": target, "sources": live, "reset": rid}
+    ).encode()
+    tmp_p = hadoop_fs(spark, f"{store_path}/_compactions/{seq}.json.tmp")[1]
+    out = fs.create(tmp_p, True)
+    try:
+        out.write(bytearray(marker))
+    finally:
+        out.close()
+    final_p = hadoop_fs(spark, f"{store_path}/_compactions/{seq}.json")[1]
+    if not fs.rename(tmp_p, final_p):
+        raise RuntimeError(f"could not commit reset marker {final_p}")
+    for b in live:
+        fs.delete(
+            hadoop_fs(spark, f"{store_path}/partials/batch={b}")[1], True
+        )
+    return target
+
+
+def retired_rollup_ids(spark, store_path: str) -> set:
+    """Batch ids retired by any committed compaction/reset marker —
+    their rows are already merged into a live target, so re-folding
+    one would double-count (and ``upsert_rollup`` refuses it)."""
+    return {
+        s for m in _read_markers(spark, store_path) for s in m["sources"]
+    }
+
+
 def vacuum_rollup(spark, store_path: str) -> list[str]:
     """Garbage-collect dead partial dirs: sources retired by a
     committed compaction whose target dir exists (normally deleted by

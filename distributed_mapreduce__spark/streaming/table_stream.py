@@ -254,13 +254,26 @@ def rollup_view_available_now(
     their pre-images in the commit's own cdf sidecar — free). Merge
     versions net update pre-images against post-images + inserts in
     ONE signed fold (``fold_rollup_cdf``), so even a crash replay
-    never exposes a half-applied merge to readers. The invariant
-    (pinned by tests) is ``read_rollup(store) == full recompute over
-    tx_read(src)`` after every tick."""
+    never exposes a half-applied merge to readers. A source OVERWRITE
+    (including RESTORE) becomes an atomic store RESET
+    (``reset_rollup``): one marker commit retires every prior batch
+    and reveals the new snapshot's partials — readers never see
+    empty, doubled, or half-reset state, and incremental maintenance
+    resumes on top. The invariant (pinned by tests) is
+    ``read_rollup(store) == full recompute over tx_read(src)`` after
+    every tick.
+
+    Replay safety across resets: a fold whose batch id was RETIRED by
+    a committed reset/compaction is already merged into a live target
+    — re-folding would double-count, so such versions are skipped
+    (this is what makes even a lost-cursor full-history replay
+    converge instead of erroring on pre-reset versions)."""
     from pyspark.sql import functions as F
 
     from ..operators.timeseries import (
         fold_rollup_cdf,
+        reset_rollup,
+        retired_rollup_ids,
         retract_rollup,
         upsert_rollup,
     )
@@ -271,16 +284,13 @@ def rollup_view_available_now(
     for v, kind, batch in tx_changes_cdf(spark, src, cur, preimage=True):
         if batch is not None:
             if kind == "overwrite":
-                # an additive partial store cannot represent a
-                # snapshot reset; silently folding the new snapshot
-                # would double-count everything before it
-                raise ValueError(
-                    f"source version {v} is an overwrite (snapshot "
-                    "reset); rebuild the view store from a fresh "
-                    "recompute, seed the cursor at that version "
-                    "(save_cursor), and resume"
+                reset_rollup(
+                    spark, store, batch, duration, keys, reset_id=f"v{v}"
                 )
-            if kind == "cdf":
+                n_folds += 1
+            elif f"v{v}" in retired_rollup_ids(spark, store):
+                pass  # already merged into a reset/compaction target
+            elif kind == "cdf":
                 ct = F.col("_change_type")
                 fold_rollup_cdf(
                     batch.filter(
@@ -294,10 +304,11 @@ def rollup_view_available_now(
                     keys,
                     batch_id=f"v{v}",
                 )
+                n_folds += 1
             else:
                 fold = upsert_rollup if kind == "insert" else retract_rollup
                 fold(batch, store, duration, keys, batch_id=f"v{v}")
-            n_folds += 1
+                n_folds += 1
         save_cursor(spark, checkpoint, v)
         n_versions += 1
         last = v

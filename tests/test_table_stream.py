@@ -480,25 +480,68 @@ def test_cdc_pipe_replicates_overwrite_and_restore(spark, tmp_path):
     assert _ids(spark, dst) == [100, 101, 102]
 
 
-def test_rollup_view_refuses_overwrite_reset(spark, tmp_path):
-    """An additive partial store cannot represent a snapshot reset —
-    the maintainer must raise with the rebuild recipe, never fold."""
+def test_rollup_view_resets_on_overwrite(spark, tmp_path):
+    """A source overwrite becomes an ATOMIC store reset (one marker
+    commit retires the old batches and reveals the new snapshot's
+    partials); maintenance resumes incrementally on top, and even a
+    lost-cursor FULL replay across the reset converges (pre-reset
+    folds land on retired ids and are skipped as already-accounted)."""
+    from distributed_mapreduce__spark.operators.timeseries import (
+        read_rollup,
+        tumbling,
+    )
     from distributed_mapreduce__spark.streaming.table_stream import (
         rollup_view_available_now,
     )
 
     src = str(tmp_path / "src")
     store, ckpt = str(tmp_path / "store"), str(tmp_path / "ckpt")
-    ts_df = spark.sql(
-        "SELECT id AS event_id, timestamp'2024-01-01 00:10:00' AS ts, "
-        "CAST(id AS double) AS value, 'a' AS event_type FROM range(5)"
-    )
-    tx_write(ts_df, src)
+
+    def ts_df(lo, hi, etype="a"):
+        return spark.sql(
+            f"SELECT id AS event_id, "
+            f"timestamp'2024-01-01 00:10:00' + make_interval(0,0,0,0,0,CAST(id AS INT),0) AS ts, "
+            f"CAST(id AS double) AS value, '{etype}' AS event_type "
+            f"FROM range({lo}, {hi})"
+        )
+
+    def view():
+        return {
+            (r.window_start, r.event_type): (r.n_events, r.sum_value)
+            for r in read_rollup(spark, store, ("event_type",)).collect()
+        }
+
+    def recompute():
+        return {
+            (r.window_start, r.event_type): (r.n_events, r.sum_value)
+            for r in tumbling(
+                tx_read(spark, src), "1 hour", "event_type"
+            ).collect()
+        }
+
+    tx_write(ts_df(0, 120, "a"), src)                       # v0
+    tx_delete(_keys(spark, [5]).selectExpr("id AS event_id"),
+              src, "event_id", mode="merge_on_read")        # v1
     rollup_view_available_now(
         spark, src, store, "1 hour", ("event_type",), checkpoint=ckpt
     )
-    tx_write(ts_df.limit(2), src, mode="overwrite")
-    with pytest.raises(ValueError, match="snapshot reset"):
-        rollup_view_available_now(
-            spark, src, store, "1 hour", ("event_type",), checkpoint=ckpt
-        )
+    assert view() == recompute()
+
+    tx_write(ts_df(0, 40, "b"), src, mode="overwrite")      # v2: RESET
+    tx_write(ts_df(200, 260, "c"), src)                     # v3: resume
+    r = rollup_view_available_now(
+        spark, src, store, "1 hour", ("event_type",), checkpoint=ckpt
+    )
+    assert r["folds"] == 2
+    got = view()
+    assert got == recompute()
+    assert not any(k[1] == "a" for k in got)  # pre-reset state gone
+
+    # lost-cursor FULL replay across the reset: pre-reset versions are
+    # retired-id no-ops, the reset replays idempotently, post-reset
+    # folds replace themselves — view unchanged
+    (tmp_path / "ckpt" / "cursor.json").unlink()
+    rollup_view_available_now(
+        spark, src, store, "1 hour", ("event_type",), checkpoint=ckpt
+    )
+    assert view() == recompute()
