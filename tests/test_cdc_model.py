@@ -135,3 +135,113 @@ def test_random_cdc_history_replicates_exactly(spark, tmp_path):
     tx_maintain(spark, dst, max_live_files=4)
     assert _snapshot(spark, dst) == sorted(model)
     assert tx_compact(spark, dst, target_files=1) in (None, *range(10**6))
+
+
+def test_random_view_history_matches_recompute(spark, tmp_path):
+    """The view-maintainer counterpart of the pipe model test: a
+    seeded random append / merge / MoR-delete / CoW-delete / overwrite
+    / settle history drives rollup_view_available_now after every op
+    (with random cursor loss), and the store must equal a from-scratch
+    tumbling recompute of the source after every drain — the
+    incremental-view-maintenance invariant under every commit type the
+    table format produces."""
+    import random
+
+    from distributed_mapreduce__spark.operators.timeseries import (
+        read_rollup,
+        tumbling,
+    )
+    from distributed_mapreduce__spark.streaming.table_stream import (
+        rollup_view_available_now,
+    )
+
+    rng = random.Random(20260816)
+    src = str(tmp_path / "src")
+    store, ckpt = str(tmp_path / "store"), tmp_path / "ckpt"
+
+    def ev(ids, etype):
+        if not ids:
+            return spark.createDataFrame(
+                [], "event_id long, ts timestamp, value double, event_type string"
+            )
+        return spark.createDataFrame(
+            [(i,) for i in ids], "event_id long"
+        ).selectExpr(
+            "event_id",
+            "timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,0,CAST(event_id % 300 AS INT),0) AS ts",
+            "CAST(event_id AS double) AS value",
+            f"'{etype}' AS event_type",
+        )
+
+    def drain():
+        if ckpt.joinpath("cursor.json").exists() and rng.random() < 0.3:
+            ckpt.joinpath("cursor.json").unlink()
+        rollup_view_available_now(
+            spark, src, store, "1 hour", ("event_type",), checkpoint=str(ckpt)
+        )
+
+    def check(step, op):
+        got = {
+            (r.window_start, r.event_type): (r.n_events, r.sum_value)
+            for r in read_rollup(spark, store, ("event_type",)).collect()
+        }
+        want = {
+            (r.window_start, r.event_type): (r.n_events, r.sum_value)
+            for r in tumbling(
+                tx_read(spark, src), "1 hour", "event_type"
+            ).collect()
+        }
+        assert got == want, f"step {step} op {op}"
+
+    next_id = 0
+
+    def fresh(k):
+        nonlocal next_id
+        ids = list(range(next_id, next_id + k))
+        next_id += k
+        return ids
+
+    tx_write(ev(fresh(40), "a"), src)
+    drain()
+    check(-1, "seed")
+
+    for step in range(14):
+        op = rng.choice(
+            ["append", "append", "merge", "mor_delete", "cow_delete",
+             "overwrite", "settle"]
+        )
+        if op == "append":
+            tx_write(ev(fresh(rng.randint(5, 25)), rng.choice("abc")), src)
+        elif op == "merge":
+            tx_apply_deletes(spark, src)
+            live = [r.event_id for r in tx_read(spark, src).collect()]
+            ups = rng.sample(live, min(len(live), rng.randint(1, 6)))
+            tx_merge(
+                ev(ups, "m"),  # re-type + re-value the chosen events
+                src,
+                "event_id",
+            )
+        elif op == "mor_delete":
+            live = [r.event_id for r in tx_read(spark, src).collect()]
+            gone = rng.sample(live, min(len(live), rng.randint(1, 5)))
+            tx_delete(
+                spark.createDataFrame([(i,) for i in gone], "event_id long"),
+                src, "event_id", mode="merge_on_read",
+            )
+        elif op == "cow_delete":
+            tx_apply_deletes(spark, src)
+            live = [r.event_id for r in tx_read(spark, src).collect()]
+            gone = rng.sample(live, min(len(live), rng.randint(1, 5)))
+            tx_delete(
+                spark.createDataFrame([(i,) for i in gone], "event_id long"),
+                src, "event_id", mode="copy_on_write",
+            )
+        elif op == "overwrite":
+            tx_write(
+                ev(fresh(rng.randint(10, 30)), rng.choice("ab")),
+                src, mode="overwrite",
+            )
+        elif op == "settle":
+            tx_apply_deletes(spark, src)
+        drain()
+        check(step, op)
