@@ -353,6 +353,55 @@ class GcsGenerationMatchClaimer(CommitClaimer):
             raise
 
 
+class AbfsIfNoneMatchClaimer(CommitClaimer):
+    """Azure Blob / ADLS Gen2 arm: ``upload_blob(..., overwrite=False)``
+    — the azure-storage-blob client sends ``If-None-Match: *`` on Put
+    Blob, making the upload itself the atomic put-if-absent claim; a
+    loser gets ``ResourceExistsError`` (HTTP 409 BlobAlreadyExists,
+    which for Azure means "exists", not S3's retry-me conflict).
+
+    ``client`` is anything with BlobServiceClient's
+    ``get_blob_client(container=, blob=).upload_blob(data,
+    overwrite=False)`` shape — injected for tests; default lazily
+    constructs ``BlobServiceClient`` from the
+    ``AZURE_STORAGE_CONNECTION_STRING`` environment variable. Opt in:
+    ``register_claimer("abfss", AbfsIfNoneMatchClaimer())``."""
+
+    def __init__(self, client=None):
+        self._client = client
+
+    def _c(self):
+        if self._client is None:
+            import os
+
+            from azure.storage.blob import BlobServiceClient  # soft dep
+
+            self._client = BlobServiceClient.from_connection_string(
+                os.environ["AZURE_STORAGE_CONNECTION_STRING"]
+            )
+        return self._client
+
+    def publish(self, spark, fs, final_path_str: str, payload: bytes) -> bool:
+        container, key = _split_object_uri(final_path_str)
+        # abfss://container@account.dfs.core.windows.net/path → the
+        # authority carries "@account..."; the container is the part
+        # before the @ and the blob is the path
+        if "@" in container:
+            container = container.split("@", 1)[0]
+        try:
+            self._c().get_blob_client(
+                container=container, blob=key
+            ).upload_blob(payload, overwrite=False)
+            return True
+        except Exception as e:  # noqa: BLE001 — code-dispatch below
+            if (
+                type(e).__name__ == "ResourceExistsError"
+                or getattr(e, "status_code", None) == 409
+            ):
+                return False  # blob exists: lost the race
+            raise
+
+
 #: scheme -> claimer. Scheme-less paths are resolved through the
 #: Hadoop FileSystem object actually serving them (never assumed
 #: local: on a cluster whose fs.defaultFS is hdfs://, a scheme-less

@@ -96,6 +96,7 @@ def pipe_available_now(
     name: str = "pipe",
     stats_cols=None,
     cdc_key: str | None = None,
+    preimage: bool = False,
 ) -> dict:
     """Drain every unconsumed commit of the txlog table at ``src``
     into the txlog table at ``dst``, one sink commit per source
@@ -133,7 +134,13 @@ def pipe_available_now(
     post-image the transform filtered out are simply deleted on the
     sink (the ``.rm`` tombstone already named them). Sink tombstones
     settle at the sink's own maintenance
-    (:func:`~..sources.txlog.tx_maintain`). A source OVERWRITE
+    (:func:`~..sources.txlog.tx_maintain`). A source delete keyed on
+    a column OTHER than ``cdc_key`` needs ``preimage=True``: the feed
+    then materializes the full deleted rows (one bounded
+    pre-delete-snapshot semi-join per delete version) and the pipe
+    projects ``cdc_key`` out of them; with the default keys-only feed
+    such a version raises with that exact instruction rather than
+    guessing. A source OVERWRITE
     (including RESTORE, which commits as one) replicates as the
     sink's own overwrite — the snapshot reset carries through, sink
     tombstones and all, under the same per-version txn id.
@@ -158,9 +165,23 @@ def pipe_available_now(
             for v, batch in tx_changes_by_version(spark, src, cur)
         )
     else:
-        feed = tx_changes_cdf(spark, src, cur)
+        feed = tx_changes_cdf(spark, src, cur, preimage=preimage)
     for v, kind, batch in feed:
         if batch is not None:
+            if kind == "delete" and cdc_key not in batch.columns:
+                # a merge-on-read delete keyed on a DIFFERENT column
+                # than the pipe's replication key: its keys-only frame
+                # cannot name the cdc_key rows to delete on the sink.
+                # preimage=True makes the feed materialize the full
+                # deleted rows (one bounded pre-delete-snapshot
+                # semi-join per delete version), after which the
+                # cdc_key projection below works for any delete column.
+                raise ValueError(
+                    f"source delete at version {v} is keyed on "
+                    f"{batch.columns} but the pipe replicates on "
+                    f"{cdc_key!r}; re-run with preimage=True (or key "
+                    "source deletes on the pipe's cdc_key)"
+                )
             if kind == "insert":
                 out = transform(batch) if transform is not None else batch
                 tx_write(

@@ -545,3 +545,26 @@ def test_rollup_view_resets_on_overwrite(spark, tmp_path):
         spark, src, store, "1 hour", ("event_type",), checkpoint=ckpt
     )
     assert view() == recompute()
+
+
+def test_cdc_pipe_cross_key_delete_needs_preimage(spark, tmp_path):
+    """A source MoR delete keyed on a different column than the pipe's
+    cdc_key: the keys-only feed raises with the preimage instruction,
+    and preimage=True replicates it correctly by projecting the
+    replication key out of the full deleted rows."""
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    ckpt = str(tmp_path / "ckpt")
+    tx_write(_df(spark, 0, 6, "a").withColumn("grp", F.col("id") % 2), src)
+    pipe_available_now(spark, src, dst, checkpoint=ckpt, cdc_key="id")
+    # delete by GROUP, replicate by id
+    tx_delete(
+        spark.createDataFrame([(1,)], "grp long"), src, "grp",
+        mode="merge_on_read",
+    )
+    with pytest.raises(ValueError, match="preimage=True"):
+        pipe_available_now(spark, src, dst, checkpoint=ckpt, cdc_key="id")
+    r = pipe_available_now(
+        spark, src, dst, checkpoint=ckpt, cdc_key="id", preimage=True
+    )
+    assert r["writes"] == 1
+    assert _ids(spark, dst) == _ids(spark, src) == [0, 2, 4]

@@ -1345,3 +1345,66 @@ def test_cdf_enabled_property_is_the_default(spark, tmp_path):
 
 def _keys_tp(spark, ids):
     return spark.createDataFrame([(i,) for i in ids], "id long")
+
+
+def test_abfs_claimer_one_winner_and_error_propagation(spark):
+    import threading
+
+    from distributed_mapreduce__spark.sources.txlog import (
+        AbfsIfNoneMatchClaimer,
+    )
+
+    class _ExistsError(Exception):
+        status_code = 409
+
+    _ExistsError.__name__ = "ResourceExistsError"
+
+    class _FakeAbfs:
+        def __init__(self):
+            self.store = {}
+            self._lock = threading.Lock()
+
+        def get_blob_client(self, container, blob):
+            client = self
+
+            class _Blob:
+                def upload_blob(_b, payload, overwrite=None):
+                    assert overwrite is False
+                    with client._lock:
+                        if (container, blob) in client.store:
+                            raise _ExistsError()
+                        client.store[(container, blob)] = bytes(payload)
+
+            return _Blob()
+
+    fake = _FakeAbfs()
+    claimer = AbfsIfNoneMatchClaimer(client=fake)
+    # the abfss authority carries container@account — the container is
+    # parsed out of it
+    path = (
+        "abfss://logs@acct.dfs.core.windows.net/t/_txlog/"
+        "00000000000000000002.json"
+    )
+    barrier = threading.Barrier(4)
+    results = {}
+
+    def writer(tag):
+        barrier.wait()
+        results[tag] = claimer.publish(spark, None, path, f"b{tag}".encode())
+
+    ts = [threading.Thread(target=writer, args=(i,)) for i in range(4)]
+    [t.start() for t in ts]
+    [t.join() for t in ts]
+    assert sorted(results.values()) == [False] * 3 + [True]
+    winner = next(t for t, ok in results.items() if ok)
+    key = ("logs", "t/_txlog/00000000000000000002.json")
+    assert fake.store[key] == f"b{winner}".encode()
+
+    class _Denied:
+        def get_blob_client(self, container, blob):
+            raise PermissionError("denied")
+
+    with pytest.raises(PermissionError):
+        AbfsIfNoneMatchClaimer(client=_Denied()).publish(
+            spark, None, path, b"x"
+        )
