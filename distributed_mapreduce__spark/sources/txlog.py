@@ -827,7 +827,9 @@ def tx_properties(
         if kind != "commit" or v < start or v > version:
             continue
         c = _load(spark, path, f"{v:0{_PAD}d}.json")
-        if c.get("action") != "meta":
+        if c.get("properties") is None:
+            # only meta commits (and a clone's seed commit, which
+            # carries the source's map) set properties
             continue
         m = c.get("multi")
         if m is not None and (
@@ -2506,6 +2508,9 @@ def tx_restore(
                 "targets)"
             )
     stats = {f: st for f, st in _log_stats(spark, path).items() if f in set(files)}
+    # the restore is an overwrite, so it RESETS the write schema — to
+    # the restored version's own (enforcement follows the time travel)
+    schema, _ = _live_schema_info(spark, path, eff)
 
     def build(next_v: int) -> dict:
         payload = {
@@ -2516,6 +2521,8 @@ def tx_restore(
             "txn": None,
             "restore_of": eff,
         }
+        if schema is not None:
+            payload["schema"] = schema
         if stats:
             payload["stats"] = stats
         return payload
@@ -2543,7 +2550,13 @@ def tx_clone(
     its own log, so it can delete files a clone still references —
     vacuum the source only when no clone of it is live. Vacuum on the
     clone never deletes source files (they live outside its
-    ``data/``)."""
+    ``data/``).
+
+    The clone's seed commit also carries the source's write SCHEMA
+    (as of the cloned version) and table PROPERTIES (as of now) —
+    schema-on-write enforcement and ``cdf.enabled`` behave on the
+    clone exactly as on the source from its first append (Delta's
+    shallow clone copies table metadata the same way)."""
     fs, dlog = hadoop_fs(spark, f"{dst}/_txlog")
     if fs.exists(dlog):
         raise FileExistsError(f"clone destination {dst} already exists")
@@ -2554,6 +2567,8 @@ def tx_clone(
     stats = {
         _abs(src, f): src_stats[f] for f in files if f in src_stats
     }
+    schema, _ = _live_schema_info(spark, src, eff)
+    props = tx_properties(spark, src)
 
     def build(next_v: int) -> dict:
         payload = {
@@ -2564,6 +2579,10 @@ def tx_clone(
             "txn": None,
             "clone_of": {"src": src, "version": eff},
         }
+        if schema is not None:
+            payload["schema"] = schema
+        if props:
+            payload["properties"] = props
         if stats:
             payload["stats"] = stats
         return payload

@@ -127,3 +127,45 @@ def test_clone_refuses_existing_destination(spark, tmp_path):
     tx_clone(spark, src, dst)
     with pytest.raises(FileExistsError):
         tx_clone(spark, src, dst)
+
+
+def test_clone_carries_schema_and_properties(spark, tmp_path):
+    """A shallow clone's seed commit copies the source's write schema
+    and table properties: enforcement and cdf.enabled behave on the
+    clone exactly as on the source from its first append."""
+    from distributed_mapreduce__spark.sources.txlog import (
+        tx_properties,
+        tx_set_properties,
+    )
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    tx_write(_df(spark, 0, 4, "a"), src)
+    tx_set_properties(spark, src, {"owner": "etl", "cdf.enabled": "false"})
+    tx_clone(spark, src, dst)
+    assert tx_properties(spark, dst) == {
+        "owner": "etl",
+        "cdf.enabled": "false",
+    }
+    # schema enforcement active from the clone's first append
+    with pytest.raises(ValueError, match="missing columns"):
+        tx_write(_df(spark, 4, 5, "b").drop("tag"), dst)
+    tx_write(_df(spark, 4, 5, "b"), dst)
+
+
+def test_restore_resets_schema_to_the_restored_version(spark, tmp_path):
+    """RESTORE commits as an overwrite, so the write schema resets to
+    the restored version's own: post-restore appends are enforced
+    against the historical shape, not the abandoned evolution."""
+    t = str(tmp_path / "t")
+    tx_write(_df(spark, 0, 3, "a"), t)                               # v0
+    tx_write(
+        _df(spark, 3, 5, "b").withColumn("x", F.lit(1)),
+        t,
+        schema_mode="merge",
+    )                                                                # v1
+    tx_restore(spark, t, 0)                                          # v2
+    # the evolved column is gone from the enforced shape
+    with pytest.raises(ValueError, match="new columns"):
+        tx_write(_df(spark, 5, 6, "c").withColumn("x", F.lit(2)), t)
+    tx_write(_df(spark, 5, 6, "c"), t)
+    assert set(tx_read(spark, t).columns) == {"id", "tag"}
