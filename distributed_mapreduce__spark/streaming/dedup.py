@@ -45,6 +45,109 @@ def stream_dedup_within_watermark(
     )
 
 
+def intra_batch_dedup(batch: DataFrame, est_threshold: float = 0.5) -> DataFrame:
+    """Deduplicate WITHIN one batch: min-doc_id survivor per exact
+    (normalized-text md5) key, then LSH-banded near-dup drop of the
+    larger doc_id per estimated-Jaccard-≥-threshold pair — the same
+    MinHash estimator the history check uses, so one threshold governs
+    both. Shared by the foreachBatch stream sink
+    (:func:`stream_incremental_dedup`) and the txlog change-feed pipe
+    (:func:`dedup_pipe_available_now`)."""
+    from ..operators.dedup import (
+        N_SEEDS,
+        dedup_index,
+        lsh_bands,
+        lsh_candidate_pairs,
+    )
+
+    sig_cols = [f"mh{s}" for s in range(N_SEEDS)]
+    idx = dedup_index(batch)
+    # exact: min doc_id per normalized-text hash survives
+    keep_exact = idx.groupBy("text_md5").agg(F.min("doc_id").alias("doc_id"))
+    idx = idx.join(keep_exact.select("doc_id"), "doc_id")
+    # near: banded candidates (a < b), est-Jaccard ≥ t drops the LARGER id
+    pairs = lsh_candidate_pairs(lsh_bands(idx.filter(F.col("mh0").isNotNull())))
+    sa = idx.select(F.col("doc_id").alias("doc_a"), *sig_cols)
+    sb = idx.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(c).alias(f"o_{c}") for c in sig_cols],
+    )
+    est = sum(
+        (F.col(c) == F.col(f"o_{c}")).cast("int") for c in sig_cols
+    ) / F.lit(float(N_SEEDS))
+    near_drop = (
+        pairs.join(sa, "doc_a").join(sb, "doc_b")
+        .filter(est >= est_threshold)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    return batch.join(idx.select("doc_id"), "doc_id").join(
+        near_drop, "doc_id", "left_anti"
+    )
+
+
+def dedup_pipe_available_now(
+    spark,
+    src: str,
+    dst: str,
+    *,
+    checkpoint: str,
+    index: str,
+    est_threshold: float = 0.5,
+    name: str = "dedup-pipe",
+) -> dict:
+    """Exactly-once incremental corpus dedup over the txlog change
+    feed — the storage family composed with the dedup family: drain
+    each source commit's NEW documents, dedup them within the batch
+    (:func:`intra_batch_dedup`) and against every previously-kept
+    document (:func:`~..operators.dedup.incremental_dedup` on the
+    txlog index table at ``index`` — ~160 B/doc signatures, the corpus
+    text never re-reads), then append the survivors to the clean
+    txlog table at ``dst`` and their signature rows to ``index``,
+    BOTH under the same per-source-version txn id.
+
+    The crash calculus is the pipe's, sharpened by an ordering rule:
+    dst commits BEFORE index, so a replay that re-derives the batch
+    against a pre-batch index produces the identical survivors (dst
+    txn dedups, index write lands); and a replay whose index ALREADY
+    contains the batch recomputes everything as self-duplicates —
+    which doesn't matter, because the already-committed txn ids win
+    over the recomputation on both tables. First-wins semantics are
+    deterministic forever: one source version = one idempotent unit.
+
+    100 TB shape: per tick, work is O(new docs + matched candidates);
+    history participates only through the band-bucket index join.
+    Returns ``{"cursor", "versions", "writes"}``."""
+    from ..operators.dedup import dedup_index, incremental_dedup
+    from ..sources.txlog import tx_changes_by_version, tx_read, tx_write
+    from .table_stream import load_cursor, save_cursor
+
+    cur = load_cursor(spark, checkpoint)
+    n_versions = n_writes = 0
+    last = cur
+    for v, batch in tx_changes_by_version(spark, src, cur):
+        if batch is not None:
+            clean = intra_batch_dedup(batch, est_threshold)
+            try:
+                idx_df = tx_read(spark, index)
+            except FileNotFoundError:
+                idx_df = dedup_index(clean).limit(0)
+            tagged, _ = incremental_dedup(clean, idx_df, est_threshold)
+            survivors = tagged.filter(
+                F.col("drop_reason").isNull()
+            ).drop("drop_reason")
+            # lineage cut: the index append below must not rescan the
+            # index table mid-write (same reasoning as the stream sink)
+            survivors = survivors.localCheckpoint()
+            tx_write(survivors, dst, txn=f"{name}:v{v}")
+            tx_write(dedup_index(survivors), index, txn=f"{name}:v{v}")
+            n_writes += 2
+        save_cursor(spark, checkpoint, v)
+        n_versions += 1
+        last = v
+    return {"cursor": last, "versions": n_versions, "writes": n_writes}
+
+
 def stream_incremental_dedup(
     stream_docs: DataFrame,
     index_path: str,
@@ -81,46 +184,13 @@ def stream_incremental_dedup(
     """
     from pyspark.sql import functions as F
 
-    from ..operators.dedup import (
-        N_SEEDS,
-        dedup_index,
-        incremental_dedup,
-        lsh_bands,
-        lsh_candidate_pairs,
-    )
-
-    sig_cols = [f"mh{s}" for s in range(N_SEEDS)]
-
-    def _intra_batch(batch: DataFrame) -> DataFrame:
-        idx = dedup_index(batch)
-        # exact: min doc_id per normalized-text hash survives
-        keep_exact = idx.groupBy("text_md5").agg(F.min("doc_id").alias("doc_id"))
-        idx = idx.join(keep_exact.select("doc_id"), "doc_id")
-        # near: banded candidates (a < b), est-Jaccard ≥ t drops the LARGER id
-        pairs = lsh_candidate_pairs(lsh_bands(idx.filter(F.col("mh0").isNotNull())))
-        sa = idx.select(F.col("doc_id").alias("doc_a"), *sig_cols)
-        sb = idx.select(
-            F.col("doc_id").alias("doc_b"),
-            *[F.col(c).alias(f"o_{c}") for c in sig_cols],
-        )
-        est = sum(
-            (F.col(c) == F.col(f"o_{c}")).cast("int") for c in sig_cols
-        ) / F.lit(float(N_SEEDS))
-        near_drop = (
-            pairs.join(sa, "doc_a").join(sb, "doc_b")
-            .filter(est >= est_threshold)
-            .select(F.col("doc_b").alias("doc_id"))
-            .distinct()
-        )
-        return batch.join(idx.select("doc_id"), "doc_id").join(
-            near_drop, "doc_id", "left_anti"
-        )
+    from ..operators.dedup import dedup_index, incremental_dedup
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         if batch_df.isEmpty():
             return
-        clean = _intra_batch(batch_df)
+        clean = intra_batch_dedup(batch_df, est_threshold)
         from ..sources.sinks import hadoop_fs
 
         fs, hpath = hadoop_fs(spark, index_path)

@@ -170,3 +170,74 @@ def test_near_dup_pairs_front_door(spark):
     assert routed == set(lsh)
     with pytest.raises(ValueError, match="unknown strategy"):
         near_dup_pairs(docs, strategy="simhashish")
+
+
+def test_dedup_pipe_over_txlog_feed_matches_single_batch(spark, tmp_path):
+    """Round 10 capstone composition: the exactly-once dedup pipe over
+    the txlog change feed. Ingesting the corpus as two id-ordered ACID
+    commits and draining incrementally must keep EXACTLY the documents
+    a single-batch run keeps (first-wins == min-id-wins when batches
+    are id-ordered), the survivor and index tables must stay
+    consistent through a lost-cursor crash replay, and a quiet tick
+    writes nothing."""
+    from distributed_mapreduce__spark.sources.tables import load_table
+    from distributed_mapreduce__spark.sources.txlog import (
+        tx_history,
+        tx_read,
+        tx_write,
+    )
+    from distributed_mapreduce__spark.streaming.dedup import (
+        dedup_pipe_available_now,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    mid = docs.approxQuantile("doc_id", [0.5], 0.0)[0]
+
+    def survivors(path):
+        return sorted(r.doc_id for r in tx_read(spark, path).collect())
+
+    # incremental: two id-ordered commits, drained across two ticks
+    src = str(tmp_path / "src")
+    dst, idx = str(tmp_path / "dst"), str(tmp_path / "idx")
+    ckpt = str(tmp_path / "ckpt")
+    tx_write(docs.filter(F.col("doc_id") <= mid), src)
+    r1 = dedup_pipe_available_now(
+        spark, src, dst, checkpoint=ckpt, index=idx
+    )
+    assert r1["versions"] == 1 and r1["writes"] == 2
+    tx_write(docs.filter(F.col("doc_id") > mid), src)
+    dedup_pipe_available_now(spark, src, dst, checkpoint=ckpt, index=idx)
+    incremental = survivors(dst)
+
+    # reference: the whole corpus as ONE commit through the same pipe
+    src2, dst2, idx2 = (
+        str(tmp_path / "src2"), str(tmp_path / "dst2"), str(tmp_path / "idx2")
+    )
+    tx_write(docs, src2)
+    dedup_pipe_available_now(
+        spark, src2, dst2, checkpoint=str(tmp_path / "ckpt2"), index=idx2
+    )
+    assert incremental == survivors(dst2)
+    assert 0 < len(incremental) < docs.count()  # it actually deduped
+
+    # the index stays exactly the survivors' signatures
+    assert sorted(
+        r.doc_id for r in tx_read(spark, idx).collect()
+    ) == incremental
+
+    # crash replay: lost cursor, full re-drain — txn dedup on BOTH
+    # tables, nothing duplicated, no new commits
+    import pathlib
+
+    pathlib.Path(ckpt, "cursor.json").unlink()
+    n_dst, n_idx = len(tx_history(spark, dst)), len(tx_history(spark, idx))
+    dedup_pipe_available_now(spark, src, dst, checkpoint=ckpt, index=idx)
+    assert len(tx_history(spark, dst)) == n_dst
+    assert len(tx_history(spark, idx)) == n_idx
+    assert survivors(dst) == incremental
+
+    # quiet tick
+    r = dedup_pipe_available_now(spark, src, dst, checkpoint=ckpt, index=idx)
+    assert r["writes"] == 0
