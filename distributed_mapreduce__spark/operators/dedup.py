@@ -370,7 +370,10 @@ def dedup_index(docs: DataFrame) -> DataFrame:
 
 
 def incremental_dedup(
-    new_docs: DataFrame, index: DataFrame, est_threshold: float = 0.5
+    new_docs: DataFrame,
+    index: DataFrame,
+    est_threshold: float = 0.5,
+    new_idx: "DataFrame | None" = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Deduplicate a NEW batch against a historical :func:`dedup_index`.
 
@@ -390,8 +393,15 @@ def incremental_dedup(
 
     Scale shape: exact check is an equi-join on a 32-byte key;
     fuzzy check is band-bucket join + per-candidate 16-column compare;
-    the corpus-sized text never joins anything."""
-    new_idx = dedup_index(new_docs)
+    the corpus-sized text never joins anything.
+
+    ``new_idx`` lets a caller that ALREADY computed the batch's
+    :func:`dedup_index` (e.g. for intra-batch dedup) pass it in —
+    minhashing is the batch's expensive pass (shingle explode × 32
+    seeds) and must not run twice. Rows must correspond exactly to
+    ``new_docs``."""
+    if new_idx is None:
+        new_idx = dedup_index(new_docs)
 
     exact_hits = (
         new_idx.join(

@@ -45,14 +45,23 @@ def stream_dedup_within_watermark(
     )
 
 
-def intra_batch_dedup(batch: DataFrame, est_threshold: float = 0.5) -> DataFrame:
+def intra_batch_dedup(
+    batch: DataFrame, est_threshold: float = 0.5, with_index: bool = False
+):
     """Deduplicate WITHIN one batch: min-doc_id survivor per exact
     (normalized-text md5) key, then LSH-banded near-dup drop of the
     larger doc_id per estimated-Jaccard-≥-threshold pair — the same
     MinHash estimator the history check uses, so one threshold governs
     both. Shared by the foreachBatch stream sink
     (:func:`stream_incremental_dedup`) and the txlog change-feed pipe
-    (:func:`dedup_pipe_available_now`)."""
+    (:func:`dedup_pipe_available_now`).
+
+    ``with_index=True`` returns ``(clean, clean_idx)`` where
+    ``clean_idx`` is the survivors' :func:`dedup_index` rows,
+    lineage-cut with ``localCheckpoint`` — minhashing (shingle explode
+    × 32 seeds) is the batch's expensive pass, and callers that need
+    the signatures again (history check, index append) must reuse this
+    one instead of recomputing it per consumer."""
     from ..operators.dedup import (
         N_SEEDS,
         dedup_index,
@@ -65,6 +74,10 @@ def intra_batch_dedup(batch: DataFrame, est_threshold: float = 0.5) -> DataFrame
     # exact: min doc_id per normalized-text hash survives
     keep_exact = idx.groupBy("text_md5").agg(F.min("doc_id").alias("doc_id"))
     idx = idx.join(keep_exact.select("doc_id"), "doc_id")
+    if with_index:
+        # one materialization serves the near-dup pass AND every
+        # downstream signature consumer (~160 B/doc)
+        idx = idx.localCheckpoint()
     # near: banded candidates (a < b), est-Jaccard ≥ t drops the LARGER id
     pairs = lsh_candidate_pairs(lsh_bands(idx.filter(F.col("mh0").isNotNull())))
     sa = idx.select(F.col("doc_id").alias("doc_a"), *sig_cols)
@@ -81,9 +94,13 @@ def intra_batch_dedup(batch: DataFrame, est_threshold: float = 0.5) -> DataFrame
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
     )
-    return batch.join(idx.select("doc_id"), "doc_id").join(
+    clean = batch.join(idx.select("doc_id"), "doc_id").join(
         near_drop, "doc_id", "left_anti"
     )
+    if not with_index:
+        return clean
+    clean_idx = idx.join(near_drop, "doc_id", "left_anti")
+    return clean, clean_idx
 
 
 def dedup_pipe_available_now(
@@ -118,7 +135,7 @@ def dedup_pipe_available_now(
     100 TB shape: per tick, work is O(new docs + matched candidates);
     history participates only through the band-bucket index join.
     Returns ``{"cursor", "versions", "writes"}``."""
-    from ..operators.dedup import dedup_index, incremental_dedup
+    from ..operators.dedup import incremental_dedup
     from ..sources.txlog import tx_changes_by_version, tx_read, tx_write
     from .table_stream import load_cursor, save_cursor
 
@@ -127,12 +144,18 @@ def dedup_pipe_available_now(
     last = cur
     for v, batch in tx_changes_by_version(spark, src, cur):
         if batch is not None:
-            clean = intra_batch_dedup(batch, est_threshold)
+            # ONE minhash pass per batch: intra-batch dedup, the
+            # history check, and the index append all reuse clean_idx
+            clean, clean_idx = intra_batch_dedup(
+                batch, est_threshold, with_index=True
+            )
             try:
                 idx_df = tx_read(spark, index)
             except FileNotFoundError:
-                idx_df = dedup_index(clean).limit(0)
-            tagged, _ = incremental_dedup(clean, idx_df, est_threshold)
+                idx_df = clean_idx.limit(0)
+            tagged, _ = incremental_dedup(
+                clean, idx_df, est_threshold, new_idx=clean_idx
+            )
             survivors = tagged.filter(
                 F.col("drop_reason").isNull()
             ).drop("drop_reason")
@@ -140,7 +163,11 @@ def dedup_pipe_available_now(
             # index table mid-write (same reasoning as the stream sink)
             survivors = survivors.localCheckpoint()
             tx_write(survivors, dst, txn=f"{name}:v{v}")
-            tx_write(dedup_index(survivors), index, txn=f"{name}:v{v}")
+            tx_write(
+                clean_idx.join(survivors.select("doc_id"), "doc_id"),
+                index,
+                txn=f"{name}:v{v}",
+            )
             n_writes += 2
         save_cursor(spark, checkpoint, v)
         n_versions += 1
@@ -184,21 +211,27 @@ def stream_incremental_dedup(
     """
     from pyspark.sql import functions as F
 
-    from ..operators.dedup import dedup_index, incremental_dedup
+    from ..operators.dedup import incremental_dedup
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         if batch_df.isEmpty():
             return
-        clean = intra_batch_dedup(batch_df, est_threshold)
+        # ONE minhash pass per batch, reused by the intra-batch pass,
+        # the history check, and the index append (see intra_batch_dedup)
+        clean, clean_idx = intra_batch_dedup(
+            batch_df, est_threshold, with_index=True
+        )
         from ..sources.sinks import hadoop_fs
 
         fs, hpath = hadoop_fs(spark, index_path)
         if fs.exists(hpath):
             index = spark.read.parquet(index_path).drop("_batch_id")
         else:
-            index = dedup_index(clean).limit(0)
-        tagged, _ = incremental_dedup(clean, index, est_threshold)
+            index = clean_idx.limit(0)
+        tagged, _ = incremental_dedup(
+            clean, index, est_threshold, new_idx=clean_idx
+        )
         survivors = (
             tagged.filter(F.col("drop_reason").isNull())
             .drop("drop_reason")
@@ -212,9 +245,8 @@ def stream_incremental_dedup(
             .parquet(survivors_path)
         )
         (
-            dedup_index(survivors.drop("_batch_id"))
+            clean_idx.join(survivors.select("doc_id"), "doc_id")
             .withColumn("_batch_id", F.lit(batch_id))
-            .localCheckpoint()
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("_batch_id")

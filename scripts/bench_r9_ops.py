@@ -21,6 +21,9 @@ Covered:
   data-proportional piece of the storage family) + store read
 - cdc_merge_pipe (round 10): a MERGE (update CDF sidecar) replicated
   through the cdc pipe to a sink table + sink read
+- dedup_pipe (round 10): two document commits drained through the
+  exactly-once incremental dedup pipe (intra-batch + signature-index
+  history check, survivors + index as ACID appends) + survivor read
 
 Usage: python scripts/bench_r9_ops.py [sf_dir ...] — or import
 ``measure`` (bench.py does).
@@ -182,6 +185,24 @@ def measure(spark, sf_dir: str, tmp: str) -> dict[str, float]:
     pipe_available_now(spark, ms, md, checkpoint=mc, cdc_key="o_orderkey")
     _noop(tx_read(spark, md))
     out["cdc_merge_pipe_read"] = round(time.perf_counter() - t0, 3)
+
+    # incremental corpus dedup over the change feed: two id-ordered
+    # document commits drained through intra-batch + index dedup
+    from distributed_mapreduce__spark.streaming.dedup import (
+        dedup_pipe_available_now,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ds, dd, di, dc = (
+        f"{tmp}/dedup_src", f"{tmp}/dedup_dst",
+        f"{tmp}/dedup_idx", f"{tmp}/dedup_ckpt",
+    )
+    tx_write(docs.filter(F.col("doc_id") % 2 == 0), ds)
+    tx_write(docs.filter(F.col("doc_id") % 2 == 1), ds)
+    t0 = time.perf_counter()
+    dedup_pipe_available_now(spark, ds, dd, checkpoint=dc, index=di)
+    _noop(tx_read(spark, dd))
+    out["dedup_pipe_2batch_read"] = round(time.perf_counter() - t0, 3)
     return out
 
 
