@@ -75,6 +75,8 @@ from .txlog import (
     _multi_record_path,
     _multi_status,
     _read_small,
+    _replay,
+    _Snapshot,
     _stage_and_place,
     _write_atomic,
     _PAD,
@@ -141,22 +143,38 @@ def tx_multi(
         if (prior := _committed_txns(spark, path).get(table_txn)) is not None:
             versions[path] = prior  # resumed from a crashed attempt
             continue
-        added = _stage_and_place(writes[path], path)
+        mode = (modes or {}).get(path, "append")
+        part_by = None
+        if mode == "append":
+            # same schema-on-write + partition-inheritance contract as
+            # tx_write (txlog.py); overwrites reset layout like tx_write
+            _check_append_schema(writes[path], path, "enforce")
+            try:
+                part_by = _replay(spark, path).partition_by
+            except FileNotFoundError:
+                part_by = None
+        schema_json = writes[path].schema.json()
+        added = _stage_and_place(writes[path], path, part_by)
+        stat_cols = set(stats_cols or [])
+        if part_by:
+            stat_cols.update(part_by)
+        pseudo = _Snapshot(
+            eps={}, mor=[], version=-1, schema=schema_json, evolved=False,
+            properties={}, partition_by=part_by, stats={}, txns={},
+        )
         stats = (
-            _collect_stats(spark, path, added, stats_cols)
-            if stats_cols and added
+            _collect_stats(
+                spark, path, added, sorted(stat_cols),
+                pseudo if part_by else None,
+            )
+            if stat_cols and added
             else None
         )
         fs = hadoop_fs(spark, path)[0]
-        mode = (modes or {}).get(path, "append")
-        if mode == "append":
-            # same schema-on-write contract as tx_write (txlog.py)
-            _check_append_schema(writes[path], path, "enforce")
-        schema_json = writes[path].schema.json()
 
         def build(
             next_v: int, added=added, stats=stats, mode=mode,
-            schema_json=schema_json,
+            schema_json=schema_json, part_by=part_by,
         ) -> dict:
             payload = {
                 "version": next_v,
@@ -167,6 +185,8 @@ def tx_multi(
                 "multi": {"coordinator": coordinator, "txid": txid},
                 "schema": schema_json,
             }
+            if part_by:
+                payload["partition_by"] = part_by
             if stats:
                 payload["stats"] = stats
             return payload

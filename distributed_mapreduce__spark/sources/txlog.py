@@ -79,6 +79,7 @@ and small JSON I/O only — no row ever passes through it.
 from __future__ import annotations
 
 import bisect
+import dataclasses
 import json
 import time
 import uuid
@@ -559,17 +560,63 @@ def _check_reader(record: dict, path: str, version: int) -> None:
         )
 
 
-def _snapshot_state(
-    spark, path: str, version: int | None = None
-) -> tuple[dict, list, int]:
-    """Full snapshot replay: ``(eps, mor, effective version)`` where
-    ``eps`` maps each live data file to the version that ADDED it and
-    ``mor`` lists the live merge-on-read delete tombstones
-    ``{"version", "col", "files"}`` in commit order. A tombstone at
-    version v applies to exactly the files with ``eps[f] < v`` — rows
-    appended AFTER a delete are never its targets (Iceberg's
-    data-sequence-number rule for equality deletes). Replays from the
-    newest checkpoint at/below ``version`` when one exists."""
+@dataclasses.dataclass
+class _Snapshot:
+    """Everything ONE log replay establishes about a table as of a
+    version — live files, tombstones, schema, properties, stats, txn
+    ids, partitioning. Folding all of it in a single pass is the
+    metadata-I/O contract at scale: a read costs one checkpoint + the
+    commits above it, never a second replay per concern (the round-10
+    shape paid one replay for eps/mor plus another for schema and a
+    third for properties on every rewrite)."""
+
+    #: live data file -> version that ADDED it (the epoch that scopes
+    #: merge-on-read tombstones, Iceberg's data-sequence-number rule)
+    eps: dict
+    #: live merge-on-read tombstones {"version","col","files"}, commit order
+    mor: list
+    #: effective version of this snapshot
+    version: int
+    #: latest recorded write-schema json (None = pre-schema-recording)
+    schema: "str | None"
+    #: True = live files span >1 write schema (reads need footer merge)
+    evolved: bool
+    #: folded table properties (meta-commit deltas, overwrites keep them)
+    properties: dict
+    #: hive-style partition columns of the live layout (None = unpartitioned)
+    partition_by: "list[str] | None"
+    #: file -> {col: [lo, hi]} folded from checkpoint + commits (may
+    #: include dead files; callers filter by eps when it matters)
+    stats: dict
+    #: idempotence txn id -> version that committed it
+    txns: dict
+
+
+def _replay(spark, path: str, version: int | None = None) -> _Snapshot:
+    """Replay commits 0..version (from the newest checkpoint at/below
+    ``version`` when one exists) into a full :class:`_Snapshot`.
+
+    Folding rules, per commit (after multi-table visibility):
+
+    - files: ``overwrite`` resets eps+mor (whole-table replacement
+      obsoletes pending tombstones too); removes then adds apply; a
+      tombstone at version v applies to exactly the files with
+      ``eps[f] < v`` — rows appended AFTER a delete are never its
+      targets.
+    - schema: overwrites RESET it (their file set is homogeneous);
+      schema-carrying appends union-by-name and set ``evolved`` when
+      the field set actually changed, so reads know to merge footers.
+    - properties: key-deltas merge in version order; ``None`` unsets;
+      overwrites do NOT reset them (properties belong to the table,
+      not a snapshot).
+    - partition_by: overwrites reset it to their own (or None);
+      appends carrying one adopt it (writers enforce consistency).
+    - stats / txns: first writer wins (``setdefault``) — both are
+      folded into checkpoints so they survive log truncation.
+
+    Txn ids fold BEFORE the visibility check (a pending or aborted
+    multi-table commit still owns its idempotence key — a retry must
+    not double-commit while the coordinator is undecided)."""
     commits = _list_commits(spark, path)
     versions = sorted({v for v, _ in commits})
     if not versions:
@@ -582,8 +629,10 @@ def _snapshot_state(
             f"(have {versions[0]}..{versions[-1]})"
         )
     ckpts = [v for v, kind in commits if kind == "checkpoint" and v <= version]
-    eps: dict = {}
-    mor: list = []
+    s = _Snapshot(
+        eps={}, mor=[], version=version, schema=None, evolved=False,
+        properties={}, partition_by=None, stats={}, txns={},
+    )
     start = 0
     if ckpts:
         ck = _load(spark, path, f"{ckpts[-1]:0{_PAD}d}.checkpoint.json")
@@ -592,14 +641,25 @@ def _snapshot_state(
         # checkpoint version: safe, because such checkpoints cannot
         # carry live tombstones (mor absent too) and any FUTURE
         # tombstone v > ckpt applies to all of them regardless
-        eps = dict(ck.get("eps") or {f: ckpts[-1] for f in ck["files"]})
-        mor = list(ck.get("mor") or [])
+        s.eps = dict(ck.get("eps") or {f: ckpts[-1] for f in ck["files"]})
+        s.mor = list(ck.get("mor") or [])
+        s.schema = ck.get("schema")
+        s.evolved = bool(ck.get("schema_evolved"))
+        s.properties = dict(ck.get("properties") or {})
+        s.partition_by = ck.get("partition_by")
+        s.stats = dict(ck.get("stats") or {})
+        s.txns = dict(ck.get("txns") or {})
         start = ckpts[-1] + 1
-    for v in versions:
+    commit_versions = [v for v, kind in commits if kind == "commit"]
+    for v in commit_versions:
         if v < start or v > version:
             continue
         c = _load(spark, path, f"{v:0{_PAD}d}.json")
         _check_reader(c, path, v)
+        if c.get("txn"):
+            s.txns.setdefault(c["txn"], v)
+        for f, st in (c.get("stats") or {}).items():
+            s.stats.setdefault(f, st)
         m = c.get("multi")
         if m is not None and (
             _multi_status(spark, m["coordinator"], m["txid"]) != "committed"
@@ -608,22 +668,60 @@ def _snapshot_state(
             # invisible (it becomes visible atomically, for every
             # participant table, when the coordinator record lands)
             continue
+        if c.get("properties") is not None:
+            for k, val in c["properties"].items():
+                if val is None:
+                    s.properties.pop(k, None)
+                else:
+                    s.properties[k] = val
         if c["action"] == "overwrite":
-            # whole-table replacement obsoletes pending tombstones too
-            eps = {}
-            mor = []
+            s.eps = {}
+            s.mor = []
+            s.schema = c.get("schema")
+            s.evolved = False
+            s.partition_by = c.get("partition_by")
+        else:
+            sc = c.get("schema")
+            if sc is not None:
+                if s.schema is not None and _schema_fields(
+                    sc
+                ) != _schema_fields(s.schema):
+                    s.evolved = True
+                    # union by name: existing fields keep their slot,
+                    # new ones append — the merged shape parquet
+                    # mergeSchema produces
+                    merged = json.loads(s.schema)
+                    have = {f["name"] for f in merged["fields"]}
+                    for f in json.loads(sc)["fields"]:
+                        if f["name"] not in have:
+                            merged["fields"].append(f)
+                    s.schema = json.dumps(merged)
+                elif s.schema is None:
+                    s.schema = sc
+            if c.get("partition_by") is not None:
+                s.partition_by = c["partition_by"]
         for f in c.get("remove", []):
-            eps.pop(f, None)
+            s.eps.pop(f, None)
         for f in c.get("add", []):
-            eps[f] = v
+            s.eps[f] = v
         if c.get("mor"):
-            mor.append(
+            s.mor.append(
                 {"version": v, "col": c["mor"]["col"], "files": c["mor"]["files"]}
             )
         if c.get("mor_clears"):
             cleared = set(c["mor_clears"])
-            mor = [t for t in mor if t["version"] not in cleared]
-    return eps, mor, version
+            s.mor = [t for t in s.mor if t["version"] not in cleared]
+    return s
+
+
+def _snapshot_state(
+    spark, path: str, version: int | None = None
+) -> tuple[dict, list, int]:
+    """``(eps, mor, effective version)`` — thin view over
+    :func:`_replay` kept for the many call sites that only need the
+    file-level snapshot."""
+    s = _replay(spark, path, version)
+    return s.eps, s.mor, s.version
 
 
 def _snapshot_files(
@@ -638,18 +736,23 @@ def _snapshot_files(
     return sorted(eps), version
 
 
-def _require_no_mor(spark, path: str, op: str, version: int | None = None):
+def _refuse_mor(snap: "_Snapshot", path: str, op: str) -> None:
     """Refuse ``op`` while merge-on-read tombstones are live: file-set
     operations (compact/zorder/merge/diff/restore/clone) would either
     resurrect logically-deleted rows or double-apply tombstones. The
     fix is always the same bounded rewrite: ``tx_apply_deletes``."""
-    _, mor, _ = _snapshot_state(spark, path, version)
-    if mor:
-        vs = [t["version"] for t in mor]
+    if snap.mor:
+        vs = [t["version"] for t in snap.mor]
         raise ValueError(
             f"{op} on {path} with live merge-on-read delete tombstones "
             f"(versions {vs}); run tx_apply_deletes first"
         )
+
+
+def _require_no_mor(spark, path: str, op: str, version: int | None = None):
+    """:func:`_refuse_mor` behind its own replay — for call sites that
+    don't already hold a :class:`_Snapshot`."""
+    _refuse_mor(_replay(spark, path, version), path, op)
 
 
 def _schema_fields(schema_json: str) -> dict:
@@ -667,86 +770,49 @@ def _schema_fields(schema_json: str) -> dict:
 def _live_schema_info(
     spark, path: str, version: int | None = None
 ) -> "tuple[str | None, bool]":
-    """(latest recorded schema json | None, evolved) by replaying the
-    log's schema markers: overwrites RESET the schema (and the evolved
-    flag — their file set is homogeneous), schema-carrying appends
-    evolve it. ``evolved=True`` means live files were written under
-    more than one schema, so a correct read needs parquet mergeSchema
-    (:func:`tx_read` turns it on automatically). ``None`` = the table
-    predates schema recording; enforcement is impossible and reads
-    keep their historical behavior."""
-    commits = _list_commits(spark, path)
-    versions = sorted({v for v, _ in commits})
-    if not versions:
-        raise FileNotFoundError(f"no transactional table at {path}")
-    if version is None:
-        version = versions[-1]
-    ckpts = [v for v, kind in commits if kind == "checkpoint" and v <= version]
-    schema: str | None = None
-    evolved = False
-    start = 0
-    if ckpts:
-        ck = _load(spark, path, f"{ckpts[-1]:0{_PAD}d}.checkpoint.json")
-        schema = ck.get("schema")
-        evolved = bool(ck.get("schema_evolved"))
-        start = ckpts[-1] + 1
-    for v in versions:
-        if v < start or v > version:
-            continue
-        c = _load(spark, path, f"{v:0{_PAD}d}.json")
-        m = c.get("multi")
-        if m is not None and (
-            _multi_status(spark, m["coordinator"], m["txid"]) != "committed"
-        ):
-            continue  # invisible commits contribute no schema either
-        if c.get("action") == "overwrite":
-            schema = c.get("schema")
-            evolved = False
-            continue
-        s = c.get("schema")
-        if s is not None:
-            if schema is not None and _schema_fields(s) != _schema_fields(
-                schema
-            ):
-                evolved = True
-                # union by name: existing fields keep their slot, new
-                # ones append — the merged shape parquet mergeSchema
-                # produces
-                import json as _json
-
-                merged = _json.loads(schema)
-                have = {f["name"] for f in merged["fields"]}
-                for f in _json.loads(s)["fields"]:
-                    if f["name"] not in have:
-                        merged["fields"].append(f)
-                schema = _json.dumps(merged)
-            elif schema is None:
-                schema = s
-    return schema, evolved
+    """(latest recorded schema json | None, evolved) — thin view over
+    :func:`_replay`. ``evolved=True`` means live files were written
+    under more than one schema, so a correct read needs parquet
+    footer merging (:func:`tx_read` turns it on automatically, and
+    every rewrite path reads touched files the same way). ``None`` =
+    the table predates schema recording; enforcement is impossible and
+    reads keep their historical behavior."""
+    s = _replay(spark, path, version)
+    return s.schema, s.evolved
 
 
-def _check_append_schema(df: DataFrame, path: str, schema_mode: str) -> None:
+def _check_append_schema(
+    df: DataFrame, path: str, schema_mode: str
+) -> "int | None":
     """Schema-on-write (the Delta contract): an append whose schema
     differs from the table's is refused by default — a reader using
     the table schema would silently DROP the new columns (or read
     garbage on a type change). ``schema_mode='merge'`` permits adding
     or omitting columns (recorded in the commit; reads auto-merge
     afterwards) but never a same-name TYPE change — no merge mode can
-    make int-then-string readable."""
+    make int-then-string readable.
+
+    Returns the table version the check was anchored at (None for a
+    not-yet-existing table): the commit loop re-runs the check
+    whenever the log has advanced past this anchor, so a concurrent
+    overwrite that retypes a column between the pre-stage check and
+    the commit race cannot slip a mixed-type file set past
+    enforcement (the commit-time metadata re-check Delta does)."""
     if schema_mode not in ("enforce", "merge"):
         raise ValueError(
             f"schema_mode must be enforce|merge, got {schema_mode!r}"
         )
     try:
-        current, _ = _live_schema_info(df.sparkSession, path)
+        snap = _replay(df.sparkSession, path)
     except FileNotFoundError:
-        return  # first commit defines the schema
+        return None  # first commit defines the schema
+    current = snap.schema
     if current is None:
-        return  # pre-schema-recording table: nothing to enforce against
+        return snap.version  # pre-schema-recording: nothing to enforce
     new = df.schema.json()
     cur_f, new_f = _schema_fields(current), _schema_fields(new)
     if cur_f == new_f:
-        return
+        return snap.version
     clashes = sorted(
         n for n in cur_f.keys() & new_f.keys() if cur_f[n] != new_f[n]
     )
@@ -765,6 +831,7 @@ def _check_append_schema(df: DataFrame, path: str, schema_mode: str) -> None:
             "schema_mode='merge' to evolve the schema, after which "
             "reads merge footers automatically"
         )
+    return snap.version
 
 
 def tx_set_properties(
@@ -809,52 +876,27 @@ def tx_properties(
 ) -> dict:
     """The table's property map as of ``version`` (default latest) —
     ``meta`` commit deltas folded in version order over the newest
-    checkpoint's persisted map."""
-    commits = _list_commits(spark, path)
-    versions = sorted({v for v, _ in commits})
-    if not versions:
-        raise FileNotFoundError(f"no transactional table at {path}")
-    if version is None:
-        version = versions[-1]
-    props: dict = {}
-    ckpts = [v for v, k in commits if k == "checkpoint" and v <= version]
-    start = 0
-    if ckpts:
-        ck = _load(spark, path, f"{ckpts[-1]:0{_PAD}d}.checkpoint.json")
-        props = dict(ck.get("properties") or {})
-        start = ckpts[-1] + 1
-    for v, kind in commits:
-        if kind != "commit" or v < start or v > version:
-            continue
-        c = _load(spark, path, f"{v:0{_PAD}d}.json")
-        if c.get("properties") is None:
-            # only meta commits (and a clone's seed commit, which
-            # carries the source's map) set properties
-            continue
-        m = c.get("multi")
-        if m is not None and (
-            _multi_status(spark, m["coordinator"], m["txid"]) != "committed"
-        ):
-            continue
-        for k, val in (c.get("properties") or {}).items():
-            if val is None:
-                props.pop(k, None)
-            else:
-                props[k] = val
-    return props
+    checkpoint's persisted map (one log replay via :func:`_replay`)."""
+    return _replay(spark, path, version).properties
 
 
-def _cdf_default(spark, path: str) -> bool:
-    """Table-level update-CDF default: the ``cdf.enabled`` property,
-    true when unset (CDC-complete by default; opt out per table on
-    write-hot tables nothing streams from, or per call via cdf=)."""
-    try:
-        val = tx_properties(spark, path).get("cdf.enabled", True)
-    except FileNotFoundError:
-        return True
+def _cdf_props_default(props: dict) -> bool:
+    """Table-level update-CDF default from an already-folded property
+    map: the ``cdf.enabled`` property, true when unset (CDC-complete
+    by default; opt out per table on write-hot tables nothing streams
+    from, or per call via cdf=)."""
+    val = props.get("cdf.enabled", True)
     if isinstance(val, str):
         return val.strip().lower() not in ("false", "0", "no")
     return bool(val)
+
+
+def _cdf_default(spark, path: str) -> bool:
+    """:func:`_cdf_props_default` behind its own replay."""
+    try:
+        return _cdf_props_default(_replay(spark, path).properties)
+    except FileNotFoundError:
+        return True
 
 
 def _zorder_marks(spark, path: str, eps: dict, version: int) -> dict:
@@ -887,40 +929,59 @@ def _zorder_marks(spark, path: str, eps: dict, version: int) -> dict:
 
 
 def _committed_txns(spark, path: str) -> dict[str, int]:
-    """txn id -> version, from every commit (checkpoints don't carry
-    txns; the log entries stay until tx_vacuum truncates — vacuum
-    keeps this map by folding retained txns into the checkpoint)."""
-    out: dict[str, int] = {}
-    for v, kind in _list_commits(spark, path):
-        if kind == "checkpoint":
-            ck = _load(spark, path, f"{v:0{_PAD}d}.checkpoint.json")
-            for t, tv in ck.get("txns", {}).items():
-                out.setdefault(t, tv)
-            continue
-        c = _load(spark, path, f"{v:0{_PAD}d}.json")
-        if c.get("txn"):
-            out.setdefault(c["txn"], v)
-    return out
+    """txn id -> version that committed it (idempotent-retry dedup).
+    The log entries stay until tx_vacuum truncates — vacuum keeps this
+    map by folding retained txns into the checkpoint. {} when the
+    table doesn't exist yet (a first tx_write consults this)."""
+    try:
+        return _replay(spark, path).txns
+    except FileNotFoundError:
+        return {}
 
 
 
-def _stage_and_place(df: DataFrame, path: str) -> list[str]:
+def _stage_and_place(
+    df: DataFrame, path: str, partition_by: "Sequence[str] | None" = None
+) -> list[str]:
     """Write ``df`` invisibly under _staging, then rename its part
     files into data/ under fresh UUID names. Returns the placed
-    relative paths."""
+    relative paths.
+
+    With ``partition_by``, the staging write is hive-layout
+    (``partitionBy``) and each leaf file keeps its partition
+    subdirectories under ``data/`` — e.g.
+    ``data/k=5/<uuid>.parquet`` — so the placed RELATIVE PATH itself
+    carries the partition values the commit log records and prunes on
+    (renames only; rows never pass through the driver)."""
     spark = df.sparkSession
     stage_dir = f"{path}/_staging/{uuid.uuid4().hex}"
-    df.write.mode("overwrite").parquet(stage_dir)
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(stage_dir)
     fs, sdir = hadoop_fs(spark, stage_dir)
     fs.mkdirs(hadoop_fs(spark, f"{path}/data")[1])
-    added = []
-    for st in fs.listStatus(sdir):
-        if not st.getPath().getName().endswith(".parquet"):
-            continue
-        name = f"{uuid.uuid4().hex}.parquet"
-        if not fs.rename(st.getPath(), hadoop_fs(spark, f"{path}/data/{name}")[1]):
-            raise RuntimeError(f"could not place data file {name}")
-        added.append(f"data/{name}")
+    added: list[str] = []
+
+    def place(d, rel: str) -> None:
+        for st in fs.listStatus(d):
+            name = st.getPath().getName()
+            if st.isDirectory():
+                # hive partition dirs only — skip _temporary etc.
+                if "=" in name:
+                    place(st.getPath(), f"{rel}{name}/")
+                continue
+            if not name.endswith(".parquet"):
+                continue
+            dest_rel = f"data/{rel}{uuid.uuid4().hex}.parquet"
+            dest = hadoop_fs(spark, f"{path}/{dest_rel}")[1]
+            if rel:
+                fs.mkdirs(dest.getParent())
+            if not fs.rename(st.getPath(), dest):
+                raise RuntimeError(f"could not place data file {dest_rel}")
+            added.append(dest_rel)
+
+    place(sdir, "")
     fs.delete(sdir, True)
     return added
 
@@ -987,27 +1048,33 @@ def _json_stat(v):
 
 
 def _collect_stats(
-    spark, path: str, files: list[str], cols
+    spark, path: str, files: list[str], cols, snap: "_Snapshot | None" = None
 ) -> dict[str, dict[str, list]]:
     """Per-placed-file [min, max] for ``cols`` in ONE job (grouped on
     input_file_name) — the write-time stats pass Delta does, amortized
     into the commit so later MERGE/DELETE/reads skip files from the
-    LOG, with zero per-file I/O."""
+    LOG, with zero per-file I/O. ``snap`` (when the table already
+    exists) configures the reader for partitioned layouts, so stats on
+    a PARTITION column work too (the values live in directory names;
+    min == max per file, the tightest possible range)."""
     from pyspark.sql import functions as F
 
     aggs = []
     for c in cols:
         aggs.append(F.min(c).alias(f"__lo_{c}"))
         aggs.append(F.max(c).alias(f"__hi_{c}"))
+    reader = spark.read if snap is None else _reader_for(spark, path, snap)
     rows = (
-        spark.read.parquet(*[_abs(path, f) for f in files])
+        reader.parquet(*[_abs(path, f) for f in files])
         .groupBy(F.input_file_name().alias("__f"))
         .agg(*aggs)
         .collect()
     )
     out: dict[str, dict[str, list]] = {}
     for r in rows:
-        name = "data/" + r["__f"].rsplit("/", 1)[-1]
+        # rsplit on "/data/": partition layouts nest files under
+        # data/<col>=<val>/..., and the relative path must keep that
+        name = "data/" + r["__f"].rsplit("/data/", 1)[-1]
         out[name] = {
             c: [_json_stat(r[f"__lo_{c}"]), _json_stat(r[f"__hi_{c}"])]
             for c in cols
@@ -1039,6 +1106,7 @@ def tx_write(
     max_retries: int = 20,
     stats_cols: "Sequence[str] | None" = None,
     schema_mode: str = "enforce",
+    partition_by: "Sequence[str] | None" = None,
 ) -> int:
     """Commit ``df`` to the table at ``path``; returns the committed
     version. ``mode='append'`` adds files; ``'overwrite'`` makes the
@@ -1062,20 +1130,69 @@ def tx_write(
     ``merge_schema=True`` needed). A same-name TYPE change is refused
     in both modes; ``mode='overwrite'`` resets the schema freely.
     Tables written before schema recording existed have nothing to
-    enforce against and keep their historical behavior."""
+    enforce against and keep their historical behavior.
+
+    ``partition_by`` lays the files out hive-style
+    (``data/<col>=<val>/...``) and records per-file partition values
+    as [v, v] stat ranges IN the commit — so partition pruning is
+    log-only (``tx_read(where=...)``, merges, deletes all skip
+    non-matching partitions' files with zero file I/O), exactly the
+    100 TB layout contract. The FIRST write (or any overwrite) defines
+    the table's partitioning; appends inherit it automatically and an
+    append passing a DIFFERENT spec is refused (Delta's partition-
+    consistency rule). Repartitioning a table is an overwrite."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
     spark = df.sparkSession
+    try:
+        existing_pb = _replay(spark, path).partition_by
+        table_exists = True
+    except FileNotFoundError:
+        existing_pb = None
+        table_exists = False
     if txn is not None and (prior := _committed_txns(spark, path).get(txn)) is not None:
         return prior
-    if mode == "append":
+    if mode == "append" and table_exists:
+        if partition_by is None:
+            partition_by = existing_pb  # appends inherit the layout
+        elif list(partition_by) != list(existing_pb or []):
+            raise ValueError(
+                f"append to {path} with partition_by="
+                f"{list(partition_by)} does not match the table's "
+                f"partitioning {existing_pb}; repartitioning is an "
+                "overwrite"
+            )
+    partition_by = list(partition_by) if partition_by else None
+    if partition_by:
+        missing = [c for c in partition_by if c not in df.columns]
+        if missing:
+            raise ValueError(
+                f"partition_by columns {missing} not in the DataFrame "
+                f"(has {df.columns})"
+            )
+    checked_at = (
         _check_append_schema(df, path, schema_mode)
+        if mode == "append"
+        else None
+    )
     schema_json = df.schema.json()
 
-    added = _stage_and_place(df, path)
+    added = _stage_and_place(df, path, partition_by)
+    stat_cols = set(stats_cols or [])
+    if partition_by:
+        # partition values ride the stats channel as [v, v] ranges —
+        # one mechanism serves data skipping AND partition pruning
+        stat_cols.update(partition_by)
+    pseudo = _Snapshot(
+        eps={}, mor=[], version=-1, schema=schema_json, evolved=False,
+        properties={}, partition_by=partition_by, stats={}, txns={},
+    )
     stats = (
-        _collect_stats(spark, path, added, stats_cols)
-        if stats_cols and added
+        _collect_stats(
+            spark, path, added, sorted(stat_cols),
+            pseudo if partition_by else None,
+        )
+        if stat_cols and added
         else None
     )
     fs = hadoop_fs(spark, path)[0]
@@ -1089,19 +1206,59 @@ def tx_write(
             "txn": txn,
             "schema": schema_json,
         }
+        if partition_by:
+            payload["partition_by"] = partition_by
+        elif mode == "overwrite":
+            # an explicit None: overwrite resets partitioning either way
+            pass
         if stats:
             payload["stats"] = stats
         return payload
 
-    return _commit_with_retries(spark, path, fs, build, txn, max_retries)
+    def revalidate() -> None:
+        # the log advanced past the version the pre-stage checks were
+        # anchored at: re-run them against the NEW table state, or a
+        # concurrent overwrite that retyped a column / changed the
+        # partition layout could slip a mixed table past enforcement
+        if mode != "append":
+            return
+        _check_append_schema(df, path, schema_mode)
+        now_pb = _replay(spark, path).partition_by
+        if (now_pb or None) != (partition_by or None):
+            raise RuntimeError(
+                f"conflict: table partitioning at {path} changed to "
+                f"{now_pb} while this append (laid out as "
+                f"{partition_by}) was in flight — re-run the append"
+            )
+
+    return _commit_with_retries(
+        spark, path, fs, build, txn, max_retries,
+        revalidate=revalidate, checked_at=checked_at,
+    )
 
 
 def _commit_with_retries(
-    spark, path: str, fs, build_payload, txn: str | None, max_retries: int
+    spark,
+    path: str,
+    fs,
+    build_payload,
+    txn: str | None,
+    max_retries: int,
+    revalidate=None,
+    checked_at: "int | None" = None,
 ) -> int:
     """Optimistic commit loop shared by tx_write and tx_multi:
     ``build_payload(next_v) -> dict`` is called fresh per attempt;
-    returns the committed version."""
+    returns the committed version.
+
+    ``revalidate`` re-runs the caller's pre-stage invariant checks
+    (schema-on-write, partition-layout consistency) whenever the log
+    has advanced past ``checked_at`` — the version those checks were
+    anchored at — so a commit that lands during the version race can
+    never invalidate them unseen (the commit-time metadata conflict
+    re-check Delta does; mirrors _commit_rewrite's still-live /
+    conflict_keys re-checks per attempt)."""
+    anchor = -1 if checked_at is None else checked_at
     for _ in range(max_retries):
         if txn is not None and (
             prior := _committed_txns(spark, path).get(txn)
@@ -1114,6 +1271,9 @@ def _commit_with_retries(
         # counter (restarting at 0 would order new commits BEFORE it)
         versions = [v for v, _ in _list_commits(spark, path)]
         next_v = (max(versions) + 1) if versions else 0
+        if revalidate is not None and versions and max(versions) > anchor:
+            revalidate()
+            anchor = max(versions)
         payload = build_payload(next_v)
         # wall-clock commit stamp: feeds time-based vacuum retention
         # (and operator forensics); correctness never depends on it
@@ -1142,13 +1302,11 @@ def _write_checkpoint(spark, path: str, version: int) -> bool:
     is always safe."""
     if _has_pending_multi(spark, path, version):
         return False
-    eps, mor, _ = _snapshot_state(spark, path, version)
+    snap = _replay(spark, path, version)
+    eps, mor = snap.eps, snap.mor
     files = sorted(eps)
     fs = hadoop_fs(spark, path)[0]
-    live_stats = {
-        f: st for f, st in _log_stats(spark, path).items() if f in set(files)
-    }
-    schema, evolved = _live_schema_info(spark, path, version)
+    live_stats = {f: st for f, st in snap.stats.items() if f in eps}
     payload = {
         "version": version,
         "files": files,
@@ -1157,23 +1315,29 @@ def _write_checkpoint(spark, path: str, version: int) -> bool:
         # correctly (a file's eps decides which tombstones hit it)
         "eps": eps,
         "mor": mor,
+        # txn map folded at LATEST, not at `version`: vacuum writes
+        # pivot checkpoints below the tip, and idempotent-retry dedup
+        # must keep seeing txns committed above the pivot
         "txns": _committed_txns(spark, path),
         "stats": live_stats,
     }
-    if schema is not None:
+    if snap.schema is not None:
         # schema enforcement + auto-merge reads must survive log
         # truncation exactly like eps/mor/txns
-        payload["schema"] = schema
-        payload["schema_evolved"] = evolved
+        payload["schema"] = snap.schema
+        payload["schema_evolved"] = snap.evolved
+    if snap.partition_by is not None:
+        # the live layout's partition columns: append-consistency
+        # enforcement and partition-column reads survive truncation
+        payload["partition_by"] = snap.partition_by
     zmarks = _zorder_marks(spark, path, eps, version)
     if zmarks:
         # which live files are already clustered (and how): incremental
         # OPTIMIZE must not re-cluster the table after truncation
         payload["zmarks"] = zmarks
-    props = tx_properties(spark, path, version)
-    if props:
+    if snap.properties:
         # table properties survive log truncation with the checkpoint
-        payload["properties"] = props
+        payload["properties"] = snap.properties
     if mor:
         payload["reader"] = 2  # folded tombstones: level-2 readers only
     # checkpoints are an optimization; losing the race to an identical
@@ -1224,7 +1388,8 @@ def tx_read(
     which tombstones postdate their add-version and each group gets a
     broadcast anti-join per applicable tombstone — no shuffle, and
     rows appended after a delete are never its victims."""
-    eps, mor, _ = _snapshot_state(spark, path, version)
+    snap = _replay(spark, path, version)
+    eps, mor = snap.eps, snap.mor
     files = sorted(eps)
     conjuncts = (
         [] if where is None
@@ -1232,7 +1397,7 @@ def tx_read(
         else list(where)
     )
     if conjuncts:
-        logged = _log_stats(spark, path)
+        logged = snap.stats
         kept = []
         for f in files:
             keep = True
@@ -1252,16 +1417,19 @@ def tx_read(
         files = kept
     if not files:
         # an overwrite with an empty DataFrame is a legal empty table:
-        # recover the schema from any historical file, else give up
+        # the recorded schema builds the empty frame directly; tables
+        # predating schema recording recover it from a historical file
+        if snap.schema is not None:
+            from pyspark.sql.types import StructType
+
+            return spark.createDataFrame(
+                [], StructType.fromJson(json.loads(snap.schema))
+            )
         all_files = _all_data_files(spark, path)
         if all_files:
             return spark.read.parquet(*all_files).limit(0)
         raise FileNotFoundError(f"table {path} has no data files at all")
-    reader = spark.read
-    if not merge_schema:
-        _, merge_schema = _live_schema_info(spark, path, version)
-    if merge_schema:
-        reader = reader.option("mergeSchema", "true")
+    reader = _reader_for(spark, path, snap, merge_schema)
     out = _read_with_mor(spark, path, reader, files, eps, mor)
     if conjuncts:
         from pyspark.sql import functions as F
@@ -1272,6 +1440,48 @@ def tx_read(
             if hi is not None:
                 out = out.filter(F.col(col) <= F.lit(hi))
     return out
+
+
+def _read_table_files(
+    spark, path: str, files: list[str], snap: _Snapshot
+) -> DataFrame:
+    """Read a subset of the table's files under the snapshot's read
+    contract (:func:`_reader_for`) — what every rewrite path uses to
+    load touched files, so evolved columns and partition columns
+    survive merges/deletes/compactions/reclustering intact."""
+    return _reader_for(spark, path, snap).parquet(
+        *[_abs(path, f) for f in files]
+    )
+
+
+def _reader_for(spark, path: str, snap: _Snapshot, merge_schema: bool = False):
+    """A DataFrameReader configured with the snapshot's read contract
+    — the ONE place the two schema hazards are handled, shared by
+    ``tx_read`` and every rewrite path (merge/delete/compact/zorder/
+    apply_deletes/diff), so a rewrite can never read touched files
+    under a narrower schema than a read would:
+
+    - live files spanning multiple write schemas (a
+      ``schema_mode='merge'`` append since the last overwrite) →
+      parquet footer merging turns on, so no rewrite silently drops an
+      evolved column from survivor rows or CDF pre-images;
+    - hive-partitioned layout → partition values live in directory
+      names, not file bytes; ``basePath`` makes Spark reconstruct the
+      partition columns and the RECORDED table schema types them
+      (path-string inference would corrupt e.g. string ``"00"`` into
+      int ``0``)."""
+    reader = spark.read
+    if snap.partition_by:
+        reader = reader.option("basePath", f"{path}/data")
+        if snap.schema is not None:
+            from pyspark.sql.types import StructType
+
+            return reader.schema(
+                StructType.fromJson(json.loads(snap.schema))
+            )
+    if merge_schema or snap.evolved:
+        reader = reader.option("mergeSchema", "true")
+    return reader
 
 
 def _read_with_mor(
@@ -1365,14 +1575,24 @@ def tx_history(spark: SparkSession, path: str) -> list[dict]:
 
 
 def _all_data_files(spark, path: str) -> list[str]:
+    """Every parquet file under data/, recursing into hive partition
+    subdirectories (vacuum's sweep domain must cover partitioned
+    layouts, or dead partition files would leak forever)."""
     fs, d = hadoop_fs(spark, f"{path}/data")
     if not fs.exists(d):
         return []
-    return [
-        f"{path}/data/{st.getPath().getName()}"
-        for st in fs.listStatus(d)
-        if st.getPath().getName().endswith(".parquet")
-    ]
+    out: list[str] = []
+
+    def walk(hdir, rel: str) -> None:
+        for st in fs.listStatus(hdir):
+            name = st.getPath().getName()
+            if st.isDirectory():
+                walk(st.getPath(), f"{rel}{name}/")
+            elif name.endswith(".parquet"):
+                out.append(f"{path}/data/{rel}{name}")
+
+    walk(d, "")
+    return out
 
 
 def tx_vacuum(
@@ -1380,6 +1600,7 @@ def tx_vacuum(
     path: str,
     retain_last: int = 0,
     retain_hours: "float | None" = None,
+    grace_seconds: float = 0.0,
 ) -> list[str]:
     """Delete data files not referenced by any RETAINED snapshot and
     truncate the log below the retention pivot (a fresh checkpoint is
@@ -1411,8 +1632,18 @@ def tx_vacuum(
     files dead in every retained snapshot, so current-snapshot readers
     and concurrent appenders are safe, but a reader replaying a
     version OLDER than the window can lose its files mid-read. The
-    _staging sweep at the end likewise assumes no writer is between
-    stage and commit at that instant."""
+    orphan sweeps at the end (data/, _deletes/, _cdf/, _staging/)
+    likewise assume no writer is between stage and commit at that
+    instant — a rewrite that has PLACED its files (including the
+    change-row sidecars it renamed into ``_cdf/``) but not yet
+    committed would lose them and either fail its commit (data) or,
+    worse for sidecars, commit referencing a deleted ``_cdf`` file
+    that every later ``tx_changes_cdf`` consumer then trips on.
+    ``grace_seconds`` bounds that window without coordination: orphan
+    files younger than the grace (by filesystem mtime, real wall
+    clock) are skipped this pass and swept by the next one — set it
+    above your longest stage-to-commit gap when writers may overlap
+    maintenance (0 keeps the single-process contract exact)."""
     commits = _list_commits(spark, path)
     all_versions = sorted({v for v, _ in commits})
     if not all_versions:
@@ -1464,9 +1695,21 @@ def tx_vacuum(
     folded = _write_checkpoint(spark, path, pivot)
     fs = hadoop_fs(spark, path)[0]
     live |= {_abs(path, f) for f in _pending_multi_adds(spark, path)}
+
+    def _in_grace(hpath) -> bool:
+        # real wall clock on purpose (not the _now test seam): the
+        # comparison is against filesystem mtimes, which are real
+        if grace_seconds <= 0:
+            return False
+        try:
+            mtime_ms = fs.getFileStatus(hpath).getModificationTime()
+        except Exception:  # noqa: BLE001 — racing deletion: not ours
+            return True
+        return mtime_ms > (time.time() - grace_seconds) * 1000.0
+
     deleted = []
     for f in _all_data_files(spark, path):
-        if f not in live:
+        if f not in live and not _in_grace(hadoop_fs(spark, f)[1]):
             fs.delete(hadoop_fs(spark, f)[1], False)
             deleted.append(f)
     # tombstone sweep: a merge-on-read key file is live while any
@@ -1486,7 +1729,7 @@ def tx_vacuum(
     if ddir_fs.exists(ddir):
         for st in ddir_fs.listStatus(ddir):
             full = _abs(path, f"_deletes/{st.getPath().getName()}")
-            if full not in live_tombs:
+            if full not in live_tombs and not _in_grace(st.getPath()):
                 ddir_fs.delete(st.getPath(), False)
                 deleted.append(full)
     # drop commit entries (and stale checkpoints) below the pivot
@@ -1517,7 +1760,7 @@ def tx_vacuum(
     if cfs.exists(cdir):
         for st in cfs.listStatus(cdir):
             full = _abs(path, f"_cdf/{st.getPath().getName()}")
-            if full not in live_cdf:
+            if full not in live_cdf and not _in_grace(st.getPath()):
                 cfs.delete(st.getPath(), False)
                 deleted.append(full)
     # sweep crashed-writer debris from the log dir: orphan payload
@@ -1532,7 +1775,8 @@ def tx_vacuum(
     sfs, sdir = hadoop_fs(spark, f"{path}/_staging")
     if sfs.exists(sdir):
         for st in sfs.listStatus(sdir):
-            sfs.delete(st.getPath(), True)
+            if not _in_grace(st.getPath()):
+                sfs.delete(st.getPath(), True)
     return deleted
 
 
@@ -1580,28 +1824,43 @@ def _key_bounds(keys: DataFrame, key_col: str):
 
 
 def _files_overlapping_keys(
-    spark, path: str, files: list[str], lo, hi, key_col: str
+    spark,
+    path: str,
+    files: list[str],
+    lo,
+    hi,
+    key_col: str,
+    snap: "_Snapshot | None" = None,
 ) -> list[str]:
     """The files a key-targeted rewrite must touch: range-prune against
     the COMMIT-LOG stats when the writer recorded them (zero I/O),
     parquet footers otherwise (~KB metadata read per file); a file with
-    neither yields to correctness and is rewritten."""
+    neither yields to correctness and is rewritten. Callers holding a
+    :class:`_Snapshot` pass it so its already-folded stats serve the
+    pruning without a second log replay."""
     if lo is None or hi is None:
         # empty keys/updates frame: nothing can overlap — callers then
         # take their empty-commit path instead of comparing None
         # against file stats
         return []
-    logged = _log_stats(spark, path)
+    logged = snap.stats if snap is not None else _log_stats(spark, path)
     touched = []
     for f in files:
         st = (logged.get(f) or {}).get(key_col)
         if st is not None and st[0] is not None:
             fmin, fmax = st
         else:
-            mm = _footer_min_max(
-                _abs(path, f).replace("file:", ""), key_col
-            )
+            local = _abs(path, f).replace("file:", "")
+            mm = _footer_min_max(local, key_col)
             if mm is None:
+                # zero-row part files (Spark writes one per empty
+                # partition) carry no stats but hold no keys either —
+                # only a file with ROWS and no provable range yields
+                # to correctness and is rewritten
+                import pyarrow.parquet as pq
+
+                if pq.ParquetFile(local).metadata.num_rows == 0:
+                    continue
                 touched.append(f)
                 continue
             fmin, fmax = _json_stat(mm[0]), _json_stat(mm[1])
@@ -1660,21 +1919,35 @@ def tx_merge(
         raise ValueError(f"updates carry NULL {key_col}")
     if dup.count():
         raise ValueError(f"updates carry duplicate {key_col} rows")
-    if txn is not None and (prior := _committed_txns(spark, path).get(txn)) is not None:
+    snap = _replay(spark, path)
+    if txn is not None and (prior := snap.txns.get(txn)) is not None:
         return prior
     if cdf is None:
-        cdf = _cdf_default(spark, path)
-
-    _require_no_mor(spark, path, "tx_merge")
-    files, snap_version = _snapshot_files(spark, path)
+        cdf = _cdf_props_default(snap.properties)
+    _refuse_mor(snap, path, "tx_merge")
+    # rewrites never evolve the schema: on a schema-recorded table the
+    # updates must carry exactly the table's (merged) field set, or the
+    # survivors-union / CDF-union would silently null-fill or fail —
+    # evolve first with tx_write(schema_mode='merge'), then merge
+    if snap.schema is not None:
+        cur_f = _schema_fields(snap.schema)
+        new_f = _schema_fields(updates.schema.json())
+        if cur_f != new_f:
+            raise ValueError(
+                f"tx_merge updates schema does not match the table at "
+                f"{path} (table fields {sorted(cur_f)}, updates fields "
+                f"{sorted(new_f)}); rewrites never evolve the schema — "
+                "evolve it first with tx_write(schema_mode='merge')"
+            )
+    files, snap_version = sorted(snap.eps), snap.version
     lo, hi = _key_bounds(updates, key_col)
-    touched = _files_overlapping_keys(spark, path, files, lo, hi, key_col)
+    touched = _files_overlapping_keys(spark, path, files, lo, hi, key_col, snap)
 
     keys = updates.select(key_col)
     if touched:
-        survivors = spark.read.parquet(
-            *[_abs(path, f) for f in touched]
-        ).join(keys, key_col, "left_anti")
+        survivors = _read_table_files(spark, path, touched, snap).join(
+            keys, key_col, "left_anti"
+        )
         new_data = survivors.unionByName(updates)
     else:
         new_data = updates
@@ -1683,7 +1956,7 @@ def tx_merge(
     if cdf:
         ct = "_change_type"
         if touched:
-            old = spark.read.parquet(*[_abs(path, f) for f in touched])
+            old = _read_table_files(spark, path, touched, snap)
             old_keys = old.select(key_col)
             changes = (
                 old.join(keys, key_col, "semi")
@@ -1704,10 +1977,10 @@ def tx_merge(
             changes = updates.withColumn(ct, F.lit("insert"))
         extra = {"cdf": {"files": _stage_cdf(changes, path), "key": key_col}}
 
-    added = _stage_and_place(new_data, path)
+    added = _stage_and_place(new_data, path, snap.partition_by)
     return _commit_rewrite(
         spark, path, added, touched, snap_version, txn, "merge",
-        stats=_rewrite_stats(spark, path, touched, added, key_col),
+        stats=_rewrite_stats(spark, path, touched, added, key_col, snap),
         conflict_keys=None if lo is None else (key_col, lo, hi),
         extra=extra,
     )
@@ -1849,20 +2122,29 @@ def _commit_rewrite(
 
 
 def _rewrite_stats(
-    spark, path: str, touched: list[str], added: list[str], key_col: str | None
+    spark,
+    path: str,
+    touched: list[str],
+    added: list[str],
+    key_col: str | None,
+    snap: "_Snapshot | None" = None,
 ) -> dict | None:
     """Stats for a rewrite's output files: whatever stat columns the
     touched inputs carried (plus the rewrite's own key column) are
     recomputed on the new files, so a stats-covered table STAYS
     log-prunable through merges/deletes/compactions instead of
-    degrading to footer fallbacks file by file."""
-    logged = _log_stats(spark, path)
+    degrading to footer fallbacks file by file. Partition columns are
+    always included on partitioned tables — partition pruning IS their
+    stats entries, and a rewrite must never strip it."""
+    logged = snap.stats if snap is not None else _log_stats(spark, path)
     cols = {c for f in touched for c in (logged.get(f) or {})}
     if key_col is not None and any(f in logged for f in touched):
         cols.add(key_col)
+    if snap is not None and snap.partition_by:
+        cols.update(snap.partition_by)
     if not cols or not added:
         return None
-    return _collect_stats(spark, path, added, sorted(cols))
+    return _collect_stats(spark, path, added, sorted(cols), snap)
 
 
 def tx_compact(
@@ -1880,8 +2162,9 @@ def tx_compact(
     loop to converge). Returns the committed version, or None if ≤1
     live file. Same conflict check as merge — concurrent rewrites of
     the chosen files abort loudly; concurrent appends are unaffected."""
-    _require_no_mor(spark, path, "tx_compact")
-    files, snap_version = _snapshot_files(spark, path)
+    snap = _replay(spark, path)
+    _refuse_mor(snap, path, "tx_compact")
+    files, snap_version = sorted(snap.eps), snap.version
     if len(files) <= 1:
         return None
     fs = hadoop_fs(spark, path)[0]
@@ -1893,13 +2176,13 @@ def tx_compact(
     chosen = [f for _, f in sized[:max_input_files]]
     if len(chosen) <= target_files:
         return None
-    merged = spark.read.parquet(*[_abs(path, f) for f in chosen]).coalesce(
+    merged = _read_table_files(spark, path, chosen, snap).coalesce(
         target_files
     )
-    added = _stage_and_place(merged, path)
+    added = _stage_and_place(merged, path, snap.partition_by)
     return _commit_rewrite(
         spark, path, added, chosen, snap_version, None, "compact",
-        stats=_rewrite_stats(spark, path, chosen, added, None),
+        stats=_rewrite_stats(spark, path, chosen, added, None, snap),
     )
 
 
@@ -1956,6 +2239,21 @@ def _change_commits(
     return out, latest
 
 
+def _is_noop_delete(c: dict) -> bool:
+    """A copy-on-write delete whose keys touched no live file: adds
+    nothing, removes nothing, carries no tombstone — a logical no-op
+    the change feeds must checkpoint past REGARDLESS of whether the
+    commit carries a cdf marker (a cdf=False empty delete used to key
+    the no-op on the marker and raised reprocess-from-snapshot on a
+    version that changed nothing)."""
+    return (
+        c["action"] == "delete"
+        and not c.get("add")
+        and not c.get("remove")
+        and not c.get("mor")
+    )
+
+
 def _change_sets(
     spark, path: str, since_version: int | None
 ) -> tuple[list[tuple[int, list[str]]], int]:
@@ -1976,6 +2274,11 @@ def _change_sets(
             # aborted multi / pure physical rewrites (compaction and
             # Z-order re-clustering are bit-identical) / property
             # changes: logical no-ops
+            out.append((v, []))
+            continue
+        if _is_noop_delete(c):
+            # a delete whose keys touched no live file changed nothing
+            # — checkpoint past it (its cdf marker, if any, is empty)
             out.append((v, []))
             continue
         if c["action"] != "append" or c.get("remove"):
@@ -2025,7 +2328,10 @@ def tx_changes(
     added = [f for _, files in sets for f in files]
     if not added:
         return None, cursor
-    return spark.read.parquet(*[_abs(path, f) for f in added]), cursor
+    # the snapshot's read contract applies to feed frames too: footer
+    # merging across evolved appends, partition-column reconstruction
+    # on hive layouts (the file bytes don't carry partition values)
+    return _read_table_files(spark, path, added, _replay(spark, path)), cursor
 
 
 def tx_changes_by_version(
@@ -2049,11 +2355,12 @@ def tx_changes_by_version(
     history-rewrite commits and vacuumed cursors, stops before a
     pending multi-table commit."""
     sets, _ = _change_sets(spark, path, since_version)
+    snap = _replay(spark, path)
     for v, files in sets:
         if not files:
             yield v, None
         else:
-            yield v, spark.read.parquet(*[_abs(path, f) for f in files])
+            yield v, _read_table_files(spark, path, files, snap)
 
 
 def tx_changes_cdf(
@@ -2106,10 +2413,14 @@ def tx_changes_cdf(
     from pyspark.sql import functions as F
 
     raw, _ = _change_commits(spark, path, since_version)
+    snap = _replay(spark, path)
     for v, c in raw:
         if c is None or c["action"] in (
             "compact", "zorder", "apply_deletes", "meta"
         ):
+            yield v, None, None
+            continue
+        if _is_noop_delete(c):
             yield v, None, None
             continue
         if c["action"] == "delete" and c.get("mor"):
@@ -2152,9 +2463,9 @@ def tx_changes_cdf(
         if not files:
             yield v, None, None
         else:
-            yield v, "insert", spark.read.parquet(
-                *[_abs(path, f) for f in files]
-            )
+            # same read contract as snapshots: evolved footer merge +
+            # partition-column reconstruction (see _reader_for)
+            yield v, "insert", _read_table_files(spark, path, files, snap)
 
 
 def tx_delete(
@@ -2206,13 +2517,12 @@ def tx_delete(
         raise ValueError(f"mode must be copy_on_write|merge_on_read, got {mode!r}")
     if keys.filter(F.col(key_col).isNull()).limit(1).count():
         raise ValueError(f"keys carry NULL {key_col}")
-    if txn is not None and (prior := _committed_txns(spark, path).get(txn)) is not None:
+    snap = _replay(spark, path)  # also the existence check
+    if txn is not None and (prior := snap.txns.get(txn)) is not None:
         return prior
     if cdf is None:
-        cdf = _cdf_default(spark, path)
+        cdf = _cdf_props_default(snap.properties)
     if mode == "merge_on_read":
-        # existence check (and version-counter anchor) before staging
-        _snapshot_files(spark, path)
         tomb_files = _stage_deletes(keys.select(key_col).distinct(), path)
         fs = hadoop_fs(spark, path)[0]
 
@@ -2228,9 +2538,9 @@ def tx_delete(
             }
 
         return _commit_with_retries(spark, path, fs, build, txn, 20)
-    files, snap_version = _snapshot_files(spark, path)
+    files, snap_version = sorted(snap.eps), snap.version
     lo, hi = _key_bounds(keys, key_col)
-    touched = _files_overlapping_keys(spark, path, files, lo, hi, key_col)
+    touched = _files_overlapping_keys(spark, path, files, lo, hi, key_col, snap)
     if not touched:
         # no live file can match — still commit an empty delete so the
         # txn id is recorded for idempotence. The concurrent-append
@@ -2245,7 +2555,7 @@ def tx_delete(
             extra={"cdf": {"files": [], "key": key_col}} if cdf else None,
         )
     key_set = keys.select(key_col).distinct()
-    old = spark.read.parquet(*[_abs(path, f) for f in touched])
+    old = _read_table_files(spark, path, touched, snap)
     survivors = old.join(key_set, key_col, "left_anti")
     extra = None
     if cdf:
@@ -2255,10 +2565,10 @@ def tx_delete(
         extra = {
             "cdf": {"files": _stage_cdf(deleted_rows, path), "key": key_col}
         }
-    added = _stage_and_place(survivors, path)
+    added = _stage_and_place(survivors, path, snap.partition_by)
     return _commit_rewrite(
         spark, path, added, touched, snap_version, txn, "delete",
-        stats=_rewrite_stats(spark, path, touched, added, key_col),
+        stats=_rewrite_stats(spark, path, touched, added, key_col, snap),
         conflict_keys=(key_col, lo, hi),
         extra=extra,
     )
@@ -2281,7 +2591,8 @@ def tx_apply_deletes(spark: SparkSession, path: str) -> int | None:
     concurrent rewrites of the touched files abort loudly via the
     still-live check. Physical erasure of both the dead data files and
     the tombstone key files still requires :func:`tx_vacuum`."""
-    eps, mor, snap_version = _snapshot_state(spark, path)
+    snap = _replay(spark, path)
+    eps, mor, snap_version = snap.eps, snap.mor, snap.version
     if not mor:
         return None
     tomb_versions = [t["version"] for t in mor]
@@ -2302,7 +2613,7 @@ def tx_apply_deletes(spark: SparkSession, path: str) -> int | None:
 
     parts = []
     for i in sorted(groups):
-        df = spark.read.parquet(*[_abs(path, f) for f in groups[i]])
+        df = _read_table_files(spark, path, groups[i], snap)
         for t in mor[i:]:
             if not t["files"]:
                 continue
@@ -2312,10 +2623,10 @@ def tx_apply_deletes(spark: SparkSession, path: str) -> int | None:
     survivors = parts[0]
     for p in parts[1:]:
         survivors = survivors.unionByName(p)
-    added = _stage_and_place(survivors, path)
+    added = _stage_and_place(survivors, path, snap.partition_by)
     return _commit_rewrite(
         spark, path, added, touched, snap_version, None, "apply_deletes",
-        stats=_rewrite_stats(spark, path, touched, added, None),
+        stats=_rewrite_stats(spark, path, touched, added, None, snap),
         extra={"mor_clears": tomb_versions, "reader": 2},
     )
 
@@ -2355,8 +2666,9 @@ def tx_optimize_zorder(
     a periodic full pass restores."""
     from .layout import zorder_by
 
-    _require_no_mor(spark, path, "tx_optimize_zorder")
-    eps, _, snap_version = _snapshot_state(spark, path)
+    snap = _replay(spark, path)
+    _refuse_mor(snap, path, "tx_optimize_zorder")
+    eps, snap_version = snap.eps, snap.version
     files = sorted(eps)
     if not files:
         raise FileNotFoundError(f"nothing to optimize at {path}")
@@ -2366,10 +2678,14 @@ def tx_optimize_zorder(
         files = [f for f in files if marks.get(f) != spec]
         if not files:
             return None  # everything live is already clustered
-    df = spark.read.parquet(*[_abs(path, f) for f in files])
+    df = _read_table_files(spark, path, files, snap)
     clustered = zorder_by(df, list(cols), n_files=n_files, bits=bits)
-    added = _stage_and_place(clustered, path)
-    stats = _collect_stats(spark, path, added, sorted(cols)) if added else None
+    added = _stage_and_place(clustered, path, snap.partition_by)
+    stats = (
+        _collect_stats(spark, path, added, sorted(cols), snap)
+        if added
+        else None
+    )
     return _commit_rewrite(
         spark, path, added, files, snap_version, None, "zorder",
         stats=stats,
@@ -2393,20 +2709,22 @@ def tx_diff(
     versions to still replay (pre-vacuum)."""
     from pyspark.sql import functions as F
 
-    _require_no_mor(spark, path, "tx_diff", from_version)
-    _require_no_mor(spark, path, "tx_diff", to_version)
-    old_files, _ = _snapshot_files(spark, path, from_version)
-    new_files, to_version = _snapshot_files(spark, path, to_version)
+    snap_old = _replay(spark, path, from_version)
+    _refuse_mor(snap_old, path, "tx_diff")
+    snap_new = _replay(spark, path, to_version)
+    _refuse_mor(snap_new, path, "tx_diff")
+    old_files, to_version = sorted(snap_old.eps), snap_new.version
+    new_files = sorted(snap_new.eps)
     common = set(old_files) & set(new_files)
     old_only = [f for f in old_files if f not in common]
     new_only = [f for f in new_files if f not in common]
 
-    def read(files):
+    def read(files, snap):
         if not files:
             return tx_read(spark, path, version=to_version).limit(0)
-        return spark.read.parquet(*[_abs(path, f) for f in files])
+        return _read_table_files(spark, path, files, snap)
 
-    old_df, new_df = read(old_only), read(new_only)
+    old_df, new_df = read(old_only, snap_old), read(new_only, snap_new)
     added = new_df.exceptAll(old_df).withColumn("change", F.lit("added"))
     removed = old_df.exceptAll(new_df).withColumn(
         "change", F.lit("removed")
@@ -2497,8 +2815,9 @@ def tx_restore(
     deleted (restore-after-vacuum cannot resurrect data), or if the
     target version carries live merge-on-read tombstones (a file-set
     restore would resurrect their deleted rows)."""
-    _require_no_mor(spark, path, "tx_restore", version)
-    files, eff = _snapshot_files(spark, path, version)
+    snap = _replay(spark, path, version)
+    _refuse_mor(snap, path, "tx_restore")
+    files, eff = sorted(snap.eps), snap.version
     fs = hadoop_fs(spark, path)[0]
     for f in files:
         if not fs.exists(hadoop_fs(spark, _abs(path, f))[1]):
@@ -2507,10 +2826,7 @@ def tx_restore(
                 "physically deleted (vacuum destroys pre-vacuum restore "
                 "targets)"
             )
-    stats = {f: st for f, st in _log_stats(spark, path).items() if f in set(files)}
-    # the restore is an overwrite, so it RESETS the write schema — to
-    # the restored version's own (enforcement follows the time travel)
-    schema, _ = _live_schema_info(spark, path, eff)
+    stats = {f: st for f, st in snap.stats.items() if f in snap.eps}
 
     def build(next_v: int) -> dict:
         payload = {
@@ -2521,8 +2837,13 @@ def tx_restore(
             "txn": None,
             "restore_of": eff,
         }
-        if schema is not None:
-            payload["schema"] = schema
+        # the restore is an overwrite, so it RESETS the write schema
+        # and partition layout — to the restored version's own
+        # (enforcement and pruning follow the time travel)
+        if snap.schema is not None:
+            payload["schema"] = snap.schema
+        if snap.partition_by is not None:
+            payload["partition_by"] = snap.partition_by
         if stats:
             payload["stats"] = stats
         return payload
@@ -2560,14 +2881,24 @@ def tx_clone(
     fs, dlog = hadoop_fs(spark, f"{dst}/_txlog")
     if fs.exists(dlog):
         raise FileExistsError(f"clone destination {dst} already exists")
-    _require_no_mor(spark, src, "tx_clone", version)
-    files, eff = _snapshot_files(spark, src, version)
+    snap = _replay(spark, src, version)
+    _refuse_mor(snap, src, "tx_clone")
+    if snap.partition_by:
+        # a clone reads the source's hive-layout files under ITS OWN
+        # root, but partition-column reconstruction needs ONE basePath
+        # per scan — clone-local appends and absolute source refs
+        # cannot share it. Refusing is the honest contract until a
+        # grouped-basePath reader exists.
+        raise NotImplementedError(
+            f"tx_clone of a partitioned table ({src} is partitioned by "
+            f"{snap.partition_by}) is not supported; materialize with "
+            "tx_read + tx_write(partition_by=) instead"
+        )
+    files, eff = sorted(snap.eps), snap.version
     refs = [_abs(src, f) for f in files]
-    src_stats = _log_stats(spark, src)
     stats = {
-        _abs(src, f): src_stats[f] for f in files if f in src_stats
+        _abs(src, f): snap.stats[f] for f in files if f in snap.stats
     }
-    schema, _ = _live_schema_info(spark, src, eff)
     props = tx_properties(spark, src)
 
     def build(next_v: int) -> dict:
@@ -2579,8 +2910,8 @@ def tx_clone(
             "txn": None,
             "clone_of": {"src": src, "version": eff},
         }
-        if schema is not None:
-            payload["schema"] = schema
+        if snap.schema is not None:
+            payload["schema"] = snap.schema
         if props:
             payload["properties"] = props
         if stats:

@@ -761,12 +761,12 @@ def test_merge_conflicts_with_overlapping_concurrent_append(
     real_stage = txlog._stage_and_place
     fired = {}
 
-    def stage_with_concurrent_append(df, path):
+    def stage_with_concurrent_append(df, path, partition_by=None):
         if "done" not in fired:
             fired["done"] = True
             # the racing append lands id=5 — inside the merge's range
             tx_write(_df(spark, 5, 6, "race"), path, stats_cols=["id"])
-        return real_stage(df, path)
+        return real_stage(df, path, partition_by)
 
     monkeypatch.setattr(txlog, "_stage_and_place", stage_with_concurrent_append)
     updates = _df(spark, 4, 7, "upd")
@@ -786,11 +786,11 @@ def test_merge_ignores_disjoint_concurrent_append(spark, tmp_path, monkeypatch):
     real_stage = txlog._stage_and_place
     fired = {}
 
-    def stage_with_disjoint_append(df, path):
+    def stage_with_disjoint_append(df, path, partition_by=None):
         if "done" not in fired:
             fired["done"] = True
             tx_write(_df(spark, 100, 105, "far"), path, stats_cols=["id"])
-        return real_stage(df, path)
+        return real_stage(df, path, partition_by)
 
     monkeypatch.setattr(txlog, "_stage_and_place", stage_with_disjoint_append)
     updates = _df(spark, 4, 7, "upd")
@@ -1408,3 +1408,186 @@ def test_abfs_claimer_one_winner_and_error_propagation(spark):
         AbfsIfNoneMatchClaimer(client=_Denied()).publish(
             spark, None, path, b"x"
         )
+
+
+# --- round 11: evolved-schema rewrites, commit-time recheck, no-op ---
+# --- deletes in the feed, vacuum grace window ------------------------
+
+
+def test_merge_preserves_evolved_columns(spark, tmp_path):
+    """ADVICE r10 (high): a rewrite on an evolved table must read its
+    touched files with footer merging, or survivor rows from the newer
+    generation silently LOSE the evolved column (spark.read with one
+    file's schema drops the rest). Construct a merge whose touched set
+    spans both generations and pin the evolved values through it."""
+    from distributed_mapreduce__spark.sources.txlog import tx_merge
+
+    t = str(tmp_path / "t")
+    tx_write(_df(spark, 0, 5, "g1"), t)
+    gen2 = _df(spark, 5, 10, "g2").withColumn(
+        "extra", F.concat(F.lit("x"), F.col("id"))
+    )
+    tx_write(gen2, t, schema_mode="merge")
+    # updates span BOTH generations (ids 2 and 7) so the touched file
+    # set mixes schemas; updates carry the table's full merged schema
+    updates = spark.createDataFrame(
+        [(2, "upd", None), (7, "upd", "x7new")],
+        "id long, tag string, extra string",
+    )
+    tx_merge(updates, t, "id")
+    rows = {r.id: r for r in tx_read(spark, t).collect()}
+    assert len(rows) == 10
+    # survivor rows from generation 2 KEEP their evolved values
+    assert rows[8].extra == "x8" and rows[9].extra == "x9"
+    assert rows[7].extra == "x7new" and rows[2].extra is None
+    assert rows[2].tag == "upd" and rows[7].tag == "upd"
+
+
+def test_merge_cdf_preimages_carry_evolved_columns(spark, tmp_path):
+    """The CDF sidecar of a merge on an evolved table must carry the
+    evolved column in its pre-images (same footer-merge fix)."""
+    from distributed_mapreduce__spark.sources.txlog import (
+        tx_changes_cdf,
+        tx_merge,
+    )
+
+    t = str(tmp_path / "t")
+    tx_write(_df(spark, 0, 5, "g1"), t)
+    tx_write(
+        _df(spark, 5, 10, "g2").withColumn(
+            "extra", F.concat(F.lit("x"), F.col("id"))
+        ),
+        t,
+        schema_mode="merge",
+    )
+    updates = spark.createDataFrame(
+        [(2, "upd", "e2"), (7, "upd", "e7")],
+        "id long, tag string, extra string",
+    )
+    v = tx_merge(updates, t, "id")
+    frames = [
+        (kind, df) for _, kind, df in tx_changes_cdf(spark, t, v - 1)
+    ]
+    assert frames[0][0] == "cdf"
+    cdf = frames[0][1]
+    assert "extra" in cdf.columns
+    pre = {
+        r.id: r.extra
+        for r in cdf.filter(F.col("_change_type") == "update_preimage").collect()
+    }
+    # the generation-2 pre-image keeps its evolved value
+    assert pre[7] == "x7"
+
+
+def test_merge_refuses_updates_missing_evolved_columns(spark, tmp_path):
+    """Rewrites never evolve the schema: on a schema-recorded table,
+    merge updates must carry exactly the merged field set."""
+    from distributed_mapreduce__spark.sources.txlog import tx_merge
+
+    t = str(tmp_path / "t")
+    tx_write(_df(spark, 0, 5, "g1"), t)
+    tx_write(
+        _df(spark, 5, 10, "g2").withColumn("extra", F.lit("x")),
+        t,
+        schema_mode="merge",
+    )
+    with pytest.raises(ValueError, match="does not match the table"):
+        tx_merge(_df(spark, 2, 3, "upd"), t, "id")
+
+
+def test_compact_preserves_evolved_columns(spark, tmp_path):
+    """Compaction reads mixed-schema inputs with footer merging —
+    bit-identical contents includes the evolved column."""
+    from distributed_mapreduce__spark.sources.txlog import tx_compact
+
+    t = str(tmp_path / "t")
+    tx_write(_df(spark, 0, 5, "g1"), t)
+    tx_write(
+        _df(spark, 5, 10, "g2").withColumn(
+            "extra", F.concat(F.lit("x"), F.col("id"))
+        ),
+        t,
+        schema_mode="merge",
+    )
+    before = {
+        (r.id, r.tag, r.extra) for r in tx_read(spark, t).collect()
+    }
+    assert tx_compact(spark, t, target_files=1) is not None
+    after = {(r.id, r.tag, r.extra) for r in tx_read(spark, t).collect()}
+    assert after == before
+    assert any(e == "x8" for _, _, e in after)
+
+
+def test_append_schema_rechecked_at_commit_time(spark, tmp_path, monkeypatch):
+    """ADVICE r10 (medium): an enforce-mode append racing a concurrent
+    overwrite that RETYPES a column must refuse at commit time — the
+    pre-stage check alone would let mixed-type live files land."""
+    from distributed_mapreduce__spark.sources import txlog
+
+    t = str(tmp_path / "t")
+    tx_write(
+        spark.createDataFrame([(1, 5)], "id long, v int"), t
+    )
+    real_stage = txlog._stage_and_place
+    fired = {}
+
+    def stage_with_retype(df, path, partition_by=None):
+        out = real_stage(df, path, partition_by)
+        if "done" not in fired:
+            fired["done"] = True
+            # a concurrent overwrite retypes v int -> string AFTER our
+            # pre-stage schema check passed
+            tx_write(
+                spark.createDataFrame([(9, "nine")], "id long, v string"),
+                path,
+                mode="overwrite",
+            )
+        return out
+
+    monkeypatch.setattr(txlog, "_stage_and_place", stage_with_retype)
+    with pytest.raises(ValueError, match="TYPE"):
+        tx_write(spark.createDataFrame([(2, 6)], "id long, v int"), t)
+
+
+def test_empty_cow_delete_without_cdf_is_noop_frame(spark, tmp_path):
+    """ADVICE r10 (low): a copy-on-write delete whose keys touch no
+    file commits an empty 'delete'; the change feeds must checkpoint
+    past it even when written with cdf=False (no marker at all)."""
+    from distributed_mapreduce__spark.sources.txlog import (
+        tx_changes,
+        tx_changes_cdf,
+        tx_delete,
+    )
+
+    t = str(tmp_path / "t")
+    v0 = tx_write(_df(spark, 0, 5, "a"), t, stats_cols=["id"])
+    v1 = tx_delete(
+        spark.createDataFrame([(999,)], "id long"), t, "id", cdf=False
+    )
+    frames = list(tx_changes_cdf(spark, t, v0))
+    assert frames == [(v1, None, None)]
+    df, cursor = tx_changes(spark, t, v0)
+    assert df is None and cursor == v1
+
+
+def test_vacuum_grace_spares_young_orphans(spark, tmp_path):
+    """Orphan files younger than grace_seconds survive the sweep (the
+    in-flight rewrite's stage-to-commit window); a graceless vacuum
+    takes them."""
+    import shutil
+
+    t = str(tmp_path / "t")
+    tx_write(_df(spark, 0, 5, "a"), t)
+    # forge orphans with FRESH mtimes: a data file and a cdf sidecar
+    src = next(
+        f for f in __import__("glob").glob(f"{t}/data/*.parquet")
+    )
+    shutil.copy(src, f"{t}/data/orphan.parquet")
+    __import__("os").makedirs(f"{t}/_cdf", exist_ok=True)
+    shutil.copy(src, f"{t}/_cdf/orphan.parquet")
+    deleted = tx_vacuum(spark, t, grace_seconds=3600)
+    assert not any("orphan" in d for d in deleted)
+    assert __import__("os").path.exists(f"{t}/data/orphan.parquet")
+    deleted = tx_vacuum(spark, t)
+    assert any("data/orphan.parquet" in d for d in deleted)
+    assert any("_cdf/orphan.parquet" in d for d in deleted)
