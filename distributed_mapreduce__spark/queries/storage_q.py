@@ -23,7 +23,7 @@ GROUP BY l_returnflag
 """
 
 
-@register("txlog_snapshot_agg", oracle=_TX_ORACLE)
+@register_local("txlog_snapshot_agg", oracle=_TX_ORACLE)
 def txlog_snapshot_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Write lineitem into a fresh transactional table as three
     idempotent append commits (sources/txlog.py), deliberately REPLAY
@@ -31,7 +31,9 @@ def txlog_snapshot_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     snapshot read. Equality with the direct-on-parquet oracle proves
     the whole protocol chain — staging, atomic commit, txn dedup,
     log-replay snapshot — loses and duplicates nothing under the value
-    hash."""
+    hash. (Local tier since round 11: the basic protocol chain is a
+    strict subset of what partitioned_txlog_agg and the other driver
+    storage rows exercise.)"""
     import tempfile
 
     from ..sources.txlog import tx_read, tx_write
@@ -417,5 +419,82 @@ def cdc_merge_pipe_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
             .cast("double")
             .alias("total_price"),
+        )
+    )
+
+
+_PART_ORACLE = """
+WITH merged AS (
+  SELECT l_orderkey, l_returnflag, l_linestatus,
+         CASE WHEN l_orderkey % 10 = 7 THEN -CAST(l_quantity AS DECIMAL(18,2))
+              ELSE CAST(l_quantity AS DECIMAL(18,2)) END AS qty
+  FROM lineitem
+)
+SELECT l_linestatus,
+       count(*) AS n_items,
+       CAST(CAST(sum(qty) AS VARCHAR) AS DOUBLE) AS total_qty
+FROM merged
+WHERE l_returnflag = 'R'
+GROUP BY l_linestatus
+"""
+
+
+@register("partitioned_txlog_agg", oracle=_PART_ORACLE)
+def partitioned_txlog_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned transactional tables end-to-end under the value
+    oracle (VERDICT r10 #1): ingest lineitem as TWO appends into a
+    table hive-partitioned by l_returnflag (the second append inherits
+    the layout — sources/txlog.tx_write(partition_by=)), run a keyed
+    MERGE that negates one residue class's quantities (its rewrite is
+    partition-pruned via the per-file partition stats in the commit
+    log), then aggregate a PARTITION-PRUNED read (where= on the
+    partition column: files of the other partitions never open — the
+    IO pin lives in tests/test_partitioned_txlog.py). Equality with a
+    direct recompute proves layout placement, typed partition-column
+    reconstruction, log-only pruning, and the partition-preserving
+    merge change no values."""
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from ..sources.txlog import tx_merge, tx_read, tx_write
+
+    # a unique per-row merge key, deterministic across the two write
+    # evaluations (ties in the global order are fully-identical rows,
+    # so tie-swaps cannot change table contents; the synthetic
+    # lineitem has no unique natural key)
+    w = Window.orderBy(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+        "l_quantity", "l_extendedprice", "l_shipdate",
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.row_number().over(w).alias("_rid"),
+        "l_orderkey",
+        "l_returnflag",
+        "l_linestatus",
+        "l_quantity",
+    )
+    table = tempfile.mkdtemp(prefix="part_q_") + "/t"
+    tx_write(
+        li.filter(F.col("l_orderkey") % 2 == 0),
+        table,
+        partition_by=["l_returnflag"],
+        stats_cols=["_rid"],
+    )
+    tx_write(li.filter(F.col("l_orderkey") % 2 == 1), table)
+    updates = (
+        tx_read(spark, table)
+        .filter(F.col("l_orderkey") % 10 == 7)
+        .withColumn("l_quantity", -F.col("l_quantity"))
+    )
+    tx_merge(updates, table, "_rid")
+    return (
+        tx_read(spark, table, where=("l_returnflag", "R", "R"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_qty"),
         )
     )
