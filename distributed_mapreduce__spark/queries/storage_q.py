@@ -498,3 +498,45 @@ def partitioned_txlog_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_qty"),
         )
     )
+
+
+_TSTT_ORACLE = """
+SELECT o_orderpriority,
+       count(*) AS n_orders,
+       CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS total_price
+FROM orders
+WHERE o_orderkey % 3 = 0
+GROUP BY o_orderpriority
+"""
+
+
+@register_local("txlog_ts_travel_agg", oracle=_TSTT_ORACLE)
+def txlog_ts_travel_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIMESTAMP AS OF under the value oracle (round 11): commit one
+    residue class of orders as v0, overwrite with everything as v1,
+    then read back AS OF v0's own commit timestamp (taken from
+    tx_history — the same ``ts`` stamps vacuum retention trusts) and
+    aggregate. Equality with a direct query over the v0 subset proves
+    the wall-clock→version resolution picks the snapshot that was live
+    at that instant."""
+    import tempfile
+
+    from ..sources.txlog import tx_history, tx_read, tx_write
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    table = tempfile.mkdtemp(prefix="txlog_tstt_") + "/t"
+    v0 = tx_write(orders.filter(F.col("o_orderkey") % 3 == 0), table)
+    tx_write(orders, table, mode="overwrite")
+    ts0 = next(h["ts"] for h in tx_history(spark, table) if h["version"] == v0)
+    return (
+        tx_read(spark, table, as_of_ts=ts0)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+    )

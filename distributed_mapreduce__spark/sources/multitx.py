@@ -67,6 +67,7 @@ from pyspark.sql import DataFrame, SparkSession
 from .sinks import hadoop_fs
 from .txlog import (
     _check_append_schema,
+    _check_writer_features,
     _collect_stats,
     _commit_with_retries,
     _committed_txns,
@@ -145,14 +146,18 @@ def tx_multi(
             continue
         mode = (modes or {}).get(path, "append")
         part_by = None
+        try:
+            psnap = _replay(spark, path)
+        except FileNotFoundError:
+            psnap = None
+        if psnap is not None:
+            # same writer-feature guard as every single-table write
+            _check_writer_features(psnap.properties, path)
         if mode == "append":
             # same schema-on-write + partition-inheritance contract as
             # tx_write (txlog.py); overwrites reset layout like tx_write
             _check_append_schema(writes[path], path, "enforce")
-            try:
-                part_by = _replay(spark, path).partition_by
-            except FileNotFoundError:
-                part_by = None
+            part_by = psnap.partition_by if psnap is not None else None
         schema_json = writes[path].schema.json()
         added = _stage_and_place(writes[path], path, part_by)
         stat_cols = set(stats_cols or [])

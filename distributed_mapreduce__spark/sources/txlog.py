@@ -104,6 +104,23 @@ CHECKPOINT_EVERY = 10
 #: stamped commit keeps working regardless.
 READER_VERSION = 2
 
+#: Write-side table features this build maintains (the Delta
+#: table-features model, writer half): a table whose
+#: ``writer.features`` property names a feature OUTSIDE this set
+#: refuses every write operation on this build — because a writer
+#: lacking the feature would not MAINTAIN its invariant (an old build
+#: merging into a CDF table would silently skip the sidecar and break
+#: every downstream pipe; one vacuuming a partitioned table would fold
+#: a checkpoint without the partition spec). Reads are never guarded
+#: by writer features (that is READER_VERSION's job). Tables that
+#: never stamped the property pass through untouched (legacy
+#: passthrough). Features auto-stamp on first use — see
+#: :func:`_writer_feature_delta` — and can be required explicitly via
+#: :func:`tx_require_writer_features`.
+WRITER_FEATURES = frozenset(
+    {"cdf", "schema-evolution", "partitioning", "mor", "properties"}
+)
+
 _PAD = 20  # zero-padded version filenames sort lexicographically
 
 #: commit-timestamp source, a seam so tests can drive wall-clock
@@ -851,11 +868,14 @@ def tx_set_properties(
 
     Properties the engine itself consults: ``cdf.enabled`` (bool,
     default true) — the table-level default for recording update-CDF
-    sidecars on copy-on-write rewrites; the per-call ``cdf=`` argument
-    of :func:`tx_merge` / :func:`tx_delete` overrides it either way.
-    Everything else is user metadata (``tx_properties`` reads it
+    sidecars on copy-on-write rewrites — and ``writer.features`` (the
+    write-side table-feature requirements, see
+    :data:`WRITER_FEATURES`); the per-call ``cdf=`` argument of
+    :func:`tx_merge` / :func:`tx_delete` overrides the former either
+    way. Everything else is user metadata (``tx_properties`` reads it
     back)."""
-    _snapshot_files(spark, path)  # table must exist; anchors versioning
+    snap = _replay(spark, path)  # table must exist; anchors versioning
+    _check_writer_features(snap.properties, path)
     fs = hadoop_fs(spark, path)[0]
 
     def build(next_v: int) -> dict:
@@ -878,6 +898,71 @@ def tx_properties(
     ``meta`` commit deltas folded in version order over the newest
     checkpoint's persisted map (one log replay via :func:`_replay`)."""
     return _replay(spark, path, version).properties
+
+
+def _check_writer_features(props: dict, path: str) -> None:
+    """Refuse a write operation when the table requires a writer
+    feature this build lacks (see :data:`WRITER_FEATURES`). Mirrors
+    the READER_VERSION refusal: failing loudly beats maintaining the
+    table incorrectly."""
+    required = props.get("writer.features") or []
+    missing = sorted(set(required) - WRITER_FEATURES)
+    if missing:
+        raise RuntimeError(
+            f"the table at {path} requires writer feature(s) {missing} "
+            f"this build does not have (supported: "
+            f"{sorted(WRITER_FEATURES)}); writing anyway would break "
+            "the feature's invariant for every other reader/writer — "
+            "upgrade this build (reads are unaffected)"
+        )
+
+
+def _writer_check(spark, path: str, snap: "_Snapshot | None" = None) -> None:
+    """:func:`_check_writer_features` behind its own replay; a
+    not-yet-existing table has nothing to require."""
+    if snap is not None:
+        _check_writer_features(snap.properties, path)
+        return
+    try:
+        _check_writer_features(_replay(spark, path).properties, path)
+    except FileNotFoundError:
+        pass
+
+
+def _writer_feature_delta(props: dict, used: "set[str]") -> "dict | None":
+    """The properties delta a commit must carry so the writer features
+    it USES become required for every later writer (auto-stamp on
+    first use): None when everything used is already recorded. Union
+    semantics live here, at write time — the properties fold itself is
+    last-write-wins per key."""
+    have = set(props.get("writer.features") or [])
+    if used <= have:
+        return None
+    return {"writer.features": sorted(have | used)}
+
+
+def tx_require_writer_features(
+    spark: SparkSession,
+    path: str,
+    features: "Sequence[str]",
+    max_retries: int = 20,
+) -> int:
+    """Explicitly require writer features on a table (union-merged
+    into the ``writer.features`` property via a meta commit). Raises
+    if THIS build lacks any of them — a writer cannot demand an
+    invariant it does not itself maintain (Delta's rule for adding
+    table features)."""
+    unknown = sorted(set(features) - WRITER_FEATURES)
+    if unknown:
+        raise ValueError(
+            f"cannot require writer feature(s) {unknown} this build "
+            f"does not support (supported: {sorted(WRITER_FEATURES)})"
+        )
+    props = tx_properties(spark, path)
+    delta = _writer_feature_delta(props, set(features))
+    if delta is None:
+        return _replay(spark, path).version  # already required
+    return tx_set_properties(spark, path, delta)
 
 
 def _cdf_props_default(props: dict) -> bool:
@@ -1145,13 +1230,16 @@ def tx_write(
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
     spark = df.sparkSession
     try:
-        existing_pb = _replay(spark, path).partition_by
+        snap0 = _replay(spark, path)
         table_exists = True
     except FileNotFoundError:
-        existing_pb = None
+        snap0 = None
         table_exists = False
-    if txn is not None and (prior := _committed_txns(spark, path).get(txn)) is not None:
-        return prior
+    if table_exists:
+        _check_writer_features(snap0.properties, path)
+        if txn is not None and (prior := snap0.txns.get(txn)) is not None:
+            return prior
+    existing_pb = snap0.partition_by if table_exists else None
     if mode == "append" and table_exists:
         if partition_by is None:
             partition_by = existing_pb  # appends inherit the layout
@@ -1196,6 +1284,22 @@ def tx_write(
         else None
     )
     fs = hadoop_fs(spark, path)[0]
+    # auto-stamp the writer features this commit USES, so older builds
+    # that cannot maintain them refuse instead of corrupting
+    used = set()
+    if partition_by:
+        used.add("partitioning")
+    if (
+        mode == "append"
+        and table_exists
+        and schema_mode == "merge"
+        and snap0.schema is not None
+        and _schema_fields(df.schema.json()) != _schema_fields(snap0.schema)
+    ):
+        used.add("schema-evolution")
+    feature_delta = _writer_feature_delta(
+        snap0.properties if table_exists else {}, used
+    )
 
     def build(next_v: int) -> dict:
         payload = {
@@ -1208,9 +1312,8 @@ def tx_write(
         }
         if partition_by:
             payload["partition_by"] = partition_by
-        elif mode == "overwrite":
-            # an explicit None: overwrite resets partitioning either way
-            pass
+        if feature_delta:
+            payload["properties"] = feature_delta
         if stats:
             payload["stats"] = stats
         return payload
@@ -1351,12 +1454,64 @@ def _write_checkpoint(spark, path: str, version: int) -> bool:
     return True
 
 
+def _version_at_ts(spark, path: str, ts: float) -> int:
+    """The newest version committed at/before wall-clock ``ts`` — it
+    was the live snapshot at that instant (timestamp time travel,
+    Delta's ``TIMESTAMP AS OF``). Uses the ``ts`` stamps the commits
+    themselves carry (the same source of truth as ``tx_vacuum
+    retain_hours``): commits predating stamping count as older than
+    every stamped one; checkpoint-only versions (their commit
+    truncated by vacuum) predate every surviving commit. Refuses on
+    NON-MONOTONIC stamps (writer clock skew) exactly as vacuum does —
+    the time→version map is ambiguous and guessing could read the
+    wrong snapshot silently. Raises when ``ts`` predates the table."""
+    commits = _list_commits(spark, path)
+    all_versions = sorted({v for v, _ in commits})
+    if not all_versions:
+        raise FileNotFoundError(f"no transactional table at {path}")
+    stamps = [
+        (v, _load(spark, path, f"{v:0{_PAD}d}.json").get("ts"))
+        for v, kind in commits
+        if kind == "commit"
+    ]
+    known = [(v, t) for v, t in stamps if t is not None]
+    for (_, t1), (v2, t2) in zip(known, known[1:]):
+        if t2 < t1:
+            raise ValueError(
+                f"commit timestamps at {path} are non-monotonic around "
+                f"version {v2} (writer clock skew); the time→version "
+                "map is ambiguous — travel by version= instead"
+            )
+    commit_vs = {v for v, _ in stamps}
+    at_or_before = [v for v, t in stamps if t is None or t <= ts]
+    at_or_before += [v for v in all_versions if v not in commit_vs]
+    if not at_or_before:
+        raise ValueError(
+            f"no version of {path} existed at timestamp {ts} (first "
+            f"stamped commit is newer)"
+        )
+    return max(at_or_before)
+
+
+def _resolve_version(
+    spark, path: str, version: "int | None", as_of_ts: "float | None"
+) -> "int | None":
+    """Shared version/timestamp arbitration for the time-travel entry
+    points: exactly one of the two may be given."""
+    if as_of_ts is None:
+        return version
+    if version is not None:
+        raise ValueError("pass version= or as_of_ts=, not both")
+    return _version_at_ts(spark, path, as_of_ts)
+
+
 def tx_read(
     spark: SparkSession,
     path: str,
     version: int | None = None,
     merge_schema: bool = False,
     where: "tuple | list[tuple] | None" = None,
+    as_of_ts: "float | None" = None,
 ) -> DataFrame:
     """Snapshot read: the table as of ``version`` (default: latest).
     Hands Spark the explicit live-file list — no directory listing of
@@ -1387,7 +1542,14 @@ def tx_read(
     'merge_on_read')``) are applied at scan time: files are grouped by
     which tombstones postdate their add-version and each group gets a
     broadcast anti-join per applicable tombstone — no shuffle, and
-    rows appended after a delete are never its victims."""
+    rows appended after a delete are never its victims.
+
+    ``as_of_ts`` is timestamp time travel (Delta's TIMESTAMP AS OF):
+    the snapshot that was live at that wall-clock instant, resolved
+    through the commits' own ``ts`` stamps (see :func:`_version_at_ts`
+    for the boundary and clock-skew rules). Mutually exclusive with
+    ``version``."""
+    version = _resolve_version(spark, path, version, as_of_ts)
     snap = _replay(spark, path, version)
     eps, mor = snap.eps, snap.mor
     files = sorted(eps)
@@ -1644,6 +1806,10 @@ def tx_vacuum(
     clock) are skipped this pass and swept by the next one — set it
     above your longest stage-to-commit gap when writers may overlap
     maintenance (0 keeps the single-process contract exact)."""
+    # vacuum WRITES (the pivot checkpoint): a build lacking a required
+    # writer feature would fold a checkpoint that drops the feature's
+    # state (e.g. the partition spec) — refuse like any other writer
+    _writer_check(spark, path)
     commits = _list_commits(spark, path)
     all_versions = sorted({v for v, _ in commits})
     if not all_versions:
@@ -1920,6 +2086,7 @@ def tx_merge(
     if dup.count():
         raise ValueError(f"updates carry duplicate {key_col} rows")
     snap = _replay(spark, path)
+    _check_writer_features(snap.properties, path)
     if txn is not None and (prior := snap.txns.get(txn)) is not None:
         return prior
     if cdf is None:
@@ -1976,6 +2143,11 @@ def tx_merge(
             # no live file overlaps the key range: every row is new
             changes = updates.withColumn(ct, F.lit("insert"))
         extra = {"cdf": {"files": _stage_cdf(changes, path), "key": key_col}}
+        # recording a sidecar obligates every later rewriter to do the
+        # same, or downstream pipes silently break: stamp the feature
+        delta = _writer_feature_delta(snap.properties, {"cdf"})
+        if delta:
+            extra["properties"] = delta
 
     added = _stage_and_place(new_data, path, snap.partition_by)
     return _commit_rewrite(
@@ -2163,6 +2335,7 @@ def tx_compact(
     live file. Same conflict check as merge — concurrent rewrites of
     the chosen files abort loudly; concurrent appends are unaffected."""
     snap = _replay(spark, path)
+    _check_writer_features(snap.properties, path)
     _refuse_mor(snap, path, "tx_compact")
     files, snap_version = sorted(snap.eps), snap.version
     if len(files) <= 1:
@@ -2518,6 +2691,7 @@ def tx_delete(
     if keys.filter(F.col(key_col).isNull()).limit(1).count():
         raise ValueError(f"keys carry NULL {key_col}")
     snap = _replay(spark, path)  # also the existence check
+    _check_writer_features(snap.properties, path)
     if txn is not None and (prior := snap.txns.get(txn)) is not None:
         return prior
     if cdf is None:
@@ -2525,9 +2699,11 @@ def tx_delete(
     if mode == "merge_on_read":
         tomb_files = _stage_deletes(keys.select(key_col).distinct(), path)
         fs = hadoop_fs(spark, path)[0]
+        # a live tombstone obligates later writers to honor/settle it
+        delta = _writer_feature_delta(snap.properties, {"mor"})
 
         def build(next_v: int) -> dict:
-            return {
+            payload = {
                 "version": next_v,
                 "action": "delete",
                 "add": [],
@@ -2536,6 +2712,9 @@ def tx_delete(
                 "mor": {"col": key_col, "files": tomb_files},
                 "reader": 2,
             }
+            if delta:
+                payload["properties"] = delta
+            return payload
 
         return _commit_with_retries(spark, path, fs, build, txn, 20)
     files, snap_version = sorted(snap.eps), snap.version
@@ -2565,6 +2744,9 @@ def tx_delete(
         extra = {
             "cdf": {"files": _stage_cdf(deleted_rows, path), "key": key_col}
         }
+        delta = _writer_feature_delta(snap.properties, {"cdf"})
+        if delta:
+            extra["properties"] = delta
     added = _stage_and_place(survivors, path, snap.partition_by)
     return _commit_rewrite(
         spark, path, added, touched, snap_version, txn, "delete",
@@ -2592,6 +2774,7 @@ def tx_apply_deletes(spark: SparkSession, path: str) -> int | None:
     still-live check. Physical erasure of both the dead data files and
     the tombstone key files still requires :func:`tx_vacuum`."""
     snap = _replay(spark, path)
+    _check_writer_features(snap.properties, path)
     eps, mor, snap_version = snap.eps, snap.mor, snap.version
     if not mor:
         return None
@@ -2667,6 +2850,7 @@ def tx_optimize_zorder(
     from .layout import zorder_by
 
     snap = _replay(spark, path)
+    _check_writer_features(snap.properties, path)
     _refuse_mor(snap, path, "tx_optimize_zorder")
     eps, snap_version = snap.eps, snap.version
     files = sorted(eps)
@@ -2804,7 +2988,11 @@ def tx_maintain(
 
 
 def tx_restore(
-    spark: SparkSession, path: str, version: int, max_retries: int = 20
+    spark: SparkSession,
+    path: str,
+    version: "int | None" = None,
+    max_retries: int = 20,
+    to_ts: "float | None" = None,
 ) -> int:
     """RESTORE TABLE ... VERSION AS OF: commit a metadata-only
     overwrite whose file set IS the historical version's — no data is
@@ -2814,7 +3002,17 @@ def tx_restore(
     truncated by vacuum, or if any of its files has been physically
     deleted (restore-after-vacuum cannot resurrect data), or if the
     target version carries live merge-on-read tombstones (a file-set
-    restore would resurrect their deleted rows)."""
+    restore would resurrect their deleted rows).
+
+    ``to_ts`` is the TIMESTAMP AS OF form: restore to the snapshot
+    that was live at that wall-clock instant (resolved through the
+    commits' ``ts`` stamps — same boundary and clock-skew refusal
+    rules as :func:`tx_read`'s ``as_of_ts``). Exactly one of
+    ``version`` / ``to_ts`` must be given."""
+    version = _resolve_version(spark, path, version, to_ts)
+    if version is None:
+        raise ValueError("tx_restore needs version= or to_ts=")
+    _writer_check(spark, path)  # CURRENT requirements gate the write
     snap = _replay(spark, path, version)
     _refuse_mor(snap, path, "tx_restore")
     files, eff = sorted(snap.eps), snap.version

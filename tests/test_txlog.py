@@ -1591,3 +1591,159 @@ def test_vacuum_grace_spares_young_orphans(spark, tmp_path):
     deleted = tx_vacuum(spark, t)
     assert any("data/orphan.parquet" in d for d in deleted)
     assert any("_cdf/orphan.parquet" in d for d in deleted)
+
+
+# --- round 11: timestamp time travel ---------------------------------
+
+
+def test_timestamp_time_travel_boundaries(spark, tmp_path, monkeypatch):
+    """tx_read(as_of_ts=): between-commit timestamps resolve to the
+    snapshot live at that instant; pre-first-commit raises; after the
+    last commit reads latest; version= and as_of_ts= are exclusive."""
+    from distributed_mapreduce__spark.sources import txlog
+
+    state = {"h": 10.0}
+    monkeypatch.setattr(txlog, "_now", lambda: state["h"] * 3600.0)
+    t = str(tmp_path / "t")
+    tx_write(_df(spark, 0, 3, "v0"), t)          # ts = 10h
+    state["h"] = 20.0
+    tx_write(_df(spark, 3, 6, "v1"), t)          # ts = 20h
+    state["h"] = 30.0
+    tx_write(_df(spark, 100, 102, "v2"), t, mode="overwrite")  # 30h
+
+    def at(h):
+        return _ids(spark, t) if h is None else sorted(
+            r.id for r in tx_read(spark, t, as_of_ts=h * 3600.0).collect()
+        )
+
+    assert at(10.0) == [0, 1, 2]        # exactly the commit instant
+    assert at(15.0) == [0, 1, 2]        # between v0 and v1 → v0 live
+    assert at(20.0) == [0, 1, 2, 3, 4, 5]
+    assert at(25.0) == [0, 1, 2, 3, 4, 5]
+    assert at(30.0) == [100, 101]
+    assert at(99.0) == [100, 101]       # future ts → latest
+    with pytest.raises(ValueError, match="no version .* existed"):
+        tx_read(spark, t, as_of_ts=5.0 * 3600.0)
+    with pytest.raises(ValueError, match="not both"):
+        tx_read(spark, t, version=0, as_of_ts=10.0 * 3600.0)
+
+
+def test_timestamp_restore_and_skew_refusal(spark, tmp_path, monkeypatch):
+    """tx_restore(to_ts=) restores the snapshot live at the instant;
+    non-monotonic commit stamps refuse timestamp travel (version
+    travel keeps working)."""
+    from distributed_mapreduce__spark.sources import txlog
+
+    state = {"h": 10.0}
+    monkeypatch.setattr(txlog, "_now", lambda: state["h"] * 3600.0)
+    t = str(tmp_path / "t")
+    tx_write(_df(spark, 0, 3, "v0"), t)
+    state["h"] = 20.0
+    tx_write(_df(spark, 100, 103, "v1"), t, mode="overwrite")
+    state["h"] = 21.0
+    txlog.tx_restore(spark, t, to_ts=15.0 * 3600.0)
+    assert _ids(spark, t) == [0, 1, 2]
+
+    # clock skew: a later commit stamped EARLIER poisons the ts map
+    state["h"] = 5.0
+    tx_write(_df(spark, 7, 8, "skew"), t)
+    with pytest.raises(ValueError, match="non-monotonic"):
+        tx_read(spark, t, as_of_ts=20.0 * 3600.0)
+    assert _ids(spark, t, version=0) == [0, 1, 2]  # version travel fine
+
+
+# --- round 11: writer-feature guard -----------------------------------
+
+
+def test_writer_feature_guard_refuses_unknown_features(spark, tmp_path):
+    """A table stamped with a writer feature this build lacks refuses
+    EVERY write operation — but reads keep working (reader and writer
+    guards are independent), and legacy tables pass through."""
+    from distributed_mapreduce__spark.sources.txlog import (
+        tx_compact,
+        tx_delete,
+        tx_merge,
+        tx_set_properties,
+        tx_vacuum,
+    )
+
+    t = str(tmp_path / "t")
+    tx_write(_df(spark, 0, 5, "a").coalesce(1), t)
+    tx_set_properties(spark, t, {"writer.features": ["deletion-vectors-v9"]})
+    for op in (
+        lambda: tx_write(_df(spark, 5, 6, "b"), t),
+        lambda: tx_merge(_df(spark, 0, 1, "m"), t, "id"),
+        lambda: tx_delete(spark.createDataFrame([(1,)], "id long"), t, "id"),
+        lambda: tx_compact(spark, t),
+        lambda: tx_vacuum(spark, t),
+        lambda: tx_set_properties(spark, t, {"x": "y"}),
+    ):
+        with pytest.raises(RuntimeError, match="deletion-vectors-v9"):
+            op()
+    # reads are unaffected
+    assert _ids(spark, t) == [0, 1, 2, 3, 4]
+    assert len(tx_history(spark, t)) == 2
+
+
+def test_writer_features_auto_stamp_on_use(spark, tmp_path):
+    """Using a guarded feature stamps its requirement: a partitioned
+    write records 'partitioning', a CDF merge records 'cdf', a
+    merge-on-read delete records 'mor', a schema-evolving append
+    records 'schema-evolution' — union-merged, first use only."""
+    from distributed_mapreduce__spark.sources.txlog import (
+        tx_delete,
+        tx_merge,
+        tx_properties,
+    )
+
+    t = str(tmp_path / "t")
+    tx_write(
+        spark.range(0, 4).select(
+            "id", (F.col("id") % 2).alias("k"), F.lit("a").alias("tag")
+        ),
+        t,
+        partition_by=["k"],
+    )
+    assert tx_properties(spark, t)["writer.features"] == ["partitioning"]
+    tx_write(
+        spark.range(4, 6).select(
+            "id", (F.col("id") % 2).alias("k"), F.lit("a").alias("tag"),
+            F.lit(1.5).alias("extra"),
+        ),
+        t,
+        schema_mode="merge",
+    )
+    assert tx_properties(spark, t)["writer.features"] == [
+        "partitioning", "schema-evolution",
+    ]
+    upd = spark.createDataFrame(
+        [(0, 0, "u", 9.9)], "id long, k long, tag string, extra double"
+    )
+    tx_merge(upd, t, "id", cdf=True)
+    assert "cdf" in tx_properties(spark, t)["writer.features"]
+
+    t2 = str(tmp_path / "t2")
+    tx_write(_df(spark, 0, 5, "a"), t2)
+    tx_delete(
+        spark.createDataFrame([(1,)], "id long"), t2, "id",
+        mode="merge_on_read",
+    )
+    assert tx_properties(spark, t2)["writer.features"] == ["mor"]
+
+
+def test_require_writer_features_explicit_and_capable_build_writes(
+    spark, tmp_path
+):
+    """Both directions: requiring features THIS build has is fine and
+    later writes proceed; requiring one it lacks raises immediately."""
+    from distributed_mapreduce__spark.sources.txlog import (
+        tx_require_writer_features,
+    )
+
+    t = str(tmp_path / "t")
+    tx_write(_df(spark, 0, 3, "a"), t)
+    tx_require_writer_features(spark, t, ["cdf", "partitioning"])
+    tx_write(_df(spark, 3, 5, "b"), t)  # capable build: writes proceed
+    assert _ids(spark, t) == [0, 1, 2, 3, 4]
+    with pytest.raises(ValueError, match="does not support"):
+        tx_require_writer_features(spark, t, ["time-crystals"])
