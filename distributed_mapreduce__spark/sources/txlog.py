@@ -2046,6 +2046,15 @@ def tx_merge(
     same-key rows; unmatched keys append. Returns the committed
     version.
 
+    **Cost note up front**: by default every merge ALSO records its
+    change rows as a ``_cdf/`` sidecar (so incremental consumers
+    replicate it instead of reprocessing the snapshot), and that
+    capture measures ~1.8× the bare merge on this box (bench_r7_ops:
+    ``tx_merge`` vs ``tx_merge_nocdf``). On a write-hot table nothing
+    streams from, turn it off — per call with ``cdf=False`` or per
+    table with ``tx_set_properties(..., {"cdf.enabled": False})`` —
+    and the merge costs only its stats-pruned rewrite.
+
     **File-level pruning** — the scale property: only live data files
     whose footer [min, max] range of ``key_col`` overlaps the updates'
     key range are rewritten; every other file is untouched metadata. A

@@ -46,29 +46,53 @@ def stream_dedup_within_watermark(
 
 
 def intra_batch_dedup(
-    batch: DataFrame, est_threshold: float = 0.5, with_index: bool = False
+    batch: DataFrame,
+    est_threshold: float = 0.5,
+    with_index: bool = False,
+    verify: str = "estimate",
 ):
     """Deduplicate WITHIN one batch: min-doc_id survivor per exact
     (normalized-text md5) key, then LSH-banded near-dup drop of the
-    larger doc_id per estimated-Jaccard-≥-threshold pair — the same
-    MinHash estimator the history check uses, so one threshold governs
-    both. Shared by the foreachBatch stream sink
-    (:func:`stream_incremental_dedup`) and the txlog change-feed pipe
-    (:func:`dedup_pipe_available_now`).
+    larger doc_id per ≥-threshold pair. Shared by the foreachBatch
+    stream sink (:func:`stream_incremental_dedup`) and the txlog
+    change-feed pipe (:func:`dedup_pipe_available_now`).
+
+    ``verify`` decides how a banded candidate pair is scored against
+    ``est_threshold``:
+
+    - ``'estimate'`` (default) — the 16-seed MinHash agreement
+      fraction, the same estimator the history check uses, so one
+      threshold governs both. Zero extra passes; with 16 seeds the
+      estimate is ±1/16-granular, so borderline pairs can land on
+      either side (the precision/recall gate in
+      tests/test_streaming_dedup.py measures it on planted
+      paraphrases).
+    - ``'exact'`` — exact Jaccard over the candidates' hashed shingle
+      sets (operators/dedup.exact_jaccard): the batch's text is in
+      hand anyway, so the verify join costs one candidate-restricted
+      pass over 8-byte shingle hashes and the intra-batch drop becomes
+      estimator-noise-free. The HISTORY check stays estimator-based
+      either way — historical text is exactly what the ~160 B/doc
+      index exists to not keep.
 
     ``with_index=True`` returns ``(clean, clean_idx)`` where
     ``clean_idx`` is the survivors' :func:`dedup_index` rows,
     lineage-cut with ``localCheckpoint`` — minhashing (shingle explode
-    × 32 seeds) is the batch's expensive pass, and callers that need
+    × 16 seeds) is the batch's expensive pass, and callers that need
     the signatures again (history check, index append) must reuse this
     one instead of recomputing it per consumer."""
     from ..operators.dedup import (
         N_SEEDS,
         dedup_index,
+        doc_shingles,
+        exact_jaccard,
+        hashed_shingles,
         lsh_bands,
         lsh_candidate_pairs,
     )
 
+    if verify not in ("estimate", "exact"):
+        raise ValueError(f"verify must be estimate|exact, got {verify!r}")
     sig_cols = [f"mh{s}" for s in range(N_SEEDS)]
     idx = dedup_index(batch)
     # exact: min doc_id per normalized-text hash survives
@@ -78,22 +102,32 @@ def intra_batch_dedup(
         # one materialization serves the near-dup pass AND every
         # downstream signature consumer (~160 B/doc)
         idx = idx.localCheckpoint()
-    # near: banded candidates (a < b), est-Jaccard ≥ t drops the LARGER id
+    # near: banded candidates (a < b), score ≥ t drops the LARGER id
     pairs = lsh_candidate_pairs(lsh_bands(idx.filter(F.col("mh0").isNotNull())))
-    sa = idx.select(F.col("doc_id").alias("doc_a"), *sig_cols)
-    sb = idx.select(
-        F.col("doc_id").alias("doc_b"),
-        *[F.col(c).alias(f"o_{c}") for c in sig_cols],
-    )
-    est = sum(
-        (F.col(c) == F.col(f"o_{c}")).cast("int") for c in sig_cols
-    ) / F.lit(float(N_SEEDS))
-    near_drop = (
-        pairs.join(sa, "doc_a").join(sb, "doc_b")
-        .filter(est >= est_threshold)
-        .select(F.col("doc_b").alias("doc_id"))
-        .distinct()
-    )
+    if verify == "exact":
+        survivors_text = batch.join(idx.select("doc_id"), "doc_id")
+        hs = hashed_shingles(doc_shingles(survivors_text, distinct=False))
+        near_drop = (
+            exact_jaccard(hs, pairs=pairs, key="hm")
+            .filter(F.col("jaccard") >= est_threshold)
+            .select(F.col("doc_b").alias("doc_id"))
+            .distinct()
+        )
+    else:
+        sa = idx.select(F.col("doc_id").alias("doc_a"), *sig_cols)
+        sb = idx.select(
+            F.col("doc_id").alias("doc_b"),
+            *[F.col(c).alias(f"o_{c}") for c in sig_cols],
+        )
+        est = sum(
+            (F.col(c) == F.col(f"o_{c}")).cast("int") for c in sig_cols
+        ) / F.lit(float(N_SEEDS))
+        near_drop = (
+            pairs.join(sa, "doc_a").join(sb, "doc_b")
+            .filter(est >= est_threshold)
+            .select(F.col("doc_b").alias("doc_id"))
+            .distinct()
+        )
     clean = batch.join(idx.select("doc_id"), "doc_id").join(
         near_drop, "doc_id", "left_anti"
     )
@@ -112,6 +146,7 @@ def dedup_pipe_available_now(
     index: str,
     est_threshold: float = 0.5,
     name: str = "dedup-pipe",
+    verify: str = "estimate",
 ) -> dict:
     """Exactly-once incremental corpus dedup over the txlog change
     feed — the storage family composed with the dedup family: drain
@@ -147,7 +182,7 @@ def dedup_pipe_available_now(
             # ONE minhash pass per batch: intra-batch dedup, the
             # history check, and the index append all reuse clean_idx
             clean, clean_idx = intra_batch_dedup(
-                batch, est_threshold, with_index=True
+                batch, est_threshold, with_index=True, verify=verify
             )
             try:
                 idx_df = tx_read(spark, index)

@@ -247,6 +247,57 @@ def pipe_available_now(
     return {"cursor": last, "versions": n_versions, "writes": n_writes}
 
 
+def run_pipe(
+    tick: "Callable[[], dict]",
+    *,
+    interval: float = 10.0,
+    max_ticks: "int | None" = None,
+    backoff: float = 2.0,
+    max_interval: "float | None" = None,
+    sleep=None,
+) -> dict:
+    """Processing-time trigger around any AvailableNow drain (the
+    ``Trigger.ProcessingTime`` shape): call ``tick()`` — a zero-arg
+    closure over :func:`pipe_available_now`,
+    :func:`rollup_view_available_now`, or
+    :func:`~.dedup.dedup_pipe_available_now` — then sleep and repeat.
+
+    Quiet-tick backoff: a tick that consumed NO source versions
+    stretches the next sleep by ``backoff`` (capped at
+    ``max_interval``, default ``8 × interval``); any productive tick
+    snaps it back to ``interval`` — an idle pipe costs a metadata
+    probe every few minutes instead of every few seconds, and a busy
+    one drains at full cadence. Exactly-once across ticks is the
+    drain's own property (per-version txn ids; the trigger adds no
+    coordination), so a concurrent writer landing commits between
+    ticks is the NORMAL case, not a race.
+
+    ``max_ticks`` bounds the loop (None = run until interrupted — the
+    production daemon shape). ``sleep`` is injectable for tests.
+    Returns totals: ``{"ticks", "versions", "writes", "folds"}``."""
+    import time as _time
+
+    if sleep is None:
+        sleep = _time.sleep
+    if max_interval is None:
+        max_interval = interval * 8
+    totals = {"ticks": 0, "versions": 0, "writes": 0, "folds": 0}
+    wait = interval
+    while max_ticks is None or totals["ticks"] < max_ticks:
+        r = tick()
+        totals["ticks"] += 1
+        totals["versions"] += r.get("versions", 0)
+        totals["writes"] += r.get("writes", 0)
+        totals["folds"] += r.get("folds", 0)
+        if max_ticks is not None and totals["ticks"] >= max_ticks:
+            break
+        wait = interval if r.get("versions", 0) else min(
+            wait * backoff, max_interval
+        )
+        sleep(wait)
+    return totals
+
+
 def rollup_view_available_now(
     spark: SparkSession,
     src: str,
