@@ -1,22 +1,26 @@
 #!/usr/bin/env python3
-"""Generate a 10x ("sf1") copy of the driver's sf0.1 fixtures for the
-local order-of-magnitude scale proof (SCALE.md appendix).
+"""Generate a scaled copy of the driver's sf0.1 fixtures for the
+local order-of-magnitude scale proofs (SCALE.md appendices).
 
-TPC-H-ish tables are scaled by key-shifted replication of sf0.1 (10
-copies with disjoint key ranges — distribution-preserving, join-
-consistent; region/nation stay fixed like real TPC-H). The synthetic
-tables (documents / embeddings / events) are regenerated at 10x size
-with the same schemas, vocabularies, and physical types — events.ts
-mirrors the source fixture's current timestamp flavor (the generator
-has drifted across rounds) so the footer-sniffed read path is
-exercised identically.
+TPC-H-ish tables are scaled by key-shifted replication of sf0.1
+(``--copies`` copies with disjoint key ranges — distribution-
+preserving, join-consistent; region/nation stay fixed like real
+TPC-H). The synthetic tables (documents / embeddings / events) are
+regenerated at the scaled size with the same schemas, vocabularies,
+and physical types — events.ts mirrors the source fixture's current
+timestamp flavor (the generator has drifted across rounds) so the
+footer-sniffed read path is exercised identically.
 
-Output: /root/repo/testdata_sf1/*.parquet (gitignored — ~500 MB).
-Deterministic (seeded); rerunning overwrites in place.
+Default: the round-4 10x step (testdata_sf1, ~500 MB, all tables).
+Round 11's 100x step: ``--copies 100 --out testdata_sf10 --skip
+events,embeddings`` (~2 GB; the sf10 replay needs the TPC-H tables
+and documents only). All outputs are gitignored. Deterministic
+(seeded); rerunning overwrites in place.
 """
 
 from __future__ import annotations
 
+import argparse
 import json
 import os
 import sys
@@ -72,14 +76,16 @@ def tpch_tables(con: duckdb.DuckDBPyConnection) -> None:
         print(f"{table}: {n} rows")
 
 
-def documents(con: duckdb.DuckDBPyConnection, rng: np.random.Generator) -> None:
+def documents(
+    con: duckdb.DuckDBPyConnection, rng: np.random.Generator
+) -> None:
     vocab = [r[0] for r in con.execute(
         f"SELECT DISTINCT unnest(string_split(text, ' ')) FROM "
         f"'{SRC}/documents.parquet'").fetchall() if r[0]]
     vocab = sorted(vocab)
     langs = ["en", "de", "es", "fr", "zh"]
     lang_p = [0.41, 0.14, 0.15, 0.15, 0.15]
-    n_docs = 50_000
+    n_docs = 5_000 * COPIES
     lengths = rng.integers(8, 101, size=n_docs)
     lang_ix = rng.choice(len(langs), size=n_docs, p=lang_p)
     words = rng.choice(vocab, size=int(lengths.sum()))
@@ -99,7 +105,7 @@ def documents(con: duckdb.DuckDBPyConnection, rng: np.random.Generator) -> None:
 
 
 def embeddings(rng: np.random.Generator) -> None:
-    n, dim = 20_000, 64
+    n, dim = 2_000 * COPIES, 64
     vecs = rng.standard_normal((n, dim)).astype(np.float32)
     vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
     tbl = pa.table({
@@ -112,7 +118,7 @@ def embeddings(rng: np.random.Generator) -> None:
 
 
 def events(rng: np.random.Generator) -> None:
-    n = 1_000_000
+    n = 100_000 * COPIES
     start_ns = np.datetime64("2024-01-01T00:00:00", "ns").astype(np.int64)
     span_ns = 30 * 24 * 3600 * 10**9
     ts = np.sort(start_ns + rng.integers(0, span_ns, size=n))
@@ -137,16 +143,34 @@ def events(rng: np.random.Generator) -> None:
 
 
 def main() -> int:
+    global OUT, COPIES
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--copies", type=int, default=COPIES,
+                    help="sf0.1 multiples to generate (default 10)")
+    ap.add_argument("--out", default=OUT,
+                    help="output dir (relative = under the repo root)")
+    ap.add_argument("--skip", default="",
+                    help="comma list of synthetic tables to skip "
+                         "(documents,embeddings,events)")
+    args = ap.parse_args()
+    COPIES = args.copies
+    OUT = args.out if os.path.isabs(args.out) else os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), args.out
+    )
+    skip = {s.strip() for s in args.skip.split(",") if s.strip()}
     os.makedirs(OUT, exist_ok=True)
     con = duckdb.connect()
     rng = np.random.default_rng(42)
     tpch_tables(con)
-    documents(con, rng)
-    embeddings(rng)
-    events(rng)
+    if "documents" not in skip:
+        documents(con, rng)
+    if "embeddings" not in skip:
+        embeddings(rng)
+    if "events" not in skip:
+        events(rng)
     sizes = {f: round(os.path.getsize(os.path.join(OUT, f)) / 2**20, 1)
              for f in sorted(os.listdir(OUT))}
-    print(json.dumps({"out": OUT, "mb": sizes}))
+    print(json.dumps({"out": OUT, "copies": COPIES, "mb": sizes}))
     return 0
 
 
