@@ -171,7 +171,10 @@ def lsh_candidate_pairs(bands: DataFrame) -> DataFrame:
 
 
 def exact_jaccard(
-    shingles: DataFrame, pairs: DataFrame | None = None, key: str = "shingle"
+    shingles: DataFrame,
+    pairs: DataFrame | None = None,
+    key: str = "shingle",
+    big_corpus: bool = False,
 ) -> DataFrame:
     """(doc_a, doc_b, jaccard) over distinct shingle sets.
 
@@ -181,25 +184,51 @@ def exact_jaccard(
     pass ``"hm"`` with :func:`hashed_shingles` input so the verify join
     shuffles 8-byte longs instead of shingle text (the scale form).
     jaccard = |∩| / (|A|+|B|-|∩|) — integer inputs, so the double is
-    engine-identical."""
+    engine-identical.
+
+    ``big_corpus`` switches the candidate-restricted path to broadcast
+    discipline (the round-11 100x finding): the static planner sizes
+    the EXPLODED shingle tables at their pre-explode parquet estimate
+    — ~20x under — and happily broadcast-picks a corpus-scaled
+    relation (measured: 500k docs → a >1 GB broadcast build that OOMs
+    a 12 GB driver). Under discipline the candidate list is
+    MATERIALIZED (localCheckpoint) and counted: a small candidate set
+    broadcasts explicitly — the shuffle-free plan you want at any
+    corpus size, since candidates track near-dup density, not corpus
+    size — and a big one falls back to key-partitioned shuffle joins,
+    with the shingle sides pinned out of broadcast consideration
+    either way. The default (False) keeps the planner's small-scale
+    plan, which measures ~25% faster at sf0.1; callers with a corpus
+    size signal (a parquet scan estimate, a table profile) flip it —
+    see queries/dedup_q.py and :func:`near_dup_pairs`."""
     sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     if pairs is not None:
         # Candidate-restricted path: fan the pair list out to the two
         # shingle sets instead of materializing every shared-shingle
         # pair in the corpus — the all-pairs join is quadratic in
         # docs-per-shingle and is exactly what LSH exists to avoid.
-        # No broadcast hint: the candidate list is usually small, but a
-        # skewed corpus can produce millions of pairs — let AQE pick
-        # broadcast vs shuffle from the measured size at runtime.
         sa = shingles.select(F.col("doc_id").alias("doc_a"), key)
         sb = shingles.select(F.col("doc_id").alias("doc_b"), key)
-        inter = (
-            pairs
-            .join(sa, "doc_a")
-            .join(sb, ["doc_b", key])
-            .groupBy("doc_a", "doc_b")
-            .agg(F.count("*").alias("n_inter"))
-        )
+        if big_corpus:
+            pairs = pairs.localCheckpoint()
+            small = pairs.count() * 32 < 64 * 1024 * 1024
+            left = F.broadcast(pairs) if small else pairs
+            fan_a = left.join(
+                sa if small else sa.hint("shuffle_hash"), "doc_a"
+            )
+            inter = (
+                fan_a.join(sb.hint("shuffle_hash"), ["doc_b", key])
+                .groupBy("doc_a", "doc_b")
+                .agg(F.count("*").alias("n_inter"))
+            )
+        else:
+            inter = (
+                pairs
+                .join(sa, "doc_a")
+                .join(sb, ["doc_b", key])
+                .groupBy("doc_a", "doc_b")
+                .agg(F.count("*").alias("n_inter"))
+            )
     else:
         sa = shingles.alias("sa")
         sb = shingles.alias("sb")
@@ -255,6 +284,7 @@ def near_dup_pairs(
     MISS pairs that collide in no band (recall gated ≥0.8 by
     tests/test_similarity_quality.py's planted-pair discipline).
     """
+    n = None
     if strategy == "auto":
         n = doc_count if doc_count is not None else docs.count()
         strategy = "exact" if n <= EXACT_PAIRS_MAX_DOCS else "lsh"
@@ -265,9 +295,14 @@ def near_dup_pairs(
         # projection feeds the signature aggregate (duplicate-
         # insensitive, so the non-distinct stream skips a shuffle) and
         # the long-keyed distinct + verify join (hashed_shingles doc).
+        # The verify join runs under broadcast discipline once the
+        # corpus is clearly past broadcast territory (see
+        # exact_jaccard's big_corpus doc — the routing count we
+        # already have is the signal).
         hs = hashed_shingles(doc_shingles(docs, distinct=False), distinct=False)
         cands = lsh_candidate_pairs(lsh_bands(minhash_signatures(hs)))
-        scored = exact_jaccard(hs.distinct(), cands, key="hm")
+        big = (doc_count if doc_count is not None else n or 0) > 100_000
+        scored = exact_jaccard(hs.distinct(), cands, key="hm", big_corpus=big)
     else:
         raise ValueError(
             f"unknown strategy {strategy!r}; expected auto/exact/lsh"

@@ -172,9 +172,19 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # signatures take the non-distinct stream: min() is duplicate-
     # insensitive, so the distinct shuffle is pure cost there
     cands = lsh_candidate_pairs(lsh_bands(minhash_signatures(hs)))
-    return exact_jaccard(hs.distinct(), pairs=cands, key="hm").filter(
-        F.col("jaccard") >= 0.5
+    # broadcast discipline once the corpus text is clearly past
+    # broadcast territory: the PRE-explode scan estimate is the one
+    # size Catalyst gets right here (zero extra jobs), and without the
+    # switch the planner broadcast-picks the exploded shingle table
+    # from that same (20x-under) estimate — a >1 GB driver build at
+    # the 100x step (SCALE.md round 11)
+    big = (
+        docs._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        > 16 * 1024 * 1024
     )
+    return exact_jaccard(
+        hs.distinct(), pairs=cands, key="hm", big_corpus=big
+    ).filter(F.col("jaccard") >= 0.5)
 
 
 _NGRAM_JACCARD_ORACLE = f"""

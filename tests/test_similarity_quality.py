@@ -173,3 +173,38 @@ def test_blas_blocked_topk_matches_exact(spark, exact):
     queries = emb.filter(F.col("vec_id") % 50 == 0)
     got = _pairs(cosine_topk_blas(emb, queries, k=10))
     assert got == exact
+
+
+def test_exact_jaccard_big_corpus_parity(spark):
+    """``big_corpus=True`` (the 100x broadcast-discipline plan: pinned
+    shuffle_hash on the exploded shingle sides, counted candidate list)
+    must be a pure physical-plan switch — identical
+    (doc_a, doc_b, jaccard) rows to the default AQE-picked plan on the
+    same candidates. Integer intersection/union counts make the double
+    engine-identical, so exact set equality is the right assert."""
+    from distributed_mapreduce__spark.operators.dedup import (
+        doc_shingles,
+        exact_jaccard,
+        hashed_shingles,
+        lsh_bands,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        near_dup_pairs,
+    )
+    from distributed_mapreduce__spark.sources.tables import load_table
+
+    docs = load_table(spark, SF, "documents")
+    hs = hashed_shingles(doc_shingles(docs, distinct=False), distinct=False)
+    cands = lsh_candidate_pairs(lsh_bands(minhash_signatures(hs)))
+
+    def rows(df):
+        return {(r.doc_a, r.doc_b, r.jaccard) for r in df.collect()}
+
+    base = rows(exact_jaccard(hs.distinct(), cands, key="hm"))
+    disc = rows(exact_jaccard(hs.distinct(), cands, key="hm", big_corpus=True))
+    assert base and disc == base
+
+    # the front door flips the flag off doc_count — same rows either way
+    fd_small = rows(near_dup_pairs(docs, 0.5, strategy="lsh"))
+    fd_big = rows(near_dup_pairs(docs, 0.5, strategy="lsh", doc_count=200_000))
+    assert fd_big == fd_small
