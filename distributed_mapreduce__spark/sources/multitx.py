@@ -42,16 +42,33 @@ transaction; participants pay exactly what a plain ``tx_write`` pays
 Readers pay one existence probe per UNRESOLVED commit in replay
 range, and terminal resolutions are cached process-wide.
 
-Scope: ``append`` (default) and ``overwrite`` per participant
-(``modes=``, round 10). Overwrite carries single-table overwrite's
-own semantics — a whole-snapshot replacement, last-writer-wins, no
-conflict check to lose — made atomic across tables by the same
-coordinator record; replay applies the reset at the commit's version
-position once resolved, so no reader ever sees table A's new snapshot
-with table B's old one. MERGE stays out of scope: a multi-table merge
-would need cross-table conflict detection with no serializable order
-to appeal to; refusing is the honest contract (single-table merges
-keep their full conflict checks via :func:`~.txlog.tx_merge`).
+Scope: ``append`` (default), ``overwrite``, and ``merge`` per
+participant (``modes=``; merge since round 11). Overwrite carries
+single-table overwrite's own semantics — a whole-snapshot
+replacement, last-writer-wins, no conflict check to lose — made
+atomic across tables by the same coordinator record; replay applies
+the reset at the commit's version position once resolved, so no
+reader ever sees table A's new snapshot with table B's old one.
+
+``merge`` runs the exact single-table MERGE body per participant
+(stats-pruned copy-on-write upsert, CDF sidecar per the table's
+``cdf.enabled``, the full conflict checks) and commits it
+provisionally; the coordinator record makes every table's merge
+visible at once. Cross-table serializability comes from two guards in
+``txlog._commit_rewrite`` / ``_concurrent_append_conflicts`` that
+treat PENDING multi commits as conflicts: a single-table rewrite
+overlapping a pending transaction's removed files aborts loudly
+(instead of committing a rewrite that would double-apply the moment
+the record lands), and a key-targeted rewrite sees pending adds in
+its key range exactly like post-anchor appends. The price: while a
+multi merge is pending, overlapping rewrites on its participants are
+blocked until it resolves (commit or abort) — the same table-level
+courtesy Delta's coordinated commits demand, and bounded by the same
+operator controls (:func:`tx_multi_abort`, ``tx_multi_pending``). A
+conflict raised mid-transaction leaves the finished participants
+provisional and NOTHING visible; retrying with the same ``txn``
+resumes them and re-prepares the conflicted merge on the new
+snapshot, or :func:`tx_multi_abort` kills the attempt.
 
 Reference parity: the reference engine (master/master.go) has no
 storage transactions at all; this extends the round-7/8 txlog family.
@@ -69,12 +86,14 @@ from .txlog import (
     _check_append_schema,
     _check_writer_features,
     _collect_stats,
+    _commit_rewrite,
     _commit_with_retries,
     _committed_txns,
     _list_commits,
     _load,
     _multi_record_path,
     _multi_status,
+    _prepare_merge,
     _read_small,
     _replay,
     _Snapshot,
@@ -102,6 +121,7 @@ def tx_multi(
     stats_cols=None,
     max_retries: int = 20,
     modes: "dict[str, str] | None" = None,
+    merge_keys: "dict[str, str] | None" = None,
 ) -> "dict[str, int]":
     """Atomically commit each DataFrame to its table: all become
     visible together, or none do. Returns {table path: version}.
@@ -116,17 +136,30 @@ def tx_multi(
     ``stats_cols`` records per-file [min,max] in each participant's
     commit, same as :func:`~.txlog.tx_write`.
 
-    ``modes`` maps a table path to ``'append'`` (default) or
-    ``'overwrite'`` — e.g. atomically replacing a dimension snapshot
-    while appending its fact deltas. Overwrite keeps single-table
-    overwrite's last-writer-wins semantics, made cross-table atomic
-    by the coordinator record (the module docstring's scope note)."""
+    ``modes`` maps a table path to ``'append'`` (default),
+    ``'overwrite'``, or ``'merge'`` — e.g. atomically replacing a
+    dimension snapshot while appending its fact deltas, or upserting
+    an entity table and its by-key index together. Overwrite keeps
+    single-table overwrite's last-writer-wins semantics; merge runs
+    the single-table MERGE body (stats-pruned rewrite, CDF per the
+    table's ``cdf.enabled``, full conflict checks) per participant —
+    both made cross-table atomic by the coordinator record (the
+    module docstring's scope and serializability notes). A merge
+    participant needs its upsert key in ``merge_keys={table: col}``
+    and the table must exist. A conflict raises with the transaction
+    still pending and nothing visible: retry with the same ``txn`` to
+    resume, or :func:`tx_multi_abort`."""
     if not writes:
         raise ValueError("tx_multi needs at least one table")
     for p, m in (modes or {}).items():
-        if m not in ("append", "overwrite"):
+        if m not in ("append", "overwrite", "merge"):
             raise ValueError(
-                f"modes[{p!r}] must be append|overwrite, got {m!r}"
+                f"modes[{p!r}] must be append|overwrite|merge, got {m!r}"
+            )
+        if m == "merge" and not (merge_keys or {}).get(p):
+            raise ValueError(
+                f"modes[{p!r}]='merge' needs merge_keys[{p!r}] (the "
+                "upsert key column)"
             )
     spark = next(iter(writes.values())).sparkSession
     txid = txn or uuid.uuid4().hex
@@ -153,6 +186,29 @@ def tx_multi(
         if psnap is not None:
             # same writer-feature guard as every single-table write
             _check_writer_features(psnap.properties, path)
+        if mode == "merge":
+            if psnap is None:
+                raise FileNotFoundError(
+                    f"modes[{path!r}]='merge' but the table does not "
+                    "exist; merge needs live rows to upsert into"
+                )
+            # the exact single-table MERGE body (validation, pruning,
+            # survivor staging, CDF sidecar, writer-feature stamps);
+            # only the commit differs: it carries the multi marker, so
+            # it stays invisible until the coordinator record lands
+            prep = _prepare_merge(
+                spark, path, writes[path], (merge_keys or {})[path],
+                None, psnap,
+            )
+            extra = dict(prep["extra"] or {})
+            extra["multi"] = {"coordinator": coordinator, "txid": txid}
+            versions[path] = _commit_rewrite(
+                spark, path, prep["added"], prep["touched"],
+                prep["snap_version"], table_txn, "merge",
+                max_retries=max_retries, stats=prep["stats"],
+                conflict_keys=prep["conflict_keys"], extra=extra,
+            )
+            continue
         if mode == "append":
             # same schema-on-write + partition-inheritance contract as
             # tx_write (txlog.py); overwrites reset layout like tx_write

@@ -1591,8 +1591,7 @@ def tx_read(
         if all_files:
             return spark.read.parquet(*all_files).limit(0)
         raise FileNotFoundError(f"table {path} has no data files at all")
-    reader = _reader_for(spark, path, snap, merge_schema)
-    out = _read_with_mor(spark, path, reader, files, eps, mor)
+    out = _read_with_mor(spark, path, snap, files, eps, mor, merge_schema)
     if conjuncts:
         from pyspark.sql import functions as F
 
@@ -1608,12 +1607,47 @@ def _read_table_files(
     spark, path: str, files: list[str], snap: _Snapshot
 ) -> DataFrame:
     """Read a subset of the table's files under the snapshot's read
-    contract (:func:`_reader_for`) — what every rewrite path uses to
-    load touched files, so evolved columns and partition columns
-    survive merges/deletes/compactions/reclustering intact."""
-    return _reader_for(spark, path, snap).parquet(
-        *[_abs(path, f) for f in files]
-    )
+    contract — what every rewrite path uses to load touched files, so
+    evolved columns and partition columns survive merges/deletes/
+    compactions/reclustering intact."""
+    return _scan_files(spark, path, snap, files)
+
+
+def _scan_files(
+    spark, path: str, snap: _Snapshot, files: list[str],
+    merge_schema: bool = False,
+) -> DataFrame:
+    """Scan live ``files`` under the snapshot's read contract. For a
+    hive-partitioned layout whose live set spans MULTIPLE data roots —
+    a shallow clone's absolute source references sitting next to
+    clone-local writes — Spark allows only one ``basePath`` per scan,
+    so the files group by root (everything above their ``/data/``
+    segment), each group scans with its own basePath and the RECORDED
+    schema (pinning partition-column types against path-string
+    inference), and the groups union by name. Single-root tables take
+    the plain :func:`_reader_for` path unchanged."""
+    abs_files = [_abs(path, f) for f in files]
+    if not snap.partition_by:
+        return _reader_for(spark, path, snap, merge_schema).parquet(
+            *abs_files
+        )
+    groups: dict[str, list[str]] = {}
+    for af in abs_files:
+        groups.setdefault(af.rsplit("/data/", 1)[0] + "/data", []).append(af)
+    parts = []
+    for root in sorted(groups):
+        reader = spark.read.option("basePath", root)
+        if snap.schema is not None:
+            from pyspark.sql.types import StructType
+
+            reader = reader.schema(
+                StructType.fromJson(json.loads(snap.schema))
+            )
+        parts.append(reader.parquet(*groups[root]))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def _reader_for(spark, path: str, snap: _Snapshot, merge_schema: bool = False):
@@ -1647,7 +1681,8 @@ def _reader_for(spark, path: str, snap: _Snapshot, merge_schema: bool = False):
 
 
 def _read_with_mor(
-    spark, path: str, reader, files: list[str], eps: dict, mor: list
+    spark, path: str, snap: _Snapshot, files: list[str], eps: dict,
+    mor: list, merge_schema: bool = False,
 ) -> DataFrame:
     """Scan ``files`` honoring live merge-on-read tombstones. Files
     sharing the same applicable tombstone suffix form one epoch group
@@ -1658,7 +1693,7 @@ def _read_with_mor(
     a sparse delete costs a KB-sized broadcast at read time instead of
     rewriting every touched file at delete time."""
     if not mor:
-        return reader.parquet(*[_abs(path, f) for f in files])
+        return _scan_files(spark, path, snap, files, merge_schema)
     from pyspark.sql import functions as F
 
     tomb_versions = [t["version"] for t in mor]
@@ -1668,7 +1703,7 @@ def _read_with_mor(
         groups.setdefault(i, []).append(f)
     parts = []
     for i in sorted(groups):
-        df = reader.parquet(*[_abs(path, f) for f in groups[i]])
+        df = _scan_files(spark, path, snap, groups[i], merge_schema)
         for t in mor[i:]:
             if not t["files"]:
                 continue
@@ -2087,6 +2122,27 @@ def tx_merge(
     nothing streams from.
     """
     spark = updates.sparkSession
+    snap = _replay(spark, path)
+    if txn is not None and (prior := snap.txns.get(txn)) is not None:
+        return prior
+    prep = _prepare_merge(spark, path, updates, key_col, cdf, snap)
+    return _commit_rewrite(
+        spark, path, prep["added"], prep["touched"], prep["snap_version"],
+        txn, "merge", stats=prep["stats"],
+        conflict_keys=prep["conflict_keys"], extra=prep["extra"],
+    )
+
+
+def _prepare_merge(
+    spark, path: str, updates: DataFrame, key_col: str,
+    cdf: "bool | None" = None, snap: "_Snapshot | None" = None,
+) -> dict:
+    """Everything of :func:`tx_merge` up to (but not including) the
+    commit — validation, file pruning, survivor staging, CDF sidecar
+    capture — returning the kwargs the commit step needs. Split out so
+    multi-table merges (sources/multitx.py) run the identical merge
+    body per participant and only the commit carries the multi
+    marker."""
     from pyspark.sql import functions as F
 
     dup = updates.groupBy(key_col).count().filter("count > 1").limit(1)
@@ -2094,10 +2150,9 @@ def tx_merge(
         raise ValueError(f"updates carry NULL {key_col}")
     if dup.count():
         raise ValueError(f"updates carry duplicate {key_col} rows")
-    snap = _replay(spark, path)
+    if snap is None:
+        snap = _replay(spark, path)
     _check_writer_features(snap.properties, path)
-    if txn is not None and (prior := snap.txns.get(txn)) is not None:
-        return prior
     if cdf is None:
         cdf = _cdf_props_default(snap.properties)
     _refuse_mor(snap, path, "tx_merge")
@@ -2159,12 +2214,14 @@ def tx_merge(
             extra["properties"] = delta
 
     added = _stage_and_place(new_data, path, snap.partition_by)
-    return _commit_rewrite(
-        spark, path, added, touched, snap_version, txn, "merge",
-        stats=_rewrite_stats(spark, path, touched, added, key_col, snap),
-        conflict_keys=None if lo is None else (key_col, lo, hi),
-        extra=extra,
-    )
+    return {
+        "added": added,
+        "touched": touched,
+        "snap_version": snap_version,
+        "stats": _rewrite_stats(spark, path, touched, added, key_col, snap),
+        "conflict_keys": None if lo is None else (key_col, lo, hi),
+        "extra": extra,
+    }
 
 
 def _concurrent_append_conflicts(
@@ -2184,13 +2241,26 @@ def _concurrent_append_conflicts(
     stats, then the parquet footer; a file provably disjoint from the
     key range is not a conflict (same pruning contract as
     :func:`_files_overlapping_keys`); a file with no stats at all
-    cannot be proven disjoint and conflicts conservatively."""
+    cannot be proven disjoint and conflicts conservatively.
+
+    PENDING multi-table commits (sources/multitx.py) are checked at
+    ANY version, not just after the anchor: their adds are invisible
+    to the snapshot this rewrite planned on, but the coordinator
+    record makes them visible retroactively at their own version — a
+    key-overlapping pending add that resolved after we committed
+    would duplicate merged keys exactly like a post-anchor append."""
     logged = _log_stats(spark, path)
     conflicts = []
     for v, kind in _list_commits(spark, path):
-        if kind != "commit" or v <= snap_version:
+        if kind != "commit":
             continue
         c = _load(spark, path, f"{v:0{_PAD}d}.json")
+        if v <= snap_version:
+            m = c.get("multi")
+            if not m or _multi_status(
+                spark, m["coordinator"], m["txid"]
+            ) != "pending":
+                continue
         for f in c.get("add", []):
             if f in our_added:
                 continue
@@ -2252,6 +2322,33 @@ def _commit_rewrite(
                 f"{snap_version}: {sorted(gone)[:3]}... — re-run the "
                 f"{action} on the new snapshot"
             )
+        # a PENDING multi-table commit's removes are invisible to the
+        # still-live check above (replay skips unresolved commits),
+        # but the coordinator record applies them retroactively at
+        # their version — committing a rewrite of the same files would
+        # resurrect rows the pending transaction rewrote (or vice
+        # versa) the instant it resolves. Overlap = hard conflict;
+        # the operator resolves it (wait, or tx_multi_abort).
+        if removed:
+            for v, kind in _list_commits(spark, path):
+                if kind != "commit":
+                    continue
+                c = _load(spark, path, f"{v:0{_PAD}d}.json")
+                m = c.get("multi")
+                if not m or _multi_status(
+                    spark, m["coordinator"], m["txid"]
+                ) != "pending":
+                    continue
+                clash = set(c.get("remove", [])) & set(removed)
+                if clash:
+                    raise RuntimeError(
+                        f"conflict: pending multi-table transaction "
+                        f"{m['txid']!r} (coordinator {m['coordinator']}) "
+                        f"rewrote files this {action} also rewrites: "
+                        f"{sorted(clash)[:3]}... — let it resolve (or "
+                        "tx_multi_abort it), then re-run on the new "
+                        "snapshot"
+                    )
         # a rewrite's outputs carry the REWRITE's add-version, so any
         # merge-on-read tombstone it didn't fold in would no longer
         # apply to them — rows would silently dodge their delete. The
@@ -3081,26 +3178,20 @@ def tx_clone(
     ``data/``).
 
     The clone's seed commit also carries the source's write SCHEMA
-    (as of the cloned version) and table PROPERTIES (as of now) —
-    schema-on-write enforcement and ``cdf.enabled`` behave on the
-    clone exactly as on the source from its first append (Delta's
-    shallow clone copies table metadata the same way)."""
+    (as of the cloned version), PARTITIONING, and table PROPERTIES (as
+    of now) — schema-on-write enforcement, partition pruning, and
+    ``cdf.enabled`` behave on the clone exactly as on the source from
+    its first append (Delta's shallow clone copies table metadata the
+    same way). A PARTITIONED source clones shallow too: reads group
+    the live set by data root (absolute source refs vs clone-local
+    files) and scan each group under its own ``basePath`` — see
+    :func:`_scan_files` — so partition columns reconstruct on both
+    sides of the mix and clone-local appends keep the hive layout."""
     fs, dlog = hadoop_fs(spark, f"{dst}/_txlog")
     if fs.exists(dlog):
         raise FileExistsError(f"clone destination {dst} already exists")
     snap = _replay(spark, src, version)
     _refuse_mor(snap, src, "tx_clone")
-    if snap.partition_by:
-        # a clone reads the source's hive-layout files under ITS OWN
-        # root, but partition-column reconstruction needs ONE basePath
-        # per scan — clone-local appends and absolute source refs
-        # cannot share it. Refusing is the honest contract until a
-        # grouped-basePath reader exists.
-        raise NotImplementedError(
-            f"tx_clone of a partitioned table ({src} is partitioned by "
-            f"{snap.partition_by}) is not supported; materialize with "
-            "tx_read + tx_write(partition_by=) instead"
-        )
     files, eff = sorted(snap.eps), snap.version
     refs = [_abs(src, f) for f in files]
     stats = {
@@ -3119,6 +3210,8 @@ def tx_clone(
         }
         if snap.schema is not None:
             payload["schema"] = snap.schema
+        if snap.partition_by:
+            payload["partition_by"] = snap.partition_by
         if props:
             payload["properties"] = props
         if stats:

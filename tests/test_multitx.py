@@ -323,10 +323,153 @@ def test_multi_overwrite_is_atomic_across_tables(spark, tmp_path, monkeypatch):
         r.id for r in tx_read(spark, dim, version=0).collect()
     ) == [0, 1, 2]
 
-    # bad mode refused loudly
-    with pytest.raises(ValueError, match="append|overwrite"):
+    # bad mode refused loudly; merge without its key too
+    with pytest.raises(ValueError, match="append|overwrite|merge"):
+        tx_multi(
+            {dim: _df(spark, 0, 1, "x")},
+            coord,
+            modes={dim: "truncate"},
+        )
+    with pytest.raises(ValueError, match="merge_keys"):
         tx_multi(
             {dim: _df(spark, 0, 1, "x")},
             coord,
             modes={dim: "merge"},
         )
+
+
+def test_multi_merge_atomic_and_conflict_guards(spark, tmp_path, monkeypatch):
+    """Multi-table MERGE (round 11): both tables' upserts become
+    visible atomically; a crash before the coordinator publish leaves
+    BOTH tables showing pre-merge rows (provisional rewrites
+    invisible); while pending, an overlapping single-table rewrite is
+    refused loudly (the cross-table serializability guard); a
+    same-txn retry resumes and completes."""
+    from distributed_mapreduce__spark.sources.txlog import tx_merge
+
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    coord = str(tmp_path / "catalog")
+    # cdf off: these tables aren't piped, keep the test focused
+    tx_write(
+        _df(spark, 0, 5, "seed"), a, stats_cols=["id"]
+    )
+    tx_write(_df(spark, 0, 5, "seed"), b, stats_cols=["id"])
+    txlog.tx_set_properties(spark, a, {"cdf.enabled": False})
+    txlog.tx_set_properties(spark, b, {"cdf.enabled": False})
+
+    def tags(path):
+        return {r.id: r.tag for r in tx_read(spark, path).collect()}
+
+    # happy path: atomic upsert on both tables
+    tx_multi(
+        {a: _df(spark, 3, 7, "m1"), b: _df(spark, 0, 2, "m1")},
+        coord,
+        txn="mm1",
+        modes={a: "merge", b: "merge"},
+        merge_keys={a: "id", b: "id"},
+    )
+    assert tags(a) == {0: "seed", 1: "seed", 2: "seed",
+                       3: "m1", 4: "m1", 5: "m1", 6: "m1"}
+    assert tags(b) == {0: "m1", 1: "m1", 2: "seed", 3: "seed", 4: "seed"}
+
+    # crash before publish: provisional merges on BOTH tables, nothing
+    # visible on either
+    real = multitx._write_atomic
+
+    def dying_publish(spark_, fs, path, payload):
+        if "_multitx/" in path:
+            raise RuntimeError("simulated crash before coordinator publish")
+        return real(spark_, fs, path, payload)
+
+    monkeypatch.setattr(multitx, "_write_atomic", dying_publish)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        tx_multi(
+            {a: _df(spark, 0, 2, "m2"), b: _df(spark, 3, 5, "m2")},
+            coord,
+            txn="mm2",
+            modes={a: "merge", b: "merge"},
+            merge_keys={a: "id", b: "id"},
+        )
+    monkeypatch.setattr(multitx, "_write_atomic", real)
+    assert tags(a)[0] == "seed" and tags(b)[3] == "seed"
+    assert len(tx_multi_pending(spark, a)) == 1
+
+    # the pending merge rewrote a's files holding ids 0-1: a
+    # single-table merge of the same keys must refuse (either the
+    # pending-remove overlap or the pending-add key overlap fires)
+    with pytest.raises(RuntimeError, match="pending multi-table|multi"):
+        tx_merge(_df(spark, 0, 2, "steal"), a, "id", cdf=False)
+
+    # same-txn retry resumes the provisional commits and completes
+    tx_multi(
+        {a: _df(spark, 0, 2, "m2"), b: _df(spark, 3, 5, "m2")},
+        coord,
+        txn="mm2",
+        modes={a: "merge", b: "merge"},
+        merge_keys={a: "id", b: "id"},
+    )
+    assert tags(a)[0] == "m2" and tags(a)[1] == "m2"
+    assert tags(b)[3] == "m2" and tags(b)[4] == "m2"
+    assert tx_multi_pending(spark, a) == []
+    # resolved: the blocked single-table merge now goes through
+    tx_merge(_df(spark, 0, 2, "steal"), a, "id", cdf=False)
+    assert tags(a)[0] == "steal"
+
+
+def test_multi_merge_abort_unblocks_and_feeds_cdf(
+    spark, tmp_path, monkeypatch
+):
+    """Aborting a pending multi merge releases its participants for
+    single-table rewrites; and on a cdf.enabled table a RESOLVED multi
+    merge delivers its change rows through tx_changes_cdf like any
+    single-table merge."""
+    from distributed_mapreduce__spark.sources.txlog import (
+        tx_changes_cdf,
+        tx_merge,
+    )
+
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    coord = str(tmp_path / "catalog")
+    tx_write(_df(spark, 0, 5, "seed"), a, stats_cols=["id"])
+    tx_write(_df(spark, 0, 5, "seed"), b, stats_cols=["id"])
+
+    real = multitx._write_atomic
+
+    def dying_publish(spark_, fs, path, payload):
+        if "_multitx/" in path:
+            raise RuntimeError("die")
+        return real(spark_, fs, path, payload)
+
+    monkeypatch.setattr(multitx, "_write_atomic", dying_publish)
+    with pytest.raises(RuntimeError, match="die"):
+        tx_multi(
+            {a: _df(spark, 0, 2, "mx"), b: _df(spark, 0, 2, "mx")},
+            coord,
+            txn="mm3",
+            modes={a: "merge", b: "merge"},
+            merge_keys={a: "id", b: "id"},
+        )
+    monkeypatch.setattr(multitx, "_write_atomic", real)
+    with pytest.raises(RuntimeError, match="pending multi-table|multi"):
+        tx_merge(_df(spark, 0, 2, "solo"), a, "id", cdf=False)
+    assert tx_multi_abort(spark, coord, "mm3")
+    # aborted: single-table traffic flows again, rows unchanged
+    tx_merge(_df(spark, 0, 2, "solo"), a, "id", cdf=False)
+    assert {r.id: r.tag for r in tx_read(spark, a).collect()}[0] == "solo"
+
+    # cdf: a resolved multi merge feeds the change feed on each table
+    v_before = tx_history(spark, b)[-1]["version"]
+    tx_multi(
+        {b: _df(spark, 4, 6, "cdc")},
+        coord,
+        txn="mm4",
+        modes={b: "merge"},
+        merge_keys={b: "id"},
+    )
+    kinds = {
+        r._change_type
+        for v, kind, df in tx_changes_cdf(spark, b, since_version=v_before)
+        if kind == "cdf" and df is not None
+        for r in df.select("_change_type").distinct().collect()
+    }
+    assert "update_postimage" in kinds and "insert" in kinds

@@ -197,11 +197,49 @@ def test_maintain_on_partitioned_table(spark, ptable):
     assert all("k=" in f for f in files)
 
 
-def test_clone_of_partitioned_source_refused(spark, ptable, tmp_path):
-    from distributed_mapreduce__spark.sources.txlog import tx_clone
+def test_clone_of_partitioned_source(spark, ptable, tmp_path):
+    """Shallow clone of a PARTITIONED table (round-11 standing-gap
+    lift): zero data copied, partition columns reconstruct across the
+    mixed live set (absolute source refs + clone-local appends, each
+    scanned under its own basePath), pruning still skips partitions on
+    BOTH sides of the mix, and a rewrite localizes the source refs."""
+    from distributed_mapreduce__spark.sources.txlog import (
+        tx_clone,
+        _snapshot_files,
+    )
 
-    with pytest.raises(NotImplementedError, match="partitioned"):
-        tx_clone(spark, ptable, str(tmp_path / "c"))
+    c = str(tmp_path / "c")
+    tx_clone(spark, ptable, c)
+    # parity read: clone sees the source's rows, with partition column
+    assert {r.id: r.k for r in tx_read(spark, c).collect()} == {
+        r.id: r.k for r in tx_read(spark, ptable).collect()
+    }
+    # zero data under the clone's own data/ yet
+    assert not glob.glob(f"{c}/data/**/*.parquet", recursive=True)
+    # clone-local append inherits the hive layout (partition_by
+    # carried by the seed commit)
+    tx_write(_pdf(spark, 300, 400, "clone"), c)
+    assert os.path.isdir(f"{c}/data/k=3")
+    got = tx_read(spark, c)
+    assert got.count() == 400
+    assert {r.k for r in got.select("k").distinct().collect()} == {0, 1, 2, 3}
+    # partition pruning spans the root mix: k=3 opens only clone-local
+    # files, k=0 only source files
+    opened = tx_read(spark, c, where=("k", 3, 3)).inputFiles()
+    assert opened and all("/k=3/" in f and f"{tmp_path}/c/" in f.replace("file:", "") for f in opened)
+    opened = tx_read(spark, c, where=("k", 0, 0)).inputFiles()
+    assert opened and all("/k=0/" in f and f"{tmp_path}/t/" in f.replace("file:", "") for f in opened)
+    # source unaffected by the clone's append
+    assert tx_read(spark, ptable).count() == 300
+    # a rewrite on the clone replaces source refs with clone-local
+    # partitioned files and never touches the source's data
+    src_files_before = set(_snapshot_files(spark, ptable)[0])
+    tx_compact(spark, c, target_files=2)
+    files, _ = _snapshot_files(spark, c)
+    assert files and all(f.startswith("data/k=") for f in files)
+    assert tx_read(spark, c).count() == 400
+    assert set(_snapshot_files(spark, ptable)[0]) == src_files_before
+    assert tx_read(spark, ptable).count() == 300
 
 
 def test_change_feed_reconstructs_partition_columns(spark, ptable):
