@@ -540,3 +540,100 @@ def txlog_ts_travel_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_price"),
         )
     )
+
+
+_MULTI_MERGE_ORACLE = """
+WITH c AS (
+  SELECT l_orderkey, count(*) AS n_items FROM lineitem GROUP BY l_orderkey
+),
+upd_o AS (
+  SELECT o_orderkey, 'U-' || o_orderpriority AS o_orderpriority
+  FROM orders WHERE o_orderkey % 4 IN (0, 1)
+),
+final_o AS (
+  SELECT * FROM upd_o
+  UNION ALL
+  SELECT o_orderkey, o_orderpriority FROM orders
+  WHERE o_orderkey % 2 = 0 AND o_orderkey % 4 NOT IN (0, 1)
+),
+upd_c AS (
+  SELECT l_orderkey, n_items + 1000 AS n_items
+  FROM c WHERE l_orderkey % 4 IN (0, 1)
+),
+final_c AS (
+  SELECT * FROM upd_c
+  UNION ALL
+  SELECT l_orderkey, n_items FROM c
+  WHERE l_orderkey % 2 = 0 AND l_orderkey % 4 NOT IN (0, 1)
+)
+SELECT o_orderpriority,
+       count(*) AS n_orders,
+       CAST(sum(n_items) AS BIGINT) AS total_items
+FROM final_o JOIN final_c ON o_orderkey = l_orderkey
+GROUP BY o_orderpriority
+"""
+
+
+@register_local("multi_merge_agg", oracle=_MULTI_MERGE_ORACLE)
+def multi_merge_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table MERGE under the value oracle (round 11,
+    sources/multitx.tx_multi(modes='merge')): seed an orders table and
+    a per-order item-count table with the even keys, then atomically
+    UPSERT both in one transaction — keys %4∈{0,1} get a rewritten
+    priority / bumped count, so the updates mix in-place updates
+    (%4=0, already live) and inserts (%4=1, new keys). The same txn id
+    replays as a no-op (exactly-once), then the join-aggregate of the
+    two tables must equal a DuckDB replay of the upsert algebra —
+    proving the coordinator-record merge neither loses, duplicates,
+    nor tears the upsert across tables."""
+    import tempfile
+
+    from ..sources.multitx import tx_multi
+    from ..sources.txlog import tx_read, tx_set_properties, tx_write
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    counts = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.count("*").alias("n_items"))
+    )
+    d = tempfile.mkdtemp(prefix="multimerge_q_")
+    to, tc = f"{d}/orders", f"{d}/counts"
+    tx_write(
+        orders.filter(F.col("o_orderkey") % 2 == 0), to,
+        stats_cols=["o_orderkey"],
+    )
+    tx_write(
+        counts.filter(F.col("l_orderkey") % 2 == 0), tc,
+        stats_cols=["l_orderkey"],
+    )
+    # these tables feed no pipe: skip the CDF sidecar capture
+    tx_set_properties(spark, to, {"cdf.enabled": False})
+    tx_set_properties(spark, tc, {"cdf.enabled": False})
+    upd_o = orders.filter(F.col("o_orderkey") % 4 < 2).select(
+        "o_orderkey", F.concat(F.lit("U-"), "o_orderpriority").alias(
+            "o_orderpriority"
+        ),
+    )
+    upd_c = counts.filter(F.col("l_orderkey") % 4 < 2).select(
+        "l_orderkey", (F.col("n_items") + 1000).alias("n_items")
+    )
+    for _ in range(2):  # second run = exactly-once no-op replay
+        tx_multi(
+            {to: upd_o, tc: upd_c},
+            coordinator=d,
+            txn="mm0",
+            modes={to: "merge", tc: "merge"},
+            merge_keys={to: "o_orderkey", tc: "l_orderkey"},
+        )
+    o, c = tx_read(spark, to), tx_read(spark, tc)
+    return (
+        o.join(c, o.o_orderkey == c.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum("n_items").alias("total_items"),
+        )
+    )
