@@ -84,6 +84,7 @@ from pyspark.sql import DataFrame, SparkSession
 from .sinks import hadoop_fs
 from .txlog import (
     _check_append_schema,
+    _check_constraints,
     _check_writer_features,
     _collect_stats,
     _commit_rewrite,
@@ -184,8 +185,14 @@ def tx_multi(
         except FileNotFoundError:
             psnap = None
         if psnap is not None:
-            # same writer-feature guard as every single-table write
+            # same writer-feature + CHECK-constraint guards as every
+            # single-table write (merge validates inside its prepare)
             _check_writer_features(psnap.properties, path)
+            if mode != "merge":
+                _check_constraints(
+                    writes[path], psnap.properties, path,
+                    f"tx_multi participant ({mode})",
+                )
         if mode == "merge":
             if psnap is None:
                 raise FileNotFoundError(

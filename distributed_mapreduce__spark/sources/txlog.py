@@ -118,7 +118,8 @@ READER_VERSION = 2
 #: :func:`_writer_feature_delta` — and can be required explicitly via
 #: :func:`tx_require_writer_features`.
 WRITER_FEATURES = frozenset(
-    {"cdf", "schema-evolution", "partitioning", "mor", "properties"}
+    {"cdf", "schema-evolution", "partitioning", "mor", "properties",
+     "constraints"}
 )
 
 _PAD = 20  # zero-padded version filenames sort lexicographically
@@ -900,6 +901,125 @@ def tx_properties(
     return _replay(spark, path, version).properties
 
 
+def tx_constraints(spark: SparkSession, path: str) -> "dict[str, str]":
+    """The table's CHECK constraints: {name: SQL boolean expression}
+    (``constraint.<name>`` properties, the Delta layout)."""
+    return _table_constraints(tx_properties(spark, path))
+
+
+def tx_add_constraint(
+    spark: SparkSession,
+    path: str,
+    name: str,
+    expr: str,
+    max_retries: int = 20,
+) -> int:
+    """ADD CONSTRAINT (Delta's ``ALTER TABLE ADD CONSTRAINT name CHECK
+    (expr)``): record a CHECK constraint every future write must
+    satisfy — appends, overwrites, merge updates, and multi-table
+    participants are all validated row-wise before their commit and
+    refuse loudly naming the violated constraint. SQL semantics: a row
+    violates only when ``expr`` evaluates to FALSE (NULL passes, so
+    ``col IS NOT NULL`` is how you demand non-null).
+
+    EXISTING rows are validated first (one bounded scan — refusing to
+    stamp a constraint the table already violates, Delta's rule), and
+    the commit stamps the ``constraints`` writer feature, so an older
+    build that would not enforce it refuses to write instead of
+    silently violating the contract. Returns the committed version.
+
+    Enforcement cost: one extra validation pass over each write's
+    INCOMING rows (O(batch), never O(table)) — all constraints check
+    in a single job."""
+    import re
+
+    if not re.fullmatch(r"[A-Za-z0-9_\-]+", name):
+        raise ValueError(
+            f"constraint name {name!r} must be [A-Za-z0-9_-]+ "
+            "(it becomes the property key constraint.<name>)"
+        )
+    snap = _replay(spark, path)
+    _check_writer_features(snap.properties, path)
+    existing = _table_constraints(snap.properties).get(name)
+    if existing is not None and existing != expr:
+        raise ValueError(
+            f"constraint {name!r} already exists on {path} with a "
+            f"different expression ({existing!r}); drop it first"
+        )
+    from pyspark.sql import functions as F
+
+    bad = (
+        tx_read(spark, path)
+        .filter(F.expr(expr).eqNullSafe(F.lit(False)))
+        .limit(1)
+        .count()
+    )
+    if bad:
+        raise ValueError(
+            f"cannot add constraint {name!r}: existing rows at {path} "
+            f"violate CHECK ({expr})"
+        )
+    props = {f"constraint.{name}": expr}
+    delta = _writer_feature_delta(snap.properties, {"constraints"})
+    if delta:
+        props.update(delta)
+    return tx_set_properties(spark, path, props, max_retries=max_retries)
+
+
+def tx_drop_constraint(
+    spark: SparkSession, path: str, name: str, max_retries: int = 20
+) -> int:
+    """DROP CONSTRAINT: remove a CHECK constraint (unset its
+    property). The ``constraints`` writer feature stays stamped —
+    other constraints may exist, and feature removal is a protocol
+    downgrade this format does not do (Delta's rule)."""
+    if name not in tx_constraints(spark, path):
+        raise KeyError(f"no constraint {name!r} on table {path}")
+    return tx_set_properties(
+        spark, path, {f"constraint.{name}": None}, max_retries=max_retries
+    )
+
+
+def _table_constraints(props: dict) -> "dict[str, str]":
+    return {
+        k[len("constraint."):]: v
+        for k, v in (props or {}).items()
+        if k.startswith("constraint.") and v is not None
+    }
+
+
+def _check_constraints(
+    df: DataFrame, props: dict, path: str, what: str
+) -> None:
+    """Row-validate ``df`` against the table's CHECK constraints in
+    ONE job: each constraint contributes a when(expr IS FALSE → name)
+    arm, coalesced so the first violated name surfaces; a limit(1)
+    short-circuits the scan on the first bad row. Nothing runs when
+    the table has no constraints (the common case costs a dict
+    scan)."""
+    cons = _table_constraints(props)
+    if not cons:
+        return
+    from pyspark.sql import functions as F
+
+    arms = [
+        F.when(F.expr(e).eqNullSafe(F.lit(False)), F.lit(n))
+        for n, e in sorted(cons.items())
+    ]
+    hit = (
+        df.select(F.coalesce(*arms).alias("__violated"))
+        .filter(F.col("__violated").isNotNull())
+        .limit(1)
+        .collect()
+    )
+    if hit:
+        n = hit[0][0]
+        raise ValueError(
+            f"{what} violates CHECK constraint {n!r} ({cons[n]}) on "
+            f"table {path}"
+        )
+
+
 def _check_writer_features(props: dict, path: str) -> None:
     """Refuse a write operation when the table requires a writer
     feature this build lacks (see :data:`WRITER_FEATURES`). Mirrors
@@ -1263,6 +1383,10 @@ def tx_write(
         if mode == "append"
         else None
     )
+    if table_exists:
+        _check_constraints(
+            df, snap0.properties, path, f"tx_write(mode={mode!r})"
+        )
     schema_json = df.schema.json()
 
     added = _stage_and_place(df, path, partition_by)
@@ -1322,7 +1446,11 @@ def tx_write(
         # the log advanced past the version the pre-stage checks were
         # anchored at: re-run them against the NEW table state, or a
         # concurrent overwrite that retyped a column / changed the
-        # partition layout could slip a mixed table past enforcement
+        # partition layout — or a concurrent ADD CONSTRAINT — could
+        # slip a non-conforming commit past enforcement
+        _check_constraints(
+            df, tx_properties(spark, path), path, f"tx_write(mode={mode!r})"
+        )
         if mode != "append":
             return
         _check_append_schema(df, path, schema_mode)
@@ -2153,6 +2281,7 @@ def _prepare_merge(
     if snap is None:
         snap = _replay(spark, path)
     _check_writer_features(snap.properties, path)
+    _check_constraints(updates, snap.properties, path, "tx_merge updates")
     if cdf is None:
         cdf = _cdf_props_default(snap.properties)
     _refuse_mor(snap, path, "tx_merge")
