@@ -901,6 +901,69 @@ def tx_properties(
     return _replay(spark, path, version).properties
 
 
+def tx_set_partitioning(
+    spark: SparkSession,
+    path: str,
+    partition_by: "Sequence[str]",
+    max_retries: int = 20,
+) -> int:
+    """PARTITION EVOLUTION as a metadata operation (Iceberg's ALTER
+    TABLE ... [de]PARTITIONED BY, applied to this format): change the
+    table's CURRENT partition spec without rewriting a byte — future
+    appends lay out under the new spec (they inherit it exactly as
+    before), existing files stay where they are, and reads group the
+    live set by each file's own partition SIGNATURE (the ``col=``
+    directory chain in its path), scanning every signature group under
+    its own contract and unioning by name (:func:`_scan_files`). An
+    empty list un-partitions future writes. Old-spec files keep their
+    log-recorded [v, v] partition stats, so pruning on the OLD
+    partition columns keeps skipping old files; files that lack stats
+    for a predicate column are simply kept (stats pruning's standing
+    correctness contract). Rewrites (merge/delete/compact/zorder)
+    adopt the current spec for their outputs — maintenance gradually
+    migrates the layout, Iceberg's behavior.
+
+    Requires the recorded write schema (every ``tx_write`` since the
+    schema-on-write round records one) so evolved layouts read back
+    TYPED — and each new partition column must exist in it. Stamps the
+    ``partitioning`` writer feature."""
+    snap = _replay(spark, path)
+    _check_writer_features(snap.properties, path)
+    partition_by = list(partition_by)
+    if snap.schema is None:
+        raise ValueError(
+            f"table {path} has no recorded write schema; partition "
+            "evolution needs it to read mixed layouts back typed — "
+            "rewrite once with tx_write(mode='overwrite') first"
+        )
+    fields = {f["name"] for f in json.loads(snap.schema)["fields"]}
+    missing = [c for c in partition_by if c not in fields]
+    if missing:
+        raise ValueError(
+            f"partition_by columns {missing} not in the table schema "
+            f"at {path} (has {sorted(fields)})"
+        )
+    if (snap.partition_by or []) == partition_by:
+        return snap.version  # no-op: spec unchanged
+    delta = _writer_feature_delta(snap.properties, {"partitioning"})
+    fs = hadoop_fs(spark, path)[0]
+
+    def build(next_v: int) -> dict:
+        payload = {
+            "version": next_v,
+            "action": "meta",
+            "add": [],
+            "remove": [],
+            "txn": None,
+            "partition_by": partition_by,
+        }
+        if delta:
+            payload["properties"] = delta
+        return payload
+
+    return _commit_with_retries(spark, path, fs, build, None, max_retries)
+
+
 def tx_constraints(spark: SparkSession, path: str) -> "dict[str, str]":
     """The table's CHECK constraints: {name: SQL boolean expression}
     (``constraint.<name>`` properties, the Delta layout)."""
@@ -1367,8 +1430,9 @@ def tx_write(
             raise ValueError(
                 f"append to {path} with partition_by="
                 f"{list(partition_by)} does not match the table's "
-                f"partitioning {existing_pb}; repartitioning is an "
-                "overwrite"
+                f"partitioning {existing_pb}; evolve the spec first "
+                "with tx_set_partitioning (metadata-only) or rewrite "
+                "with mode='overwrite'"
             )
     partition_by = list(partition_by) if partition_by else None
     if partition_by:
@@ -1741,37 +1805,59 @@ def _read_table_files(
     return _scan_files(spark, path, snap, files)
 
 
+def _part_signature(abs_file: str) -> "tuple[str, ...]":
+    """A file's partition SIGNATURE: the ordered ``col=`` directory
+    chain between its data root and its name — () for flat files. The
+    layout contract each file was WRITTEN under, readable from the
+    path alone (no log lookup), which is what lets one table mix specs
+    after partition evolution."""
+    rel = abs_file.rsplit("/data/", 1)[1]
+    return tuple(
+        seg.split("=", 1)[0] for seg in rel.split("/")[:-1] if "=" in seg
+    )
+
+
 def _scan_files(
     spark, path: str, snap: _Snapshot, files: list[str],
     merge_schema: bool = False,
 ) -> DataFrame:
-    """Scan live ``files`` under the snapshot's read contract. For a
-    hive-partitioned layout whose live set spans MULTIPLE data roots —
-    a shallow clone's absolute source references sitting next to
-    clone-local writes — Spark allows only one ``basePath`` per scan,
-    so the files group by root (everything above their ``/data/``
-    segment), each group scans with its own basePath and the RECORDED
-    schema (pinning partition-column types against path-string
-    inference), and the groups union by name. Single-root tables take
-    the plain :func:`_reader_for` path unchanged."""
+    """Scan live ``files`` under the snapshot's read contract. A live
+    set can mix LAYOUT CONTRACTS: multiple data roots (a shallow
+    clone's absolute source refs next to clone-local writes) and
+    multiple partition signatures (files written before/after
+    partition evolution, or flat files next to hive-placed ones).
+    Spark allows one ``basePath`` and one consistent directory
+    structure per scan, so the files group by (root, signature); each
+    group scans under its own basePath with the RECORDED schema
+    (pinning partition-column types against path-string inference —
+    and columns absent from a group's paths read from its file bytes,
+    where the other layout keeps them), and the groups union by name.
+    Tables that never partitioned take the plain :func:`_reader_for`
+    path unchanged."""
     abs_files = [_abs(path, f) for f in files]
-    if not snap.partition_by:
+    sigs = {af: _part_signature(af) for af in abs_files}
+    if not snap.partition_by and not any(sigs.values()):
         return _reader_for(spark, path, snap, merge_schema).parquet(
             *abs_files
         )
-    groups: dict[str, list[str]] = {}
+    groups: "dict[tuple, list[str]]" = {}
     for af in abs_files:
-        groups.setdefault(af.rsplit("/data/", 1)[0] + "/data", []).append(af)
+        root = af.rsplit("/data/", 1)[0] + "/data"
+        groups.setdefault((root, sigs[af]), []).append(af)
     parts = []
-    for root in sorted(groups):
-        reader = spark.read.option("basePath", root)
+    for root, sig in sorted(groups):
+        reader = spark.read
+        if sig:
+            reader = reader.option("basePath", root)
         if snap.schema is not None:
             from pyspark.sql.types import StructType
 
             reader = reader.schema(
                 StructType.fromJson(json.loads(snap.schema))
             )
-        parts.append(reader.parquet(*groups[root]))
+        elif merge_schema or snap.evolved:
+            reader = reader.option("mergeSchema", "true")
+        parts.append(reader.parquet(*groups[(root, sig)]))
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)

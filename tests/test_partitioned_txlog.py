@@ -270,3 +270,60 @@ def test_cdf_sidecar_carries_partition_column(spark, ptable):
             F.col("_change_type") == "update_preimage"
         ).collect()
     } == {1}
+
+
+def test_partition_evolution_metadata_only(spark, ptable):
+    """Iceberg-style partition evolution (round 11 late): changing the
+    spec rewrites nothing; appends adopt the new layout; reads
+    reconstruct BOTH layouts typed (old partition columns from paths,
+    new ones from bytes, and vice versa); pruning on the old partition
+    column keeps skipping old files; rewrites migrate survivors to the
+    current spec; evolving to [] un-partitions future writes."""
+    from distributed_mapreduce__spark.sources.txlog import (
+        tx_set_partitioning,
+        _snapshot_files,
+    )
+
+    files0, v0 = _snapshot_files(spark, ptable)
+    v = tx_set_partitioning(spark, ptable, ["tag"])
+    assert v == v0 + 1
+    assert _snapshot_files(spark, ptable)[0] == files0  # zero rewrite
+    # appends land under the NEW spec
+    tx_write(_pdf(spark, 300, 400, "b"), ptable)
+    assert os.path.isdir(f"{ptable}/data/tag=b")
+    got = tx_read(spark, ptable)
+    assert got.count() == 400
+    rows = {r.id: (r.k, r.tag) for r in got.collect()}
+    assert rows[0] == (0, "a") and rows[350] == (3, "b")
+    # pruning on the OLD partition column: old files outside k=0 never
+    # open; new-spec files lack k stats, so they are kept (and the
+    # residual filter handles them) — correctness never depends on it
+    pruned = tx_read(spark, ptable, where=("k", 0, 0))
+    assert pruned.count() == 100
+    assert not any(
+        "/k=1/" in f or "/k=2/" in f for f in pruned.inputFiles()
+    )
+    # pruning on the NEW partition column skips nothing old (no tag
+    # stats there) but stays correct
+    assert tx_read(spark, ptable, where=("tag", "b", "b")).count() == 100
+    # rewrites adopt the current spec: compaction migrates the layout
+    tx_compact(spark, ptable, target_files=2)
+    files2, _ = _snapshot_files(spark, ptable)
+    assert files2 and all("tag=" in f for f in files2)
+    assert tx_read(spark, ptable).count() == 400
+    assert {
+        r.id: (r.k, r.tag) for r in tx_read(spark, ptable).collect()
+    }[0] == (0, "a")
+    # evolve to flat: future writes un-partition, old layouts still read
+    tx_set_partitioning(spark, ptable, [])
+    tx_write(_pdf(spark, 400, 410, "c"), ptable)
+    got = tx_read(spark, ptable)
+    assert got.count() == 410
+    assert {r.id: (r.k, r.tag) for r in got.collect()}[405] == (4, "c")
+    files3, _ = _snapshot_files(spark, ptable)
+    assert any("=" not in f for f in files3)
+    # refusals + no-op
+    with pytest.raises(ValueError, match="not in the table schema"):
+        tx_set_partitioning(spark, ptable, ["nope"])
+    v_now = _snapshot_files(spark, ptable)[1]
+    assert tx_set_partitioning(spark, ptable, []) == v_now
