@@ -637,3 +637,51 @@ def multi_merge_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_items").alias("total_items"),
         )
     )
+
+
+_PART_EVO_ORACLE = """
+SELECT o_orderpriority,
+       count(*) AS n_orders,
+       CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+@register_local("partition_evolution_agg", oracle=_PART_EVO_ORACLE)
+def partition_evolution_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition evolution under the value oracle (round 11 late,
+    sources/txlog.tx_set_partitioning): ingest half of orders
+    hive-partitioned by o_orderpriority, EVOLVE the spec to
+    unpartitioned (one metadata commit, zero rewrite), append the
+    other half flat, and aggregate the full mixed-layout read.
+    Equality with the direct recompute proves the signature-grouped
+    scan reconstructs the partition column typed from BOTH layouts
+    (directory names for the old files, file bytes for the new) and
+    that evolution neither loses nor duplicates a row."""
+    import tempfile
+
+    from ..sources.txlog import tx_read, tx_set_partitioning, tx_write
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    table = tempfile.mkdtemp(prefix="part_evo_q_") + "/t"
+    tx_write(
+        orders.filter(F.col("o_orderkey") % 2 == 0),
+        table,
+        partition_by=["o_orderpriority"],
+        stats_cols=["o_orderkey"],
+    )
+    tx_set_partitioning(spark, table, [])
+    tx_write(orders.filter(F.col("o_orderkey") % 2 == 1), table)
+    return (
+        tx_read(spark, table)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+    )
