@@ -178,10 +178,17 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # switch the planner broadcast-picks the exploded shingle table
     # from that same (20x-under) estimate — a >1 GB driver build at
     # the 100x step (SCALE.md round 11)
-    big = (
-        docs._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
-        > 16 * 1024 * 1024
-    )
+    # the probe reaches through py4j private plan APIs; on a Spark
+    # build where the call chain or the scala BigInt conversion
+    # changes, fall back to the SAFE answer (big=True: shuffle-hash
+    # joins, exploded sides pinned out of broadcast) rather than
+    # failing the query over a sizing heuristic
+    try:
+        big = int(str(
+            docs._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )) > 16 * 1024 * 1024
+    except Exception:
+        big = True
     return exact_jaccard(
         hs.distinct(), pairs=cands, key="hm", big_corpus=big
     ).filter(F.col("jaccard") >= 0.5)

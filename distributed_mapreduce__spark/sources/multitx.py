@@ -214,6 +214,12 @@ def tx_multi(
                 prep["snap_version"], table_txn, "merge",
                 max_retries=max_retries, stats=prep["stats"],
                 conflict_keys=prep["conflict_keys"], extra=extra,
+                revalidate=(
+                    lambda props, _df=writes[path], _p=path:
+                    _check_constraints(
+                        _df, props, _p, "tx_multi participant (merge)"
+                    )
+                ),
             )
             continue
         if mode == "append":

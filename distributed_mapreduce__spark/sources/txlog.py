@@ -84,6 +84,7 @@ import json
 import time
 import uuid
 from collections.abc import Sequence
+from urllib.parse import unquote
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -690,6 +691,17 @@ def _replay(spark, path: str, version: int | None = None) -> _Snapshot:
             for k, val in c["properties"].items():
                 if val is None:
                     s.properties.pop(k, None)
+                elif k == "writer.features":
+                    # union-merge, not last-write-wins: two concurrent
+                    # writers auto-stamping DIFFERENT features (one
+                    # 'cdf', one 'partitioning') each computed their
+                    # delta from the same pre-commit snapshot; a LWW
+                    # fold would let the later commit silently
+                    # un-require the earlier one's feature. Features
+                    # are monotonic (Delta's rule); dropping them all
+                    # takes an explicit unset (val None).
+                    have = set(s.properties.get(k) or [])
+                    s.properties[k] = sorted(have | set(val))
                 else:
                     s.properties[k] = val
         if c["action"] == "overwrite":
@@ -1116,8 +1128,10 @@ def _writer_feature_delta(props: dict, used: "set[str]") -> "dict | None":
     """The properties delta a commit must carry so the writer features
     it USES become required for every later writer (auto-stamp on
     first use): None when everything used is already recorded. Union
-    semantics live here, at write time — the properties fold itself is
-    last-write-wins per key."""
+    semantics live BOTH here (against the snapshot the write planned
+    on) and in :func:`_replay`'s fold for this one key — so a delta
+    computed from a pre-retry snapshot can never un-require a feature
+    a concurrent writer stamped in the meantime."""
     have = set(props.get("writer.features") or [])
     if used <= have:
         return None
@@ -1341,8 +1355,15 @@ def _collect_stats(
     out: dict[str, dict[str, list]] = {}
     for r in rows:
         # rsplit on "/data/": partition layouts nest files under
-        # data/<col>=<val>/..., and the relative path must keep that
-        name = "data/" + r["__f"].rsplit("/data/", 1)[-1]
+        # data/<col>=<val>/..., and the relative path must keep that.
+        # input_file_name() returns a URI, which percent-escapes the
+        # on-disk directory names (space -> %20, an on-disk %25 from
+        # hive escaping -> %2525); the commit's add list carries RAW
+        # FileSystem names from _stage_and_place, so the key must be
+        # unquoted ONCE back to the on-disk form or partition values
+        # with such characters silently lose their [v, v] stats (and
+        # with them, pruning)
+        name = "data/" + unquote(r["__f"].rsplit("/data/", 1)[-1])
         out[name] = {
             c: [_json_stat(r[f"__lo_{c}"]), _json_stat(r[f"__hi_{c}"])]
             for c in cols
@@ -1419,9 +1440,15 @@ def tx_write(
         snap0 = None
         table_exists = False
     if table_exists:
-        _check_writer_features(snap0.properties, path)
+        # idempotence lookup FIRST: a retry of an already-committed txn
+        # is a read-only no-op and must return the prior version even
+        # on a table that has since stamped a writer feature this build
+        # lacks (a crashed-then-upgraded-table retry loop would
+        # otherwise turn a no-op into a hard failure); only genuinely
+        # NEW writes are refused
         if txn is not None and (prior := snap0.txns.get(txn)) is not None:
             return prior
+        _check_writer_features(snap0.properties, path)
     existing_pb = snap0.partition_by if table_exists else None
     if mode == "append" and table_exists:
         if partition_by is None:
@@ -2344,6 +2371,9 @@ def tx_merge(
         spark, path, prep["added"], prep["touched"], prep["snap_version"],
         txn, "merge", stats=prep["stats"],
         conflict_keys=prep["conflict_keys"], extra=prep["extra"],
+        revalidate=lambda props: _check_constraints(
+            updates, props, path, "tx_merge updates"
+        ),
     )
 
 
@@ -2516,6 +2546,7 @@ def _commit_rewrite(
     stats: dict | None = None,
     conflict_keys: "tuple[str, object, object] | None" = None,
     extra: dict | None = None,
+    revalidate=None,
 ) -> int:
     """Commit a rewrite (merge/delete/compact): remove+add in one
     version, with two conflict checks run at commit time, every retry:
@@ -2526,10 +2557,28 @@ def _commit_rewrite(
       snapshot ADDED files whose key range overlaps the rewrite's
       target range, abort loudly (concurrent append — committing
       anyway would duplicate merged keys / resurrect deleted ones;
-      Delta raises ConcurrentAppendException for exactly this)."""
+      Delta raises ConcurrentAppendException for exactly this).
+
+    Whenever the log has advanced past ``snap_version`` (the version
+    the caller's pre-stage checks were anchored at), the freshly
+    replayed table PROPERTIES are re-validated before committing:
+    writer features always (a table upgraded mid-flight must refuse,
+    same rule as tx_write's retry loop), plus the caller's
+    ``revalidate(props)`` hook for op-specific checks — tx_merge
+    re-runs CHECK constraints on its updates, so a constraint added
+    while the merge was in flight is enforced on that merge's rows
+    instead of slipping past the add-time validation (which only saw
+    the pre-merge table)."""
     fs = hadoop_fs(spark, path)[0]
+    anchor = snap_version
     for _ in range(max_retries):
-        eps_now, mor_now, _ = _snapshot_state(spark, path)
+        snap_now = _replay(spark, path)
+        eps_now, mor_now = snap_now.eps, snap_now.mor
+        if snap_now.version > anchor:
+            _check_writer_features(snap_now.properties, path)
+            if revalidate is not None:
+                revalidate(snap_now.properties)
+            anchor = snap_now.version
         gone = set(removed) - set(eps_now)
         if gone:
             raise RuntimeError(

@@ -140,3 +140,37 @@ def test_old_build_refuses_constrained_table(spark, table, monkeypatch):
     with pytest.raises(RuntimeError, match="constraints"):
         tx_write(_df(spark, 10, 12), table)
     assert tx_read(spark, table).count() == 10  # reads unaffected
+
+
+def test_constraint_added_during_merge_enforced_at_commit(spark, table):
+    """ADVICE r11 (low): a constraint added WHILE a merge is in flight
+    must be enforced on that merge's updates at commit time — the
+    add-time validation only saw the pre-merge table, so without the
+    _commit_rewrite revalidate hook the violating updates would land
+    after the constraint committed."""
+    from distributed_mapreduce__spark.sources.txlog import (
+        _check_constraints,
+        _commit_rewrite,
+        _prepare_merge,
+        _replay,
+    )
+
+    updates = spark.createDataFrame([(3, "z"), (11, "z")], "id long, tag string")
+    snap = _replay(spark, table)
+    prep = _prepare_merge(spark, table, updates, "id", False, snap)
+    # existing rows are all tag='a', so the ADD validates cleanly —
+    # but the in-flight merge's updates carry tag='z'
+    tx_add_constraint(spark, table, "tag_a", "tag = 'a'")
+    with pytest.raises(ValueError, match="tag_a"):
+        _commit_rewrite(
+            spark, table, prep["added"], prep["touched"],
+            prep["snap_version"], None, "merge", stats=prep["stats"],
+            conflict_keys=prep["conflict_keys"], extra=prep["extra"],
+            revalidate=lambda props: _check_constraints(
+                updates, props, table, "tx_merge updates"
+            ),
+        )
+    # nothing landed: the table is unchanged and still all-'a'
+    got = tx_read(spark, table)
+    assert got.count() == 10
+    assert got.filter("tag <> 'a'").count() == 0

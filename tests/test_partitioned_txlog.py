@@ -327,3 +327,36 @@ def test_partition_evolution_metadata_only(spark, ptable):
         tx_set_partitioning(spark, ptable, ["nope"])
     v_now = _snapshot_files(spark, ptable)[1]
     assert tx_set_partitioning(spark, ptable, []) == v_now
+
+
+def test_escaped_partition_values_keep_stats_and_prune(spark, tmp_path):
+    """ADVICE r11 (low): input_file_name() returns URI-escaped paths
+    (space -> %20; hive's on-disk %3A for ':' -> %253A) while the
+    commit's add list carries raw FileSystem names — a partition value
+    with such characters must still land its [v, v] stats under the
+    SAME key the add list uses, or pruning silently degrades to
+    full keeps."""
+    from distributed_mapreduce__spark.sources.txlog import _replay
+
+    t = str(tmp_path / "esc")
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "c:d"), (3, "p%q"), (4, "plain")],
+        "id long, k string",
+    )
+    tx_write(df.repartition("k"), t, partition_by=["k"])
+    snap = _replay(spark, t)
+    files = sorted(snap.eps)
+    assert len(files) == 4
+    for f in files:
+        st = snap.stats.get(f) or {}
+        assert "k" in st, f"partition stats missing for {f}"
+        assert st["k"][0] == st["k"][1]  # [v, v] — one value per file
+    # values round-trip through the hive layout
+    got = {r.id: r.k for r in tx_read(spark, t).collect()}
+    assert got == {1: "a b", 2: "c:d", 3: "p%q", 4: "plain"}
+    # and pruning is log-only on the escaped values too
+    for val, want_id in (("a b", 1), ("c:d", 2), ("p%q", 3)):
+        pruned = tx_read(spark, t, where=("k", val, val))
+        opened = pruned.inputFiles()
+        assert len(opened) == 1, (val, opened)
+        assert {r.id for r in pruned.collect()} == {want_id}

@@ -1747,3 +1747,76 @@ def test_require_writer_features_explicit_and_capable_build_writes(
     assert _ids(spark, t) == [0, 1, 2, 3, 4]
     with pytest.raises(ValueError, match="does not support"):
         tx_require_writer_features(spark, t, ["time-crystals"])
+
+
+def test_writer_features_fold_is_union_not_lww(spark, tmp_path):
+    """ADVICE r11 (medium): two concurrent writers each auto-stamp a
+    DIFFERENT feature from the same pre-commit snapshot — the replay
+    fold must union the writer.features key, not last-write-wins,
+    or the later commit silently un-requires the earlier feature.
+    Simulated by two property commits whose deltas each carry only
+    their own feature; an explicit unset (None) still drops them."""
+    from distributed_mapreduce__spark.sources.txlog import (
+        tx_properties,
+        tx_set_properties,
+    )
+
+    t = str(tmp_path / "t")
+    tx_write(_df(spark, 0, 3, "a"), t)
+    tx_set_properties(spark, t, {"writer.features": ["cdf"]})
+    tx_set_properties(spark, t, {"writer.features": ["partitioning"]})
+    assert tx_properties(spark, t)["writer.features"] == [
+        "cdf", "partitioning",
+    ]
+    tx_set_properties(spark, t, {"writer.features": None})
+    assert "writer.features" not in tx_properties(spark, t)
+
+
+def test_idempotent_retry_survives_feature_upgrade(spark, tmp_path):
+    """ADVICE r11 (low): a retry of an ALREADY-committed txn is a
+    read-only no-op and must return the prior version even after the
+    table stamped a writer feature this build lacks (crashed job,
+    table upgraded, retry loop resumes); only genuinely NEW writes
+    refuse."""
+    from distributed_mapreduce__spark.sources.txlog import (
+        tx_set_properties,
+    )
+
+    t = str(tmp_path / "t")
+    v = tx_write(_df(spark, 0, 5, "a"), t, txn="job-42")
+    tx_set_properties(spark, t, {"writer.features": ["from-the-future"]})
+    assert tx_write(_df(spark, 0, 5, "a"), t, txn="job-42") == v
+    with pytest.raises(RuntimeError, match="from-the-future"):
+        tx_write(_df(spark, 5, 6, "b"), t, txn="job-43")
+    assert _ids(spark, t) == [0, 1, 2, 3, 4]
+
+
+def test_rewrite_rechecks_features_at_commit_time(spark, tmp_path):
+    """ADVICE r11 (low): a rewrite planned before the table stamped an
+    unsupported writer feature must refuse at commit time — the
+    _commit_rewrite retry loop re-validates properties whenever the
+    log advanced past the prepare snapshot (same rule as tx_write's
+    revalidate)."""
+    from distributed_mapreduce__spark.sources.txlog import (
+        _commit_rewrite,
+        _prepare_merge,
+        _replay,
+        tx_set_properties,
+    )
+
+    t = str(tmp_path / "t")
+    tx_write(_df(spark, 0, 10, "a").coalesce(1), t)
+    snap = _replay(spark, t)
+    prep = _prepare_merge(
+        spark, t, _df(spark, 3, 5, "upd"), "id", False, snap
+    )
+    # the table is upgraded while the merge is in flight
+    tx_set_properties(spark, t, {"writer.features": ["quantum-mor"]})
+    with pytest.raises(RuntimeError, match="quantum-mor"):
+        _commit_rewrite(
+            spark, t, prep["added"], prep["touched"],
+            prep["snap_version"], None, "merge", stats=prep["stats"],
+            conflict_keys=prep["conflict_keys"], extra=prep["extra"],
+        )
+    # nothing committed: the table still reads as before
+    assert _ids(spark, t) == list(range(10))
