@@ -488,10 +488,12 @@ _PIPE_ORACLE = f"""
     """
 
 
-@register_local("dedup_pipe_agg", oracle=_PIPE_ORACLE)
+@register("dedup_pipe_agg", oracle=_PIPE_ORACLE)
 def dedup_pipe_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The exactly-once incremental corpus dedup pipe under the value
-    oracle (streaming/dedup.dedup_pipe_available_now, VERDICT r10 #2):
+    oracle (streaming/dedup.dedup_pipe_available_now, VERDICT r10 #2;
+    promoted to the driver tier by the round-12 rotation — it is the
+    capstone composition of the storage + dedup families):
     ACID-ingest documents as two id-ordered txlog commits, drain them
     through the change-feed pipe across two ticks (intra-batch dedup +
     history check against the persisted signature index, survivors and

@@ -68,13 +68,16 @@ GROUP BY o_orderpriority
 """
 
 
-@register("txlog_time_travel_agg", oracle=_TT_ORACLE)
+@register_local("txlog_time_travel_agg", oracle=_TT_ORACLE)
 def txlog_time_travel_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time travel under the value oracle: commit the EVEN orders as
     v0, OVERWRITE with all orders as v1, then aggregate the v0
     snapshot — the result must equal a direct query over the even
     half, proving an overwrite is a metadata swap that leaves history
-    bit-exact (until tx_vacuum)."""
+    bit-exact (until tx_vacuum). Local tier since the round-12
+    rotation (its version-number travel chain is subsumed by
+    `txlog_ts_travel_agg` + the storage flagships); the oracle stays
+    gated by tests/test_queries_oracle.py."""
     import tempfile
 
     from ..sources.txlog import tx_read, tx_write

