@@ -145,7 +145,7 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- global top-k with join (O12+O13 generalized) -------------------------
 
 
-@register(
+@register_local(
     "top_customers",
     oracle="""
     SELECT c_custkey, c_name,
@@ -159,7 +159,10 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join + aggregate + deterministic global top-k
-    (TakeOrderedAndProject: k rows per partition reach the driver)."""
+    (TakeOrderedAndProject: k rows per partition reach the driver).
+    Local tier since the round-12 rotation (the E5 family keeps two
+    driver rows: topk_parts_per_brand, ship_latency_rank); its slot
+    went to ``hidden_partition_agg`` (queries/storage_q.py)."""
     customer = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
     return (

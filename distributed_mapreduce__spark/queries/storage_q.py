@@ -688,3 +688,61 @@ def partition_evolution_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_price"),
         )
     )
+
+
+_HIDDEN_PART_ORACLE = """
+SELECT o_orderpriority,
+       count(*) AS n_orders,
+       CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS total_price
+FROM orders
+WHERE o_orderdate >= DATE '1994-01-01' AND o_orderdate <= DATE '1994-12-31'
+GROUP BY o_orderpriority
+"""
+
+
+@register("hidden_partition_agg", oracle=_HIDDEN_PART_ORACLE)
+def hidden_partition_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HIDDEN PARTITIONING under the value oracle (round 12, VERDICT
+    r11 #2): ingest orders into an ACID table laid out by
+    ``months(o_orderdate)`` — the transform is recorded in the spec
+    and the derived month exists only in the directory names, never in
+    the schema — across TWO commits (the second inherits the layout),
+    then read back with a predicate on the SOURCE date column. The
+    read prunes to the 12 matching months' files from the log alone
+    (the transform maps the bounds; pinned by inputFiles tests in
+    tests/test_partition_transforms.py) and must equal a direct DuckDB
+    aggregate over the same date range — proving placement is pure
+    metadata. Rows are clustered by month before the write so each
+    month lands as one file, the production ingest pattern (Iceberg
+    "Partition Transforms"; reference repo has no storage layer —
+    extension E7+)."""
+    import datetime as _dt
+    import tempfile
+
+    from ..sources.txlog import tx_read, tx_write
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority", "o_totalprice"
+    )
+    clustered = orders.repartition(F.trunc("o_orderdate", "month"))
+    table = tempfile.mkdtemp(prefix="txlog_hidden_") + "/t"
+    tx_write(
+        clustered.filter(F.col("o_orderkey") % 2 == 0),
+        table,
+        partition_by=["months(o_orderdate)"],
+    )
+    tx_write(clustered.filter(F.col("o_orderkey") % 2 == 1), table)
+    return (
+        tx_read(
+            spark,
+            table,
+            where=("o_orderdate", _dt.date(1994, 1, 1), _dt.date(1994, 12, 31)),
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+    )

@@ -81,6 +81,7 @@ from __future__ import annotations
 import bisect
 import dataclasses
 import json
+import re
 import time
 import uuid
 from collections.abc import Sequence
@@ -102,8 +103,12 @@ CHECKPOINT_EVERY = 10
 #: instead of silently misreading — a level-1 reader replaying a
 #: tombstone commit would see "no files changed" and resurrect every
 #: logically-deleted row. Time travel to versions below the first
-#: stamped commit keeps working regardless.
-READER_VERSION = 2
+#: stamped commit keeps working regardless. Level 3: hidden
+#: partitioning (transform specs like ``days(ts)``) — the placement
+#: directories carry DERIVED columns that are NOT table columns, and a
+#: level-2 reader scanning them would surface the derived column as
+#: data (wrong schema) instead of dropping it.
+READER_VERSION = 3
 
 #: Write-side table features this build maintains (the Delta
 #: table-features model, writer half): a table whose
@@ -120,7 +125,7 @@ READER_VERSION = 2
 #: :func:`tx_require_writer_features`.
 WRITER_FEATURES = frozenset(
     {"cdf", "schema-evolution", "partitioning", "mor", "properties",
-     "constraints"}
+     "constraints", "partition-transforms"}
 )
 
 _PAD = 20  # zero-padded version filenames sort lexicographically
@@ -938,10 +943,15 @@ def tx_set_partitioning(
     Requires the recorded write schema (every ``tx_write`` since the
     schema-on-write round records one) so evolved layouts read back
     TYPED — and each new partition column must exist in it. Stamps the
-    ``partitioning`` writer feature."""
+    ``partitioning`` writer feature. TRANSFORM specs (``days(ts)``,
+    ``bucket(16, k)``, ... — see :func:`tx_write`) evolve the same
+    way: identity→transform, transform→transform, and
+    transform→identity are all zero-rewrite metadata commits; old
+    files keep pruning through their own per-file derived stats."""
     snap = _replay(spark, path)
     _check_writer_features(snap.properties, path)
-    partition_by = list(partition_by)
+    spec_fields = _parse_partition_spec(partition_by)
+    partition_by = [pf.spec for pf in spec_fields]  # canonical form
     if snap.schema is None:
         raise ValueError(
             f"table {path} has no recorded write schema; partition "
@@ -949,15 +959,31 @@ def tx_set_partitioning(
             "rewrite once with tx_write(mode='overwrite') first"
         )
     fields = {f["name"] for f in json.loads(snap.schema)["fields"]}
-    missing = [c for c in partition_by if c not in fields]
+    missing = [pf.source for pf in spec_fields if pf.source not in fields]
     if missing:
         raise ValueError(
-            f"partition_by columns {missing} not in the table schema "
-            f"at {path} (has {sorted(fields)})"
+            f"partition_by source columns {missing} not in the table "
+            f"schema at {path} (has {sorted(fields)})"
+        )
+    clash = [
+        pf.name
+        for pf in spec_fields
+        if pf.transform != "identity" and pf.name in fields
+    ]
+    if clash:
+        raise ValueError(
+            f"columns {clash} collide with reserved derived partition "
+            f"names; rename them"
         )
     if (snap.partition_by or []) == partition_by:
         return snap.version  # no-op: spec unchanged
-    delta = _writer_feature_delta(snap.properties, {"partitioning"})
+    used = {"partitioning"}
+    has_transforms = any(
+        pf.transform != "identity" for pf in spec_fields
+    )
+    if has_transforms:
+        used.add("partition-transforms")
+    delta = _writer_feature_delta(snap.properties, used)
     fs = hadoop_fs(spark, path)[0]
 
     def build(next_v: int) -> dict:
@@ -969,6 +995,8 @@ def tx_set_partitioning(
             "txn": None,
             "partition_by": partition_by,
         }
+        if has_transforms:
+            payload["reader"] = 3
         if delta:
             payload["properties"] = delta
         return payload
@@ -1222,6 +1250,235 @@ def _committed_txns(spark, path: str) -> dict[str, int]:
 
 
 
+# --- hidden partitioning (Iceberg's partition transforms) -------------------
+#
+# A ``partition_by`` entry is either a bare column name (identity — the
+# round-11 layout, unchanged) or a TRANSFORM of one: ``days(ts)``,
+# ``months(ts)``, ``years(ts)``, ``hours(ts)``, ``bucket(n, col)``,
+# ``truncate(n, col)`` (Iceberg spec v2's transform set, minus void).
+# The transform is recorded in the spec; the DERIVED placement value is
+# computed at write time into a reserved ``_p_*`` directory column that
+# exists ONLY in the hive path — never in the recorded schema, the data
+# file bytes, the change feed, or any read's output. Reads prune on the
+# SOURCE column's predicate by mapping its bounds through the
+# transform's monotonicity (equality-only for bucket); rewrites
+# recompute placement from the source column, so maintenance preserves
+# the layout. This is how a real 100 TB corpus table is laid out by
+# ingest date without polluting the schema with a materialized derived
+# column (Iceberg table spec, "Partition Transforms").
+
+
+_TIME_TRANSFORM_RE = re.compile(
+    r"^\s*(days|months|years|hours)\s*\(\s*(\w+)\s*\)\s*$"
+)
+_ARG_TRANSFORM_RE = re.compile(
+    r"^\s*(bucket|truncate)\s*\(\s*(\d+)\s*,\s*(\w+)\s*\)\s*$"
+)
+_DERIVED_TIME_RE = re.compile(r"^_p_(days|months|years|hours)_(\w+)$")
+_DERIVED_ARG_RE = re.compile(r"^_p_(bucket|truncate)_(\d+)_(\w+)$")
+
+
+@dataclasses.dataclass(frozen=True)
+class _PartField:
+    """One parsed ``partition_by`` entry."""
+
+    spec: str  # canonical spec string, as recorded in the log
+    transform: str  # identity|days|months|years|hours|bucket|truncate
+    source: str  # source column name
+    arg: "int | None" = None  # bucket count / truncate width
+
+    @property
+    def name(self) -> str:
+        """The placement (directory) column: the source itself for
+        identity, a reserved derived name for transforms."""
+        if self.transform == "identity":
+            return self.source
+        if self.arg is None:
+            return f"_p_{self.transform}_{self.source}"
+        return f"_p_{self.transform}_{self.arg}_{self.source}"
+
+
+def _parse_partition_spec(
+    partition_by: "Sequence[str] | None",
+) -> "list[_PartField]":
+    """Parse ``partition_by`` entries into fields, canonicalizing
+    whitespace (``bucket( 16 , k )`` records as ``bucket(16,k)``).
+    Unknown transform syntax is refused loudly."""
+    out: list[_PartField] = []
+    for spec in partition_by or []:
+        m = _TIME_TRANSFORM_RE.match(spec)
+        if m:
+            t, c = m.groups()
+            out.append(_PartField(f"{t}({c})", t, c))
+            continue
+        m = _ARG_TRANSFORM_RE.match(spec)
+        if m:
+            t, n, c = m.groups()
+            if int(n) <= 0:
+                raise ValueError(f"partition transform {spec!r}: the "
+                                 "numeric argument must be positive")
+            out.append(_PartField(f"{t}({int(n)},{c})", t, c, int(n)))
+            continue
+        if "(" in spec or ")" in spec:
+            raise ValueError(
+                f"unknown partition transform {spec!r} (supported: "
+                "days(col), months(col), years(col), hours(col), "
+                "bucket(n, col), truncate(n, col), or a bare column)"
+            )
+        out.append(_PartField(spec, "identity", spec))
+    return out
+
+
+def _parse_derived_name(name: str) -> "_PartField | None":
+    """Recover the transform a ``_p_*`` derived stats key encodes —
+    per FILE, so pruning keeps working across partition evolution
+    (different files may carry different specs)."""
+    m = _DERIVED_TIME_RE.match(name)
+    if m:
+        t, c = m.groups()
+        return _PartField(f"{t}({c})", t, c)
+    m = _DERIVED_ARG_RE.match(name)
+    if m:
+        t, n, c = m.groups()
+        return _PartField(f"{t}({int(n)},{c})", t, c, int(n))
+    return None
+
+
+_INTEGRAL_DTYPES = ("tinyint", "smallint", "int", "bigint")
+
+
+def _transform_expr(pf: _PartField, df: DataFrame):
+    """The Spark expression computing a transform's placement value.
+    Time transforms format to ISO-prefix STRINGS ("2024-03-05",
+    "2024-03", "2024", "2024-03-05-14") — lexical order == time order,
+    human-readable paths, no ':' to hive-escape. bucket() md5-hashes
+    the value's canonical string form (reproducible driver-side for
+    prune bounds — see :func:`_bucket_of` — unlike xxhash64, which
+    only exists JVM-side); truncate() is prefix/floor."""
+    from pyspark.sql import functions as F
+
+    col = F.col(pf.source)
+    fmt = {"days": "yyyy-MM-dd", "months": "yyyy-MM", "years": "yyyy",
+           "hours": "yyyy-MM-dd-HH"}.get(pf.transform)
+    if fmt is not None:
+        return F.date_format(col, fmt)
+    dt = dict(df.dtypes).get(pf.source, "")
+    integral = dt in _INTEGRAL_DTYPES
+    if pf.transform == "bucket":
+        if not (integral or dt == "string"):
+            raise ValueError(
+                f"bucket() partitioning needs an integral or string "
+                f"source column; {pf.source!r} is {dt!r}"
+            )
+        return F.pmod(
+            F.conv(
+                F.substring(F.md5(col.cast("string")), 1, 15), 16, 10
+            ).cast("long"),
+            F.lit(pf.arg),
+        ).cast("int")
+    if pf.transform == "truncate":
+        if integral:
+            return (col - F.pmod(col, F.lit(pf.arg))).cast(dt)
+        if dt == "string":
+            return F.substring(col, 1, pf.arg)
+        raise ValueError(
+            f"truncate() partitioning needs an integral or string "
+            f"source column; {pf.source!r} is {dt!r}"
+        )
+    raise ValueError(f"no expression for transform {pf.transform!r}")
+
+
+def _bucket_of(v, n: int) -> int:
+    """Driver-side twin of the bucket() write expression: md5 of the
+    value's canonical string form (str(int) == Spark's cast-to-string
+    for integral and string types — the only ones bucket() accepts)."""
+    import hashlib
+
+    return int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16) % n
+
+
+def _transform_literal(pf: _PartField, v):
+    """A prune BOUND mapped through the transform, driver-side. None
+    means "cannot confidently map" — the caller keeps the file, since
+    pruning is only ever an optimization (the residual filter owns
+    correctness). All time transforms and truncate are monotone
+    non-decreasing, so [t(lo), t(hi)] soundly bounds t(x) for
+    x in [lo, hi]; bucket is equality-only (handled by the caller)."""
+    import datetime as _dt
+
+    if v is None:
+        return None
+    if pf.transform in ("days", "months", "years", "hours"):
+        if isinstance(v, _dt.datetime):
+            iso = f"{v:%Y-%m-%d-%H}"
+        elif isinstance(v, _dt.date):
+            iso = f"{v:%Y-%m-%d}-00"
+        elif isinstance(v, str):
+            s = v.strip().replace("T", " ")
+            if (
+                len(s) < 10 or s[4] != "-" or s[7] != "-"
+                or not (s[:4] + s[5:7] + s[8:10]).isdigit()
+            ):
+                return None
+            hh = s[11:13] if len(s) >= 13 and s[11:13].isdigit() else "00"
+            iso = f"{s[:10]}-{hh}"
+        else:
+            return None
+        return iso[: {"days": 10, "months": 7, "years": 4, "hours": 13}[
+            pf.transform
+        ]]
+    if isinstance(v, bool):
+        return None
+    if pf.transform == "bucket":
+        if isinstance(v, (int, str)):
+            return _bucket_of(v, pf.arg)
+        return None
+    if pf.transform == "truncate":
+        if isinstance(v, int):
+            return v - (v % pf.arg)
+        if isinstance(v, str):
+            return v[: pf.arg]
+    return None
+
+
+def _path_partition_stats(
+    files: "list[str]", fields: "list[_PartField]"
+) -> dict:
+    """[v, v] stats for TRANSFORM partition fields, parsed from the
+    placed relative paths — the directory chain is authoritative (one
+    value per leaf dir) and costs ZERO I/O; identity fields keep
+    coming from the typed data read-back pass. bucket/integral-
+    truncate values store as ints (matching the prune side's math);
+    everything else as the exact directory string (hive-unescaped,
+    same convention as _collect_stats' key fix)."""
+    by_name = {
+        pf.name: pf for pf in fields if pf.transform != "identity"
+    }
+    if not by_name:
+        return {}
+    out: dict = {}
+    for f in files:
+        for seg in f.split("/")[:-1]:
+            k, eq, raw = seg.partition("=")
+            pf = by_name.get(k) if eq else None
+            if pf is None:
+                continue
+            if raw == "__HIVE_DEFAULT_PARTITION__":
+                val = None
+            else:
+                val = unquote(raw)
+                if pf.transform == "bucket" or (
+                    pf.transform == "truncate"
+                    and re.fullmatch(r"-?\d+", val)
+                ):
+                    try:
+                        val = int(val)
+                    except ValueError:
+                        pass
+            out.setdefault(f, {})[k] = [val, val]
+    return out
+
+
 def _stage_and_place(
     df: DataFrame, path: str, partition_by: "Sequence[str] | None" = None
 ) -> list[str]:
@@ -1234,12 +1491,20 @@ def _stage_and_place(
     subdirectories under ``data/`` — e.g.
     ``data/k=5/<uuid>.parquet`` — so the placed RELATIVE PATH itself
     carries the partition values the commit log records and prunes on
-    (renames only; rows never pass through the driver)."""
+    (renames only; rows never pass through the driver). TRANSFORM
+    entries (``days(ts)``, ``bucket(16, k)``, ...) compute their
+    derived placement column here, transiently: ``partitionBy``
+    consumes it into the directory name, so it never reaches the data
+    file bytes — hidden partitioning."""
     spark = df.sparkSession
     stage_dir = f"{path}/_staging/{uuid.uuid4().hex}"
+    fields = _parse_partition_spec(partition_by)
+    for pf in fields:
+        if pf.transform != "identity":
+            df = df.withColumn(pf.name, _transform_expr(pf, df))
     writer = df.write.mode("overwrite")
-    if partition_by:
-        writer = writer.partitionBy(*partition_by)
+    if fields:
+        writer = writer.partitionBy(*[pf.name for pf in fields])
     writer.parquet(stage_dir)
     fs, sdir = hadoop_fs(spark, stage_dir)
     fs.mkdirs(hadoop_fs(spark, f"{path}/data")[1])
@@ -1338,10 +1603,27 @@ def _collect_stats(
     LOG, with zero per-file I/O. ``snap`` (when the table already
     exists) configures the reader for partitioned layouts, so stats on
     a PARTITION column work too (the values live in directory names;
-    min == max per file, the tightest possible range)."""
+    min == max per file, the tightest possible range).
+
+    ``cols`` entries may be partition SPEC strings (``days(ts)``) or
+    derived stats keys (``_p_days_ts``, carried forward by rewrites):
+    a transform contributes its SOURCE column to the data pass (exact
+    per-file [min, max] on the real column — the strongest pruning
+    evidence) while its derived [v, v] comes from the placed paths
+    via :func:`_path_partition_stats`, zero extra I/O."""
     from pyspark.sql import functions as F
 
+    fields = _parse_partition_spec(
+        snap.partition_by if snap is not None else None
+    )
+    data_cols: "set[str]" = set()
+    for c in cols:
+        pf = _parse_derived_name(c)
+        if pf is None:
+            (pf,) = _parse_partition_spec([c])
+        data_cols.add(pf.source)
     aggs = []
+    cols = sorted(data_cols)
     for c in cols:
         aggs.append(F.min(c).alias(f"__lo_{c}"))
         aggs.append(F.max(c).alias(f"__hi_{c}"))
@@ -1368,6 +1650,8 @@ def _collect_stats(
             c: [_json_stat(r[f"__lo_{c}"]), _json_stat(r[f"__hi_{c}"])]
             for c in cols
         }
+    for f, ent in _path_partition_stats(files, fields).items():
+        out.setdefault(f, {}).update(ent)
     return out
 
 
@@ -1429,7 +1713,18 @@ def tx_write(
     100 TB layout contract. The FIRST write (or any overwrite) defines
     the table's partitioning; appends inherit it automatically and an
     append passing a DIFFERENT spec is refused (Delta's partition-
-    consistency rule). Repartitioning a table is an overwrite."""
+    consistency rule). Repartitioning a table is an overwrite.
+
+    Entries may be TRANSFORMS — ``days(ts)``, ``months(ts)``,
+    ``years(ts)``, ``hours(ts)``, ``bucket(n, col)``,
+    ``truncate(n, col)`` (Iceberg's hidden partitioning): the derived
+    placement value exists only in the directory name, never in the
+    table schema, the data bytes, or the change feed, and reads prune
+    on the SOURCE column's predicate through the transform's
+    monotonicity (equality for bucket) plus the source column's own
+    recorded [min, max]. Transform layouts stamp reader level 3 and
+    the ``partition-transforms`` writer feature, so older builds
+    refuse instead of surfacing placement metadata as data."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
     spark = df.sparkSession
@@ -1450,10 +1745,13 @@ def tx_write(
             return prior
         _check_writer_features(snap0.properties, path)
     existing_pb = snap0.partition_by if table_exists else None
+    fields = _parse_partition_spec(partition_by)
+    partition_by = [pf.spec for pf in fields] or None  # canonical form
     if mode == "append" and table_exists:
         if partition_by is None:
             partition_by = existing_pb  # appends inherit the layout
-        elif list(partition_by) != list(existing_pb or []):
+            fields = _parse_partition_spec(partition_by)
+        elif partition_by != list(existing_pb or []):
             raise ValueError(
                 f"append to {path} with partition_by="
                 f"{list(partition_by)} does not match the table's "
@@ -1461,13 +1759,24 @@ def tx_write(
                 "with tx_set_partitioning (metadata-only) or rewrite "
                 "with mode='overwrite'"
             )
-    partition_by = list(partition_by) if partition_by else None
-    if partition_by:
-        missing = [c for c in partition_by if c not in df.columns]
+    if fields:
+        missing = [
+            pf.source for pf in fields if pf.source not in df.columns
+        ]
         if missing:
             raise ValueError(
-                f"partition_by columns {missing} not in the DataFrame "
-                f"(has {df.columns})"
+                f"partition_by source columns {missing} not in the "
+                f"DataFrame (has {df.columns})"
+            )
+        clash = [
+            pf.name
+            for pf in fields
+            if pf.transform != "identity" and pf.name in df.columns
+        ]
+        if clash:
+            raise ValueError(
+                f"columns {clash} collide with reserved derived "
+                f"partition names; rename them"
             )
     checked_at = (
         _check_append_schema(df, path, schema_mode)
@@ -1502,8 +1811,11 @@ def tx_write(
     # auto-stamp the writer features this commit USES, so older builds
     # that cannot maintain them refuse instead of corrupting
     used = set()
+    has_transforms = any(pf.transform != "identity" for pf in fields)
     if partition_by:
         used.add("partitioning")
+    if has_transforms:
+        used.add("partition-transforms")
     if (
         mode == "append"
         and table_exists
@@ -1527,6 +1839,11 @@ def tx_write(
         }
         if partition_by:
             payload["partition_by"] = partition_by
+        if has_transforms:
+            # hidden placement dirs: a level-2 reader would surface
+            # the derived column as data — refuse it the whole log
+            # suffix (time travel below this commit keeps working)
+            payload["reader"] = 3
         if feature_delta:
             payload["properties"] = feature_delta
         if stats:
@@ -1652,6 +1969,12 @@ def _write_checkpoint(spark, path: str, version: int) -> bool:
         # the live layout's partition columns: append-consistency
         # enforcement and partition-column reads survive truncation
         payload["partition_by"] = snap.partition_by
+        if any(
+            pf.transform != "identity"
+            for pf in _parse_partition_spec(snap.partition_by)
+        ):
+            # hidden placement dirs outlive log truncation too
+            payload["reader"] = max(payload.get("reader", 1), 3)
     zmarks = _zorder_marks(spark, path, eps, version)
     if zmarks:
         # which live files are already clustered (and how): incremental
@@ -1661,7 +1984,9 @@ def _write_checkpoint(spark, path: str, version: int) -> bool:
         # table properties survive log truncation with the checkpoint
         payload["properties"] = snap.properties
     if mor:
-        payload["reader"] = 2  # folded tombstones: level-2 readers only
+        # folded tombstones: level-2 readers only (3 may already be
+        # stamped by a transform layout above — keep the max)
+        payload["reader"] = max(payload.get("reader", 1), 2)
     # checkpoints are an optimization; losing the race to an identical
     # concurrent checkpoint is fine
     _write_atomic(
@@ -1724,6 +2049,54 @@ def _resolve_version(
     return _version_at_ts(spark, path, as_of_ts)
 
 
+def _prunable(file_stats: dict, conjuncts: "list[tuple]") -> bool:
+    """True when ``file_stats`` PROVES the file misses some conjunct
+    ``(col, lo, hi)`` — via the column's own [min, max] entry, or via
+    a derived TRANSFORM entry (``_p_days_ts`` etc.) whose source is
+    the conjunct's column: monotone transforms map the bounds through
+    (x in [lo, hi] → t(x) in [t(lo), t(hi)]), bucket prunes equality
+    conjuncts only. Anything unprovable keeps the file — the residual
+    filter owns correctness, stats own speed."""
+    for col, lo, hi in conjuncts:
+        st = file_stats.get(col)
+        if st is not None and st[0] is not None:
+            lo_j = None if lo is None else _json_stat(lo)
+            hi_j = None if hi is None else _json_stat(hi)
+            try:
+                if (hi_j is not None and st[0] > hi_j) or (
+                    lo_j is not None and st[1] < lo_j
+                ):
+                    return True  # provably outside one conjunct
+            except TypeError:
+                pass  # incomparable literal vs stored form: keep
+        for key, dstat in file_stats.items():
+            pf = _parse_derived_name(key)
+            if (
+                pf is None
+                or pf.source != col
+                or dstat is None
+                or dstat[0] is None
+            ):
+                continue
+            try:
+                if pf.transform == "bucket":
+                    if lo is None or hi is None or lo != hi:
+                        continue
+                    b = _transform_literal(pf, lo)
+                    if b is not None and (dstat[0] > b or dstat[1] < b):
+                        return True
+                    continue
+                tlo = None if lo is None else _transform_literal(pf, lo)
+                thi = None if hi is None else _transform_literal(pf, hi)
+                if (thi is not None and dstat[0] > thi) or (
+                    tlo is not None and dstat[1] < tlo
+                ):
+                    return True
+            except TypeError:
+                continue  # incomparable forms: keep
+    return False
+
+
 def tx_read(
     spark: SparkSession,
     path: str,
@@ -1755,7 +2128,10 @@ def tx_read(
     None (one-sided). Multi-column conjuncts are exactly what a
     Z-ordered layout rewards: after ``tx_optimize_zorder(cols)``,
     every clustered column's range is tight per file, so an AND of
-    ranges prunes multiplicatively.
+    ranges prunes multiplicatively. On a hidden-partitioned table
+    (``partition_by=["days(ts)"]``), a conjunct on the SOURCE column
+    also prunes through the transform (see :func:`_prunable`) — query
+    the real column, never a derived one (Iceberg's contract).
 
     Live merge-on-read delete tombstones (``tx_delete(mode=
     'merge_on_read')``) are applied at scan time: files are grouped by
@@ -1779,23 +2155,9 @@ def tx_read(
     )
     if conjuncts:
         logged = snap.stats
-        kept = []
-        for f in files:
-            keep = True
-            for col, lo, hi in conjuncts:
-                st = (logged.get(f) or {}).get(col)
-                if st is None or st[0] is None:
-                    continue  # no stats for this column → cannot skip
-                lo_j = None if lo is None else _json_stat(lo)
-                hi_j = None if hi is None else _json_stat(hi)
-                if (hi_j is not None and st[0] > hi_j) or (
-                    lo_j is not None and st[1] < lo_j
-                ):
-                    keep = False  # provably outside one conjunct
-                    break
-            if keep:
-                kept.append(f)
-        files = kept
+        files = [
+            f for f in files if not _prunable(logged.get(f) or {}, conjuncts)
+        ]
     if not files:
         # an overwrite with an empty DataFrame is a legal empty table:
         # the recorded schema builds the empty frame directly; tables
@@ -1867,6 +2229,11 @@ def _scan_files(
         return _reader_for(spark, path, snap, merge_schema).parquet(
             *abs_files
         )
+    recorded = (
+        {f["name"] for f in json.loads(snap.schema)["fields"]}
+        if snap.schema is not None
+        else None
+    )
     groups: "dict[tuple, list[str]]" = {}
     for af in abs_files:
         root = af.rsplit("/data/", 1)[0] + "/data"
@@ -1884,7 +2251,17 @@ def _scan_files(
             )
         elif merge_schema or snap.evolved:
             reader = reader.option("mergeSchema", "true")
-        parts.append(reader.parquet(*groups[(root, sig)]))
+        part = reader.parquet(*groups[(root, sig)])
+        if recorded is not None:
+            # HIDDEN partition dirs (transform placement like
+            # _p_days_ts=...): Spark appends directory columns missing
+            # from the explicit schema — derived columns are placement
+            # metadata, never table data, so they drop here, the one
+            # scan chokepoint every read and rewrite shares
+            hidden = [c for c in sig if c not in recorded]
+            if hidden:
+                part = part.drop(*hidden)
+        parts.append(part)
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
