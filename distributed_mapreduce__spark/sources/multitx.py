@@ -83,6 +83,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from .sinks import hadoop_fs
 from .txlog import (
+    _apply_column_mapping,
     _check_append_schema,
     _check_constraints,
     _check_writer_features,
@@ -94,6 +95,7 @@ from .txlog import (
     _load,
     _multi_record_path,
     _multi_status,
+    _phys_map,
     _prepare_merge,
     _read_small,
     _replay,
@@ -228,8 +230,20 @@ def tx_multi(
             _check_append_schema(writes[path], path, "enforce")
             part_by = psnap.partition_by if psnap is not None else None
         schema_json = writes[path].schema.json()
-        added = _stage_and_place(writes[path], path, part_by)
+        stage_df = writes[path]
+        if psnap is not None and _phys_map(psnap.schema):
+            # column-mapped participant: stage under PHYSICAL names,
+            # record the logical schema (same contract as tx_write)
+            stage_df, schema_json = _apply_column_mapping(
+                writes[path], psnap.schema
+            )
+        added = _stage_and_place(stage_df, path, part_by)
         stat_cols = set(stats_cols or [])
+        if stat_cols:
+            # stats key on PHYSICAL names on mapped tables (identity
+            # otherwise — same rule as tx_write)
+            pm = _phys_map(schema_json)
+            stat_cols = {pm.get(c, c) for c in stat_cols}
         if part_by:
             stat_cols.update(part_by)
         pseudo = _Snapshot(

@@ -125,7 +125,7 @@ READER_VERSION = 3
 #: :func:`tx_require_writer_features`.
 WRITER_FEATURES = frozenset(
     {"cdf", "schema-evolution", "partitioning", "mor", "properties",
-     "constraints", "partition-transforms"}
+     "constraints", "partition-transforms", "column-mapping"}
 )
 
 _PAD = 20  # zero-padded version filenames sort lexicographically
@@ -716,6 +716,12 @@ def _replay(spark, path: str, version: int | None = None) -> _Snapshot:
             s.evolved = False
             s.partition_by = c.get("partition_by")
         else:
+            if c.get("schema_replace") is not None:
+                # rename/drop meta commit: the logical schema is
+                # REPLACED wholesale (never unioned — union-by-name is
+                # for evolution appends); physical names inside the
+                # field metadata keep every existing file readable
+                s.schema = c["schema_replace"]
             sc = c.get("schema")
             if sc is not None:
                 if s.schema is not None and _schema_fields(
@@ -957,6 +963,12 @@ def tx_set_partitioning(
             f"table {path} has no recorded write schema; partition "
             "evolution needs it to read mixed layouts back typed — "
             "rewrite once with tx_write(mode='overwrite') first"
+        )
+    if partition_by and _phys_map(snap.schema):
+        raise ValueError(
+            f"tx_set_partitioning: the table at {path} uses column "
+            "mapping; partitioned layouts are not combinable with it "
+            "in this build"
         )
     fields = {f["name"] for f in json.loads(snap.schema)["fields"]}
     missing = [pf.source for pf in spec_fields if pf.source not in fields]
@@ -1479,6 +1491,264 @@ def _path_partition_stats(
     return out
 
 
+# --- column mapping (rename / drop as metadata) ------------------------------
+#
+# Delta's columnMapping model, adapted: every field of the recorded
+# schema can carry a stable PHYSICAL name in its StructField metadata
+# ({"phys": ...}); data files, commit-log stats, and CDF sidecars are
+# written under physical names, and every read renames physical →
+# logical at the shared scan chokepoints. RENAME then only changes the
+# logical name (one metadata commit, zero rewrites — the physical name
+# never changes, so every existing file keeps reading correctly), and
+# DROP removes the field from the logical schema while later re-adds of
+# the same name get a FRESH physical identity, so dropped data is never
+# resurrected. Unmapped tables have physical == logical and take the
+# exact pre-round-12 code paths.
+
+
+def _field_phys(f: dict) -> str:
+    """A schema field's physical name (its logical name until column
+    mapping assigns one)."""
+    return (f.get("metadata") or {}).get("phys") or f["name"]
+
+
+def _phys_map(schema_json: "str | None") -> "dict[str, str]":
+    """{logical name: physical name} for fields that HAVE a distinct
+    recorded physical identity; {} for unmapped tables (physical ==
+    logical everywhere), which keeps every pre-mapping code path
+    byte-identical."""
+    if not schema_json:
+        return {}
+    return {
+        f["name"]: _field_phys(f)
+        for f in json.loads(schema_json).get("fields", [])
+        if (f.get("metadata") or {}).get("phys")
+    }
+
+
+def _physical_struct(schema_json: str):
+    """The recorded schema with every field renamed to its physical
+    name — what the data file bytes actually contain."""
+    from pyspark.sql.types import StructType
+
+    d = json.loads(schema_json)
+    d = {
+        **d,
+        "fields": [{**f, "name": _field_phys(f)} for f in d["fields"]],
+    }
+    return StructType.fromJson(d)
+
+
+def _to_physical(df: DataFrame, schema_json: str) -> DataFrame:
+    """Rename a logical frame's columns to their physical names before
+    staging. Columns outside the mapping pass through unchanged
+    (unmapped fields, and channel columns like ``_change_type``)."""
+    from pyspark.sql import functions as F
+
+    pm = _phys_map(schema_json)
+    if not pm:
+        return df
+    return df.select(
+        *[F.col(c).alias(pm.get(c, c)) for c in df.columns]
+    )
+
+
+def _to_logical_frame(df: DataFrame, schema_json: str) -> DataFrame:
+    """Rename a physical frame's columns back to their CURRENT logical
+    names (the read half of column mapping). Physical names are
+    stable, so this also reconstructs files and CDF sidecars written
+    before any rename; columns outside the mapping (``_change_type``)
+    pass through."""
+    from pyspark.sql import functions as F
+
+    pm = _phys_map(schema_json)
+    if not pm:
+        return df
+    inv = {p: l for l, p in pm.items()}
+    return df.select(
+        *[F.col(c).alias(inv.get(c, c)) for c in df.columns]
+    )
+
+
+def _apply_column_mapping(
+    df: DataFrame, schema_json: str
+) -> "tuple[DataFrame, str]":
+    """The write half on a mapped table: returns ``(physical frame,
+    logical schema json)`` where existing logical names keep their
+    recorded physical identity and NEW columns (schema evolution) get
+    a fresh ``col-<id>`` one — Delta's rule, so a re-added column can
+    never resurrect a dropped column's bytes."""
+    from pyspark.sql import functions as F
+
+    known = {
+        f["name"]: _field_phys(f)
+        for f in json.loads(schema_json).get("fields", [])
+    }
+    sel, out_fields = [], []
+    for f in df.schema.jsonValue()["fields"]:
+        phys = known.get(f["name"]) or f"col-{uuid.uuid4().hex[:12]}"
+        meta = dict(f.get("metadata") or {})
+        meta["phys"] = phys
+        out_fields.append({**f, "metadata": meta})
+        sel.append(F.col(f["name"]).alias(phys))
+    logical = df.schema.jsonValue()
+    return df.select(*sel), json.dumps({**logical, "fields": out_fields})
+
+
+def _refuse_mapped_partitioned(snap: "_Snapshot", path: str, op: str):
+    """Column mapping and partitioned layouts are mutually exclusive
+    in this build: partition directory names are identity/transform
+    values of SOURCE columns, and renaming one would orphan the
+    recorded spec. Refused loudly in both directions."""
+    if snap.partition_by:
+        raise ValueError(
+            f"{op}: the table at {path} is partitioned "
+            f"({snap.partition_by}); column mapping on partitioned "
+            "tables is not supported by this build — rewrite "
+            "unpartitioned first (tx_write mode='overwrite')"
+        )
+
+
+def _mapping_commit(
+    spark, path: str, snap: "_Snapshot", new_schema_json: str,
+    max_retries: int,
+) -> int:
+    """Commit a logical-schema REPLACEMENT (rename/drop): a meta
+    commit whose ``schema_replace`` swaps the recorded schema without
+    touching a data byte. Stamps the ``column-mapping`` writer feature
+    (an old build would write new files under LOGICAL names and break
+    the mapping) and reader level 3 (an old reader would surface
+    physical names)."""
+    delta = _writer_feature_delta(snap.properties, {"column-mapping"})
+    fs = hadoop_fs(spark, path)[0]
+
+    def build(next_v: int) -> dict:
+        payload = {
+            "version": next_v,
+            "action": "meta",
+            "add": [],
+            "remove": [],
+            "txn": None,
+            "schema_replace": new_schema_json,
+            "reader": 3,
+        }
+        if delta:
+            payload["properties"] = delta
+        return payload
+
+    return _commit_with_retries(spark, path, fs, build, None, max_retries)
+
+
+def _mapping_prereqs(spark, path: str, op: str) -> "_Snapshot":
+    snap = _replay(spark, path)
+    _check_writer_features(snap.properties, path)
+    _refuse_mor(snap, path, op)
+    _refuse_mapped_partitioned(snap, path, op)
+    if snap.schema is None:
+        raise ValueError(
+            f"{op}: the table at {path} has no recorded write schema; "
+            "rewrite once with tx_write(mode='overwrite') first"
+        )
+    return snap
+
+
+def _constraint_refs(props: dict, col: str) -> "list[str]":
+    """CHECK constraints whose expression mentions ``col`` as a word —
+    renaming/dropping underneath them would break enforcement, so the
+    operation refuses until the constraint is dropped/re-added."""
+    return sorted(
+        n
+        for n, expr in _table_constraints(props).items()
+        if re.search(rf"\b{re.escape(col)}\b", expr)
+    )
+
+
+def tx_rename_column(
+    spark: SparkSession,
+    path: str,
+    old: str,
+    new: str,
+    max_retries: int = 20,
+) -> int:
+    """ALTER TABLE RENAME COLUMN as a METADATA operation (Delta's
+    column mapping): one commit, zero rewrites, on a 100 TB table as
+    on a 100 MB one. The first rename enables column mapping — every
+    current field's physical name is frozen at its present value, so
+    all existing files (and CDF sidecars) keep reading bit-exactly —
+    and then only the LOGICAL name changes. Old snapshots time-travel
+    with their own schema: ``tx_read(version=...)`` below the rename
+    still shows the old name.
+
+    Refused while merge-on-read tombstones are live (their recorded
+    key column is logical), on partitioned tables (the spec names
+    source columns), and while a CHECK constraint references the
+    column (drop it, rename, re-add against the new name)."""
+    snap = _mapping_prereqs(spark, path, "tx_rename_column")
+    d = json.loads(snap.schema)
+    names = [f["name"] for f in d["fields"]]
+    if old not in names:
+        raise KeyError(f"no column {old!r} in the table at {path} "
+                       f"(has {names})")
+    if new in names:
+        raise ValueError(f"column {new!r} already exists at {path}")
+    if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", new):
+        raise ValueError(f"invalid column name {new!r}")
+    refs = _constraint_refs(snap.properties, old)
+    if refs:
+        raise ValueError(
+            f"cannot rename {old!r}: CHECK constraint(s) {refs} "
+            "reference it — drop them first, re-add against the new "
+            "name"
+        )
+    fields = []
+    for f in d["fields"]:
+        meta = dict(f.get("metadata") or {})
+        meta.setdefault("phys", f["name"])  # freeze physical identity
+        name = new if f["name"] == old else f["name"]
+        fields.append({**f, "name": name, "metadata": meta})
+    return _mapping_commit(
+        spark, path, snap, json.dumps({**d, "fields": fields}), max_retries
+    )
+
+
+def tx_drop_column(
+    spark: SparkSession,
+    path: str,
+    name: str,
+    max_retries: int = 20,
+) -> int:
+    """ALTER TABLE DROP COLUMN as a METADATA operation: the field
+    leaves the logical schema; its bytes stay in the files (readable
+    via time travel until the files are rewritten) but no current read
+    surfaces them, and a later re-add of the same name gets a FRESH
+    physical identity — never the dropped data. Same preconditions as
+    :func:`tx_rename_column`."""
+    snap = _mapping_prereqs(spark, path, "tx_drop_column")
+    d = json.loads(snap.schema)
+    names = [f["name"] for f in d["fields"]]
+    if name not in names:
+        raise KeyError(f"no column {name!r} in the table at {path} "
+                       f"(has {names})")
+    if len(names) == 1:
+        raise ValueError(f"cannot drop the only column of {path}")
+    refs = _constraint_refs(snap.properties, name)
+    if refs:
+        raise ValueError(
+            f"cannot drop {name!r}: CHECK constraint(s) {refs} "
+            "reference it — drop them first"
+        )
+    fields = []
+    for f in d["fields"]:
+        if f["name"] == name:
+            continue
+        meta = dict(f.get("metadata") or {})
+        meta.setdefault("phys", f["name"])  # freeze physical identity
+        fields.append({**f, "metadata": meta})
+    return _mapping_commit(
+        spark, path, snap, json.dumps({**d, "fields": fields}), max_retries
+    )
+
+
 def _stage_and_place(
     df: DataFrame, path: str, partition_by: "Sequence[str] | None" = None
 ) -> list[str]:
@@ -1788,9 +2058,26 @@ def tx_write(
             df, snap0.properties, path, f"tx_write(mode={mode!r})"
         )
     schema_json = df.schema.json()
+    stage_df = df
+    mapped0 = table_exists and bool(_phys_map(snap0.schema))
+    if mapped0:
+        if partition_by:
+            raise ValueError(
+                f"tx_write: the table at {path} uses column mapping; "
+                "partitioned layouts are not combinable with it in "
+                "this build"
+            )
+        # stage under PHYSICAL names; the commit records the logical
+        # schema (new columns get fresh physical identities)
+        stage_df, schema_json = _apply_column_mapping(df, snap0.schema)
+    pm_planned = _phys_map(schema_json)
 
-    added = _stage_and_place(df, path, partition_by)
+    added = _stage_and_place(stage_df, path, partition_by)
     stat_cols = set(stats_cols or [])
+    if mapped0 and stat_cols:
+        # stats key on PHYSICAL names (stable across renames): the
+        # prune side translates the predicate column instead
+        stat_cols = {pm_planned.get(c, c) for c in stat_cols}
     if partition_by:
         # partition values ride the stats channel as [v, v] ranges —
         # one mechanism serves data skipping AND partition pruning
@@ -1862,13 +2149,38 @@ def tx_write(
         if mode != "append":
             return
         _check_append_schema(df, path, schema_mode)
-        now_pb = _replay(spark, path).partition_by
-        if (now_pb or None) != (partition_by or None):
+        now = _replay(spark, path)
+        if (now.partition_by or None) != (partition_by or None):
             raise RuntimeError(
                 f"conflict: table partitioning at {path} changed to "
-                f"{now_pb} while this append (laid out as "
+                f"{now.partition_by} while this append (laid out as "
                 f"{partition_by}) was in flight — re-run the append"
             )
+        # column-mapping drift: our files are staged under the
+        # physical names planned at the anchor — a concurrent
+        # rename/drop touching OUR columns (or enabling mapping in a
+        # way that reassigns them) makes those names stale, and
+        # committing would bind data bytes to the wrong field
+        fresh_pm = _phys_map(now.schema)
+        if fresh_pm or pm_planned:
+            known0 = set(
+                _schema_fields(snap0.schema)
+            ) if table_exists and snap0.schema else set()
+            for c in df.columns:
+                planned = pm_planned.get(c, c)
+                if c in fresh_pm:
+                    if fresh_pm[c] != planned:
+                        raise RuntimeError(
+                            f"conflict: column mapping for {c!r} at "
+                            f"{path} changed while this append was in "
+                            "flight — re-run the append"
+                        )
+                elif c in known0 and c not in _schema_fields(now.schema):
+                    raise RuntimeError(
+                        f"conflict: column {c!r} at {path} was renamed "
+                        "or dropped while this append was in flight — "
+                        "re-run the append"
+                    )
 
     return _commit_with_retries(
         spark, path, fs, build, txn, max_retries,
@@ -1965,6 +2277,10 @@ def _write_checkpoint(spark, path: str, version: int) -> bool:
         # truncation exactly like eps/mor/txns
         payload["schema"] = snap.schema
         payload["schema_evolved"] = snap.evolved
+        if _phys_map(snap.schema):
+            # column mapping outlives log truncation: a level-2
+            # reader would surface physical names as data
+            payload["reader"] = max(payload.get("reader", 1), 3)
     if snap.partition_by is not None:
         # the live layout's partition columns: append-consistency
         # enforcement and partition-column reads survive truncation
@@ -2155,8 +2471,17 @@ def tx_read(
     )
     if conjuncts:
         logged = snap.stats
+        # column mapping: stats key on stable PHYSICAL names — the
+        # predicate column translates here, the residual filter below
+        # stays logical
+        pm = _phys_map(snap.schema) if snap.schema else {}
+        prune = (
+            [(pm.get(c, c), lo, hi) for c, lo, hi in conjuncts]
+            if pm
+            else conjuncts
+        )
         files = [
-            f for f in files if not _prunable(logged.get(f) or {}, conjuncts)
+            f for f in files if not _prunable(logged.get(f) or {}, prune)
         ]
     if not files:
         # an overwrite with an empty DataFrame is a legal empty table:
@@ -2226,6 +2551,16 @@ def _scan_files(
     abs_files = [_abs(path, f) for f in files]
     sigs = {af: _part_signature(af) for af in abs_files}
     if not snap.partition_by and not any(sigs.values()):
+        if snap.schema is not None and _phys_map(snap.schema):
+            # column mapping: scan under the PHYSICAL schema (explicit
+            # — it also null-fills evolved columns missing from old
+            # files), then rename to the current logical names
+            return _to_logical_frame(
+                spark.read.schema(_physical_struct(snap.schema)).parquet(
+                    *abs_files
+                ),
+                snap.schema,
+            )
         return _reader_for(spark, path, snap, merge_schema).parquet(
             *abs_files
         )
@@ -2794,7 +3129,12 @@ def _prepare_merge(
             )
     files, snap_version = sorted(snap.eps), snap.version
     lo, hi = _key_bounds(updates, key_col)
-    touched = _files_overlapping_keys(spark, path, files, lo, hi, key_col, snap)
+    # stats and parquet footers live under PHYSICAL names; joins below
+    # stay logical
+    phys_key = _phys_map(snap.schema).get(key_col, key_col)
+    touched = _files_overlapping_keys(
+        spark, path, files, lo, hi, phys_key, snap
+    )
 
     keys = updates.select(key_col)
     if touched:
@@ -2828,20 +3168,30 @@ def _prepare_merge(
         else:
             # no live file overlaps the key range: every row is new
             changes = updates.withColumn(ct, F.lit("insert"))
-        extra = {"cdf": {"files": _stage_cdf(changes, path), "key": key_col}}
+        extra = {
+            "cdf": {
+                # sidecars store PHYSICAL names (stable across renames
+                # — tx_changes_cdf maps them back to the then-current
+                # logical names); unmapped tables: identity
+                "files": _stage_cdf(_to_physical(changes, snap.schema), path),
+                "key": key_col,
+            }
+        }
         # recording a sidecar obligates every later rewriter to do the
         # same, or downstream pipes silently break: stamp the feature
         delta = _writer_feature_delta(snap.properties, {"cdf"})
         if delta:
             extra["properties"] = delta
 
-    added = _stage_and_place(new_data, path, snap.partition_by)
+    added = _stage_and_place(
+        _to_physical(new_data, snap.schema), path, snap.partition_by
+    )
     return {
         "added": added,
         "touched": touched,
         "snap_version": snap_version,
         "stats": _rewrite_stats(spark, path, touched, added, key_col, snap),
-        "conflict_keys": None if lo is None else (key_col, lo, hi),
+        "conflict_keys": None if lo is None else (phys_key, lo, hi),
         "extra": extra,
     }
 
@@ -3058,7 +3408,9 @@ def _rewrite_stats(
     logged = snap.stats if snap is not None else _log_stats(spark, path)
     cols = {c for f in touched for c in (logged.get(f) or {})}
     if key_col is not None and any(f in logged for f in touched):
-        cols.add(key_col)
+        # stats key on PHYSICAL names on mapped tables
+        pm = _phys_map(snap.schema) if snap is not None else {}
+        cols.add(pm.get(key_col, key_col))
     if snap is not None and snap.partition_by:
         cols.update(snap.partition_by)
     if not cols or not added:
@@ -3099,7 +3451,9 @@ def tx_compact(
     merged = _read_table_files(spark, path, chosen, snap).coalesce(
         target_files
     )
-    added = _stage_and_place(merged, path, snap.partition_by)
+    added = _stage_and_place(
+        _to_physical(merged, snap.schema), path, snap.partition_by
+    )
     return _commit_rewrite(
         spark, path, added, chosen, snap_version, None, "compact",
         stats=_rewrite_stats(spark, path, chosen, added, None, snap),
@@ -3363,6 +3717,12 @@ def tx_changes_cdf(
                 yield v, None, None
                 continue
             rows = spark.read.parquet(*[_abs(path, f) for f in files])
+            if snap.schema is not None:
+                # sidecars store PHYSICAL names: map to the CURRENT
+                # logical names, so the feed reconstructs renamed
+                # columns even for pre-rename merges (physical names
+                # are stable; unmapped tables: identity)
+                rows = _to_logical_frame(rows, snap.schema)
             if c["action"] == "delete":
                 yield v, "delete", rows.drop("_change_type")
             else:
@@ -3466,7 +3826,10 @@ def tx_delete(
         return _commit_with_retries(spark, path, fs, build, txn, 20)
     files, snap_version = sorted(snap.eps), snap.version
     lo, hi = _key_bounds(keys, key_col)
-    touched = _files_overlapping_keys(spark, path, files, lo, hi, key_col, snap)
+    phys_key = _phys_map(snap.schema).get(key_col, key_col)
+    touched = _files_overlapping_keys(
+        spark, path, files, lo, hi, phys_key, snap
+    )
     if not touched:
         # no live file can match — still commit an empty delete so the
         # txn id is recorded for idempotence. The concurrent-append
@@ -3477,7 +3840,7 @@ def tx_delete(
         # of raising on the 'delete' action.
         return _commit_rewrite(
             spark, path, [], [], snap_version, txn, "delete",
-            conflict_keys=None if lo is None else (key_col, lo, hi),
+            conflict_keys=None if lo is None else (phys_key, lo, hi),
             extra={"cdf": {"files": [], "key": key_col}} if cdf else None,
         )
     key_set = keys.select(key_col).distinct()
@@ -3489,16 +3852,23 @@ def tx_delete(
             "_change_type", F.lit("delete")
         )
         extra = {
-            "cdf": {"files": _stage_cdf(deleted_rows, path), "key": key_col}
+            "cdf": {
+                "files": _stage_cdf(
+                    _to_physical(deleted_rows, snap.schema), path
+                ),
+                "key": key_col,
+            }
         }
         delta = _writer_feature_delta(snap.properties, {"cdf"})
         if delta:
             extra["properties"] = delta
-    added = _stage_and_place(survivors, path, snap.partition_by)
+    added = _stage_and_place(
+        _to_physical(survivors, snap.schema), path, snap.partition_by
+    )
     return _commit_rewrite(
         spark, path, added, touched, snap_version, txn, "delete",
         stats=_rewrite_stats(spark, path, touched, added, key_col, snap),
-        conflict_keys=(key_col, lo, hi),
+        conflict_keys=(phys_key, lo, hi),
         extra=extra,
     )
 
@@ -3553,7 +3923,9 @@ def tx_apply_deletes(spark: SparkSession, path: str) -> int | None:
     survivors = parts[0]
     for p in parts[1:]:
         survivors = survivors.unionByName(p)
-    added = _stage_and_place(survivors, path, snap.partition_by)
+    added = _stage_and_place(
+        _to_physical(survivors, snap.schema), path, snap.partition_by
+    )
     return _commit_rewrite(
         spark, path, added, touched, snap_version, None, "apply_deletes",
         stats=_rewrite_stats(spark, path, touched, added, None, snap),
@@ -3611,9 +3983,14 @@ def tx_optimize_zorder(
             return None  # everything live is already clustered
     df = _read_table_files(spark, path, files, snap)
     clustered = zorder_by(df, list(cols), n_files=n_files, bits=bits)
-    added = _stage_and_place(clustered, path, snap.partition_by)
+    added = _stage_and_place(
+        _to_physical(clustered, snap.schema), path, snap.partition_by
+    )
+    pm = _phys_map(snap.schema)
     stats = (
-        _collect_stats(spark, path, added, sorted(cols), snap)
+        _collect_stats(
+            spark, path, added, sorted(pm.get(c, c) for c in cols), snap
+        )
         if added
         else None
     )
