@@ -75,6 +75,16 @@ def intra_batch_dedup(
       either way — historical text is exactly what the ~160 B/doc
       index exists to not keep.
 
+    Measured at sf0.1 (round 12, both modes priced per round in the
+    bench artifact as dedup_pipe_2batch_read / _exact): the exact pass
+    costs ~1.7x the estimate pipe (the extra shingle explode over the
+    batch text), and the estimator's net error at threshold 0.5 is an
+    OVER-drop of ~1.3% of survivors (borderline near-pairs rounding
+    up — a conservative direction for corpus dedup). 'estimate' stays
+    the default because an extra 70% on the hot path buys only those
+    borderline docs back; flip per pipe with ``verify='exact'`` when
+    recall of near-threshold documents matters more than throughput.
+
     ``with_index=True`` returns ``(clean, clean_idx)`` where
     ``clean_idx`` is the survivors' :func:`dedup_index` rows,
     lineage-cut with ``localCheckpoint`` — minhashing (shingle explode

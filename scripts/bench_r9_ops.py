@@ -203,6 +203,20 @@ def measure(spark, sf_dir: str, tmp: str) -> dict[str, float]:
     dedup_pipe_available_now(spark, ds, dd, checkpoint=dc, index=di)
     _noop(tx_read(spark, dd))
     out["dedup_pipe_2batch_read"] = round(time.perf_counter() - t0, 3)
+
+    # the same two ticks with verify='exact' (round 12, VERDICT r11
+    # #4): exact Jaccard over hashed shingles on the banded candidates
+    # — prices the estimator-noise-free intra-batch drop against the
+    # 16-seed estimate above
+    dd2, di2, dc2 = (
+        f"{tmp}/dedup_dst_x", f"{tmp}/dedup_idx_x", f"{tmp}/dedup_ckpt_x",
+    )
+    t0 = time.perf_counter()
+    dedup_pipe_available_now(
+        spark, ds, dd2, checkpoint=dc2, index=di2, verify="exact"
+    )
+    _noop(tx_read(spark, dd2))
+    out["dedup_pipe_2batch_exact"] = round(time.perf_counter() - t0, 3)
     return out
 
 
