@@ -103,3 +103,141 @@ def test_random_op_sequence_matches_model(spark, tmp_path):
             assert _snapshot(spark, t, version=v_old) == want, (
                 f"time travel to v{v_old} diverged at step {step}"
             )
+
+
+def test_two_writer_interleaving_replays_consistently(spark, tmp_path):
+    """Round-12 concurrency model test (VERDICT r11 #7): two writer
+    threads interleave partitioned appends, keyed merges/deletes,
+    partition evolution, CHECK-constraint ADDs, CDF merges, and
+    multi-table MERGEs against ONE table (plus a second participant
+    table). Threads own disjoint keyspaces, so content-wise their
+    successful operations commute and the final table must equal the
+    union of the per-thread models; loud commit-time conflicts are
+    legal outcomes (caught, op skipped). Afterwards EVERY version in
+    the history must replay without error, and the writer-features
+    property must carry the union of both threads' auto-stamps — the
+    round-12 union-fold under real interleaving."""
+    import threading
+    from concurrent.futures import ThreadPoolExecutor
+
+    from distributed_mapreduce__spark.sources.multitx import tx_multi
+    from distributed_mapreduce__spark.sources.txlog import (
+        tx_add_constraint,
+        tx_history,
+        tx_properties,
+        tx_set_partitioning,
+    )
+
+    t = str(tmp_path / "t")
+    t2 = str(tmp_path / "t2")
+    coord = str(tmp_path / "coord")
+
+    def mk(rows):
+        return spark.createDataFrame(rows, "id long, k long, tag string")
+
+    def rowset(lo, hi, n, tag, rng):
+        return [(i, i % 4, tag) for i in rng.sample(range(lo, hi), n)]
+
+    # bootstrap: partitioned on k, one row block per thread's range
+    seed_a = rowset(0, 500, 8, "seed_a", random.Random(1))
+    seed_b = rowset(500, 1000, 8, "seed_b", random.Random(2))
+    tx_write(mk(seed_a + seed_b), t, partition_by=["k"], stats_cols=["id"])
+    tx_write(mk(seed_a), t2)
+    tx_add_constraint(spark, t, "id_box", "id >= 0 AND id < 1000")
+
+    models = {"a": {r[0]: r for r in seed_a}, "b": {r[0]: r for r in seed_b}}
+    model2 = {"a": {r[0]: r for r in seed_a}, "b": {}}
+    conflicts = []
+    lock = threading.Lock()
+
+    def is_conflict(exc) -> bool:
+        msg = str(exc)
+        return (
+            "conflict" in msg
+            or "does not match the table's" in msg
+            or "changed while this" in msg
+            or "could not commit" in msg
+        )
+
+    def writer(name: str, lo: int, hi: int, seed: int):
+        rng = random.Random(seed)
+        step = 0
+        for _ in range(10):
+            step += 1
+            op = rng.choice(
+                ["append", "merge", "merge_cdf", "delete", "evolve",
+                 "constraint", "multi"]
+            )
+            try:
+                if op == "append":
+                    rows = rowset(lo, hi, rng.randint(1, 5),
+                                  f"{name}{step}", rng)
+                    tx_write(mk(rows), t)
+                    with lock:
+                        models[name].update({r[0]: r for r in rows})
+                elif op in ("merge", "merge_cdf"):
+                    rows = rowset(lo, hi, rng.randint(1, 4),
+                                  f"{name}{step}", rng)
+                    tx_merge(mk(rows), t, "id", cdf=(op == "merge_cdf"))
+                    with lock:
+                        models[name].update({r[0]: r for r in rows})
+                elif op == "delete":
+                    keys = rng.sample(range(lo, hi), rng.randint(1, 4))
+                    tx_delete(
+                        spark.createDataFrame([(k,) for k in keys], "id long"),
+                        t, "id",
+                    )
+                    with lock:
+                        for k in keys:
+                            models[name].pop(k, None)
+                elif op == "evolve":
+                    spec = rng.choice([["k"], ["bucket(4, id)"], []])
+                    tx_set_partitioning(spark, t, spec)
+                elif op == "constraint":
+                    # always-true for every row either thread writes
+                    tx_add_constraint(
+                        spark, t, f"tag_{name}", "tag IS NOT NULL"
+                    )
+                elif op == "multi":
+                    rows = rowset(lo, hi, rng.randint(1, 3),
+                                  f"{name}{step}m", rng)
+                    tx_multi(
+                        {t: mk(rows), t2: mk(rows)},
+                        coordinator=coord,
+                        txn=f"{name}-multi-{step}",
+                        modes={t: "merge", t2: "merge"},
+                        merge_keys={t: "id", t2: "id"},
+                    )
+                    with lock:
+                        models[name].update({r[0]: r for r in rows})
+                        model2[name].update({r[0]: r for r in rows})
+            except Exception as exc:  # noqa: BLE001
+                if is_conflict(exc):
+                    conflicts.append((name, op, str(exc)[:60]))
+                else:
+                    raise
+
+    with ThreadPoolExecutor(2) as pool:
+        fa = pool.submit(writer, "a", 0, 500, 20260815)
+        fb = pool.submit(writer, "b", 500, 1000, 20260816)
+        fa.result()
+        fb.result()
+
+    want = sorted({**models["a"], **models["b"]}.values())
+    got = sorted(
+        (r.id, r.k, r.tag) for r in tx_read(spark, t).collect()
+    )
+    assert got == want
+    want2 = sorted({**model2["a"], **model2["b"]}.values())
+    got2 = sorted(
+        (r.id, r.k, r.tag) for r in tx_read(spark, t2).collect()
+    )
+    assert got2 == want2
+    # every committed version replays without error (torn-history pin)
+    for h in tx_history(spark, t):
+        assert tx_read(spark, t, version=h["version"]).count() >= 0
+    # the union fold under real interleaving: a CDF merge by one
+    # thread and partitioned/evolution commits by the other must BOTH
+    # survive in writer.features
+    feats = set(tx_properties(spark, t).get("writer.features", []))
+    assert {"partitioning", "constraints"} <= feats
