@@ -112,13 +112,27 @@ def progress_snapshot(spark: SparkSession) -> dict:
         )
         total += info.numTasks
         done += info.numCompletedTasks
-    return {
+    out = {
         "app_id": sc.applicationId,
         "active_jobs": list(active_jobs),
         "active_stages": stages,
         "progress_pct": (100.0 * done / total) if total else 100.0,
         "default_parallelism": sc.defaultParallelism,
     }
+    from ..streaming.table_stream import PIPES_STATUS
+
+    if PIPES_STATUS:
+        # the multi-pipe scheduler's live row (streaming/table_stream
+        # run_pipes): name -> status/ticks/versions/failures
+        out["pipes"] = {
+            name: {
+                k: st[k]
+                for k in ("status", "ticks", "versions", "failures",
+                          "last_error")
+            }
+            for name, st in PIPES_STATUS.items()
+        }
+    return out
 
 
 @contextmanager

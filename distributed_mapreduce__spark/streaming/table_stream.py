@@ -247,6 +247,130 @@ def pipe_available_now(
     return {"cursor": last, "versions": n_versions, "writes": n_writes}
 
 
+#: Live per-pipe status of the most recent :func:`run_pipes` loop —
+#: {name: {"status", "ticks", "versions", "failures", ...}} — exported
+#: so the runtime dashboard (runtime/progress.progress_snapshot) can
+#: show a pipes row next to the scheduler state. Mutated in place by
+#: the scheduler thread(s); readers treat it as a snapshot.
+PIPES_STATUS: dict = {}
+
+
+def run_pipes(
+    pipes: "dict[str, Callable[[], dict]]",
+    *,
+    interval: float = 10.0,
+    max_rounds: "int | None" = None,
+    backoff: float = 2.0,
+    max_interval: "float | None" = None,
+    max_failures: int = 3,
+    concurrency: "int | None" = None,
+    sleep=None,
+) -> dict:
+    """Drive N AvailableNow pipes against one warehouse — the step
+    from pipe PRIMITIVES to a pipeline you'd leave running. ``pipes``
+    maps a name to a zero-arg tick closure (the same shape
+    :func:`run_pipe` takes: :func:`pipe_available_now`,
+    :func:`rollup_view_available_now`,
+    :func:`~.dedup.dedup_pipe_available_now`, ...), each with its OWN
+    checkpoint — exactly-once per pipe is the drain's own property, so
+    the scheduler adds no coordination, only cadence and isolation:
+
+    - **Concurrent ticks.** Each round runs every due pipe's tick in a
+      thread pool (Spark schedules their jobs concurrently; FAIR or
+      FIFO per the session config). ``concurrency`` caps the pool
+      (default: all due pipes).
+    - **Per-pipe backoff.** A pipe whose tick consumed no versions
+      waits ``backoff``× longer before its next tick (capped at
+      ``max_interval``, default 8×interval); a productive tick snaps
+      it back — ten idle pipes cost ten metadata probes every few
+      minutes, not a hot loop.
+    - **Failure isolation.** A tick that raises marks the pipe's
+      failure count and error; ``max_failures`` CONSECUTIVE failures
+      quarantine that pipe (status ``'poisoned'``, skipped thereafter)
+      while every other pipe keeps draining. A later
+      :func:`run_pipes` call (operator restart after fixing the
+      cause) resumes the poisoned pipe from its checkpoint — crash
+      recovery is the drain's per-version txn idempotence, not the
+      scheduler's.
+    - **Dashboard row.** Progress lives in :data:`PIPES_STATUS`
+      (served by the runtime dashboard's ``/data`` endpoint next to
+      the scheduler snapshot).
+
+    ``max_rounds`` bounds the loop (None = daemon shape); ``sleep`` is
+    injectable for tests. Returns the final per-pipe status dict (the
+    same object as :data:`PIPES_STATUS`)."""
+    import time as _time
+    from concurrent.futures import ThreadPoolExecutor
+
+    if sleep is None:
+        sleep = _time.sleep
+    if max_interval is None:
+        max_interval = interval * 8
+    PIPES_STATUS.clear()
+    state = {
+        name: {
+            "status": "idle", "ticks": 0, "versions": 0, "writes": 0,
+            "folds": 0, "failures": 0, "last_error": None,
+            "wait": interval, "due": 0.0,
+        }
+        for name in pipes
+    }
+    PIPES_STATUS.update(state)
+    clock = 0.0  # virtual time driven by the injectable sleep
+    rounds = 0
+
+    def _tick(name: str):
+        st = state[name]
+        st["status"] = "running"
+        try:
+            r = pipes[name]() or {}
+        except Exception as exc:  # noqa: BLE001 — isolation is the point
+            st["failures"] += 1
+            st["last_error"] = f"{type(exc).__name__}: {exc}"
+            if st["failures"] >= max_failures:
+                st["status"] = "poisoned"
+            else:
+                st["status"] = "failing"
+                st["wait"] = min(st["wait"] * backoff, max_interval)
+                st["due"] = clock + st["wait"]
+            return
+        st["failures"] = 0
+        st["last_error"] = None
+        st["ticks"] += 1
+        for k in ("versions", "writes", "folds"):
+            st[k] += r.get(k, 0)
+        if r.get("versions", 0):
+            st["wait"] = interval  # productive: full cadence
+            st["status"] = "draining"
+        else:
+            st["wait"] = min(st["wait"] * backoff, max_interval)
+            st["status"] = "idle"
+        st["due"] = clock + st["wait"]
+
+    while max_rounds is None or rounds < max_rounds:
+        due = [
+            n for n, st in state.items()
+            if st["status"] != "poisoned" and st["due"] <= clock
+        ]
+        if due:
+            with ThreadPoolExecutor(
+                max_workers=min(len(due), concurrency or len(due))
+            ) as pool:
+                list(pool.map(_tick, due))
+        rounds += 1
+        live = [
+            st for st in state.values() if st["status"] != "poisoned"
+        ]
+        if not live:
+            break  # every pipe is quarantined: nothing left to drive
+        if max_rounds is not None and rounds >= max_rounds:
+            break
+        step = max(min(st["due"] for st in live) - clock, interval)
+        sleep(step)
+        clock += step
+    return state
+
+
 def run_pipe(
     tick: "Callable[[], dict]",
     *,

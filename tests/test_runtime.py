@@ -63,7 +63,9 @@ def test_speculation_enabled_in_engine_session(spark):
 
 def test_progress_snapshot_shape(spark):
     snap = progress_snapshot(spark)
-    assert set(snap) == {
+    # "pipes" appears only while/after a run_pipes loop has state
+    # (streaming/table_stream.PIPES_STATUS is a module-level export)
+    assert set(snap) - {"pipes"} == {
         "app_id",
         "active_jobs",
         "active_stages",

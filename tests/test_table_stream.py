@@ -647,3 +647,80 @@ def test_run_pipe_backoff_cap_and_defaults(spark, tmp_path):
     )
     # tick1 productive (1.0), then quiet: 3, 8 (capped), 8, 8, 8
     assert sleeps == [1.0, 3.0, 8.0, 8.0, 8.0, 8.0]
+
+
+def test_run_pipes_isolation_backoff_and_restart(spark, tmp_path):
+    """Round-12 multi-pipe scheduler (VERDICT r11 #8): N pipes with
+    per-pipe checkpoints driven by run_pipes — one pipe poisoned (its
+    source table does not exist) must be quarantined after
+    max_failures CONSECUTIVE failures while the healthy pipes drain;
+    a restart after fixing the cause resumes the poisoned pipe from
+    its checkpoint; exactly-once holds per pipe across scheduler
+    restarts; the dashboard snapshot carries the pipes row."""
+    from distributed_mapreduce__spark.runtime.progress import (
+        progress_snapshot,
+    )
+    from distributed_mapreduce__spark.streaming.table_stream import (
+        PIPES_STATUS,
+        run_pipes,
+    )
+
+    d = tmp_path
+    s1, s2, s3 = str(d / "s1"), str(d / "s2"), str(d / "s3")
+    d1, d2, d3 = str(d / "d1"), str(d / "d2"), str(d / "d3")
+    c1, c2, c3 = str(d / "c1"), str(d / "c2"), str(d / "c3")
+    tx_write(_df(spark, 0, 10, "a"), s1)
+    tx_write(_df(spark, 10, 15, "b"), s1)
+    tx_write(_df(spark, 0, 5, "z"), s2)
+    # s3 deliberately missing: the poisoned pipe
+
+    pipes = {
+        "copy1": lambda: pipe_available_now(spark, s1, d1, checkpoint=c1),
+        "copy2": lambda: pipe_available_now(spark, s2, d2, checkpoint=c2),
+        "broken": lambda: pipe_available_now(spark, s3, d3, checkpoint=c3),
+    }
+    slept = []
+    state = run_pipes(
+        pipes, interval=1.0, max_rounds=8, max_failures=2,
+        sleep=slept.append,
+    )
+    # healthy pipes drained everything, in this run
+    assert _ids(spark, d1) == list(range(15))
+    assert _ids(spark, d2) == list(range(5))
+    assert state["copy1"]["versions"] == 2
+    assert state["copy2"]["versions"] == 1
+    # the poisoned pipe was quarantined after exactly max_failures
+    # consecutive failures, and never stalled the others
+    assert state["broken"]["status"] == "poisoned"
+    assert state["broken"]["failures"] == 2
+    assert "FileNotFoundError" in state["broken"]["last_error"]
+    assert state["copy1"]["failures"] == 0
+    # quiet ticks backed off: the scheduler slept longer than the base
+    # interval once every pipe was idle/quarantined
+    assert slept and max(slept) > 1.0
+    # the dashboard row
+    snap = progress_snapshot(spark)
+    assert set(snap["pipes"]) == {"copy1", "copy2", "broken"}
+    assert snap["pipes"]["broken"]["status"] == "poisoned"
+
+    # operator fixes the cause and restarts the scheduler: the
+    # poisoned pipe drains from ITS checkpoint; the healthy pipes'
+    # second run consumes nothing (exactly-once across restarts)
+    tx_write(_df(spark, 100, 103, "fix"), s3)
+    state2 = run_pipes(
+        pipes, interval=1.0, max_rounds=2, max_failures=2,
+        sleep=lambda _s: None,
+    )
+    assert _ids(spark, d3) == [100, 101, 102]
+    assert state2["broken"]["status"] in ("idle", "draining")
+    assert state2["broken"]["versions"] == 1
+    assert state2["copy1"]["versions"] == 0  # nothing new: no rewrite
+    assert _ids(spark, d1) == list(range(15))
+    # new source data keeps flowing on the next rounds
+    tx_write(_df(spark, 15, 18, "c"), s1)
+    state3 = run_pipes(
+        pipes, interval=1.0, max_rounds=1, sleep=lambda _s: None,
+    )
+    assert state3["copy1"]["versions"] == 1
+    assert _ids(spark, d1) == list(range(18))
+    assert PIPES_STATUS["copy1"]["versions"] == 1
