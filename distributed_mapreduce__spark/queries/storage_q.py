@@ -465,7 +465,11 @@ def partitioned_txlog_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     # a unique per-row merge key, deterministic across the two write
     # evaluations (ties in the global order are fully-identical rows,
     # so tie-swaps cannot change table contents; the synthetic
-    # lineitem has no unique natural key)
+    # lineitem has no unique natural key).
+    # HARNESS-ONLY: a partitionBy-less Window is a single-task global
+    # sort — fine at the driver-check fixture sizes this query runs
+    # at, a scale-killer on real data (operators/packing.py:8). A real
+    # table has a natural key; don't copy this key-synthesis pattern.
     w = Window.orderBy(
         "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
         "l_quantity", "l_extendedprice", "l_shipdate",
