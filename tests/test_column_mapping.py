@@ -254,3 +254,25 @@ def test_rename_then_constraint_on_new_name(spark, table):
         table,
     )
     assert tx_read(spark, table).filter("id = 999").count() == 1
+
+
+def test_clone_and_restore_on_mapped_tables(spark, table, tmp_path):
+    """Shallow clone of a mapped table reads under the clone's own
+    replay (schema + mapping travel with the seed commit); RESTORE to
+    a pre-mapping version brings the old logical schema back (the
+    overwrite fold replaces the schema) and the table keeps working."""
+    from distributed_mapreduce__spark.sources.txlog import (
+        tx_clone,
+        tx_restore,
+    )
+
+    v_pre = 0
+    tx_rename_column(spark, table, "val", "amount")
+    c = str(tmp_path / "clone")
+    tx_clone(spark, table, c)
+    got = tx_read(spark, c)
+    assert got.columns == ["id", "amount", "tag"]
+    assert got.count() == 20
+    tx_restore(spark, table, version=v_pre)
+    assert tx_read(spark, table).columns == ["id", "val", "tag"]
+    assert tx_read(spark, table).count() == 20

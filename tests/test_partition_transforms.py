@@ -254,3 +254,32 @@ def test_bucket_expr_matches_driver_side_twin(spark):
     for r in rows:
         assert r.bi == _bucket_of(r.id, 16)
         assert r.bs == _bucket_of(r.s, 16)
+
+
+def test_zorder_preserves_transform_layout_and_pruning(spark, tmp_path):
+    """OPTIMIZE ZORDER on a hidden-partitioned table re-clusters
+    within the layout: outputs land back under their days() dirs, the
+    hidden column stays hidden, and source-predicate pruning keeps
+    holding afterwards (the rewrite re-derives placement and its path
+    stats)."""
+    from distributed_mapreduce__spark.sources.txlog import (
+        tx_optimize_zorder,
+        tx_restore,
+    )
+
+    t = str(tmp_path / "z")
+    df = spark.createDataFrame(
+        [(i, dt.datetime(2024, 3, 1 + i % 3), i % 100) for i in range(60)],
+        "id long, ts timestamp, v long",
+    )
+    tx_write(df, t, partition_by=["days(ts)"], stats_cols=["v"])
+    tx_optimize_zorder(spark, t, ["v"], n_files=2)
+    got = tx_read(spark, t)
+    assert got.columns == ["id", "ts", "v"]
+    assert got.count() == 60
+    lo, hi = dt.datetime(2024, 3, 2), dt.datetime(2024, 3, 2, 23)
+    opened = tx_read(spark, t, where=("ts", lo, hi)).inputFiles()
+    assert opened and all("_p_days_ts=2024-03-02" in f for f in opened)
+    # restore across the rewrite keeps the layout readable
+    tx_restore(spark, t, version=0)
+    assert tx_read(spark, t).count() == 60
