@@ -276,3 +276,40 @@ def test_clone_and_restore_on_mapped_tables(spark, table, tmp_path):
     tx_restore(spark, table, version=v_pre)
     assert tx_read(spark, table).columns == ["id", "val", "tag"]
     assert tx_read(spark, table).count() == 20
+
+
+def test_append_racing_concurrent_rename_refuses(spark, tmp_path, monkeypatch):
+    """The commit-retry mapping-drift guard: a merge-mode append whose
+    files were staged under the pre-rename physical plan must refuse
+    at commit time when a concurrent RENAME (or drop) of one of its
+    columns lands in the race window — committing would bind the
+    staged bytes to a stale field identity."""
+    t = str(tmp_path / "t")
+    tx_write(_df(spark, 0, 10), t)
+    tx_rename_column(spark, t, "tag", "label")  # mapping enabled
+
+    real_stage = txlog._stage_and_place
+    fired = {}
+
+    def stage_with_rename(df, path, partition_by=None):
+        out = real_stage(df, path, partition_by)
+        if "done" not in fired:
+            fired["done"] = True
+            # a concurrent writer renames `val` AFTER our plan froze
+            tx_rename_column(spark, path, "val", "amount")
+        return out
+
+    monkeypatch.setattr(txlog, "_stage_and_place", stage_with_rename)
+    with pytest.raises((RuntimeError, ValueError), match="renamed|dropped|schema"):
+        tx_write(
+            spark.createDataFrame(
+                [(99, 1, "x")], "id long, val long, label string"
+            ),
+            t,
+            schema_mode="merge",
+        )
+    monkeypatch.undo()
+    # nothing landed; the table still reads consistently post-rename
+    got = tx_read(spark, t)
+    assert got.columns == ["id", "amount", "label"]
+    assert got.count() == 10
