@@ -699,7 +699,7 @@ SELECT o_orderpriority,
        count(*) AS n_orders,
        CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS total_price
 FROM orders
-WHERE o_orderdate >= DATE '1994-01-01' AND o_orderdate <= DATE '1994-12-31'
+WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate <= DATE '1996-12-31'
 GROUP BY o_orderpriority
 """
 
@@ -740,7 +740,7 @@ def hidden_partition_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         tx_read(
             spark,
             table,
-            where=("o_orderdate", _dt.date(1994, 1, 1), _dt.date(1994, 12, 31)),
+            where=("o_orderdate", _dt.date(1996, 1, 1), _dt.date(1996, 12, 31)),
         )
         .groupBy("o_orderpriority")
         .agg(
@@ -748,5 +748,117 @@ def hidden_partition_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
             .cast("double")
             .alias("total_price"),
+        )
+    )
+
+
+_DV_ORACLE = """
+SELECT l_returnflag,
+       count(*) AS n_items,
+       CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS total_qty
+FROM (
+  SELECT l_returnflag, l_quantity FROM lineitem
+  WHERE NOT (l_quantity <= 5 AND l_discount >= 0.07)
+  UNION ALL
+  SELECT l_returnflag, l_quantity FROM lineitem
+  WHERE l_orderkey % 100 = 7
+) survivors
+GROUP BY l_returnflag
+"""
+
+
+@register_local("dv_delete_agg", oracle=_DV_ORACLE)
+def dv_delete_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional deletion vectors under the value oracle (round 12):
+    commit lineitem, DELETE WHERE a predicate over two non-key columns
+    via ``tx_delete_where`` — committed as KB-scale (file, row-ordinal)
+    sidecars, ZERO data files rewritten (sources/txlog.py, Delta's
+    deletion-vector design over Spark's ``_metadata.row_index``) —
+    then RE-APPEND a subset and aggregate. Equality with the direct
+    predicate oracle proves both read-side contracts at once: DV'd
+    positions are invisible, and rows appended AFTER the delete are
+    never its victims (a DV pins to the exact files it scanned), even
+    when they match the predicate."""
+    import tempfile
+
+    from ..sources.txlog import tx_delete_where, tx_read, tx_write
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_quantity", "l_discount"
+    )
+    table = tempfile.mkdtemp(prefix="dv_q_") + "/t"
+    tx_write(li, table, stats_cols=["l_quantity"])
+    tx_delete_where(
+        spark, table, "l_quantity <= 5 AND l_discount >= 0.07"
+    )
+    tx_write(li.filter(F.col("l_orderkey") % 100 == 7), table)
+    return (
+        tx_read(spark, table)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_qty"),
+        )
+    )
+
+
+_DV_DEDUP_ORACLE = """
+SELECT lang,
+       count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents
+GROUP BY lang
+"""
+
+
+@register_local("dedup_rows_dv_agg", oracle=_DV_DEDUP_ORACLE)
+def dedup_rows_dv_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PHYSICAL row-level dedup via deletion vectors (round 12): ingest
+    the documents corpus, then ingest two overlapping batches again —
+    bit-identical duplicate rows no key- or predicate-addressed delete
+    could disambiguate — and erase exactly the extra copies:
+    ``tx_scan_with_pos`` surfaces stable (file, row-ordinal)
+    coordinates, a window over the record identity keeps the first
+    copy, ``tx_delete_positions`` commits the losers as a KB-scale DV
+    (zero files rewritten). The aggregate must equal a direct scan of
+    the ORIGINAL corpus — the dedup restored it exactly. This is the
+    training-data shape: physically dropping re-crawled duplicates
+    from an ACID corpus table without rewriting untouched files."""
+    import tempfile
+
+    from pyspark.sql.window import Window
+
+    from ..sources.txlog import (
+        tx_delete_positions,
+        tx_read,
+        tx_scan_with_pos,
+        tx_write,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    table = tempfile.mkdtemp(prefix="dv_dedup_q_") + "/t"
+    tx_write(docs, table)
+    tx_write(docs.filter(F.col("doc_id") % 3 == 0), table)
+    tx_write(docs.filter(F.col("doc_id") % 7 == 0), table)
+    pos = tx_scan_with_pos(spark, table)
+    losers = (
+        pos.withColumn(
+            "_rank",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy("_file", "_pos")
+            ),
+        )
+        .filter(F.col("_rank") > 1)
+        .select("_file", "_pos")
+    )
+    tx_delete_positions(losers, table)
+    return (
+        tx_read(spark, table)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
         )
     )

@@ -247,8 +247,9 @@ def tx_multi(
         if part_by:
             stat_cols.update(part_by)
         pseudo = _Snapshot(
-            eps={}, mor=[], version=-1, schema=schema_json, evolved=False,
-            properties={}, partition_by=part_by, stats={}, txns={},
+            eps={}, mor=[], dv=[], version=-1, schema=schema_json,
+            evolved=False, properties={}, partition_by=part_by,
+            stats={}, txns={},
         )
         stats = (
             _collect_stats(

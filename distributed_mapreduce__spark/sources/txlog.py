@@ -107,8 +107,12 @@ CHECKPOINT_EVERY = 10
 #: partitioning (transform specs like ``days(ts)``) — the placement
 #: directories carry DERIVED columns that are NOT table columns, and a
 #: level-2 reader scanning them would surface the derived column as
-#: data (wrong schema) instead of dropping it.
-READER_VERSION = 3
+#: data (wrong schema) instead of dropping it. Level 4: positional
+#: deletion vectors (``tx_delete_where`` / ``tx_delete_positions``) —
+#: a ``dv`` commit names (file, row position) pairs as logically
+#: deleted; a lower-level reader replaying it would see "no files
+#: changed" and resurrect every DV-deleted row.
+READER_VERSION = 4
 
 #: Write-side table features this build maintains (the Delta
 #: table-features model, writer half): a table whose
@@ -125,7 +129,7 @@ READER_VERSION = 3
 #: :func:`tx_require_writer_features`.
 WRITER_FEATURES = frozenset(
     {"cdf", "schema-evolution", "partitioning", "mor", "properties",
-     "constraints", "partition-transforms", "column-mapping"}
+     "constraints", "partition-transforms", "column-mapping", "dv"}
 )
 
 _PAD = 20  # zero-padded version filenames sort lexicographically
@@ -599,6 +603,11 @@ class _Snapshot:
     eps: dict
     #: live merge-on-read tombstones {"version","col","files"}, commit order
     mor: list
+    #: live positional deletion vectors {"version","files","targets"},
+    #: commit order — files are _dv/ sidecars of (_file, _pos) pairs,
+    #: targets the data files they apply to (DVs pin to exact files,
+    #: so unlike mor they need no epoch scoping)
+    dv: list
     #: effective version of this snapshot
     version: int
     #: latest recorded write-schema json (None = pre-schema-recording)
@@ -654,7 +663,7 @@ def _replay(spark, path: str, version: int | None = None) -> _Snapshot:
         )
     ckpts = [v for v, kind in commits if kind == "checkpoint" and v <= version]
     s = _Snapshot(
-        eps={}, mor=[], version=version, schema=None, evolved=False,
+        eps={}, mor=[], dv=[], version=version, schema=None, evolved=False,
         properties={}, partition_by=None, stats={}, txns={},
     )
     start = 0
@@ -667,6 +676,7 @@ def _replay(spark, path: str, version: int | None = None) -> _Snapshot:
         # tombstone v > ckpt applies to all of them regardless
         s.eps = dict(ck.get("eps") or {f: ckpts[-1] for f in ck["files"]})
         s.mor = list(ck.get("mor") or [])
+        s.dv = list(ck.get("dv") or [])
         s.schema = ck.get("schema")
         s.evolved = bool(ck.get("schema_evolved"))
         s.properties = dict(ck.get("properties") or {})
@@ -712,6 +722,7 @@ def _replay(spark, path: str, version: int | None = None) -> _Snapshot:
         if c["action"] == "overwrite":
             s.eps = {}
             s.mor = []
+            s.dv = []
             s.schema = c.get("schema")
             s.evolved = False
             s.partition_by = c.get("partition_by")
@@ -752,6 +763,17 @@ def _replay(spark, path: str, version: int | None = None) -> _Snapshot:
         if c.get("mor_clears"):
             cleared = set(c["mor_clears"])
             s.mor = [t for t in s.mor if t["version"] not in cleared]
+        if c.get("dv"):
+            s.dv.append(
+                {
+                    "version": v,
+                    "files": c["dv"]["files"],
+                    "targets": c["dv"]["targets"],
+                }
+            )
+        if c.get("dv_clears"):
+            cleared = set(c["dv_clears"])
+            s.dv = [d for d in s.dv if d["version"] not in cleared]
     return s
 
 
@@ -778,14 +800,24 @@ def _snapshot_files(
 
 
 def _refuse_mor(snap: "_Snapshot", path: str, op: str) -> None:
-    """Refuse ``op`` while merge-on-read tombstones are live: file-set
-    operations (compact/zorder/merge/diff/restore/clone) would either
-    resurrect logically-deleted rows or double-apply tombstones. The
-    fix is always the same bounded rewrite: ``tx_apply_deletes``."""
+    """Refuse ``op`` while merge-on-read delete debt is live — equality
+    tombstones (``tx_delete(mode='merge_on_read')``) or positional
+    deletion vectors (``tx_delete_where``/``tx_delete_positions``):
+    file-set operations (compact/zorder/merge/diff/restore/clone)
+    would either resurrect logically-deleted rows or double-apply the
+    deletes (a DV names exact files — rewriting one orphans its
+    positions). The fix is always the same bounded rewrite:
+    ``tx_apply_deletes``."""
     if snap.mor:
         vs = [t["version"] for t in snap.mor]
         raise ValueError(
             f"{op} on {path} with live merge-on-read delete tombstones "
+            f"(versions {vs}); run tx_apply_deletes first"
+        )
+    if snap.dv:
+        vs = [d["version"] for d in snap.dv]
+        raise ValueError(
+            f"{op} on {path} with live deletion vectors "
             f"(versions {vs}); run tx_apply_deletes first"
         )
 
@@ -1828,6 +1860,33 @@ def _stage_deletes(keys: DataFrame, path: str) -> list[str]:
     return placed
 
 
+def _stage_dv(pos: DataFrame, path: str) -> list[str]:
+    """Stage a deletion vector's (``_file``, ``_pos``) pairs under
+    ``_dv/`` (NOT ``data/`` — sidecar schema must never leak into
+    schema recovery or the data-file sweep). A DV is KB-scale by
+    use-case (positions, not rows); coalesce(1) keeps the read-side
+    broadcast a single file."""
+    spark = pos.sparkSession
+    stage_dir = f"{path}/_staging/{uuid.uuid4().hex}"
+    pos.select("_file", "_pos").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(stage_dir)
+    fs, sdir = hadoop_fs(spark, stage_dir)
+    fs.mkdirs(hadoop_fs(spark, f"{path}/_dv")[1])
+    placed = []
+    for st in fs.listStatus(sdir):
+        if not st.getPath().getName().endswith(".parquet"):
+            continue
+        name = f"{uuid.uuid4().hex}.parquet"
+        if not fs.rename(
+            st.getPath(), hadoop_fs(spark, f"{path}/_dv/{name}")[1]
+        ):
+            raise RuntimeError(f"could not place dv file {name}")
+        placed.append(f"_dv/{name}")
+    fs.delete(sdir, True)
+    return placed
+
+
 def _stage_cdf(rows: DataFrame, path: str) -> list[str]:
     """Stage a rewrite's change rows (table schema + ``_change_type``)
     under ``_cdf/`` — NOT ``data/``: sidecars are change-feed payload,
@@ -2083,8 +2142,9 @@ def tx_write(
         # one mechanism serves data skipping AND partition pruning
         stat_cols.update(partition_by)
     pseudo = _Snapshot(
-        eps={}, mor=[], version=-1, schema=schema_json, evolved=False,
-        properties={}, partition_by=partition_by, stats={}, txns={},
+        eps={}, mor=[], dv=[], version=-1, schema=schema_json,
+        evolved=False, properties={}, partition_by=partition_by,
+        stats={}, txns={},
     )
     stats = (
         _collect_stats(
@@ -2303,6 +2363,11 @@ def _write_checkpoint(spark, path: str, version: int) -> bool:
         # folded tombstones: level-2 readers only (3 may already be
         # stamped by a transform layout above — keep the max)
         payload["reader"] = max(payload.get("reader", 1), 2)
+    if snap.dv:
+        # live deletion vectors must survive log truncation or the
+        # next replay resurrects every DV-deleted row; level-4 readers
+        payload["dv"] = snap.dv
+        payload["reader"] = max(payload.get("reader", 1), 4)
     # checkpoints are an optimization; losing the race to an identical
     # concurrent checkpoint is fine
     _write_atomic(
@@ -2531,9 +2596,51 @@ def _part_signature(abs_file: str) -> "tuple[str, ...]":
     )
 
 
+def _with_pos_cols(df: DataFrame) -> DataFrame:
+    """Project Spark's hidden ``_metadata`` parquet columns into
+    regular ones — called on the RAW scan output, before any
+    projection/union loses the metadata resolution. ``__dv_base`` is
+    the file's basename (placed files are UUID-named, so the URI form
+    needs no percent-decoding and maps 1:1 back to the log's relative
+    name); ``_pos`` is the row's ordinal within its file
+    (``_metadata.row_index`` — stable across splits and re-reads,
+    parquet's physical row order)."""
+    from pyspark.sql import functions as F
+
+    return df.select(
+        F.element_at(
+            F.split(F.col("_metadata.file_path"), "/"), -1
+        ).alias("__dv_base"),
+        F.col("_metadata.row_index").alias("_pos"),
+        "*",
+    )
+
+
+def _pos_name_map(spark, files: list[str]) -> DataFrame:
+    """(``__dv_base``, ``_file``) mapping from scanned basenames back
+    to the log's stored file names (relative, or absolute for a
+    clone's source refs) — broadcast-joined onto a positional scan.
+    Placed files are UUID-named so collisions are practically
+    impossible; refuse loudly if one ever appears rather than
+    mis-attributing positions."""
+    base_map: dict[str, str] = {}
+    for f in files:
+        b = f.rsplit("/", 1)[-1]
+        if b in base_map:
+            raise RuntimeError(
+                f"data file basename collision: {b!r} appears as both "
+                f"{base_map[b]!r} and {f!r} — positional scan cannot "
+                "attribute rows"
+            )
+        base_map[b] = f
+    return spark.createDataFrame(
+        list(base_map.items()), "__dv_base string, _file string"
+    )
+
+
 def _scan_files(
     spark, path: str, snap: _Snapshot, files: list[str],
-    merge_schema: bool = False,
+    merge_schema: bool = False, with_pos: bool = False,
 ) -> DataFrame:
     """Scan live ``files`` under the snapshot's read contract. A live
     set can mix LAYOUT CONTRACTS: multiple data roots (a shallow
@@ -2547,7 +2654,13 @@ def _scan_files(
     and columns absent from a group's paths read from its file bytes,
     where the other layout keeps them), and the groups union by name.
     Tables that never partitioned take the plain :func:`_reader_for`
-    path unchanged."""
+    path unchanged.
+
+    ``with_pos=True`` prepends ``_file`` (the log's stored name) and
+    ``_pos`` (``_metadata.row_index``) columns — the stable physical
+    row coordinates deletion vectors address. The metadata projection
+    happens on each group's raw scan (hidden columns don't survive
+    unions), and the basename→name mapping is one broadcast join."""
     abs_files = [_abs(path, f) for f in files]
     sigs = {af: _part_signature(af) for af in abs_files}
     if not snap.partition_by and not any(sigs.values()):
@@ -2555,15 +2668,27 @@ def _scan_files(
             # column mapping: scan under the PHYSICAL schema (explicit
             # — it also null-fills evolved columns missing from old
             # files), then rename to the current logical names
-            return _to_logical_frame(
-                spark.read.schema(_physical_struct(snap.schema)).parquet(
-                    *abs_files
-                ),
-                snap.schema,
+            # (_to_logical_frame passes non-schema columns — including
+            # the positional ones — through unchanged)
+            raw = spark.read.schema(
+                _physical_struct(snap.schema)
+            ).parquet(*abs_files)
+            if with_pos:
+                raw = _with_pos_cols(raw)
+            out = _to_logical_frame(raw, snap.schema)
+        else:
+            out = _reader_for(spark, path, snap, merge_schema).parquet(
+                *abs_files
             )
-        return _reader_for(spark, path, snap, merge_schema).parquet(
-            *abs_files
-        )
+            if with_pos:
+                out = _with_pos_cols(out)
+        if with_pos:
+            from pyspark.sql import functions as F
+
+            out = out.join(
+                F.broadcast(_pos_name_map(spark, files)), "__dv_base"
+            ).drop("__dv_base")
+        return out
     recorded = (
         {f["name"] for f in json.loads(snap.schema)["fields"]}
         if snap.schema is not None
@@ -2587,6 +2712,8 @@ def _scan_files(
         elif merge_schema or snap.evolved:
             reader = reader.option("mergeSchema", "true")
         part = reader.parquet(*groups[(root, sig)])
+        if with_pos:
+            part = _with_pos_cols(part)
         if recorded is not None:
             # HIDDEN partition dirs (transform placement like
             # _p_days_ts=...): Spark appends directory columns missing
@@ -2600,6 +2727,12 @@ def _scan_files(
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
+    if with_pos:
+        from pyspark.sql import functions as F
+
+        out = out.join(
+            F.broadcast(_pos_name_map(spark, files)), "__dv_base"
+        ).drop("__dv_base")
     return out
 
 
@@ -2644,10 +2777,51 @@ def _read_with_mor(
     — the scan itself stays a plain pushdown-friendly parquet read and
     nothing shuffles, which is the point of merge-on-read at 100 TB:
     a sparse delete costs a KB-sized broadcast at read time instead of
-    rewriting every touched file at delete time."""
+    rewriting every touched file at delete time.
+
+    Live positional deletion vectors (``tx_delete_where`` /
+    ``tx_delete_positions``) apply here too: files any live DV targets
+    scan WITH row positions and take ONE broadcast anti-join on
+    ``(_file, _pos)`` against the union of live DV sidecars (a
+    position pair matches at most its own file, so one join covers
+    every DV); untargeted files scan plain. Equality tombstones and
+    DVs never coexist (both write fronts refuse), so the two
+    mechanisms never stack on one file."""
+    from pyspark.sql import functions as F
+
+    if snap.dv:
+        if mor:  # unreachable (write fronts refuse) — never misread
+            raise RuntimeError(
+                f"table {path} carries BOTH equality tombstones and "
+                "deletion vectors; run tx_apply_deletes"
+            )
+        targeted: set = set()
+        for d in snap.dv:
+            targeted.update(d["targets"])
+        dirty = [f for f in files if f in targeted]
+        clean = [f for f in files if f not in targeted]
+        parts = []
+        if dirty:
+            df = _scan_files(
+                spark, path, snap, dirty, merge_schema, with_pos=True
+            )
+            sidecars = [
+                _abs(path, sf) for d in snap.dv for sf in d["files"]
+            ]
+            pos = spark.read.parquet(*sidecars)
+            parts.append(
+                df.join(
+                    F.broadcast(pos), ["_file", "_pos"], "left_anti"
+                ).drop("_file", "_pos")
+            )
+        if clean:
+            parts.append(_scan_files(spark, path, snap, clean, merge_schema))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
     if not mor:
         return _scan_files(spark, path, snap, files, merge_schema)
-    from pyspark.sql import functions as F
 
     tomb_versions = [t["version"] for t in mor]
     groups: dict[int, list[str]] = {}
@@ -2720,6 +2894,10 @@ def tx_history(spark: SparkSession, path: str) -> list[dict]:
             entry["mor_col"] = c["mor"]["col"]
         if c.get("mor_clears"):
             entry["mor_clears"] = c["mor_clears"]
+        if c.get("dv"):
+            entry["dv_targets"] = len(c["dv"]["targets"])
+        if c.get("dv_clears"):
+            entry["dv_clears"] = c["dv_clears"]
         out.append(entry)
     return out
 
@@ -2836,10 +3014,14 @@ def tx_vacuum(
     # union of everything any retained snapshot references
     live: set = set()
     live_tombs: set = set()
+    live_dvs: set = set()
     for v in retained:
-        eps_v, mor_v, _ = _snapshot_state(spark, path, v)
-        live |= {_abs(path, f) for f in eps_v}
-        live_tombs |= {_abs(path, f) for t in mor_v for f in t["files"]}
+        snap_v = _replay(spark, path, v)
+        live |= {_abs(path, f) for f in snap_v.eps}
+        live_tombs |= {
+            _abs(path, f) for t in snap_v.mor for f in t["files"]
+        }
+        live_dvs |= {_abs(path, f) for d in snap_v.dv for f in d["files"]}
     # a pending multi-table txn blocks the checkpoint (see
     # _write_checkpoint): then the log must not be truncated (the
     # commit entries carry the only record of its adds). Its
@@ -2879,12 +3061,25 @@ def tx_vacuum(
             c = _load(spark, path, f"{v:0{_PAD}d}.json")
             if c.get("mor"):
                 live_tombs |= {_abs(path, f) for f in c["mor"]["files"]}
+            if c.get("dv"):
+                live_dvs |= {_abs(path, f) for f in c["dv"]["files"]}
     ddir_fs, ddir = hadoop_fs(spark, f"{path}/_deletes")
     if ddir_fs.exists(ddir):
         for st in ddir_fs.listStatus(ddir):
             full = _abs(path, f"_deletes/{st.getPath().getName()}")
             if full not in live_tombs and not _in_grace(st.getPath()):
                 ddir_fs.delete(st.getPath(), False)
+                deleted.append(full)
+    # deletion-vector sidecar sweep: same contract as tombstones — a
+    # _dv file is live while any retained snapshot's DV set names it
+    # (folded into the pivot checkpoint); cleared/settled ones are
+    # debris
+    dvdir_fs, dvdir = hadoop_fs(spark, f"{path}/_dv")
+    if dvdir_fs.exists(dvdir):
+        for st in dvdir_fs.listStatus(dvdir):
+            full = _abs(path, f"_dv/{st.getPath().getName()}")
+            if full not in live_dvs and not _in_grace(st.getPath()):
+                dvdir_fs.delete(st.getPath(), False)
                 deleted.append(full)
     # drop commit entries (and stale checkpoints) below the pivot
     # (safe: the surviving pivot checkpoint pins the version counter,
@@ -3352,6 +3547,16 @@ def _commit_rewrite(
                 f"version {snap_version}; re-run the {action} (or "
                 "tx_apply_deletes) on the new snapshot"
             )
+        # same rule for deletion vectors: a rewrite's outputs are NEW
+        # files no live DV targets, so any DV it didn't plan to clear
+        # would silently lose its deletes on the rewritten rows
+        planned_dv = set((extra or {}).get("dv_clears", []))
+        if {d["version"] for d in snap_now.dv} != planned_dv:
+            raise RuntimeError(
+                f"conflict: deletion vectors changed since version "
+                f"{snap_version}; re-run the {action} (or "
+                "tx_apply_deletes) on the new snapshot"
+            )
         if conflict_keys is not None:
             key_col, lo, hi = conflict_keys
             clashing = _concurrent_append_conflicts(
@@ -3525,6 +3730,7 @@ def _is_noop_delete(c: dict) -> bool:
         and not c.get("add")
         and not c.get("remove")
         and not c.get("mor")
+        and not c.get("dv")
     )
 
 
@@ -3801,6 +4007,15 @@ def tx_delete(
     _check_writer_features(snap.properties, path)
     if txn is not None and (prior := snap.txns.get(txn)) is not None:
         return prior
+    if snap.dv:
+        # never stack the two merge-on-read mechanisms: a DV-targeted
+        # file takes the positional read path, which must not also owe
+        # an equality anti-join (CoW would orphan DV positions too)
+        raise ValueError(
+            f"tx_delete on {path} with live deletion vectors (versions "
+            f"{[d['version'] for d in snap.dv]}); run tx_apply_deletes "
+            "first"
+        )
     if cdf is None:
         cdf = _cdf_props_default(snap.properties)
     if mode == "merge_on_read":
@@ -3892,6 +4107,40 @@ def tx_apply_deletes(spark: SparkSession, path: str) -> int | None:
     the tombstone key files still requires :func:`tx_vacuum`."""
     snap = _replay(spark, path)
     _check_writer_features(snap.properties, path)
+    if snap.dv:
+        # settle positional deletion vectors: rewrite exactly the
+        # targeted files without their DV'd positions (the same ONE
+        # broadcast anti-join the reader runs), clear the DVs in the
+        # commit. mor and dv never coexist (both write fronts refuse).
+        from pyspark.sql import functions as F
+
+        dv_versions = [d["version"] for d in snap.dv]
+        targeted = sorted(
+            {f for d in snap.dv for f in d["targets"] if f in snap.eps}
+        )
+        if not targeted:
+            # DVs outlived every targeted file (e.g. overwritten away
+            # mid-retention): clear them with a metadata-only commit
+            return _commit_rewrite(
+                spark, path, [], [], snap.version, None, "apply_deletes",
+                extra={"dv_clears": dv_versions, "reader": 4},
+            )
+        df = _scan_files(spark, path, snap, targeted, with_pos=True)
+        pos = spark.read.parquet(
+            *[_abs(path, sf) for d in snap.dv for sf in d["files"]]
+        )
+        survivors = df.join(
+            F.broadcast(pos), ["_file", "_pos"], "left_anti"
+        ).drop("_file", "_pos")
+        added = _stage_and_place(
+            _to_physical(survivors, snap.schema), path, snap.partition_by
+        )
+        return _commit_rewrite(
+            spark, path, added, targeted, snap.version, None,
+            "apply_deletes",
+            stats=_rewrite_stats(spark, path, targeted, added, None, snap),
+            extra={"dv_clears": dv_versions, "reader": 4},
+        )
     eps, mor, snap_version = snap.eps, snap.mor, snap.version
     if not mor:
         return None
@@ -3931,6 +4180,343 @@ def tx_apply_deletes(spark: SparkSession, path: str) -> int | None:
         stats=_rewrite_stats(spark, path, touched, added, None, snap),
         extra={"mor_clears": tomb_versions, "reader": 2},
     )
+
+
+def tx_scan_with_pos(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """Snapshot read WITH physical row coordinates: the table's rows
+    prefixed by ``_file`` (the log's stored data-file name) and
+    ``_pos`` (the row's ordinal within that file — Spark's
+    ``_metadata.row_index``, parquet's stable physical row order).
+    Together they address an exact physical row, which is what lets a
+    pipeline delete ONE of two bit-identical duplicates — the
+    row-level primitive key-based deletes fundamentally lack (an
+    equality delete removes every copy or none).
+
+    Live deletion vectors are applied, so already-deleted coordinates
+    never resurface (feeding a scan's losers straight back into
+    :func:`tx_delete_positions` is idempotent). Refuses on live
+    equality tombstones (``tx_delete(mode='merge_on_read')``): their
+    victims are key-addressed, and surfacing them WITH coordinates
+    would invite double-delete bookkeeping — settle with
+    ``tx_apply_deletes`` first."""
+    from pyspark.sql import functions as F
+
+    snap = _replay(spark, path, version)
+    if snap.mor:
+        raise ValueError(
+            f"tx_scan_with_pos on {path} with live equality tombstones "
+            f"(versions {[t['version'] for t in snap.mor]}); run "
+            "tx_apply_deletes first"
+        )
+    files = sorted(snap.eps)
+    if not files:
+        from pyspark.sql.types import (
+            LongType, StringType, StructField, StructType,
+        )
+
+        base = (
+            json.loads(snap.schema)["fields"] if snap.schema else []
+        )
+        return spark.createDataFrame(
+            [],
+            StructType(
+                [
+                    StructField("_file", StringType()),
+                    StructField("_pos", LongType()),
+                ]
+                + [StructField.fromJson(f) for f in base]
+            ),
+        )
+    df = _scan_files(spark, path, snap, files, with_pos=True)
+    if snap.dv:
+        pos = spark.read.parquet(
+            *[_abs(path, sf) for d in snap.dv for sf in d["files"]]
+        )
+        df = df.join(F.broadcast(pos), ["_file", "_pos"], "left_anti")
+    return df
+
+
+def _commit_dv(
+    spark,
+    path: str,
+    snap: "_Snapshot",
+    sidecars: list[str],
+    targets: list[str],
+    txn: str | None,
+    cdf_files: "list[str] | None",
+    max_retries: int = 20,
+) -> int:
+    """Commit a deletion-vector delete: no files added or removed —
+    the ``dv`` entry names the KB-scale position sidecars and the
+    exact data files they target. Commit-time revalidation (every time
+    the log advances past the prepare snapshot): writer features, no
+    concurrent equality tombstone, and every target STILL LIVE — a
+    concurrent rewrite of a target would orphan our positions (they
+    address the old file's row order), so it is a hard conflict, the
+    same rule ``_commit_rewrite`` enforces for removes."""
+    fs = hadoop_fs(spark, path)[0]
+    used = {"dv"} | ({"cdf"} if cdf_files is not None else set())
+    delta = _writer_feature_delta(snap.properties, used)
+
+    def revalidate() -> None:
+        now = _replay(spark, path)
+        _check_writer_features(now.properties, path)
+        if now.mor:
+            raise RuntimeError(
+                f"conflict: equality tombstones committed to {path} "
+                "since the delete was planned; run tx_apply_deletes "
+                "and re-run"
+            )
+        gone = [f for f in targets if f not in now.eps]
+        if gone:
+            raise RuntimeError(
+                f"conflict: files targeted by this delete were "
+                f"rewritten concurrently: {gone[:3]}... — re-run the "
+                "delete on the new snapshot"
+            )
+
+    def build(next_v: int) -> dict:
+        payload = {
+            "version": next_v,
+            "action": "delete",
+            "add": [],
+            "remove": [],
+            "txn": txn,
+            "dv": {"files": sidecars, "targets": targets},
+            "reader": 4,
+        }
+        if delta:
+            payload["properties"] = delta
+        if cdf_files is not None:
+            payload["cdf"] = {"files": cdf_files, "key": None}
+        return payload
+
+    return _commit_with_retries(
+        spark, path, fs, build, txn, max_retries,
+        revalidate=revalidate, checked_at=snap.version,
+    )
+
+
+def _dv_empty_delete(
+    spark, path: str, snap: "_Snapshot", txn: str | None, cdf: bool
+) -> int:
+    """Nothing matched: commit an empty delete so the txn id is still
+    recorded for idempotence and change feeds checkpoint past a no-op
+    (same contract as tx_delete's no-touch path)."""
+    return _commit_rewrite(
+        spark, path, [], [], snap.version, txn, "delete",
+        extra={"cdf": {"files": [], "key": None}} if cdf else None,
+    )
+
+
+def tx_delete_where(
+    spark: SparkSession,
+    path: str,
+    condition: str,
+    mode: str = "merge_on_read",
+    txn: str | None = None,
+    cdf: "bool | None" = None,
+    prune: "tuple | list[tuple] | None" = None,
+) -> int:
+    """DELETE FROM ... WHERE ``condition`` (any Spark SQL boolean
+    expression over the table's columns; rows where it is NULL
+    survive, SQL semantics). Two physical strategies:
+
+    ``mode='merge_on_read'`` (default): commit a POSITIONAL DELETION
+    VECTOR — KB-scale (file, row-ordinal) sidecars naming the exact
+    physical rows, Delta's deletion-vector design. No data file is
+    rewritten; readers apply ONE broadcast anti-join on the targeted
+    files only (untargeted files scan clean). This is the 100 TB
+    shape: a predicate that hits 0.01% of rows costs positions, not
+    rewrites. The debt is carried visibly — file-set operations
+    (compact/zorder/merge/diff/restore/clone, and key-based
+    tx_delete) refuse while DVs are live; ``tx_apply_deletes``
+    settles them into a bounded rewrite of exactly the targeted
+    files. Unlike equality tombstones, a DV pins to the files it
+    scanned, so rows appended after the delete are never its victims
+    by construction.
+
+    ``mode='copy_on_write'``: rewrite the touched files without the
+    matching rows now (right-to-be-forgotten; pair with
+    ``tx_vacuum`` for physical erasure, the same compliance contract
+    as :func:`tx_delete`).
+
+    Serialization: the predicate is evaluated against THIS snapshot.
+    A concurrent append of rows matching the predicate is NOT a
+    conflict — those rows survive (Delta's DELETE-vs-append rule
+    under write-serializable isolation). A concurrent REWRITE of a
+    touched file is a conflict and aborts loudly.
+
+    ``prune=(col, lo, hi)`` (or a list of conjuncts) limits the
+    predicate scan to files whose logged [min, max] stats could
+    match — same data-skipping contract as ``tx_read(where=)``;
+    correctness never depends on it (it only bounds the scan, the
+    predicate owns the decision).
+
+    ``cdf``: record the deleted rows as a ``_cdf/`` sidecar so
+    :func:`tx_changes_cdf` delivers them (default: the table's
+    ``cdf.enabled`` property, true when unset). For deletion vectors
+    this costs one extra scan of the targeted files, bounded by the
+    delete itself."""
+    from pyspark.sql import functions as F
+
+    if mode not in ("copy_on_write", "merge_on_read"):
+        raise ValueError(
+            f"mode must be copy_on_write|merge_on_read, got {mode!r}"
+        )
+    snap = _replay(spark, path)
+    _check_writer_features(snap.properties, path)
+    if txn is not None and (prior := snap.txns.get(txn)) is not None:
+        return prior
+    if snap.mor:
+        raise ValueError(
+            f"tx_delete_where on {path} with live equality tombstones "
+            f"(versions {[t['version'] for t in snap.mor]}); run "
+            "tx_apply_deletes first"
+        )
+    if mode == "copy_on_write" and snap.dv:
+        raise ValueError(
+            f"tx_delete_where(mode='copy_on_write') on {path} with "
+            f"live deletion vectors (versions "
+            f"{[d['version'] for d in snap.dv]}); run tx_apply_deletes "
+            "first"
+        )
+    if cdf is None:
+        cdf = _cdf_props_default(snap.properties)
+    files = sorted(snap.eps)
+    if prune is not None:
+        conjuncts = [prune] if isinstance(prune, tuple) else list(prune)
+        pm = _phys_map(snap.schema) if snap.schema else {}
+        pr = [(pm.get(c, c), lo, hi) for c, lo, hi in conjuncts]
+        files = [
+            f for f in files if not _prunable(snap.stats.get(f) or {}, pr)
+        ]
+    if not files:
+        return _dv_empty_delete(spark, path, snap, txn, cdf)
+    scan = _scan_files(spark, path, snap, files, with_pos=True)
+    if snap.dv:
+        # don't re-mark already-deleted positions (idempotent stacking)
+        live_pos = spark.read.parquet(
+            *[_abs(path, sf) for d in snap.dv for sf in d["files"]]
+        )
+        scan = scan.join(
+            F.broadcast(live_pos), ["_file", "_pos"], "left_anti"
+        )
+    cond = F.expr(condition)
+    matched = scan.filter(cond)  # IS TRUE: NULLs survive
+    if mode == "merge_on_read":
+        sidecars = _stage_dv(matched.select("_file", "_pos"), path)
+        placed = spark.read.parquet(*[_abs(path, f) for f in sidecars])
+        targets = sorted(
+            r[0] for r in placed.select("_file").distinct().collect()
+        )
+        if not targets:
+            return _dv_empty_delete(spark, path, snap, txn, cdf)
+        cdf_files = None
+        if cdf:
+            deleted = (
+                _scan_files(spark, path, snap, targets, with_pos=True)
+                .join(F.broadcast(placed), ["_file", "_pos"], "semi")
+                .drop("_file", "_pos")
+                .withColumn("_change_type", F.lit("delete"))
+            )
+            cdf_files = _stage_cdf(_to_physical(deleted, snap.schema), path)
+        return _commit_dv(
+            spark, path, snap, sidecars, targets, txn, cdf_files
+        )
+    touched = sorted(
+        r[0] for r in matched.select("_file").distinct().collect()
+    )
+    if not touched:
+        return _dv_empty_delete(spark, path, snap, txn, cdf)
+    old = _read_table_files(spark, path, touched, snap)
+    survivors = old.filter(~F.coalesce(cond, F.lit(False)))
+    extra = None
+    if cdf:
+        deleted_rows = old.filter(cond).withColumn(
+            "_change_type", F.lit("delete")
+        )
+        extra = {
+            "cdf": {
+                "files": _stage_cdf(
+                    _to_physical(deleted_rows, snap.schema), path
+                ),
+                "key": None,
+            }
+        }
+        delta = _writer_feature_delta(snap.properties, {"cdf"})
+        if delta:
+            extra["properties"] = delta
+    added = _stage_and_place(
+        _to_physical(survivors, snap.schema), path, snap.partition_by
+    )
+    return _commit_rewrite(
+        spark, path, added, touched, snap.version, txn, "delete",
+        stats=_rewrite_stats(spark, path, touched, added, None, snap),
+        extra=extra,
+    )
+
+
+def tx_delete_positions(
+    pos: DataFrame,
+    path: str,
+    txn: str | None = None,
+    cdf: "bool | None" = None,
+) -> int:
+    """DELETE exact physical rows by coordinate: ``pos`` carries
+    ``_file``/``_pos`` columns as produced by
+    :func:`tx_scan_with_pos` (extra columns are ignored). This is the
+    row-identity primitive a dedup pipeline needs — compute keep/drop
+    over a positional scan (e.g. a window over a content hash), feed
+    the LOSERS here, and exactly those physical copies disappear,
+    something no key- or predicate-addressed delete can express when
+    the copies are bit-identical. Commits a positional deletion
+    vector (same contract, refusals, and settlement as
+    ``tx_delete_where(mode='merge_on_read')``); raises if any
+    referenced file is not live in the current snapshot."""
+    spark = pos.sparkSession
+    from pyspark.sql import functions as F
+
+    snap = _replay(spark, path)
+    _check_writer_features(snap.properties, path)
+    if txn is not None and (prior := snap.txns.get(txn)) is not None:
+        return prior
+    if snap.mor:
+        raise ValueError(
+            f"tx_delete_positions on {path} with live equality "
+            f"tombstones (versions "
+            f"{[t['version'] for t in snap.mor]}); run "
+            "tx_apply_deletes first"
+        )
+    if cdf is None:
+        cdf = _cdf_props_default(snap.properties)
+    sidecars = _stage_dv(
+        pos.select("_file", "_pos").distinct(), path
+    )
+    placed = spark.read.parquet(*[_abs(path, f) for f in sidecars])
+    targets = sorted(
+        r[0] for r in placed.select("_file").distinct().collect()
+    )
+    if not targets:
+        return _dv_empty_delete(spark, path, snap, txn, cdf)
+    missing = [f for f in targets if f not in snap.eps]
+    if missing:
+        raise ValueError(
+            f"positions reference files not live at {path}: "
+            f"{missing[:3]}... (stale scan? vacuumed snapshot?)"
+        )
+    cdf_files = None
+    if cdf:
+        deleted = (
+            _scan_files(spark, path, snap, targets, with_pos=True)
+            .join(F.broadcast(placed), ["_file", "_pos"], "semi")
+            .drop("_file", "_pos")
+            .withColumn("_change_type", F.lit("delete"))
+        )
+        cdf_files = _stage_cdf(_to_physical(deleted, snap.schema), path)
+    return _commit_dv(spark, path, snap, sidecars, targets, txn, cdf_files)
 
 
 def tx_optimize_zorder(

@@ -17,6 +17,12 @@ Covered:
   (fresh physical identity) + full read
 - run_pipes_3x2tick: the multi-pipe scheduler draining three copy
   pipes x two source commits each, concurrent ticks, zero sleeps
+- dv_delete_read: DELETE WHERE as a positional deletion vector (KB
+  sidecars, zero data files rewritten) + the one-broadcast-anti-join
+  read over lineitem
+- dv_position_dedup: tx_scan_with_pos + keep-first window +
+  tx_delete_positions erasing re-ingested duplicate document rows,
+  then the full read
 
 Usage: python scripts/bench_r12_ops.py [sf_dir ...] — or import
 ``measure`` (bench.py does).
@@ -74,7 +80,7 @@ def measure(spark, sf_dir: str, tmp: str) -> dict[str, float]:
     _noop(
         tx_read(
             spark, th,
-            where=("o_orderdate", dt.date(1994, 1, 1), dt.date(1994, 12, 31)),
+            where=("o_orderdate", dt.date(1996, 1, 1), dt.date(1996, 12, 31)),
         )
     )
     out["hidden_partition_write_read"] = round(time.perf_counter() - t0, 3)
@@ -138,6 +144,52 @@ def measure(spark, sf_dir: str, tmp: str) -> dict[str, float]:
     for d in dsts:
         _noop(tx_read(spark, d))
     out["run_pipes_3x2tick"] = round(time.perf_counter() - t0, 3)
+
+    # deletion vectors: sparse DELETE WHERE as KB sidecars (zero data
+    # files rewritten) + the one-broadcast-anti-join read
+    from distributed_mapreduce__spark.sources.txlog import (
+        tx_delete_positions,
+        tx_delete_where,
+        tx_scan_with_pos,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_quantity", "l_discount"
+    )
+    tdv = f"{tmp}/dv_t"
+    tx_write(li, tdv, stats_cols=["l_orderkey"])
+    tx_set_properties(spark, tdv, {"cdf.enabled": False})
+    t0 = time.perf_counter()
+    tx_delete_where(
+        spark, tdv, "l_quantity <= 2 AND l_discount >= 0.09"
+    )
+    _noop(tx_read(spark, tdv))
+    out["dv_delete_read"] = round(time.perf_counter() - t0, 3)
+
+    # positional dedup: re-ingest a third of the corpus, erase exactly
+    # the duplicate copies by (file, row-ordinal), read back
+    docs = load_table(spark, sf_dir, "documents")
+    tdd = f"{tmp}/dv_dedup_t"
+    tx_write(docs, tdd)
+    tx_write(docs.filter(F.col("doc_id") % 3 == 0), tdd)
+    tx_set_properties(spark, tdd, {"cdf.enabled": False})
+    from pyspark.sql.window import Window
+
+    t0 = time.perf_counter()
+    pos = tx_scan_with_pos(spark, tdd)
+    losers = (
+        pos.withColumn(
+            "_rank",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy("_file", "_pos")
+            ),
+        )
+        .filter(F.col("_rank") > 1)
+        .select("_file", "_pos")
+    )
+    tx_delete_positions(losers, tdd)
+    _noop(tx_read(spark, tdd))
+    out["dv_position_dedup"] = round(time.perf_counter() - t0, 3)
     return out
 
 
