@@ -862,3 +862,53 @@ def dedup_rows_dv_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").alias("total_chars"),
         )
     )
+
+
+_BLOOM_ORACLE = """
+SELECT l_orderkey,
+       l_returnflag,
+       count(*) AS n_items,
+       CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS total_price
+FROM lineitem
+WHERE l_orderkey IN (
+    (SELECT min(l_orderkey) FROM lineitem),
+    (SELECT max(l_orderkey) FROM lineitem)
+)
+GROUP BY l_orderkey, l_returnflag
+"""
+
+
+@register_local("bloom_lookup_agg", oracle=_BLOOM_ORACLE)
+def bloom_lookup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter point lookup under the value oracle (round 12):
+    commit lineitem with per-file blooms on ``l_orderkey``
+    (``tx_write(bloom_cols=)``, KB-scale ``_bloom/`` sidecars), then
+    point-read two keys through the equality skip path —
+    ``tx_read(where=(col, v, v))`` consults the blooms and scans only
+    files that can contain the key (the 100 TB needle-in-haystack
+    shape [min, max] stats can't serve on unclustered high-cardinality
+    columns; skipping itself is pinned by inputFiles tests in
+    tests/test_bloom_skipping.py — here the oracle proves the skip
+    never loses a row). Bit-exact equality with the direct IN-lookup
+    aggregate."""
+    import tempfile
+
+    from ..sources.txlog import tx_read, tx_write
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_extendedprice"
+    )
+    table = tempfile.mkdtemp(prefix="bloom_q_") + "/t"
+    tx_write(li.repartition(8), table, bloom_cols=["l_orderkey"])
+    lo, hi = li.agg(
+        F.min("l_orderkey"), F.max("l_orderkey")
+    ).collect()[0]
+    out = tx_read(spark, table, where=("l_orderkey", lo, lo)).unionByName(
+        tx_read(spark, table, where=("l_orderkey", hi, hi))
+    )
+    return out.groupBy("l_orderkey", "l_returnflag").agg(
+        F.count("*").alias("n_items"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_price"),
+    )

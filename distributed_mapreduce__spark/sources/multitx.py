@@ -247,7 +247,7 @@ def tx_multi(
         if part_by:
             stat_cols.update(part_by)
         pseudo = _Snapshot(
-            eps={}, mor=[], dv=[], version=-1, schema=schema_json,
+            eps={}, mor=[], dv=[], blooms=[], version=-1, schema=schema_json,
             evolved=False, properties={}, partition_by=part_by,
             stats={}, txns={},
         )

@@ -608,6 +608,10 @@ class _Snapshot:
     #: targets the data files they apply to (DVs pin to exact files,
     #: so unlike mor they need no epoch scoping)
     dv: list
+    #: bloom-filter sidecar refs {"version","files","cols"} — pure
+    #: read OPTIMIZATION (a missing/ignored bloom only costs skipping,
+    #: never correctness), so no reader stamp or writer feature guards
+    blooms: list
     #: effective version of this snapshot
     version: int
     #: latest recorded write-schema json (None = pre-schema-recording)
@@ -663,8 +667,9 @@ def _replay(spark, path: str, version: int | None = None) -> _Snapshot:
         )
     ckpts = [v for v, kind in commits if kind == "checkpoint" and v <= version]
     s = _Snapshot(
-        eps={}, mor=[], dv=[], version=version, schema=None, evolved=False,
-        properties={}, partition_by=None, stats={}, txns={},
+        eps={}, mor=[], dv=[], blooms=[], version=version, schema=None,
+        evolved=False, properties={}, partition_by=None, stats={},
+        txns={},
     )
     start = 0
     if ckpts:
@@ -677,6 +682,7 @@ def _replay(spark, path: str, version: int | None = None) -> _Snapshot:
         s.eps = dict(ck.get("eps") or {f: ckpts[-1] for f in ck["files"]})
         s.mor = list(ck.get("mor") or [])
         s.dv = list(ck.get("dv") or [])
+        s.blooms = list(ck.get("blooms") or [])
         s.schema = ck.get("schema")
         s.evolved = bool(ck.get("schema_evolved"))
         s.properties = dict(ck.get("properties") or {})
@@ -723,6 +729,7 @@ def _replay(spark, path: str, version: int | None = None) -> _Snapshot:
             s.eps = {}
             s.mor = []
             s.dv = []
+            s.blooms = []
             s.schema = c.get("schema")
             s.evolved = False
             s.partition_by = c.get("partition_by")
@@ -774,6 +781,14 @@ def _replay(spark, path: str, version: int | None = None) -> _Snapshot:
         if c.get("dv_clears"):
             cleared = set(c["dv_clears"])
             s.dv = [d for d in s.dv if d["version"] not in cleared]
+        if c.get("blooms"):
+            s.blooms.append(
+                {
+                    "version": v,
+                    "files": c["blooms"]["files"],
+                    "cols": c["blooms"]["cols"],
+                }
+            )
     return s
 
 
@@ -1835,83 +1850,54 @@ def _stage_and_place(
     return added
 
 
-def _stage_deletes(keys: DataFrame, path: str) -> list[str]:
-    """Stage a merge-on-read tombstone's key set under ``_deletes/``
-    (NOT ``data/`` — tombstones carry a one-column schema that must
-    never leak into schema recovery or the data-file sweep). Delete
-    key sets are small by use-case; coalesce(1) keeps the read-side
-    broadcast a single KB-scale file."""
-    spark = keys.sparkSession
+def _stage_sidecars(df: DataFrame, path: str, subdir: str) -> list[str]:
+    """Stage ``df`` invisibly under ``_staging/``, then rename its part
+    files into the named sidecar directory (``_deletes``/``_dv``/
+    ``_cdf``/``_bloom``) under fresh UUID names — NOT ``data/``:
+    sidecar schemas must never leak into schema recovery or the
+    data-file sweep. Returns the placed relative paths. A crash before
+    the commit leaves unreferenced files ``tx_vacuum`` sweeps."""
+    spark = df.sparkSession
     stage_dir = f"{path}/_staging/{uuid.uuid4().hex}"
-    keys.coalesce(1).write.mode("overwrite").parquet(stage_dir)
+    df.write.mode("overwrite").parquet(stage_dir)
     fs, sdir = hadoop_fs(spark, stage_dir)
-    fs.mkdirs(hadoop_fs(spark, f"{path}/_deletes")[1])
+    fs.mkdirs(hadoop_fs(spark, f"{path}/{subdir}")[1])
     placed = []
     for st in fs.listStatus(sdir):
         if not st.getPath().getName().endswith(".parquet"):
             continue
         name = f"{uuid.uuid4().hex}.parquet"
         if not fs.rename(
-            st.getPath(), hadoop_fs(spark, f"{path}/_deletes/{name}")[1]
+            st.getPath(), hadoop_fs(spark, f"{path}/{subdir}/{name}")[1]
         ):
-            raise RuntimeError(f"could not place tombstone file {name}")
-        placed.append(f"_deletes/{name}")
+            raise RuntimeError(f"could not place {subdir} file {name}")
+        placed.append(f"{subdir}/{name}")
     fs.delete(sdir, True)
     return placed
+
+
+def _stage_deletes(keys: DataFrame, path: str) -> list[str]:
+    """Stage a merge-on-read tombstone's key set under ``_deletes/``.
+    Delete key sets are small by use-case; coalesce(1) keeps the
+    read-side broadcast a single KB-scale file."""
+    return _stage_sidecars(keys.coalesce(1), path, "_deletes")
 
 
 def _stage_dv(pos: DataFrame, path: str) -> list[str]:
     """Stage a deletion vector's (``_file``, ``_pos``) pairs under
-    ``_dv/`` (NOT ``data/`` — sidecar schema must never leak into
-    schema recovery or the data-file sweep). A DV is KB-scale by
-    use-case (positions, not rows); coalesce(1) keeps the read-side
-    broadcast a single file."""
-    spark = pos.sparkSession
-    stage_dir = f"{path}/_staging/{uuid.uuid4().hex}"
-    pos.select("_file", "_pos").coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(stage_dir)
-    fs, sdir = hadoop_fs(spark, stage_dir)
-    fs.mkdirs(hadoop_fs(spark, f"{path}/_dv")[1])
-    placed = []
-    for st in fs.listStatus(sdir):
-        if not st.getPath().getName().endswith(".parquet"):
-            continue
-        name = f"{uuid.uuid4().hex}.parquet"
-        if not fs.rename(
-            st.getPath(), hadoop_fs(spark, f"{path}/_dv/{name}")[1]
-        ):
-            raise RuntimeError(f"could not place dv file {name}")
-        placed.append(f"_dv/{name}")
-    fs.delete(sdir, True)
-    return placed
+    ``_dv/``. A DV is KB-scale by use-case (positions, not rows);
+    coalesce(1) keeps the read-side broadcast a single file."""
+    return _stage_sidecars(
+        pos.select("_file", "_pos").coalesce(1), path, "_dv"
+    )
 
 
 def _stage_cdf(rows: DataFrame, path: str) -> list[str]:
     """Stage a rewrite's change rows (table schema + ``_change_type``)
-    under ``_cdf/`` — NOT ``data/``: sidecars are change-feed payload,
-    never part of any snapshot, and must not leak into schema recovery
-    or the data-file sweep. Cost is bounded by the rewrite itself: the
-    change rows are a subset of the touched files' rows plus the
-    updates, both already in flight. A crash before the commit leaves
-    unreferenced files ``tx_vacuum`` sweeps."""
-    spark = rows.sparkSession
-    stage_dir = f"{path}/_staging/{uuid.uuid4().hex}"
-    rows.write.mode("overwrite").parquet(stage_dir)
-    fs, sdir = hadoop_fs(spark, stage_dir)
-    fs.mkdirs(hadoop_fs(spark, f"{path}/_cdf")[1])
-    placed = []
-    for st in fs.listStatus(sdir):
-        if not st.getPath().getName().endswith(".parquet"):
-            continue
-        name = f"{uuid.uuid4().hex}.parquet"
-        if not fs.rename(
-            st.getPath(), hadoop_fs(spark, f"{path}/_cdf/{name}")[1]
-        ):
-            raise RuntimeError(f"could not place cdf file {name}")
-        placed.append(f"_cdf/{name}")
-    fs.delete(sdir, True)
-    return placed
+    under ``_cdf/``. Cost is bounded by the rewrite itself: the change
+    rows are a subset of the touched files' rows plus the updates,
+    both already in flight."""
+    return _stage_sidecars(rows, path, "_cdf")
 
 
 def _json_stat(v):
@@ -1984,6 +1970,183 @@ def _collect_stats(
     return out
 
 
+#: default bloom sizing: 65536 bits (8 KB/file/col) at k=7 holds ~6500
+#: distinct values under 1% false-positive; oversaturation only
+#: degrades skipping, never correctness
+_BLOOM_BITS = 65536
+_BLOOM_K = 7
+
+
+def _bloom_positions(v, m: int, k: int) -> "list[int]":
+    """Driver-side twin of the bloom write expression: md5 of the
+    value's canonical string form + ``#seed`` (same canonicalization
+    rule as bucket() — ``str(int)`` == Spark's cast-to-string for the
+    integral and string types blooms accept)."""
+    import hashlib
+
+    s = str(v)
+    return [
+        int(hashlib.md5(f"{s}#{i}".encode()).hexdigest()[:15], 16) % m
+        for i in range(k)
+    ]
+
+
+def _collect_blooms(
+    spark, path: str, files: list[str], cols: "list[str]",
+    m: int, k: int, snap: "_Snapshot | None",
+) -> list[str]:
+    """Per-placed-file bloom filters for ``cols`` in one grouped pass
+    (the write-time analog of :func:`_collect_stats`, for EQUALITY
+    skipping on high-cardinality columns where [min, max] is useless):
+    k md5-derived bit positions per value, deduped map-side, folded to
+    an m-bit bitmap per (file, col) by a vectorized Arrow-batched UDF
+    (the bitmap fold has no builtin expression), and placed as
+    ``_bloom/`` sidecar parquet — the commit records only the sidecar
+    names, so the log stays KB-scale however many files a commit
+    adds. File attribution goes through the UUID basename (same
+    mapping :func:`_pos_name_map` uses), immune to URI escaping."""
+    from pyspark.sql import functions as F
+
+    reader = spark.read if snap is None else _reader_for(spark, path, snap)
+    src = reader.parquet(*[_abs(path, f) for f in files])
+    parts = []
+    for c in cols:
+        pos_exprs = [
+            F.pmod(
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.col(c).cast("string"), F.lit(f"#{i}")
+                            )
+                        ),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                ).cast("long"),
+                F.lit(m),
+            )
+            for i in range(k)
+        ]
+        parts.append(
+            src.filter(F.col(c).isNotNull()).select(
+                F.element_at(
+                    F.split(F.input_file_name(), "/"), -1
+                ).alias("__dv_base"),
+                F.lit(c).alias("col"),
+                F.explode(F.array(*pos_exprs)).alias("__pos"),
+            )
+        )
+    allpos = parts[0]
+    for p in parts[1:]:
+        allpos = allpos.unionByName(p)
+
+    def _fold(pdf):
+        import numpy as np
+        import pandas as _pd
+
+        bits = np.zeros(m // 8, dtype=np.uint8)
+        idx = pdf["__pos"].to_numpy(dtype=np.int64)
+        np.bitwise_or.at(bits, idx // 8, (1 << (idx % 8)).astype(np.uint8))
+        return _pd.DataFrame(
+            {
+                "__dv_base": [pdf["__dv_base"].iloc[0]],
+                "col": [pdf["col"].iloc[0]],
+                "bits": [bits.tobytes()],
+            }
+        )
+
+    grouped = (
+        allpos.distinct()
+        .groupBy("__dv_base", "col")
+        .applyInPandas(_fold, "__dv_base string, col string, bits binary")
+        .join(F.broadcast(_pos_name_map(spark, files)), "__dv_base")
+        .select(
+            "_file",
+            "col",
+            F.lit(m).alias("m"),
+            F.lit(k).alias("k"),
+            "bits",
+        )
+    )
+    return _stage_sidecars(grouped.coalesce(1), path, "_bloom")
+
+
+def _load_blooms(
+    spark, path: str, snap: "_Snapshot", cols: "set[str]",
+    files: list[str],
+) -> "dict[str, dict]":
+    """``{file: {col: (m, k, bits)}}`` for the candidate ``files``,
+    loaded from the live ``_bloom/`` sidecars that cover any of
+    ``cols``. One driver read bounded by the candidate set."""
+    from pyspark.sql import functions as F
+
+    side = sorted(
+        {
+            f
+            for b in snap.blooms
+            for f in b["files"]
+            if set(b["cols"]) & cols
+        }
+    )
+    if not side:
+        return {}
+    cand = set(files)
+    rows = (
+        spark.read.parquet(*[_abs(path, f) for f in side])
+        .filter(F.col("col").isin(sorted(cols)))
+        .collect()
+    )
+    bl: "dict[str, dict]" = {}
+    for r in rows:
+        if r["_file"] in cand:
+            bl.setdefault(r["_file"], {})[r["col"]] = (
+                r["m"], r["k"], r["bits"],
+            )
+    return bl
+
+
+def _bloom_hit(entry, v) -> bool:
+    """True when the bloom CANNOT exclude ``v`` (all k bits set, or
+    the value's type is outside the canonical-string contract)."""
+    if v is None or isinstance(v, bool) or not isinstance(v, (int, str)):
+        return True
+    m, k, bits = entry
+    return all(
+        (bits[p // 8] >> (p % 8)) & 1 for p in _bloom_positions(v, m, k)
+    )
+
+
+def _bloom_prune(
+    spark, path: str, snap: "_Snapshot", files: list[str],
+    eqs: "list[tuple]",
+) -> list[str]:
+    """Drop candidate ``files`` whose bloom PROVES an equality
+    literal absent (any of the k bits clear). Absence of a bloom —
+    wrong column, non-canonical literal type, file written without
+    ``bloom_cols`` or by a rewrite — always KEEPS the file: the
+    residual filter owns correctness, blooms own skipping. Cost: one
+    driver read of the relevant sidecar rows, bounded by the
+    candidate set the stats prune already cut."""
+    bl = _load_blooms(spark, path, snap, {c for c, _ in eqs}, files)
+    if not bl:
+        return files
+    keep = []
+    for f in files:
+        ent, pruned = bl.get(f), False
+        if ent:
+            for c, v in eqs:
+                got = ent.get(c)
+                if got is not None and not _bloom_hit(got, v):
+                    pruned = True
+                    break
+        if not pruned:
+            keep.append(f)
+    return keep
+
+
 def _log_stats(spark, path: str) -> dict[str, dict[str, list]]:
     """file -> {col: [lo, hi]} folded from checkpoints + commits.
     Files written without ``stats_cols`` simply have no entry (callers
@@ -2009,9 +2172,27 @@ def tx_write(
     stats_cols: "Sequence[str] | None" = None,
     schema_mode: str = "enforce",
     partition_by: "Sequence[str] | None" = None,
+    bloom_cols: "Sequence[str] | None" = None,
+    bloom_bits: int = _BLOOM_BITS,
+    bloom_k: int = _BLOOM_K,
 ) -> int:
     """Commit ``df`` to the table at ``path``; returns the committed
-    version. ``mode='append'`` adds files; ``'overwrite'`` makes the
+    version.
+
+    ``bloom_cols`` records a per-file BLOOM FILTER for the named
+    integral/string columns (one extra grouped pass, like
+    ``stats_cols``), placed as KB-scale ``_bloom/`` sidecars the
+    commit names: an equality read — ``tx_read(where=(col, v, v))`` —
+    then skips every file whose bloom proves the value absent, the
+    point-lookup complement to [min, max] ranges (which are useless
+    on high-cardinality unclustered columns). Blooms are PURE
+    optimization: files without one (older commits, rewrite outputs —
+    rewrites do not recompute blooms) are simply kept, the residual
+    filter owns correctness, and no reader/writer guard is needed —
+    any build can read or write the table and at worst loses
+    skipping. Size with ``bloom_bits``/``bloom_k`` (defaults: 8 KB
+    per file per column, ~6500 distinct values at 1% false-positive
+    rate; oversaturation only degrades skipping). ``mode='append'`` adds files; ``'overwrite'`` makes the
     new files the whole snapshot (history stays readable via time
     travel until :func:`tx_vacuum`). ``txn`` makes retries idempotent:
     if a commit carrying this id already exists, nothing is written
@@ -2142,7 +2323,7 @@ def tx_write(
         # one mechanism serves data skipping AND partition pruning
         stat_cols.update(partition_by)
     pseudo = _Snapshot(
-        eps={}, mor=[], dv=[], version=-1, schema=schema_json,
+        eps={}, mor=[], dv=[], blooms=[], version=-1, schema=schema_json,
         evolved=False, properties={}, partition_by=partition_by,
         stats={}, txns={},
     )
@@ -2154,6 +2335,41 @@ def tx_write(
         if stat_cols and added
         else None
     )
+    bloom_meta = None
+    if bloom_cols and added:
+        bcols = list(dict.fromkeys(bloom_cols))
+        dts = dict(df.dtypes)
+        bad = [
+            c
+            for c in bcols
+            if dts.get(c) not in _INTEGRAL_DTYPES and dts.get(c) != "string"
+        ]
+        if bad:
+            raise ValueError(
+                f"bloom_cols need integral or string columns "
+                f"(canonical string hashing); {bad} are "
+                f"{[dts.get(c) for c in bad]}"
+            )
+        hidden = [
+            c
+            for c in bcols
+            if any(pf.name == c and pf.transform == "identity"
+                   for pf in fields)
+        ]
+        if hidden:
+            raise ValueError(
+                f"bloom_cols {hidden} are identity partition columns — "
+                "their values live in directory names ([v, v] stats "
+                "already prune them exactly), not in file bytes"
+            )
+        phys_b = sorted(pm_planned.get(c, c) for c in bcols)
+        bloom_meta = {
+            "files": _collect_blooms(
+                spark, path, added, phys_b, bloom_bits, bloom_k,
+                pseudo if partition_by else None,
+            ),
+            "cols": phys_b,
+        }
     fs = hadoop_fs(spark, path)[0]
     # auto-stamp the writer features this commit USES, so older builds
     # that cannot maintain them refuse instead of corrupting
@@ -2195,6 +2411,8 @@ def tx_write(
             payload["properties"] = feature_delta
         if stats:
             payload["stats"] = stats
+        if bloom_meta:
+            payload["blooms"] = bloom_meta
         return payload
 
     def revalidate() -> None:
@@ -2368,6 +2586,10 @@ def _write_checkpoint(spark, path: str, version: int) -> bool:
         # next replay resurrects every DV-deleted row; level-4 readers
         payload["dv"] = snap.dv
         payload["reader"] = max(payload.get("reader", 1), 4)
+    if snap.blooms:
+        # bloom sidecar refs survive truncation (advisory — losing
+        # them would only cost skipping, but keeping them is free)
+        payload["blooms"] = snap.blooms
     # checkpoints are an optimization; losing the race to an identical
     # concurrent checkpoint is fine
     _write_atomic(
@@ -2548,6 +2770,16 @@ def tx_read(
         files = [
             f for f in files if not _prunable(logged.get(f) or {}, prune)
         ]
+        if files and snap.blooms:
+            # equality conjuncts also consult per-file blooms — the
+            # point-lookup skip [min, max] can't give on unclustered
+            # high-cardinality columns (see tx_write bloom_cols)
+            eqs = [
+                (c, lo) for c, lo, hi in prune
+                if lo is not None and lo == hi
+            ]
+            if eqs:
+                files = _bloom_prune(spark, path, snap, files, eqs)
     if not files:
         # an overwrite with an empty DataFrame is a legal empty table:
         # the recorded schema builds the empty frame directly; tables
@@ -3015,6 +3247,7 @@ def tx_vacuum(
     live: set = set()
     live_tombs: set = set()
     live_dvs: set = set()
+    live_blooms: set = set()
     for v in retained:
         snap_v = _replay(spark, path, v)
         live |= {_abs(path, f) for f in snap_v.eps}
@@ -3022,6 +3255,9 @@ def tx_vacuum(
             _abs(path, f) for t in snap_v.mor for f in t["files"]
         }
         live_dvs |= {_abs(path, f) for d in snap_v.dv for f in d["files"]}
+        live_blooms |= {
+            _abs(path, f) for b in snap_v.blooms for f in b["files"]
+        }
     # a pending multi-table txn blocks the checkpoint (see
     # _write_checkpoint): then the log must not be truncated (the
     # commit entries carry the only record of its adds). Its
@@ -3063,6 +3299,10 @@ def tx_vacuum(
                 live_tombs |= {_abs(path, f) for f in c["mor"]["files"]}
             if c.get("dv"):
                 live_dvs |= {_abs(path, f) for f in c["dv"]["files"]}
+            if c.get("blooms"):
+                live_blooms |= {
+                    _abs(path, f) for f in c["blooms"]["files"]
+                }
     ddir_fs, ddir = hadoop_fs(spark, f"{path}/_deletes")
     if ddir_fs.exists(ddir):
         for st in ddir_fs.listStatus(ddir):
@@ -3080,6 +3320,17 @@ def tx_vacuum(
             full = _abs(path, f"_dv/{st.getPath().getName()}")
             if full not in live_dvs and not _in_grace(st.getPath()):
                 dvdir_fs.delete(st.getPath(), False)
+                deleted.append(full)
+    # bloom sidecar sweep: live while any retained snapshot's bloom
+    # refs name it (an overwrite resets the refs, orphaning the old
+    # sidecars); losing one only costs skipping, but debris still
+    # costs listing
+    bdir_fs, bdir = hadoop_fs(spark, f"{path}/_bloom")
+    if bdir_fs.exists(bdir):
+        for st in bdir_fs.listStatus(bdir):
+            full = _abs(path, f"_bloom/{st.getPath().getName()}")
+            if full not in live_blooms and not _in_grace(st.getPath()):
+                bdir_fs.delete(st.getPath(), False)
                 deleted.append(full)
     # drop commit entries (and stale checkpoints) below the pivot
     # (safe: the surviving pivot checkpoint pins the version counter,
@@ -3218,6 +3469,54 @@ def _files_overlapping_keys(
     return touched
 
 
+#: refine a rewrite's touched set against blooms only when the
+#: distinct key set is small enough to test driver-side
+_BLOOM_REFINE_MAX_KEYS = 1024
+
+
+def _bloom_refine_touched(
+    spark, path: str, snap: "_Snapshot | None", touched: list[str],
+    key_col: str, keys: DataFrame,
+) -> list[str]:
+    """Drop range-overlapping files whose bloom proves NONE of the
+    rewrite's keys present — the sparse-upsert shape at 100 TB: ten
+    keys hit a table of ten thousand files, every file's [min, max]
+    overlaps (unclustered keys), and without blooms the merge rewrites
+    all of them for nothing. Kicks in only when blooms cover the key
+    column and the distinct key set is small enough to test
+    driver-side (<= _BLOOM_REFINE_MAX_KEYS); no false negatives by
+    the bloom contract, so a skipped file provably holds no target key
+    (an upsert then correctly treats those keys as unmatched
+    appends)."""
+    if (
+        snap is None
+        or not snap.blooms
+        or not touched
+        or not any(key_col in b["cols"] for b in snap.blooms)
+    ):
+        return touched
+    kv = (
+        keys.distinct().limit(_BLOOM_REFINE_MAX_KEYS + 1).collect()
+    )
+    if len(kv) > _BLOOM_REFINE_MAX_KEYS:
+        return touched
+    vals = [r[0] for r in kv]
+    if any(
+        v is None or isinstance(v, bool) or not isinstance(v, (int, str))
+        for v in vals
+    ):
+        return touched  # outside the canonical-string contract
+    bl = _load_blooms(spark, path, snap, {key_col}, touched)
+    if not bl:
+        return touched
+    keep = []
+    for f in touched:
+        got = (bl.get(f) or {}).get(key_col)
+        if got is None or any(_bloom_hit(got, v) for v in vals):
+            keep.append(f)
+    return keep
+
+
 def tx_merge(
     updates: DataFrame,
     path: str,
@@ -3329,6 +3628,9 @@ def _prepare_merge(
     phys_key = _phys_map(snap.schema).get(key_col, key_col)
     touched = _files_overlapping_keys(
         spark, path, files, lo, hi, phys_key, snap
+    )
+    touched = _bloom_refine_touched(
+        spark, path, snap, touched, phys_key, updates.select(key_col)
     )
 
     keys = updates.select(key_col)
@@ -4044,6 +4346,9 @@ def tx_delete(
     phys_key = _phys_map(snap.schema).get(key_col, key_col)
     touched = _files_overlapping_keys(
         spark, path, files, lo, hi, phys_key, snap
+    )
+    touched = _bloom_refine_touched(
+        spark, path, snap, touched, phys_key, keys.select(key_col)
     )
     if not touched:
         # no live file can match — still commit an empty delete so the

@@ -190,6 +190,24 @@ def measure(spark, sf_dir: str, tmp: str) -> dict[str, float]:
     tx_delete_positions(losers, tdd)
     _noop(tx_read(spark, tdd))
     out["dv_position_dedup"] = round(time.perf_counter() - t0, 3)
+
+    # bloom point lookups: per-file blooms on the unclustered key,
+    # five needle reads (every file's [min,max] overlaps — only the
+    # bloom can skip)
+    tb = f"{tmp}/bloom_t"
+    tx_write(
+        li.repartition(16), tb,
+        stats_cols=["l_quantity"], bloom_cols=["l_orderkey"],
+    )
+    tx_set_properties(spark, tb, {"cdf.enabled": False})
+    keys = [
+        r[0]
+        for r in li.select("l_orderkey").distinct().limit(5).collect()
+    ]
+    t0 = time.perf_counter()
+    for kv in keys:
+        _noop(tx_read(spark, tb, where=("l_orderkey", kv, kv)))
+    out["bloom_point_lookup_5x"] = round(time.perf_counter() - t0, 3)
     return out
 
 
