@@ -819,41 +819,22 @@ def dedup_rows_dv_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     the documents corpus, then ingest two overlapping batches again —
     bit-identical duplicate rows no key- or predicate-addressed delete
     could disambiguate — and erase exactly the extra copies:
-    ``tx_scan_with_pos`` surfaces stable (file, row-ordinal)
-    coordinates, a window over the record identity keeps the first
-    copy, ``tx_delete_positions`` commits the losers as a KB-scale DV
-    (zero files rewritten). The aggregate must equal a direct scan of
+    ``tx_dedup_rows`` (in-place physical dedup: positional
+    scan, keep-first window over the full row identity, losers
+    committed as a KB-scale DV — zero files rewritten). The aggregate must equal a direct scan of
     the ORIGINAL corpus — the dedup restored it exactly. This is the
     training-data shape: physically dropping re-crawled duplicates
     from an ACID corpus table without rewriting untouched files."""
     import tempfile
 
-    from pyspark.sql.window import Window
-
-    from ..sources.txlog import (
-        tx_delete_positions,
-        tx_read,
-        tx_scan_with_pos,
-        tx_write,
-    )
+    from ..sources.txlog import tx_dedup_rows, tx_read, tx_write
 
     docs = load_table(spark, sf_dir, "documents")
     table = tempfile.mkdtemp(prefix="dv_dedup_q_") + "/t"
     tx_write(docs, table)
     tx_write(docs.filter(F.col("doc_id") % 3 == 0), table)
     tx_write(docs.filter(F.col("doc_id") % 7 == 0), table)
-    pos = tx_scan_with_pos(spark, table)
-    losers = (
-        pos.withColumn(
-            "_rank",
-            F.row_number().over(
-                Window.partitionBy("doc_id").orderBy("_file", "_pos")
-            ),
-        )
-        .filter(F.col("_rank") > 1)
-        .select("_file", "_pos")
-    )
-    tx_delete_positions(losers, table)
+    assert tx_dedup_rows(spark, table) is not None
     return (
         tx_read(spark, table)
         .groupBy("lang")

@@ -4824,6 +4824,62 @@ def tx_delete_positions(
     return _commit_dv(spark, path, snap, sidecars, targets, txn, cdf_files)
 
 
+def tx_dedup_rows(
+    spark: SparkSession,
+    path: str,
+    cols: "Sequence[str] | None" = None,
+    txn: str | None = None,
+    cdf: "bool | None" = None,
+) -> "int | None":
+    """Physically dedup the table IN PLACE: keep exactly ONE copy of
+    every row identity — all columns by default, or the named subset
+    (e.g. ``["text"]`` to collapse re-crawls that differ only in
+    ingest metadata) — and delete the extra copies by coordinate as a
+    deletion vector. ZERO data files are rewritten: the commit is the
+    KB-scale DV sidecar, which is the whole point at 100 TB — the
+    rewrite-based alternative (``SELECT DISTINCT`` + overwrite)
+    rewrites the entire corpus to drop a few re-ingested batches.
+    Cost is one shuffle of the identity columns (the same shuffle a
+    DISTINCT pays — irreducible for exact dedup) plus the targeted
+    files' share of the position bookkeeping.
+
+    The winner per group is the first copy in (file, position) order —
+    deterministic across runs on the same snapshot. NULLs group
+    together (SQL GROUP BY semantics), matching what ``DISTINCT``
+    would keep. Returns the committed version, or ``None`` when the
+    table held no duplicates (nothing is committed). Same contract
+    surface as the other DV writers: refuses on live equality
+    tombstones, stacks on live DVs idempotently (already-deleted
+    coordinates never resurface), settle with ``tx_apply_deletes``,
+    physical erasure needs ``tx_vacuum``."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    pos = tx_scan_with_pos(spark, path)
+    ident = cols if cols else [
+        c for c in pos.columns if c not in ("_file", "_pos")
+    ]
+    missing = [c for c in (cols or []) if c not in pos.columns]
+    if missing:
+        raise ValueError(
+            f"tx_dedup_rows cols {missing} not in the table "
+            f"(has {[c for c in pos.columns if not c.startswith('_')]})"
+        )
+    losers = (
+        pos.withColumn(
+            "__rank",
+            F.row_number().over(
+                Window.partitionBy(*ident).orderBy("_file", "_pos")
+            ),
+        )
+        .filter(F.col("__rank") > 1)
+        .select("_file", "_pos")
+    )
+    if not losers.limit(1).count():
+        return None
+    return tx_delete_positions(losers, path, txn=txn, cdf=cdf)
+
+
 def tx_optimize_zorder(
     spark: SparkSession,
     path: str,

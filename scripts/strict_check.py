@@ -289,10 +289,90 @@ def _scale_check_fuzzy_name_pairs(spark, con, sf_dir, registry):
     return True, f"exact on 1-in-30 subsample: {len(got)} pairs"
 
 
+def _scale_check_dedup_pipe_agg(spark, con, sf_dir, registry):
+    """Candidate-restricted scale oracle for ``dedup_pipe_agg``: the
+    registered oracle replays the full two-tick decision procedure in
+    DuckDB, and at the 10x fixtures its shingle CTE + bands self-join
+    (~195M shingle rows, quadratic in band-bucket density on the
+    31-word synthetic vocabulary) spills past the sandbox's disk
+    (>70 GB of DuckDB temp — ENOSPC'd the round-12 replay twice).
+    Replaced by two one-sided halves:
+
+    - EXACT, bit-faithful: the whole pipe AND the whole DuckDB oracle
+      run on a deterministic 1-in-10 doc subsample (sf0.1-scale input,
+      where the full replay is routinely green) and must agree
+      multiset-for-multiset. The subsample preserves the vocabulary
+      density — exactly the banding stressor.
+    - FULL-corpus sanity: the pipe runs on the full 10x fixtures and
+      its survivor count must be positive and bounded above by the
+      per-batch exact-dedup survivor count (a shingle-free pure-md5
+      bound DuckDB computes in one pass — near-dup dropping can only
+      remove MORE than exact dedup alone).
+
+    Returns (ok, message)."""
+    import tempfile
+
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from distributed_mapreduce__spark.sources.tables import load_table
+
+    name = "dedup_pipe_agg"
+    fn = {**registry.LOCAL_QUERIES, **registry.QUERIES}[name]
+    oracle = {**registry.LOCAL_ORACLES, **registry.ORACLES}[name]
+
+    sub_dir = tempfile.mkdtemp(prefix="dedup_pipe_scale_")
+    load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 10 == 0
+    ).coalesce(4).write.mode("overwrite").parquet(
+        f"{sub_dir}/documents.parquet"
+    )
+    sdf = fn(spark, sub_dir)
+    s_cols = [c.lower() for c in sdf.columns]
+    s_rows = [tuple(r) for r in sdf.collect()]
+    sub_con = duckdb.connect()
+    sub_con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"'{sub_dir}/documents.parquet/*.parquet'"
+    )
+    res = sub_con.execute(oracle)
+    d_cols = [c[0].lower() for c in res.description]
+    d_rows = res.fetchall()
+    if multiset(s_rows, s_cols) != multiset(d_rows, d_cols):
+        return False, (
+            f"subsample mismatch: spark {len(s_rows)} rows vs oracle "
+            f"{len(d_rows)} rows"
+        )
+    full = fn(spark, sf_dir)
+    n_surv = sum(r["n_docs"] for r in full.collect())
+    ub = con.execute(r"""
+        WITH mid AS (
+          SELECT CAST(floor(max(doc_id) / 2) AS BIGINT) AS m FROM documents
+        ),
+        nrm AS (
+          SELECT doc_id,
+                 md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS h
+          FROM documents
+        )
+        SELECT (SELECT count(DISTINCT h) FROM nrm, mid WHERE doc_id <= m)
+             + (SELECT count(DISTINCT h) FROM nrm, mid WHERE doc_id > m)
+    """).fetchone()[0]
+    if not (0 < n_surv <= ub):
+        return False, (
+            f"full-corpus survivor count {n_surv} outside "
+            f"(0, exact-dedup bound {ub}]"
+        )
+    return True, (
+        f"exact on 1-in-10 subsample ({len(s_rows)} lang rows); "
+        f"full-corpus survivors {n_surv} <= exact bound {ub}"
+    )
+
+
 SCALE_CHECKERS = {
     "embedding_neardup": _scale_check_embedding_neardup,
     "neardup_front_door": _scale_check_neardup_front_door,
     "fuzzy_name_pairs": _scale_check_fuzzy_name_pairs,
+    "dedup_pipe_agg": _scale_check_dedup_pipe_agg,
 }
 
 

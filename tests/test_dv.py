@@ -297,3 +297,54 @@ def test_dv_positions_stale_file_refused(spark, table):
     )
     with pytest.raises(ValueError, match="not live"):
         tx_delete_positions(bogus, table)
+
+
+def test_tx_dedup_rows_full_identity(spark, tmp_path):
+    from distributed_mapreduce__spark.sources.txlog import tx_dedup_rows
+
+    t = str(tmp_path / "t")
+    base = spark.range(100).select("id", (F.col("id") % 5).alias("v"))
+    tx_write(base, t)
+    tx_write(base.filter("id % 2 = 0"), t)  # re-ingest half
+    before, _ = _snapshot_files(spark, t)
+    v = tx_dedup_rows(spark, t)
+    assert v is not None
+    out = tx_read(spark, t)
+    assert out.count() == 100 and out.distinct().count() == 100
+    # zero rewrites: the file set is untouched, only a DV landed
+    after, _ = _snapshot_files(spark, t)
+    assert sorted(before) == sorted(after)
+    # idempotent: a clean table commits nothing
+    assert tx_dedup_rows(spark, t) is None
+
+
+def test_tx_dedup_rows_subset_identity(spark, tmp_path):
+    from distributed_mapreduce__spark.sources.txlog import tx_dedup_rows
+
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, "same text", "crawl-a"), (2, "same text", "crawl-b"),
+         (3, "other", "crawl-a")],
+        "doc_id long, text string, source string",
+    )
+    tx_write(df.coalesce(1), t)
+    tx_dedup_rows(spark, t, cols=["text"])  # collapse re-crawls
+    out = tx_read(spark, t).collect()
+    assert sorted(r.doc_id for r in out) == [1, 3]  # keep-first wins
+    with pytest.raises(ValueError, match="not in the table"):
+        tx_dedup_rows(spark, t, cols=["nope"])
+
+
+def test_tx_dedup_rows_nulls_group_like_distinct(spark, tmp_path):
+    from distributed_mapreduce__spark.sources.txlog import tx_dedup_rows
+
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(None,), (None,), (7,)], "v long"
+    )
+    tx_write(df.coalesce(1), t)
+    tx_dedup_rows(spark, t)
+    rows = tx_read(spark, t).collect()
+    assert sorted((r.v is None, r.v) for r in rows) == [
+        (False, 7), (True, None)
+    ]
