@@ -215,6 +215,7 @@ def tx_multi(
                 spark, path, prep["added"], prep["touched"],
                 prep["snap_version"], table_txn, "merge",
                 max_retries=max_retries, stats=prep["stats"],
+                blooms=prep["blooms"],
                 conflict_keys=prep["conflict_keys"], extra=extra,
                 revalidate=(
                     lambda props, _df=writes[path], _p=path:

@@ -2126,7 +2126,7 @@ def _bloom_prune(
     """Drop candidate ``files`` whose bloom PROVES an equality
     literal absent (any of the k bits clear). Absence of a bloom —
     wrong column, non-canonical literal type, file written without
-    ``bloom_cols`` or by a rewrite — always KEEPS the file: the
+    ``bloom_cols`` — always KEEPS the file: the
     residual filter owns correctness, blooms own skipping. Cost: one
     driver read of the relevant sidecar rows, bounded by the
     candidate set the stats prune already cut."""
@@ -2186,8 +2186,8 @@ def tx_write(
     then skips every file whose bloom proves the value absent, the
     point-lookup complement to [min, max] ranges (which are useless
     on high-cardinality unclustered columns). Blooms are PURE
-    optimization: files without one (older commits, rewrite outputs —
-    rewrites do not recompute blooms) are simply kept, the residual
+    optimization: files without one (older commits, pre-bloom builds'
+    rewrite outputs) are simply kept, the residual
     filter owns correctness, and no reader/writer guard is needed —
     any build can read or write the table and at worst loses
     skipping. Size with ``bloom_bits``/``bloom_k`` (defaults: 8 KB
@@ -3575,7 +3575,7 @@ def tx_merge(
     prep = _prepare_merge(spark, path, updates, key_col, cdf, snap)
     return _commit_rewrite(
         spark, path, prep["added"], prep["touched"], prep["snap_version"],
-        txn, "merge", stats=prep["stats"],
+        txn, "merge", stats=prep["stats"], blooms=prep["blooms"],
         conflict_keys=prep["conflict_keys"], extra=prep["extra"],
         revalidate=lambda props: _check_constraints(
             updates, props, path, "tx_merge updates"
@@ -3688,6 +3688,7 @@ def _prepare_merge(
         "touched": touched,
         "snap_version": snap_version,
         "stats": _rewrite_stats(spark, path, touched, added, key_col, snap),
+        "blooms": _rewrite_blooms(spark, path, touched, added, snap),
         "conflict_keys": None if lo is None else (phys_key, lo, hi),
         "extra": extra,
     }
@@ -3771,6 +3772,7 @@ def _commit_rewrite(
     conflict_keys: "tuple[str, object, object] | None" = None,
     extra: dict | None = None,
     revalidate=None,
+    blooms: dict | None = None,
 ) -> int:
     """Commit a rewrite (merge/delete/compact): remove+add in one
     version, with two conflict checks run at commit time, every retry:
@@ -3883,6 +3885,8 @@ def _commit_rewrite(
         }
         if stats:
             payload["stats"] = stats
+        if blooms:
+            payload["blooms"] = blooms
         if extra:
             payload.update(extra)
         if _write_atomic(
@@ -3925,6 +3929,36 @@ def _rewrite_stats(
     return _collect_stats(spark, path, added, sorted(cols), snap)
 
 
+def _rewrite_blooms(
+    spark,
+    path: str,
+    touched: list[str],
+    added: list[str],
+    snap: "_Snapshot | None",
+) -> "dict | None":
+    """Bloom refs for a rewrite's outputs: whatever bloom columns the
+    touched inputs were covered for are recomputed on the new files
+    (the bloom analog of :func:`_rewrite_stats`), so a bloom-covered
+    table STAYS point-lookup-skippable through merges, deletes,
+    compactions and re-clustering instead of degrading file by file.
+    Sizing reuses the touched entries' largest (m, k). Returns a
+    commit ``blooms`` entry or None (untouched coverage = no pass)."""
+    if snap is None or not snap.blooms or not added or not touched:
+        return None
+    all_cols = {c for b in snap.blooms for c in b["cols"]}
+    cov = _load_blooms(spark, path, snap, all_cols, touched)
+    ents = [(c, e[c]) for e in cov.values() for c in e]
+    if not ents:
+        return None
+    cols = sorted({c for c, _ in ents})
+    m = max(e[0] for _, e in ents)
+    k = max(e[1] for _, e in ents)
+    return {
+        "files": _collect_blooms(spark, path, added, cols, m, k, snap),
+        "cols": cols,
+    }
+
+
 def tx_compact(
     spark: SparkSession,
     path: str,
@@ -3964,6 +3998,7 @@ def tx_compact(
     return _commit_rewrite(
         spark, path, added, chosen, snap_version, None, "compact",
         stats=_rewrite_stats(spark, path, chosen, added, None, snap),
+        blooms=_rewrite_blooms(spark, path, chosen, added, snap),
     )
 
 
@@ -4388,6 +4423,7 @@ def tx_delete(
     return _commit_rewrite(
         spark, path, added, touched, snap_version, txn, "delete",
         stats=_rewrite_stats(spark, path, touched, added, key_col, snap),
+        blooms=_rewrite_blooms(spark, path, touched, added, snap),
         conflict_keys=(phys_key, lo, hi),
         extra=extra,
     )
@@ -4444,6 +4480,7 @@ def tx_apply_deletes(spark: SparkSession, path: str) -> int | None:
             spark, path, added, targeted, snap.version, None,
             "apply_deletes",
             stats=_rewrite_stats(spark, path, targeted, added, None, snap),
+            blooms=_rewrite_blooms(spark, path, targeted, added, snap),
             extra={"dv_clears": dv_versions, "reader": 4},
         )
     eps, mor, snap_version = snap.eps, snap.mor, snap.version
@@ -4483,6 +4520,7 @@ def tx_apply_deletes(spark: SparkSession, path: str) -> int | None:
     return _commit_rewrite(
         spark, path, added, touched, snap_version, None, "apply_deletes",
         stats=_rewrite_stats(spark, path, touched, added, None, snap),
+        blooms=_rewrite_blooms(spark, path, touched, added, snap),
         extra={"mor_clears": tomb_versions, "reader": 2},
     )
 
@@ -4760,6 +4798,7 @@ def tx_delete_where(
     return _commit_rewrite(
         spark, path, added, touched, snap.version, txn, "delete",
         stats=_rewrite_stats(spark, path, touched, added, None, snap),
+        blooms=_rewrite_blooms(spark, path, touched, added, snap),
         extra=extra,
     )
 
@@ -4944,6 +4983,7 @@ def tx_optimize_zorder(
     return _commit_rewrite(
         spark, path, added, files, snap_version, None, "zorder",
         stats=stats,
+        blooms=_rewrite_blooms(spark, path, files, added, snap),
         extra={"zorder": spec},
     )
 

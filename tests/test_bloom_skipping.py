@@ -6,9 +6,9 @@ whose bloom proves the value absent. The point-lookup complement to
 [min, max] stats (useless on high-cardinality UNclustered columns: at
 100 TB every file's id range overlaps every lookup). Blooms are pure
 optimization — no reader stamp, no writer feature: a build that
-ignores them (or a rewrite that doesn't recompute them) only loses
-skipping, never correctness, because the residual filter owns the
-decision. Hashing is the bucket() canonical-string md5 scheme, so the
+ignores them only loses skipping, never correctness, because the
+residual filter owns the decision; rewrites recompute coverage
+(_rewrite_blooms) so maintenance never degrades it. Hashing is the bucket() canonical-string md5 scheme, so the
 driver reproduces the JVM positions exactly."""
 
 from __future__ import annotations
@@ -91,14 +91,34 @@ def test_bloom_composes_with_stats_and_appends(spark, tmp_path):
     assert tx_read(spark, t, where=("id", 123, 123)).count() == 1
 
 
-def test_bloom_rewrite_degrades_to_correct(spark, btable):
-    tx_compact(spark, btable)
-    # compacted outputs carry no blooms — reads stay correct, the
-    # skip is gone (pure-optimization contract)
+def test_bloom_rewrites_recompute_coverage(spark, btable):
+    # compaction recomputes blooms on its outputs (_rewrite_blooms,
+    # the bloom analog of _rewrite_stats): the table stays
+    # point-lookup-skippable through maintenance
+    tx_compact(spark, btable, target_files=4)
     assert [
         r.id for r in tx_read(spark, btable, where=("id", 42, 42)).collect()
     ] == [42]
-    assert tx_read(spark, btable, where=("id", 10**12, 10**12)).count() == 0
+    miss = tx_read(spark, btable, where=("id", 10**12, 10**12))
+    assert miss.count() == 0
+    assert len(miss.inputFiles()) == 0  # bloom coverage survived
+
+
+def test_bloom_merge_preserves_coverage(spark, btable):
+    from distributed_mapreduce__spark.sources.txlog import tx_merge
+
+    upd = spark.createDataFrame(
+        [(42, "UPDATED")], "id long, name string"
+    )
+    tx_merge(upd, btable, "id")
+    # the rewritten file's bloom was recomputed: a miss still scans
+    # zero files, and the updated key is still found
+    assert tx_read(
+        spark, btable, where=("id", 10**12, 10**12)
+    ).count() == 0
+    hit = tx_read(spark, btable, where=("id", 42, 42))
+    assert [(r.id, r.name) for r in hit.collect()] == [(42, "UPDATED")]
+    assert len(hit.inputFiles()) <= 3
 
 
 def test_bloom_sidecars_survive_vacuum_and_truncation(spark, btable):
