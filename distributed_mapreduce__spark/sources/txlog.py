@@ -3101,6 +3101,87 @@ def tx_view(
     return df
 
 
+def tx_files(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """The live-file manifest as a DataFrame (Iceberg's ``table$files``
+    / Delta's add-file view): one row per live data file with its
+    add-version, on-disk size, partition directory values, recorded
+    per-column [min, max] stats (JSON), and whether a live deletion
+    vector targets it. Pure metadata — the log and one
+    ``getFileStatus`` per file, no data I/O — and SQL-queryable like
+    any DataFrame: ``tx_files(...).createOrReplaceTempView("files")``
+    then ``SELECT sum(size_bytes) FROM files WHERE ...`` is the
+    operational question ("how big is partition X", "what did that
+    compaction actually do") answered without scanning data."""
+    snap = _replay(spark, path, version)
+    fs = hadoop_fs(spark, path)[0]
+    dv_targets = {f for d in snap.dv for f in d["targets"]}
+    rows = []
+    for f in sorted(snap.eps):
+        af = _abs(path, f)
+        try:
+            size = int(fs.getFileStatus(hadoop_fs(spark, af)[1]).getLen())
+        except Exception:  # noqa: BLE001 — races with vacuum: report -1
+            size = -1
+        part = dict(
+            seg.split("=", 1)
+            for seg in af.rsplit("/data/", 1)[-1].split("/")[:-1]
+            if "=" in seg
+        )
+        st = snap.stats.get(f)
+        rows.append(
+            (
+                f,
+                snap.eps[f],
+                size,
+                json.dumps(part) if part else None,
+                json.dumps(st) if st else None,
+                f in dv_targets,
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "file string, add_version long, size_bytes long, "
+        "partition_values string, stats string, dv_targeted boolean",
+    )
+
+
+def tx_detail(spark: SparkSession, path: str) -> dict:
+    """One-call table summary (Delta's ``DESCRIBE DETAIL``): current
+    version, file count, total bytes, partition spec, live
+    merge-on-read debt, properties, and the stamped writer features —
+    the numbers an operator checks before/after maintenance. Driver
+    metadata only."""
+    snap = _replay(spark, path)
+    fs = hadoop_fs(spark, path)[0]
+    total = 0
+    for f in snap.eps:
+        try:
+            total += int(
+                fs.getFileStatus(hadoop_fs(spark, _abs(path, f))[1]).getLen()
+            )
+        except Exception:  # noqa: BLE001
+            pass
+    return {
+        "version": snap.version,
+        "num_files": len(snap.eps),
+        "size_bytes": total,
+        "partition_by": snap.partition_by,
+        "schema_evolved": snap.evolved,
+        "column_mapped": bool(_phys_map(snap.schema)),
+        "live_mor_tombstones": len(snap.mor),
+        "live_deletion_vectors": len(snap.dv),
+        "bloom_covered_cols": sorted(
+            {c for b in snap.blooms for c in b["cols"]}
+        ),
+        "properties": dict(snap.properties),
+        "writer_features": sorted(
+            snap.properties.get("writer.features") or []
+        ),
+    }
+
+
 def tx_history(spark: SparkSession, path: str) -> list[dict]:
     """All commits, oldest first (metadata only — version, action,
     file counts, txn)."""
@@ -4736,6 +4817,14 @@ def tx_delete_where(
         files = [
             f for f in files if not _prunable(snap.stats.get(f) or {}, pr)
         ]
+        if files and snap.blooms:
+            # equality prune conjuncts consult blooms, same as tx_read
+            eqs = [
+                (c, lo) for c, lo, hi in pr
+                if lo is not None and lo == hi
+            ]
+            if eqs:
+                files = _bloom_prune(spark, path, snap, files, eqs)
     if not files:
         return _dv_empty_delete(spark, path, snap, txn, cdf)
     scan = _scan_files(spark, path, snap, files, with_pos=True)

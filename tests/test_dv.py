@@ -348,3 +348,41 @@ def test_tx_dedup_rows_nulls_group_like_distinct(spark, tmp_path):
     assert sorted((r.v is None, r.v) for r in rows) == [
         (False, 7), (True, None)
     ]
+
+
+def test_tx_files_and_detail_introspection(spark, tmp_path):
+    from distributed_mapreduce__spark.sources.txlog import (
+        tx_delete_where,
+        tx_detail,
+        tx_files,
+    )
+
+    t = str(tmp_path / "t")
+    df = spark.range(300).select(
+        "id", (F.col("id") % 3).alias("k")
+    )
+    tx_write(df, t, partition_by=["k"], stats_cols=["id"])
+    tx_delete_where(spark, t, "id = 7")
+    files = tx_files(spark, t)
+    rows = files.collect()
+    assert len(rows) == len(_replay(spark, t).eps)
+    assert all(r.size_bytes > 0 and r.add_version == 0 for r in rows)
+    import json as _json
+
+    parts = {_json.loads(r.partition_values)["k"] for r in rows}
+    assert parts == {"0", "1", "2"}
+    # exactly the id=7 file is DV-targeted, and stats rode along
+    assert sum(1 for r in rows if r.dv_targeted) >= 1
+    assert all("id" in _json.loads(r.stats) for r in rows if r.stats)
+    # SQL over the manifest
+    files.createOrReplaceTempView("tfiles")
+    assert spark.sql(
+        "SELECT count(*) FROM tfiles WHERE dv_targeted"
+    ).first()[0] >= 1
+    d = tx_detail(spark, t)
+    assert d["num_files"] == len(rows)
+    assert d["size_bytes"] == sum(r.size_bytes for r in rows)
+    assert d["partition_by"] == ["k"]
+    assert d["live_deletion_vectors"] == 1
+    assert "dv" in d["writer_features"]
+    assert "partitioning" in d["writer_features"]
