@@ -893,3 +893,50 @@ def bloom_lookup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total_price"),
     )
+
+
+_UPDATE_ORACLE = """
+SELECT l_returnflag,
+       count(*) AS n_items,
+       CAST(CAST(sum(CAST(
+           CASE WHEN l_discount >= 0.08 THEN l_quantity + 50
+                ELSE l_quantity END AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)
+           AS total_qty
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register_local("dv_update_agg", oracle=_UPDATE_ORACLE)
+def dv_update_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deletion-vector UPDATE under the value oracle (round 12):
+    commit lineitem, then ``tx_update`` a predicate slice — ONE atomic
+    commit that DV-marks the matched positions and appends files
+    carrying only the rewritten rows (write sized by the matched rows,
+    not the touched files; sources/txlog.py tx_update, Delta's
+    DV-update economics) — and aggregate. Equality with the direct
+    CASE-WHEN oracle proves the update hit exactly the predicate rows,
+    the originals vanished behind the DV, and nothing else moved."""
+    import tempfile
+
+    from ..sources.txlog import tx_read, tx_update, tx_write
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_quantity", "l_discount"
+    )
+    table = tempfile.mkdtemp(prefix="dv_upd_q_") + "/t"
+    tx_write(li, table, stats_cols=["l_quantity"])
+    tx_update(
+        spark, table, "l_discount >= 0.08",
+        {"l_quantity": "l_quantity + 50"},
+    )
+    return (
+        tx_read(spark, table)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_qty"),
+        )
+    )

@@ -4137,14 +4137,14 @@ def _change_commits(
 
 
 def _is_noop_delete(c: dict) -> bool:
-    """A copy-on-write delete whose keys touched no live file: adds
-    nothing, removes nothing, carries no tombstone — a logical no-op
-    the change feeds must checkpoint past REGARDLESS of whether the
-    commit carries a cdf marker (a cdf=False empty delete used to key
-    the no-op on the marker and raised reprocess-from-snapshot on a
-    version that changed nothing)."""
+    """A delete/update whose predicate matched no live row: adds
+    nothing, removes nothing, carries no tombstone or DV — a logical
+    no-op the change feeds must checkpoint past REGARDLESS of whether
+    the commit carries a cdf marker (a cdf=False empty delete used to
+    key the no-op on the marker and raised reprocess-from-snapshot on
+    a version that changed nothing)."""
     return (
-        c["action"] == "delete"
+        c["action"] in ("delete", "update")
         and not c.get("add")
         and not c.get("remove")
         and not c.get("mor")
@@ -4335,7 +4335,10 @@ def tx_changes_cdf(
             else:
                 yield v, "delete", keys
             continue
-        if c["action"] in ("merge", "delete") and c.get("cdf") is not None:
+        if (
+            c["action"] in ("merge", "delete", "update")
+            and c.get("cdf") is not None
+        ):
             files = c["cdf"]["files"]
             if not files:
                 yield v, None, None
@@ -4671,15 +4674,24 @@ def _commit_dv(
     txn: str | None,
     cdf_files: "list[str] | None",
     max_retries: int = 20,
+    action: str = "delete",
+    added: "list[str] | None" = None,
+    stats: dict | None = None,
+    blooms: dict | None = None,
+    extra_revalidate=None,
 ) -> int:
-    """Commit a deletion-vector delete: no files added or removed —
-    the ``dv`` entry names the KB-scale position sidecars and the
-    exact data files they target. Commit-time revalidation (every time
-    the log advances past the prepare snapshot): writer features, no
-    concurrent equality tombstone, and every target STILL LIVE — a
-    concurrent rewrite of a target would orphan our positions (they
-    address the old file's row order), so it is a hard conflict, the
-    same rule ``_commit_rewrite`` enforces for removes."""
+    """Commit a deletion-vector delete/update: no files removed — the
+    ``dv`` entry names the KB-scale position sidecars and the exact
+    data files they target; an UPDATE additionally ``add``s the files
+    carrying the rewritten rows, atomically in the same commit.
+    Commit-time revalidation (every time the log advances past the
+    prepare snapshot): writer features, no concurrent equality
+    tombstone, every target STILL LIVE — a concurrent rewrite of a
+    target would orphan our positions (they address the old file's
+    row order), so it is a hard conflict, the same rule
+    ``_commit_rewrite`` enforces for removes — plus the caller's
+    ``extra_revalidate(props)`` hook (tx_update re-runs CHECK
+    constraints on its post-images)."""
     fs = hadoop_fs(spark, path)[0]
     used = {"dv"} | ({"cdf"} if cdf_files is not None else set())
     delta = _writer_feature_delta(snap.properties, used)
@@ -4687,25 +4699,27 @@ def _commit_dv(
     def revalidate() -> None:
         now = _replay(spark, path)
         _check_writer_features(now.properties, path)
+        if extra_revalidate is not None:
+            extra_revalidate(now.properties)
         if now.mor:
             raise RuntimeError(
                 f"conflict: equality tombstones committed to {path} "
-                "since the delete was planned; run tx_apply_deletes "
+                f"since the {action} was planned; run tx_apply_deletes "
                 "and re-run"
             )
         gone = [f for f in targets if f not in now.eps]
         if gone:
             raise RuntimeError(
-                f"conflict: files targeted by this delete were "
+                f"conflict: files targeted by this {action} were "
                 f"rewritten concurrently: {gone[:3]}... — re-run the "
-                "delete on the new snapshot"
+                f"{action} on the new snapshot"
             )
 
     def build(next_v: int) -> dict:
         payload = {
             "version": next_v,
-            "action": "delete",
-            "add": [],
+            "action": action,
+            "add": added or [],
             "remove": [],
             "txn": txn,
             "dv": {"files": sidecars, "targets": targets},
@@ -4713,6 +4727,10 @@ def _commit_dv(
         }
         if delta:
             payload["properties"] = delta
+        if stats:
+            payload["stats"] = stats
+        if blooms:
+            payload["blooms"] = blooms
         if cdf_files is not None:
             payload["cdf"] = {"files": cdf_files, "key": None}
         return payload
@@ -4724,15 +4742,32 @@ def _commit_dv(
 
 
 def _dv_empty_delete(
-    spark, path: str, snap: "_Snapshot", txn: str | None, cdf: bool
+    spark, path: str, snap: "_Snapshot", txn: str | None, cdf: bool,
+    action: str = "delete",
 ) -> int:
-    """Nothing matched: commit an empty delete so the txn id is still
-    recorded for idempotence and change feeds checkpoint past a no-op
-    (same contract as tx_delete's no-touch path)."""
-    return _commit_rewrite(
-        spark, path, [], [], snap.version, txn, "delete",
-        extra={"cdf": {"files": [], "key": None}} if cdf else None,
-    )
+    """Nothing matched: commit an empty delete/update so the txn id is
+    still recorded for idempotence and change feeds checkpoint past a
+    no-op (same contract as tx_delete's no-touch path). Commits
+    directly — NOT via ``_commit_rewrite`` — because an empty commit
+    adds and removes nothing, so the rewrite conflict checks (notably
+    the planned-DV/tombstone set rule, which refuses while delete
+    debt is live) do not apply to it: a no-match delete on a table
+    carrying DVs must be a clean no-op, not a conflict."""
+    fs = hadoop_fs(spark, path)[0]
+
+    def build(next_v: int) -> dict:
+        payload = {
+            "version": next_v,
+            "action": action,
+            "add": [],
+            "remove": [],
+            "txn": txn,
+        }
+        if cdf:
+            payload["cdf"] = {"files": [], "key": None}
+        return payload
+
+    return _commit_with_retries(spark, path, fs, build, txn, 20)
 
 
 def tx_delete_where(
@@ -5006,6 +5041,218 @@ def tx_dedup_rows(
     if not losers.limit(1).count():
         return None
     return tx_delete_positions(losers, path, txn=txn, cdf=cdf)
+
+
+def tx_update(
+    spark: SparkSession,
+    path: str,
+    condition: str,
+    set: "dict[str, str]",
+    mode: str = "merge_on_read",
+    txn: str | None = None,
+    cdf: "bool | None" = None,
+    prune: "tuple | list[tuple] | None" = None,
+) -> int:
+    """UPDATE ... SET col = expr WHERE ``condition`` (Spark SQL
+    expressions over the pre-update row; rows where the condition is
+    NULL are untouched, SQL semantics). Two physical strategies:
+
+    ``mode='merge_on_read'`` (default): Delta's deletion-vector
+    UPDATE — ONE atomic commit that (a) marks the matched rows'
+    positions as a KB-scale DV on the files they live in and (b)
+    appends new files carrying ONLY the rewritten rows. The write is
+    sized by the MATCHED rows, not the touched files: an update that
+    hits 100 rows spread across 10 GB-sized files costs 100 rows of
+    parquet plus position sidecars, where copy-on-write rewrites all
+    10 GB. Untargeted readers see the table transactionally before or
+    after — never in between. The DV debt settles exactly like a
+    delete's (``tx_apply_deletes``); until then file-set operations
+    refuse, same discipline.
+
+    ``mode='copy_on_write'``: classic rewrite of the touched files
+    with the assignments applied in place.
+
+    Updating a PARTITION SOURCE column re-places the rewritten rows
+    under their new partition directories automatically (hive layout
+    and hidden transforms both — placement is recomputed at staging).
+    Assignments must preserve each column's type (a retype would
+    corrupt footer-merged reads; refused, the same rule as schema
+    evolution). CHECK constraints validate the post-images, and are
+    re-checked at commit time if the log advanced. ``prune`` bounds
+    the predicate scan via log stats (+ blooms on equality), exactly
+    as in :func:`tx_delete_where`; correctness never depends on it.
+
+    Serialization: the predicate is evaluated against THIS snapshot —
+    a concurrent append of matching rows is NOT a conflict (those
+    rows land un-updated; Delta's rule), a concurrent rewrite of a
+    touched file is and aborts loudly. ``cdf`` records
+    ``update_preimage``/``update_postimage`` rows (the merge-CDF
+    contract), default per the table's ``cdf.enabled`` property."""
+    from pyspark.sql import functions as F
+
+    if mode not in ("copy_on_write", "merge_on_read"):
+        raise ValueError(
+            f"mode must be copy_on_write|merge_on_read, got {mode!r}"
+        )
+    if not set:
+        raise ValueError("tx_update needs at least one SET assignment")
+    snap = _replay(spark, path)
+    _check_writer_features(snap.properties, path)
+    if txn is not None and (prior := snap.txns.get(txn)) is not None:
+        return prior
+    if snap.mor:
+        raise ValueError(
+            f"tx_update on {path} with live equality tombstones "
+            f"(versions {[t['version'] for t in snap.mor]}); run "
+            "tx_apply_deletes first"
+        )
+    if mode == "copy_on_write" and snap.dv:
+        raise ValueError(
+            f"tx_update(mode='copy_on_write') on {path} with live "
+            f"deletion vectors (versions "
+            f"{[d['version'] for d in snap.dv]}); run tx_apply_deletes "
+            "first"
+        )
+    if cdf is None:
+        cdf = _cdf_props_default(snap.properties)
+    files = sorted(snap.eps)
+    if prune is not None:
+        conjuncts = [prune] if isinstance(prune, tuple) else list(prune)
+        pm = _phys_map(snap.schema) if snap.schema else {}
+        pr = [(pm.get(c, c), lo, hi) for c, lo, hi in conjuncts]
+        files = [
+            f for f in files if not _prunable(snap.stats.get(f) or {}, pr)
+        ]
+        if files and snap.blooms:
+            eqs = [
+                (c, lo) for c, lo, hi in pr
+                if lo is not None and lo == hi
+            ]
+            if eqs:
+                files = _bloom_prune(spark, path, snap, files, eqs)
+    if not files:
+        return _dv_empty_delete(spark, path, snap, txn, cdf, "update")
+    scan = _scan_files(spark, path, snap, files, with_pos=True)
+    if snap.dv:
+        live_pos = spark.read.parquet(
+            *[_abs(path, sf) for d in snap.dv for sf in d["files"]]
+        )
+        scan = scan.join(
+            F.broadcast(live_pos), ["_file", "_pos"], "left_anti"
+        )
+    data_cols = [c for c in scan.columns if c not in ("_file", "_pos")]
+    bad = [c for c in set if c not in data_cols]
+    if bad:
+        raise ValueError(
+            f"tx_update SET columns {bad} not in the table "
+            f"(has {data_cols})"
+        )
+    cond = F.expr(condition)
+    matched = scan.filter(cond)
+
+    def _assign(df):
+        return df.select(
+            *[
+                F.expr(set[c]).alias(c) if c in set else F.col(c)
+                for c in data_cols
+            ]
+        )
+
+    before_types = dict(scan.select(*data_cols).dtypes)
+    updated = _assign(matched.drop("_file", "_pos"))
+    retyped = {
+        c: (before_types[c], t)
+        for c, t in updated.dtypes
+        if t != before_types[c]
+    }
+    if retyped:
+        raise ValueError(
+            f"tx_update assignments change column types {retyped}; "
+            "cast the expression back to the column's type"
+        )
+    _check_constraints(updated, snap.properties, path, "tx_update")
+    if mode == "merge_on_read":
+        sidecars = _stage_dv(matched.select("_file", "_pos"), path)
+        placed = spark.read.parquet(*[_abs(path, f) for f in sidecars])
+        targets = sorted(
+            r[0] for r in placed.select("_file").distinct().collect()
+        )
+        if not targets:
+            return _dv_empty_delete(spark, path, snap, txn, cdf, "update")
+        added = _stage_and_place(
+            _to_physical(updated, snap.schema), path, snap.partition_by
+        )
+        cdf_files = None
+        if cdf:
+            pre = (
+                _scan_files(spark, path, snap, targets, with_pos=True)
+                .join(F.broadcast(placed), ["_file", "_pos"], "semi")
+                .drop("_file", "_pos")
+                .withColumn("_change_type", F.lit("update_preimage"))
+            )
+            post = updated.withColumn(
+                "_change_type", F.lit("update_postimage")
+            )
+            cdf_files = _stage_cdf(
+                _to_physical(pre.unionByName(post), snap.schema), path
+            )
+        return _commit_dv(
+            spark, path, snap, sidecars, targets, txn, cdf_files,
+            action="update", added=added,
+            stats=_rewrite_stats(spark, path, targets, added, None, snap),
+            blooms=_rewrite_blooms(spark, path, targets, added, snap),
+            extra_revalidate=lambda props: _check_constraints(
+                updated, props, path, "tx_update"
+            ),
+        )
+    touched = sorted(
+        r[0] for r in matched.select("_file").distinct().collect()
+    )
+    if not touched:
+        return _dv_empty_delete(spark, path, snap, txn, cdf, "update")
+    old = _read_table_files(spark, path, touched, snap)
+    hit = F.coalesce(cond, F.lit(False))
+    rewritten = old.select(
+        *[
+            F.when(hit, F.expr(set[c]).cast(before_types[c]))
+            .otherwise(F.col(c))
+            .alias(c)
+            if c in set
+            else F.col(c)
+            for c in data_cols
+        ]
+    )
+    extra = None
+    if cdf:
+        pre = old.filter(cond).withColumn(
+            "_change_type", F.lit("update_preimage")
+        )
+        post = _assign(old.filter(cond)).withColumn(
+            "_change_type", F.lit("update_postimage")
+        )
+        extra = {
+            "cdf": {
+                "files": _stage_cdf(
+                    _to_physical(pre.unionByName(post), snap.schema), path
+                ),
+                "key": None,
+            }
+        }
+        delta = _writer_feature_delta(snap.properties, {"cdf"})
+        if delta:
+            extra["properties"] = delta
+    added = _stage_and_place(
+        _to_physical(rewritten, snap.schema), path, snap.partition_by
+    )
+    return _commit_rewrite(
+        spark, path, added, touched, snap.version, txn, "update",
+        stats=_rewrite_stats(spark, path, touched, added, None, snap),
+        blooms=_rewrite_blooms(spark, path, touched, added, snap),
+        extra=extra,
+        revalidate=lambda props: _check_constraints(
+            updated, props, path, "tx_update"
+        ),
+    )
 
 
 def tx_optimize_zorder(

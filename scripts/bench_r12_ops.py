@@ -208,6 +208,18 @@ def measure(spark, sf_dir: str, tmp: str) -> dict[str, float]:
     for kv in keys:
         _noop(tx_read(spark, tb, where=("l_orderkey", kv, kv)))
     out["bloom_point_lookup_5x"] = round(time.perf_counter() - t0, 3)
+
+    # DV UPDATE: one atomic commit = position sidecars + files sized
+    # by the MATCHED rows (not the touched files) + the read
+    from distributed_mapreduce__spark.sources.txlog import tx_update
+
+    t0 = time.perf_counter()
+    tx_update(
+        spark, tdv, "l_quantity <= 4 AND l_discount >= 0.09",
+        {"l_quantity": "l_quantity + 50"},
+    )
+    _noop(tx_read(spark, tdv))
+    out["dv_update_read"] = round(time.perf_counter() - t0, 3)
     return out
 
 

@@ -386,3 +386,12 @@ def test_tx_files_and_detail_introspection(spark, tmp_path):
     assert d["live_deletion_vectors"] == 1
     assert "dv" in d["writer_features"]
     assert "partitioning" in d["writer_features"]
+
+
+def test_dv_noop_delete_with_live_dv_is_clean(spark, table):
+    # a no-match delete/update on a table already carrying DVs must be
+    # a clean no-op commit, not a planned-DV conflict
+    tx_delete_where(spark, table, "v = 3")
+    v = tx_delete_where(spark, table, "v = 99", txn="noop-2")
+    assert v is not None
+    assert tx_read(spark, table).count() == 180
