@@ -106,23 +106,31 @@ def test_random_op_sequence_matches_model(spark, tmp_path):
 
 
 def test_two_writer_interleaving_replays_consistently(spark, tmp_path):
-    """Round-12 concurrency model test (VERDICT r11 #7): two writer
-    threads interleave partitioned appends, keyed merges/deletes,
-    partition evolution, CHECK-constraint ADDs, CDF merges, and
-    multi-table MERGEs against ONE table (plus a second participant
-    table). Threads own disjoint keyspaces, so content-wise their
-    successful operations commute and the final table must equal the
-    union of the per-thread models; loud commit-time conflicts are
-    legal outcomes (caught, op skipped). Afterwards EVERY version in
-    the history must replay without error, and the writer-features
-    property must carry the union of both threads' auto-stamps — the
-    round-12 union-fold under real interleaving."""
+    """Round-12 concurrency model test (VERDICT r11 #7, extended to
+    the round-12-late surface): two writer threads interleave
+    partitioned appends, keyed merges/deletes, DV predicate deletes
+    (tx_delete_where), DV updates (tx_update), DV settlement
+    (tx_apply_deletes), partition evolution, CHECK-constraint ADDs,
+    CDF merges, and multi-table MERGEs against ONE bloom-covered
+    table (plus a second participant table). Threads own disjoint
+    keyspaces, so content-wise their successful operations commute
+    and the final table must equal the union of the per-thread
+    models; loud commit-time conflicts are legal outcomes (caught, op
+    skipped) — including the NEW ones: a rewrite racing a live DV
+    aborts via the planned-DV check, a DV commit racing a rewrite of
+    its targets aborts via revalidation, and file-set ops refuse
+    while DV debt is live. Afterwards EVERY version in the history
+    must replay without error, and the writer-features property must
+    carry the union of both threads' auto-stamps."""
     import threading
     from concurrent.futures import ThreadPoolExecutor
 
     from distributed_mapreduce__spark.sources.multitx import tx_multi
     from distributed_mapreduce__spark.sources.txlog import (
         tx_add_constraint,
+        tx_apply_deletes,
+        tx_delete_where,
+        tx_update,
         tx_history,
         tx_properties,
         tx_set_partitioning,
@@ -141,7 +149,10 @@ def test_two_writer_interleaving_replays_consistently(spark, tmp_path):
     # bootstrap: partitioned on k, one row block per thread's range
     seed_a = rowset(0, 500, 8, "seed_a", random.Random(1))
     seed_b = rowset(500, 1000, 8, "seed_b", random.Random(2))
-    tx_write(mk(seed_a + seed_b), t, partition_by=["k"], stats_cols=["id"])
+    tx_write(
+        mk(seed_a + seed_b), t, partition_by=["k"], stats_cols=["id"],
+        bloom_cols=["id"],  # merges/deletes exercise bloom refinement
+    )
     tx_write(mk(seed_a), t2)
     tx_add_constraint(spark, t, "id_box", "id >= 0 AND id < 1000")
 
@@ -157,6 +168,11 @@ def test_two_writer_interleaving_replays_consistently(spark, tmp_path):
             or "does not match the table's" in msg
             or "changed while this" in msg
             or "could not commit" in msg
+            # DV-debt refusals under interleaving: legal skips — the
+            # other thread's delete/update debt is live until someone
+            # settles it
+            or "deletion vectors" in msg
+            or "tombstones" in msg
         )
 
     def writer(name: str, lo: int, hi: int, seed: int):
@@ -166,15 +182,43 @@ def test_two_writer_interleaving_replays_consistently(spark, tmp_path):
             step += 1
             op = rng.choice(
                 ["append", "merge", "merge_cdf", "delete", "evolve",
-                 "constraint", "multi"]
+                 "constraint", "multi", "dv_delete", "dv_update",
+                 "settle"]
             )
             try:
                 if op == "append":
-                    rows = rowset(lo, hi, rng.randint(1, 5),
-                                  f"{name}{step}", rng)
+                    avail = [
+                        i for i in range(lo, hi) if i not in models[name]
+                    ]
+                    ids = rng.sample(avail, min(rng.randint(1, 5),
+                                                len(avail)))
+                    rows = [(i, i % 4, f"{name}{step}") for i in ids]
                     tx_write(mk(rows), t)
                     with lock:
                         models[name].update({r[0]: r for r in rows})
+                elif op == "dv_delete":
+                    x = rng.randint(lo, hi - 10)
+                    tx_delete_where(
+                        spark, t, f"id >= {x} AND id < {x + 10}"
+                    )
+                    with lock:
+                        for k in [k for k in models[name]
+                                  if x <= k < x + 10]:
+                            models[name].pop(k)
+                elif op == "dv_update":
+                    x = rng.randint(lo, hi - 20)
+                    tag = f"u{name}{step}"
+                    tx_update(
+                        spark, t, f"id >= {x} AND id < {x + 20}",
+                        {"tag": f"'{tag}'"},
+                    )
+                    with lock:
+                        for k in [k for k in models[name]
+                                  if x <= k < x + 20]:
+                            r = models[name][k]
+                            models[name][k] = (r[0], r[1], tag)
+                elif op == "settle":
+                    tx_apply_deletes(spark, t)
                 elif op in ("merge", "merge_cdf"):
                     rows = rowset(lo, hi, rng.randint(1, 4),
                                   f"{name}{step}", rng)

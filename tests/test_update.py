@@ -185,3 +185,25 @@ def test_update_stacks_on_live_delete_dv(spark, table):
     # a second update never resurrects or re-marks deleted coordinates
     tx_update(spark, table, "v = 103", {"v": "v + 1"})
     assert tx_read(spark, table).filter("v = 104").count() == 100
+
+
+def test_update_replicates_through_cdc_pipe(spark, tmp_path):
+    """An UPDATE's cdf frame (pre+post images) drives the pipe's
+    delete-then-append upsert: the replica converges to the source —
+    including when the update CHANGES the cdc key itself (the delete
+    covers pre AND post keys, the append lands the post rows)."""
+    from distributed_mapreduce__spark.streaming.table_stream import (
+        pipe_available_now,
+    )
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    ck = str(tmp_path / "ck")
+    tx_write(_df(spark).coalesce(2), src)
+    pipe_available_now(spark, src, dst, checkpoint=ck, cdc_key="id")
+    tx_update(spark, src, "v = 3", {"tag": "'u'"})
+    tx_update(spark, src, "v = 4", {"id": "id + 10000"})  # key change
+    pipe_available_now(spark, src, dst, checkpoint=ck, cdc_key="id")
+    a = {tuple(r) for r in tx_read(spark, src).collect()}
+    b = {tuple(r) for r in tx_read(spark, dst).collect()}
+    assert a == b and len(a) == 1000
