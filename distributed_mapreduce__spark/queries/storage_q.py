@@ -940,3 +940,56 @@ def dv_update_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_qty"),
         )
     )
+
+
+_TXSRC_ORACLE = """
+SELECT lang,
+       count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents
+GROUP BY lang
+"""
+
+
+@register_local("tx_source_stream_agg", oracle=_TXSRC_ORACLE)
+def tx_source_stream_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``txtable`` Structured Streaming source under the value
+    oracle (round 12, streaming/tx_source.py): ACID-ingest documents
+    as two commits, then consume the table as a REAL readStream input
+    (PySpark 4 Python DataSource API — offsets are commit versions,
+    micro-batches are commit ranges, Spark's checkpoint machinery owns
+    exactly-once) into a memory sink, and aggregate the sink. Equality
+    with the direct corpus aggregate proves the source delivered every
+    committed row exactly once through the engine's own streaming
+    runtime — not through our pipe code."""
+    import uuid as _uuid
+
+    import tempfile
+
+    from ..sources.txlog import tx_write
+    from ..streaming.tx_source import register_tx_source
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    table = tempfile.mkdtemp(prefix="txsrc_q_") + "/t"
+    tx_write(docs.filter(F.col("doc_id") % 2 == 0), table)
+    tx_write(docs.filter(F.col("doc_id") % 2 == 1), table)
+    register_tx_source(spark)
+    sink = f"txsrc_sink_{_uuid.uuid4().hex[:8]}"
+    q = (
+        spark.readStream.format("txtable").option("path", table).load()
+        .writeStream.format("memory").queryName(sink).start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return (
+        spark.table(sink)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )

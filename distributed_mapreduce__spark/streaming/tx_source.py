@@ -1,0 +1,360 @@
+"""``txtable`` — a Structured Streaming SOURCE over transactional
+tables, built on PySpark 4's Python DataSource API: register once and
+the commit log becomes a first-class streaming input ::
+
+    from distributed_mapreduce__spark.streaming.tx_source import (
+        register_tx_source,
+    )
+
+    register_tx_source(spark)
+    df = spark.readStream.format("txtable").option("path", table).load()
+    df.writeStream...  # micro-batches = commit ranges, exactly once
+
+Spark's own offset checkpointing drives exactly-once: an offset is
+``{"version": v}`` — the newest commit fully delivered — so a restart
+resumes from the checkpointed version with the engine's usual
+guarantees, and each micro-batch covers exactly the commits
+``(start, end]`` (one input partition per added file, read as Arrow
+batches by pyarrow on the executors).
+
+Contract (the insert-only feed, ``tx_changes`` parity):
+
+- appends and the add side of committed multi-table txns deliver;
+- compaction / Z-order / settle / meta commits and no-match
+  deletes/updates are no-ops the stream checkpoints past;
+- a commit that CHANGES visible rows (overwrite, merge, delete,
+  update) fails the stream with a reprocess-from-snapshot error —
+  row removal is not representable in an insert feed (use
+  ``tx_changes_cdf`` / the table-stream pipes for CDC);
+- the drain stops BEFORE a still-pending multi-table commit (its adds
+  are neither deliverable nor skippable until the coordinator
+  resolves) and re-probes next trigger;
+- reader-version stamps are honored: a commit stamped above this
+  build refuses loudly instead of misreading.
+
+Read-side normalization matches the batch read contract: column
+mapping renames physical names back to logical, evolved files
+null-fill missing columns, hive/hidden partition directory values are
+parsed from the path and cast to the declared column types (identity
+transforms only carry table columns; derived placement dirs are
+dropped).
+
+Planning runs driver-side with PURE-PYTHON file I/O (the DataSource
+lifecycle has no SparkSession): local filesystems and ``file:`` URIs
+only — the same boundary as the sandboxed object-store claimers, and
+the log format is identical, so an fsspec-style port is mechanical.
+
+Design refs: Delta's streaming source (insert-only delta feed +
+startingVersion), Spark SPARK-44076 (Python data source API).
+Reference repo has no streaming at all — extension E7+.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Iterator, Sequence
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+from ..sources.txlog import READER_VERSION as _READER_VERSION
+
+_PAD = 20
+
+
+def _local(path: str) -> str:
+    if path.startswith("file:"):
+        path = path[len("file:"):]
+        while path.startswith("//"):
+            path = path[1:]
+    if "://" in path:
+        raise ValueError(
+            f"the txtable streaming source plans with plain file I/O; "
+            f"{path!r} needs an object-store scheme this sandbox "
+            "cannot exercise (the log format is identical — port the "
+            "_LogView I/O to fsspec for S3/GCS/ABFS)"
+        )
+    return path
+
+
+class _LogView:
+    """Pure-python, driver-side view of a table's commit log — the
+    minimal subset of sources/txlog.py's replay the streaming source
+    needs (that module's full replay requires a SparkSession, which
+    the DataSource planning lifecycle does not have)."""
+
+    def __init__(self, path: str):
+        self.path = _local(path)
+        self.log = os.path.join(self.path, "_txlog")
+        if not os.path.isdir(self.log):
+            raise FileNotFoundError(
+                f"no transactional table at {self.path}"
+            )
+
+    def commits(self) -> "list[tuple[int, str]]":
+        out = []
+        for n in sorted(os.listdir(self.log)):
+            if n.endswith(".checkpoint.json"):
+                out.append((int(n.split(".")[0]), "checkpoint"))
+            elif n.endswith(".json") and ".tmp" not in n:
+                out.append((int(n.split(".")[0]), "commit"))
+        return out
+
+    def load(self, version: int, kind: str = "commit") -> dict:
+        name = (
+            f"{version:0{_PAD}d}.checkpoint.json"
+            if kind == "checkpoint"
+            else f"{version:0{_PAD}d}.json"
+        )
+        with open(os.path.join(self.log, name)) as fh:
+            return json.load(fh)
+
+    def check_reader(self, c: dict, version: int) -> None:
+        needs = c.get("reader", 1)
+        if needs > _READER_VERSION:
+            raise RuntimeError(
+                f"version {version} of {self.path} requires reader "
+                f"version {needs}; this build supports {_READER_VERSION}"
+            )
+
+    def schema_json(self) -> str:
+        """The current logical schema (newest checkpoint's, overlaid
+        by later commits' schema records, matching _replay's fold for
+        the append-only histories this source accepts)."""
+        commits = self.commits()
+        ckpts = [v for v, k in commits if k == "checkpoint"]
+        schema = None
+        start = -1
+        if ckpts:
+            ck = self.load(ckpts[-1], "checkpoint")
+            self.check_reader(ck, ckpts[-1])
+            schema = ck.get("schema")
+            start = ckpts[-1]
+        for v, k in commits:
+            if k != "commit" or v <= start:
+                continue
+            c = self.load(v)
+            if c.get("schema_replace") is not None:
+                schema = c["schema_replace"]
+            elif c.get("schema") is not None:
+                if schema is None or c["action"] == "overwrite":
+                    schema = c["schema"]
+                else:
+                    merged = json.loads(schema)
+                    have = {f["name"] for f in merged["fields"]}
+                    for f in json.loads(c["schema"])["fields"]:
+                        if f["name"] not in have:
+                            merged["fields"].append(f)
+                    schema = json.dumps(merged)
+        if schema is None:
+            raise ValueError(
+                f"table {self.path} predates schema recording; the "
+                "streaming source needs a recorded schema"
+            )
+        # union-of-files semantics: evolved columns are NULL for files
+        # that predate them, so every field must be declared nullable
+        # (parquet mergeSchema's rule — a lit()-derived non-nullable
+        # recording would otherwise NPE the JVM on the fill)
+        d = json.loads(schema)
+        d["fields"] = [{**f, "nullable": True} for f in d["fields"]]
+        return json.dumps(d)
+
+    def multi_status(self, coordinator: str, txid: str) -> str:
+        rec = os.path.join(
+            _local(coordinator), "_multitx", f"{txid}.json"
+        )
+        if not os.path.exists(rec):
+            return "pending"
+        with open(rec) as fh:
+            r = json.load(fh)
+        return "aborted" if r.get("aborted") else "committed"
+
+    def change_files(
+        self, since: int, upto: "int | None" = None
+    ) -> "tuple[list[str], int]":
+        """(files added by commits in (since, upto]), capped cursor) —
+        the insert-only interpretation, stopping before a pending
+        multi-table commit. Raises on row-changing commits."""
+        commits = self.commits()
+        versions = sorted({v for v, _ in commits})
+        if not versions:
+            raise FileNotFoundError(f"no commits at {self.path}")
+        latest = versions[-1] if upto is None else upto
+        if since >= 0 and since not in set(versions) and since < latest:
+            raise ValueError(
+                f"version {since} was vacuumed from the log at "
+                f"{self.path}; reprocess from a snapshot read"
+            )
+        files: list[str] = []
+        cursor = since
+        for v, kind in commits:
+            if kind != "commit" or v <= since or v > latest:
+                continue
+            c = self.load(v)
+            self.check_reader(c, v)
+            m = c.get("multi")
+            if m is not None:
+                status = self.multi_status(m["coordinator"], m["txid"])
+                if status == "pending":
+                    return files, cursor
+                if status == "aborted":
+                    cursor = v
+                    continue
+            act = c["action"]
+            if act in ("compact", "zorder", "apply_deletes", "meta"):
+                cursor = v
+                continue
+            if (
+                act in ("delete", "update")
+                and not c.get("add")
+                and not c.get("remove")
+                and not c.get("mor")
+                and not c.get("dv")
+            ):
+                cursor = v  # no-match no-op
+                continue
+            if act != "append" or c.get("remove"):
+                raise ValueError(
+                    f"commit {v} of {self.path} is {act!r} (changes "
+                    "visible rows); the txtable source is insert-only "
+                    "— reprocess via tx_read and resume, or consume "
+                    "CDC through tx_changes_cdf / the table pipes"
+                )
+            files.extend(c.get("add", []))
+            cursor = v
+        return files, cursor
+
+
+class _FilePartition(InputPartition):
+    def __init__(self, abs_path: str):
+        self.abs_path = abs_path
+
+
+class TxTableStreamReader(DataSourceStreamReader):
+    def __init__(self, options: dict, schema_json: str):
+        self.path = _local(options["path"])
+        self.start_version = int(options.get("startingversion", -1))
+        self.schema_json = schema_json
+        fields = json.loads(schema_json)["fields"]
+        #: logical name -> recorded physical name (column mapping)
+        self.phys = {
+            f["name"]: (f.get("metadata") or {}).get("phys") or f["name"]
+            for f in fields
+        }
+        self.logical = [f["name"] for f in fields]
+
+    # -- offsets ---------------------------------------------------
+    def initialOffset(self) -> dict:
+        return {"version": self.start_version}
+
+    def latestOffset(self) -> dict:
+        view = _LogView(self.path)
+        cur = max((v for v, _ in view.commits()), default=-1)
+        # stop before a pending multi commit: cap the offset there so
+        # partitions() never spans an unresolved transaction
+        _, capped = view.change_files(self.start_version, cur)
+        base = {v for v, _ in view.commits()}
+        # capped can trail cur only due to a pending multi or because
+        # nothing new exists; never regress below a prior offset
+        return {"version": capped if capped in base or capped == self.start_version else cur}
+
+    # -- planning --------------------------------------------------
+    def partitions(
+        self, start: dict, end: dict
+    ) -> "Sequence[InputPartition]":
+        view = _LogView(self.path)
+        files, _ = view.change_files(start["version"], end["version"])
+        parts = [
+            _FilePartition(
+                f if os.path.isabs(f) else os.path.join(self.path, f)
+            )
+            for f in files
+        ]
+        return parts or [_FilePartition("")]
+
+    # -- executor-side read ---------------------------------------
+    def read(self, partition: _FilePartition) -> "Iterator":
+        if not partition.abs_path:
+            return iter([])
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pyspark.sql.pandas.types import to_arrow_schema
+        from pyspark.sql.types import StructType
+
+        target = to_arrow_schema(
+            StructType.fromJson(json.loads(self.schema_json))
+        )
+        t = pq.read_table(partition.abs_path)
+        # hive / hidden partition dirs: col=val segments in the path
+        part_vals = dict(
+            seg.split("=", 1)
+            for seg in partition.abs_path.split("/")[:-1]
+            if "=" in seg
+        )
+        n = t.num_rows
+        cols = []
+        for i, name in enumerate(self.logical):
+            phys = self.phys[name]
+            ftype = target.field(i).type
+            if phys in t.column_names:
+                col = t.column(phys)
+                if col.type != ftype:
+                    col = col.cast(ftype)
+            elif name in part_vals:
+                # identity partition value lives in the directory
+                # name; parse through the DECLARED type (never string
+                # inference)
+                from urllib.parse import unquote
+
+                raw = unquote(part_vals[name])
+                col = pa.array([raw] * n, type=pa.string()).cast(ftype)
+            else:
+                # evolved column absent from this older file
+                col = pa.nulls(n, type=ftype)
+            cols.append(col)
+        out = pa.table(cols, schema=target)
+        return iter(out.to_batches(max_chunksize=1 << 16))
+
+    def commit(self, end: dict) -> None:
+        pass  # Spark's checkpoint owns progress; nothing to release
+
+
+class TxTableDataSource(DataSource):
+    """``spark.readStream.format("txtable").option("path", p)`` —
+    see the module docstring for the full contract."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "txtable"
+
+    def schema(self):
+        from pyspark.sql.types import StructType
+
+        view = _LogView(self.options["path"])
+        return StructType.fromJson(json.loads(view.schema_json()))
+
+    def streamReader(self, schema) -> TxTableStreamReader:
+        view = _LogView(self.options["path"])
+        return TxTableStreamReader(dict(self.options), view.schema_json())
+
+
+def register_tx_source(spark) -> None:
+    """Register the ``txtable`` format on this session (idempotent).
+
+    The DataSource lifecycle runs in SEPARATE Python worker processes
+    that cannot import this repo's package (it is not installed
+    site-wide), so this module is registered for cloudpickle
+    BY-VALUE serialization — the class definitions travel inside the
+    pickle, the standard deployment story for Python data sources
+    outside a wheel."""
+    import sys
+
+    from pyspark import cloudpickle
+
+    cloudpickle.register_pickle_by_value(sys.modules[__name__])
+    spark.dataSource.register(TxTableDataSource)
