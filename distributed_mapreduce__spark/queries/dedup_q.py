@@ -531,3 +531,83 @@ def dedup_pipe_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").cast("long").alias("total_chars"),
         )
     )
+
+
+_TX_NEARDUP_ORACLE = f"""
+    WITH {_SH_ONLY_CTE},
+    hmv AS (
+      SELECT doc_id,
+             list_reduce(list_transform(generate_series(1, 15),
+                i -> CAST(strpos('0123456789abcdef', substring(md5(shingle), i, 1)) - 1
+                          AS BIGINT)),
+               (a, b) -> a * 16 + b) % 2147483647 AS hm
+      FROM sh
+    ),
+    sig AS (SELECT doc_id, {_MH_SIG_COLS} FROM hmv GROUP BY doc_id),
+    bands AS (
+      {_MH_BANDS_UNION}
+    ),
+    nrm AS (
+      SELECT doc_id,
+             md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS h
+      FROM documents
+    ),
+    ex AS (
+      SELECT min(n.doc_id) AS doc_id FROM nrm n GROUP BY n.h
+    ),
+    near AS (
+      SELECT DISTINCT gb.doc_id
+      FROM bands ga
+      JOIN bands gb ON ga.band = gb.band AND ga.band_key = gb.band_key
+                    AND ga.doc_id < gb.doc_id
+      JOIN ex ea ON ea.doc_id = ga.doc_id
+      JOIN ex eb ON eb.doc_id = gb.doc_id
+      JOIN sig sa ON sa.doc_id = ga.doc_id
+      JOIN sig sb ON sb.doc_id = gb.doc_id
+      WHERE ({_AGREE_AB}) >= 8
+    ),
+    keep AS (
+      SELECT doc_id FROM ex
+      WHERE doc_id NOT IN (SELECT doc_id FROM near)
+    )
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents JOIN keep USING (doc_id)
+    GROUP BY lang
+"""
+
+
+@register_local("tx_neardup_rows_agg", oracle=_TX_NEARDUP_ORACLE)
+def tx_neardup_rows_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-place physical NEAR-dedup of an ACID corpus table under the
+    value oracle (round 12, streaming/dedup.tx_dedup_table): ingest
+    documents as ONE file in doc_id order — so the operator's
+    positional row identity (file, zero-padded ordinal) orders
+    exactly like doc_id, making its min-coordinate winners equal the
+    oracle's min-doc_id winners — run the pipe's decision procedure
+    over the snapshot (exact normalized-text survivors, then banded
+    est-Jaccard >= 0.5 drops of the greater identity), erase the
+    losers as a KB-scale deletion vector (zero files rewritten), and
+    aggregate the cleaned table. The DuckDB oracle replays the whole
+    procedure — shingles, minhash, banding, agreement threshold —
+    over the same corpus."""
+    import tempfile
+
+    from ..sources.txlog import tx_read, tx_write
+    from ..streaming.dedup import tx_dedup_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "n_chars"
+    )
+    table = tempfile.mkdtemp(prefix="tx_neardup_q_") + "/t"
+    tx_write(docs.coalesce(1).sortWithinPartitions("doc_id"), table)
+    tx_dedup_table(spark, table)
+    return (
+        tx_read(spark, table)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+    )

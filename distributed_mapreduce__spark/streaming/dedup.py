@@ -304,3 +304,52 @@ def stream_incremental_dedup(
         .outputMode("update")
         .start()
     )
+
+
+def tx_dedup_table(
+    spark,
+    path: str,
+    text_col: str = "text",
+    est_threshold: float = 0.5,
+    verify: str = "estimate",
+    txn: "str | None" = None,
+    cdf: "bool | None" = None,
+):
+    """Physically NEAR-dedup a transactional corpus table IN PLACE:
+    run the pipe's exact decision procedure (:func:`intra_batch_dedup`
+    — min-identity survivor per normalized-text key, then LSH-banded
+    near-dup drop per >=-threshold pair) over the CURRENT snapshot,
+    and erase the losers by (file, row-ordinal) coordinate as a
+    KB-scale deletion vector. ZERO data files are rewritten — the
+    100 TB corpus-maintenance shape: re-crawls and paraphrases
+    disappear behind position sidecars instead of a full-table
+    rewrite, and ``tx_vacuum`` after ``tx_apply_deletes`` gives
+    physical erasure when required.
+
+    Row identity is the positional coordinate itself (zero-padded so
+    its lexicographic order matches physical order), so this dedups
+    tables with NO id column and keeps exactly one copy of
+    bit-identical rows — the case key-addressed deletes cannot
+    express. Returns the committed version, or ``None`` when the
+    table was already clean (nothing committed). Deterministic on a
+    given snapshot; ``verify='exact'`` makes the near-dup drop
+    estimator-noise-free (same trade as the pipe — see
+    :func:`intra_batch_dedup`)."""
+    from ..sources.txlog import tx_delete_positions, tx_scan_with_pos
+
+    pos = tx_scan_with_pos(spark, path)
+    docs = pos.select(
+        F.concat_ws(
+            "#", F.col("_file"), F.format_string("%019d", F.col("_pos"))
+        ).alias("doc_id"),
+        F.col(text_col).alias("text"),
+    )
+    clean = intra_batch_dedup(docs, est_threshold, verify=verify)
+    losers = docs.join(clean.select("doc_id"), "doc_id", "left_anti")
+    lose_pos = losers.select(
+        F.substring_index("doc_id", "#", 1).alias("_file"),
+        F.substring_index("doc_id", "#", -1).cast("long").alias("_pos"),
+    )
+    if not lose_pos.limit(1).count():
+        return None
+    return tx_delete_positions(lose_pos, path, txn=txn, cdf=cdf)

@@ -264,3 +264,52 @@ def test_dedup_pipe_exact_verify_end_to_end(spark, tmp_path):
         i * 10 + 2 for i in range(8)
     } <= high_ids
     assert {i * 10 + 2 for i in range(8)} <= kept  # low variants survive
+
+
+def test_tx_dedup_table_in_place(spark, tmp_path):
+    """tx_dedup_table: the pipe's decision procedure over a table
+    snapshot, losers erased as a deletion vector — zero rewrites."""
+    from pyspark.sql import functions as F
+
+    from distributed_mapreduce__spark.sources.txlog import (
+        _replay,
+        _snapshot_files,
+        tx_read,
+        tx_write,
+    )
+    from distributed_mapreduce__spark.streaming.dedup import tx_dedup_table
+
+    def text(i):  # 30 unique tokens per doc: no cross-doc shingles
+        return " ".join(f"w{i}x{j}" for j in range(30))
+
+    rows = [(i, text(i)) for i in range(20)]
+    # whitespace/case-normalized EXACT dup of doc 3
+    rows += [(100, "  " + text(3).upper() + "  ")]
+    # near-dup paraphrase of doc 5: one token swapped
+    rows += [(101, text(5).replace("w5x20", "zzz"))]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    t = str(tmp_path / "t")
+    tx_write(df.filter("doc_id < 10").coalesce(1), t)
+    tx_write(df.filter("doc_id >= 10").coalesce(1), t)
+    before, _ = _snapshot_files(spark, t)
+    v = tx_dedup_table(spark, t)
+    assert v is not None
+    out = tx_read(spark, t)
+    ids = {r.doc_id for r in out.collect()}
+    # normalized-exact dup of doc 3 died; earlier copy survived
+    assert 3 in ids
+    # the paraphrase is a near-dup of doc 5: the later identity died
+    assert 5 in ids and 101 not in ids
+    # zero files rewritten
+    after, _ = _snapshot_files(spark, t)
+    assert sorted(before) == sorted(after)
+    assert 100 not in ids  # the exact dup died
+    assert len(ids) == 20  # everything else untouched
+    # idempotent: a clean table commits nothing
+    assert tx_dedup_table(spark, t) is None
+    # exact-verify route agrees on this corpus
+    t2 = str(tmp_path / "t2")
+    tx_write(df.coalesce(1), t2)
+    tx_dedup_table(spark, t2, verify="exact")
+    ids2 = {r.doc_id for r in tx_read(spark, t2).collect()}
+    assert 101 not in ids2 and 100 not in ids2 and 5 in ids2
