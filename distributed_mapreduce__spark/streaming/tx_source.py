@@ -57,6 +57,7 @@ from typing import Iterator, Sequence
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceReader,
     DataSourceStreamReader,
     InputPartition,
 )
@@ -173,6 +174,77 @@ class _LogView:
             r = json.load(fh)
         return "aborted" if r.get("aborted") else "committed"
 
+    def snapshot_files(self, version: "int | None" = None):
+        """``(eps, mor, dv)`` at ``version`` — the file-level half of
+        sources/txlog.py's replay fold, pure-python (checkpoint `eps`
+        + commit add/remove/mor/dv deltas, committed-multi
+        visibility)."""
+        commits = self.commits()
+        versions = sorted({v for v, _ in commits})
+        if not versions:
+            raise FileNotFoundError(f"no commits at {self.path}")
+        if version is None:
+            version = versions[-1]
+        elif version not in versions:
+            raise ValueError(
+                f"version {version} does not exist at {self.path}"
+            )
+        ckpts = [
+            v for v, k in commits if k == "checkpoint" and v <= version
+        ]
+        eps: dict = {}
+        mor: list = []
+        dv: list = []
+        start = 0
+        if ckpts:
+            ck = self.load(ckpts[-1], "checkpoint")
+            self.check_reader(ck, ckpts[-1])
+            eps = dict(
+                ck.get("eps") or {f: ckpts[-1] for f in ck["files"]}
+            )
+            mor = list(ck.get("mor") or [])
+            dv = list(ck.get("dv") or [])
+            start = ckpts[-1] + 1
+        for v, k in commits:
+            if k != "commit" or v < start or v > version:
+                continue
+            c = self.load(v)
+            self.check_reader(c, v)
+            m = c.get("multi")
+            if m is not None and self.multi_status(
+                m["coordinator"], m["txid"]
+            ) != "committed":
+                continue
+            if c["action"] == "overwrite":
+                eps, mor, dv = {}, [], []
+            for f in c.get("remove", []):
+                eps.pop(f, None)
+            for f in c.get("add", []):
+                eps[f] = v
+            if c.get("mor"):
+                mor.append(
+                    {
+                        "version": v,
+                        "col": c["mor"]["col"],
+                        "files": c["mor"]["files"],
+                    }
+                )
+            if c.get("mor_clears"):
+                cl = set(c["mor_clears"])
+                mor = [t for t in mor if t["version"] not in cl]
+            if c.get("dv"):
+                dv.append(
+                    {
+                        "version": v,
+                        "files": c["dv"]["files"],
+                        "targets": c["dv"]["targets"],
+                    }
+                )
+            if c.get("dv_clears"):
+                cl = set(c["dv_clears"])
+                dv = [d for d in dv if d["version"] not in cl]
+        return eps, mor, dv
+
     def change_files(
         self, since: int, upto: "int | None" = None
     ) -> "tuple[list[str], int]":
@@ -229,6 +301,49 @@ class _LogView:
         return files, cursor
 
 
+def _normalize_file(
+    abs_path: str, schema_json: str, phys: dict, logical: "list[str]"
+):
+    """Read one data file with pyarrow and normalize to the declared
+    LOGICAL schema — the executor-side mirror of the batch read
+    contract: column mapping renames physical names back, hive/hidden
+    partition directory values parse through the DECLARED types
+    (never string inference), evolved columns null-fill."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark.sql.pandas.types import to_arrow_schema
+    from pyspark.sql.types import StructType
+
+    target = to_arrow_schema(
+        StructType.fromJson(json.loads(schema_json))
+    )
+    t = pq.read_table(abs_path)
+    part_vals = dict(
+        seg.split("=", 1)
+        for seg in abs_path.split("/")[:-1]
+        if "=" in seg
+    )
+    n = t.num_rows
+    cols = []
+    for i, name in enumerate(logical):
+        p = phys[name]
+        ftype = target.field(i).type
+        if p in t.column_names:
+            col = t.column(p)
+            if col.type != ftype:
+                col = col.cast(ftype)
+        elif name in part_vals:
+            from urllib.parse import unquote
+
+            raw = unquote(part_vals[name])
+            col = pa.array([raw] * n, type=pa.string()).cast(ftype)
+        else:
+            col = pa.nulls(n, type=ftype)
+        cols.append(col)
+    return pa.table(cols, schema=target)
+
+
 class _FilePartition(InputPartition):
     def __init__(self, abs_path: str):
         self.abs_path = abs_path
@@ -280,53 +395,102 @@ class TxTableStreamReader(DataSourceStreamReader):
     def read(self, partition: _FilePartition) -> "Iterator":
         if not partition.abs_path:
             return iter([])
-        import pyarrow as pa
-        import pyarrow.parquet as pq
-
-        from pyspark.sql.pandas.types import to_arrow_schema
-        from pyspark.sql.types import StructType
-
-        target = to_arrow_schema(
-            StructType.fromJson(json.loads(self.schema_json))
+        out = _normalize_file(
+            partition.abs_path, self.schema_json, self.phys, self.logical
         )
-        t = pq.read_table(partition.abs_path)
-        # hive / hidden partition dirs: col=val segments in the path
-        part_vals = dict(
-            seg.split("=", 1)
-            for seg in partition.abs_path.split("/")[:-1]
-            if "=" in seg
-        )
-        n = t.num_rows
-        cols = []
-        for i, name in enumerate(self.logical):
-            phys = self.phys[name]
-            ftype = target.field(i).type
-            if phys in t.column_names:
-                col = t.column(phys)
-                if col.type != ftype:
-                    col = col.cast(ftype)
-            elif name in part_vals:
-                # identity partition value lives in the directory
-                # name; parse through the DECLARED type (never string
-                # inference)
-                from urllib.parse import unquote
-
-                raw = unquote(part_vals[name])
-                col = pa.array([raw] * n, type=pa.string()).cast(ftype)
-            else:
-                # evolved column absent from this older file
-                col = pa.nulls(n, type=ftype)
-            cols.append(col)
-        out = pa.table(cols, schema=target)
         return iter(out.to_batches(max_chunksize=1 << 16))
 
     def commit(self, end: dict) -> None:
         pass  # Spark's checkpoint owns progress; nothing to release
 
 
+class _SnapPartition(InputPartition):
+    def __init__(self, abs_path: str, drop_positions: "list[int]"):
+        self.abs_path = abs_path
+        #: row ordinals logically deleted from THIS file by live
+        #: deletion vectors (KB-scale; planned driver-side)
+        self.drop_positions = drop_positions
+
+
+class TxTableBatchReader(DataSourceReader):
+    """``spark.read.format("txtable")`` — snapshot reads through the
+    engine's own data source path. The live-file set comes from a
+    pure-python replay of the log (checkpoint ``eps`` + commit fold);
+    live DELETION VECTORS are applied correctly: planning loads the
+    KB-scale position sidecars once and ships each file's drop-list
+    inside its input partition, where the read drops exactly those
+    row ordinals — a DV-deleted row can never resurrect through this
+    path. ``option("version", v)`` time-travels. Live EQUALITY
+    tombstones refuse (their application is a key join — use
+    ``tx_read``/``tx_apply_deletes``)."""
+
+    def __init__(self, options: dict, schema_json: str):
+        self.path = _local(options["path"])
+        self.version = (
+            int(options["version"]) if "version" in options else None
+        )
+        self.schema_json = schema_json
+        fields = json.loads(schema_json)["fields"]
+        self.phys = {
+            f["name"]: (f.get("metadata") or {}).get("phys") or f["name"]
+            for f in fields
+        }
+        self.logical = [f["name"] for f in fields]
+
+    def partitions(self) -> "Sequence[InputPartition]":
+        view = _LogView(self.path)
+        eps, mor, dv = view.snapshot_files(self.version)
+        if mor:
+            raise ValueError(
+                f"table {self.path} carries live equality tombstones "
+                f"(versions {[t['version'] for t in mor]}); their "
+                "application is a key anti-join — read via tx_read, "
+                "or settle with tx_apply_deletes first"
+            )
+        drops: "dict[str, list[int]]" = {}
+        if dv:
+            import pyarrow.parquet as pq
+
+            targeted = {f for d in dv for f in d["targets"]}
+            for d in dv:
+                for sf in d["files"]:
+                    t = pq.read_table(os.path.join(self.path, sf))
+                    for f, p in zip(
+                        t.column("_file").to_pylist(),
+                        t.column("_pos").to_pylist(),
+                    ):
+                        if f in targeted:
+                            drops.setdefault(f, []).append(p)
+        return [
+            _SnapPartition(
+                f if os.path.isabs(f) else os.path.join(self.path, f),
+                sorted(drops.get(f, [])),
+            )
+            for f in sorted(eps)
+        ] or [_SnapPartition("", [])]
+
+    def read(self, partition: _SnapPartition) -> "Iterator":
+        if not partition.abs_path:
+            return iter([])
+        out = _normalize_file(
+            partition.abs_path, self.schema_json, self.phys, self.logical
+        )
+        if partition.drop_positions:
+            import pyarrow as pa
+
+            keep = [
+                i
+                for i in range(out.num_rows)
+                if i not in set(partition.drop_positions)
+            ]
+            out = out.take(pa.array(keep, type=pa.int64()))
+        return iter(out.to_batches(max_chunksize=1 << 16))
+
+
 class TxTableDataSource(DataSource):
-    """``spark.readStream.format("txtable").option("path", p)`` —
-    see the module docstring for the full contract."""
+    """``spark.readStream.format("txtable").option("path", p)`` for
+    the streaming feed, ``spark.read.format("txtable")`` for snapshot
+    reads — see the module docstring for the full contract."""
 
     @classmethod
     def name(cls) -> str:
@@ -337,6 +501,10 @@ class TxTableDataSource(DataSource):
 
         view = _LogView(self.options["path"])
         return StructType.fromJson(json.loads(view.schema_json()))
+
+    def reader(self, schema) -> TxTableBatchReader:
+        view = _LogView(self.options["path"])
+        return TxTableBatchReader(dict(self.options), view.schema_json())
 
     def streamReader(self, schema) -> TxTableStreamReader:
         view = _LogView(self.options["path"])

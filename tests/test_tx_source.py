@@ -143,3 +143,53 @@ def test_evolved_schema_null_fills_old_files(spark, tmp_path):
         assert df.filter("tag = 'x'").count() == 3
     finally:
         q.stop()
+
+
+def test_batch_reader_snapshot_and_time_travel(spark, tmp_path):
+    t = str(tmp_path / "t")
+    register_tx_source(spark)
+    tx_write(
+        spark.range(30).select("id", (F.col("id") % 3).alias("k")),
+        t,
+        partition_by=["k"],
+    )
+    v0_rows = 30
+    tx_write(spark.range(30, 50).select("id", (F.col("id") % 3).alias("k")), t)
+    df = spark.read.format("txtable").option("path", t).load()
+    assert df.count() == 50
+    assert dict(df.dtypes)["k"] == "bigint"
+    old = (
+        spark.read.format("txtable")
+        .option("path", t).option("version", 0).load()
+    )
+    assert old.count() == v0_rows
+
+
+def test_batch_reader_applies_deletion_vectors(spark, tmp_path):
+    from distributed_mapreduce__spark.sources.txlog import tx_update
+
+    t = str(tmp_path / "t")
+    register_tx_source(spark)
+    tx_write(
+        spark.range(100).select("id", (F.col("id") % 10).alias("v")), t
+    )
+    tx_delete_where(spark, t, "v = 3")
+    tx_update(spark, t, "v = 4", {"v": "v + 100"})
+    df = spark.read.format("txtable").option("path", t).load()
+    assert df.count() == 90
+    assert df.filter("v = 3").count() == 0  # DV-deleted rows never resurrect
+    assert df.filter("v = 104").count() == 10  # update post-images deliver
+    assert df.filter("v = 4").count() == 0
+
+
+def test_batch_reader_refuses_equality_tombstones(spark, tmp_path):
+    from distributed_mapreduce__spark.sources.txlog import tx_delete
+
+    t = str(tmp_path / "t")
+    register_tx_source(spark)
+    tx_write(spark.range(20).select("id"), t)
+    tx_delete(
+        spark.range(3).select("id"), t, "id", mode="merge_on_read"
+    )
+    with pytest.raises(Exception, match="equality tombstones"):
+        spark.read.format("txtable").option("path", t).load().count()
