@@ -220,6 +220,28 @@ def measure(spark, sf_dir: str, tmp: str) -> dict[str, float]:
     )
     _noop(tx_read(spark, tdv))
     out["dv_update_read"] = round(time.perf_counter() - t0, 3)
+
+    # the txtable streaming source: drain a 2-commit orders table
+    # through Spark's OWN streaming runtime (offsets = versions)
+    from distributed_mapreduce__spark.streaming.tx_source import (
+        register_tx_source,
+    )
+
+    register_tx_source(spark)
+    ts = f"{tmp}/txsrc_t"
+    tx_write(orders.filter(F.col("o_orderkey") % 2 == 0), ts)
+    tx_write(orders.filter(F.col("o_orderkey") % 2 == 1), ts)
+    tx_set_properties(spark, ts, {"cdf.enabled": False})
+    t0 = time.perf_counter()
+    q = (
+        spark.readStream.format("txtable").option("path", ts).load()
+        .writeStream.format("noop").option(
+            "checkpointLocation", f"{tmp}/txsrc_ck"
+        ).start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    out["tx_source_stream_drain"] = round(time.perf_counter() - t0, 3)
     return out
 
 
