@@ -2074,13 +2074,28 @@ def _collect_blooms(
     return _stage_sidecars(grouped.coalesce(1), path, "_bloom")
 
 
+#: session-scoped cache of PARSED bloom sidecars keyed by
+#: (table path, sidecar relpath) — sidecar files are immutable once
+#: placed (UUID part names under _bloom/, never overwritten), so the
+#: cache needs no version invalidation: a new commit references NEW
+#: sidecar files, which miss and load. Bounded (insertion-order
+#: eviction) so a long session
+#: over many tables stays KB-to-MB scale; vacuumed sidecars simply
+#: stop being referenced. Closes ADVICE r12 / VERDICT #5: repeated
+#: point lookups were re-reading every referenced sidecar per query.
+_BLOOM_CACHE: "dict[tuple, list]" = {}
+_BLOOM_CACHE_MAX = 512
+
+
 def _load_blooms(
     spark, path: str, snap: "_Snapshot", cols: "set[str]",
     files: list[str],
 ) -> "dict[str, dict]":
     """``{file: {col: (m, k, bits)}}`` for the candidate ``files``,
-    loaded from the live ``_bloom/`` sidecars that cover any of
-    ``cols``. One driver read bounded by the candidate set."""
+    from the live ``_bloom/`` sidecars that cover any of ``cols``.
+    Cache-first: one driver read per NOT-YET-SEEN sidecar (attributed
+    by UUID basename, the :func:`_pos_name_map` trick); repeat queries
+    against the same snapshot cost zero sidecar I/O."""
     from pyspark.sql import functions as F
 
     side = sorted(
@@ -2093,18 +2108,42 @@ def _load_blooms(
     )
     if not side:
         return {}
-    cand = set(files)
-    rows = (
-        spark.read.parquet(*[_abs(path, f) for f in side])
-        .filter(F.col("col").isin(sorted(cols)))
-        .collect()
-    )
-    bl: "dict[str, dict]" = {}
-    for r in rows:
-        if r["_file"] in cand:
-            bl.setdefault(r["_file"], {})[r["col"]] = (
-                r["m"], r["k"], r["bits"],
+    rows: list = []
+    missing: list[str] = []
+    for f in side:
+        hit = _BLOOM_CACHE.get((path, f))
+        if hit is None:
+            missing.append(f)
+        else:
+            rows.extend(hit)
+    if missing:
+        base_to_rel = {f.split("/")[-1]: f for f in missing}
+        got = (
+            spark.read.parquet(*[_abs(path, f) for f in missing])
+            .select(
+                "_file", "col", "m", "k", "bits",
+                F.element_at(
+                    F.split(F.input_file_name(), "/"), -1
+                ).alias("__base"),
             )
+            .collect()
+        )
+        per: "dict[str, list]" = {f: [] for f in missing}
+        for r in got:
+            tup = (r["_file"], r["col"], r["m"], r["k"], r["bits"])
+            rel = base_to_rel.get(r["__base"])
+            if rel is not None:
+                per[rel].append(tup)
+            rows.append(tup)
+        for f in missing:
+            _BLOOM_CACHE[(path, f)] = per[f]
+        while len(_BLOOM_CACHE) > _BLOOM_CACHE_MAX:
+            _BLOOM_CACHE.pop(next(iter(_BLOOM_CACHE)))
+    cand = set(files)
+    bl: "dict[str, dict]" = {}
+    for _file, col, m, k, bits in rows:
+        if _file in cand and col in cols:
+            bl.setdefault(_file, {})[col] = (m, k, bits)
     return bl
 
 
@@ -2522,6 +2561,52 @@ def _commit_with_retries(
     )
 
 
+def _prune_bloom_refs(
+    spark, path: str, snap: "_Snapshot", eps: dict
+) -> list:
+    """``snap.blooms`` narrowed to entries whose sidecars can still
+    skip something: each sidecar's covered data files (its distinct
+    ``_file`` values) are intersected with the live set; sidecars
+    describing only dead files are dropped from the entry, and empty
+    entries vanish. Runs at checkpoint cadence (not per read), one
+    driver pass over the KB-scale sidecars — the cost the pruning
+    exists to stop paying per query. Once a checkpoint stops
+    referencing a sidecar and vacuum truncates the commits below it,
+    ``tx_vacuum``'s live-bloom sweep reclaims the file itself."""
+    from pyspark.sql import functions as F
+
+    all_side = sorted({f for b in snap.blooms for f in b["files"]})
+    if not all_side:
+        return []
+    try:
+        base_to_rel = {f.split("/")[-1]: f for f in all_side}
+        rows = (
+            spark.read.parquet(*[_abs(path, f) for f in all_side])
+            .select(
+                "_file",
+                F.element_at(
+                    F.split(F.input_file_name(), "/"), -1
+                ).alias("__base"),
+            )
+            .distinct()
+            .collect()
+        )
+    except Exception:
+        return list(snap.blooms)  # advisory: fail open, keep all refs
+    covers: "dict[str, set]" = {}
+    for r in rows:
+        rel = base_to_rel.get(r["__base"])
+        if rel is not None:
+            covers.setdefault(rel, set()).add(r["_file"])
+    livefs = set(eps)
+    out = []
+    for b in snap.blooms:
+        kept = [f for f in b["files"] if covers.get(f, set()) & livefs]
+        if kept:
+            out.append({**b, "files": kept})
+    return out
+
+
 def _write_checkpoint(spark, path: str, version: int) -> bool:
     """Write a full-snapshot checkpoint at ``version``; returns False
     (written nothing) when an UNRESOLVED multi-table commit sits in
@@ -2587,9 +2672,16 @@ def _write_checkpoint(spark, path: str, version: int) -> bool:
         payload["dv"] = snap.dv
         payload["reader"] = max(payload.get("reader", 1), 4)
     if snap.blooms:
-        # bloom sidecar refs survive truncation (advisory — losing
-        # them would only cost skipping, but keeping them is free)
-        payload["blooms"] = snap.blooms
+        # bloom sidecar refs survive truncation, PRUNED to entries
+        # whose sidecars still describe at least one live file — a
+        # long-lived table otherwise accumulates a ref per
+        # bloom-carrying commit forever, and every equality read pays
+        # driver I/O for sidecars whose data files were rewritten away
+        # (ADVICE r12). Blooms are advisory, so pruning fails OPEN:
+        # any error keeps the full list.
+        live = _prune_bloom_refs(spark, path, snap, eps)
+        if live:
+            payload["blooms"] = live
     # checkpoints are an optimization; losing the race to an identical
     # concurrent checkpoint is fine
     _write_atomic(
@@ -4695,6 +4787,9 @@ def _commit_dv(
     fs = hadoop_fs(spark, path)[0]
     used = {"dv"} | ({"cdf"} if cdf_files is not None else set())
     delta = _writer_feature_delta(snap.properties, used)
+    # DV entries visible at PLAN time, by identity — any entry beyond
+    # these seen at commit time was committed concurrently
+    planned_dv = {(d["version"], tuple(d["files"])) for d in snap.dv}
 
     def revalidate() -> None:
         now = _replay(spark, path)
@@ -4707,6 +4802,26 @@ def _commit_dv(
                 f"since the {action} was planned; run tx_apply_deletes "
                 "and re-run"
             )
+        # A DV committed since planning whose targets intersect ours is
+        # a write-write conflict: both sides chose positions against the
+        # same pre-image rows (two UPDATEs double-append post-images; an
+        # UPDATE over a concurrent DELETE resurrects the deleted row as
+        # its post-image). Delta rejects this as a concurrent
+        # modification; so do we — the same planned-set rule
+        # _commit_rewrite applies to removes. Disjoint-target DVs
+        # commute (position marks on different files) and still land.
+        tgt = set(targets)
+        for d in now.dv:
+            if (d["version"], tuple(d["files"])) in planned_dv:
+                continue
+            clash = tgt.intersection(d["targets"])
+            if clash:
+                raise RuntimeError(
+                    f"conflict: a concurrent delete/update committed "
+                    f"deletion vectors against files this {action} also "
+                    f"targets: {sorted(clash)[:3]}... — re-plan the "
+                    f"{action} on the new snapshot"
+                )
         gone = [f for f in targets if f not in now.eps]
         if gone:
             raise RuntimeError(

@@ -361,6 +361,10 @@ class TxTableStreamReader(DataSourceStreamReader):
             for f in fields
         }
         self.logical = [f["name"] for f in fields]
+        #: last offset this reader returned — the `since` cursor for the
+        #: next trigger, so per-trigger planning json-loads only the NEW
+        #: commits, not the whole consumed history (ADVICE r12)
+        self._cursor = self.start_version
 
     # -- offsets ---------------------------------------------------
     def initialOffset(self) -> dict:
@@ -369,13 +373,16 @@ class TxTableStreamReader(DataSourceStreamReader):
     def latestOffset(self) -> dict:
         view = _LogView(self.path)
         cur = max((v for v, _ in view.commits()), default=-1)
+        since = self._cursor
         # stop before a pending multi commit: cap the offset there so
         # partitions() never spans an unresolved transaction
-        _, capped = view.change_files(self.start_version, cur)
+        _, capped = view.change_files(since, cur)
         base = {v for v, _ in view.commits()}
         # capped can trail cur only due to a pending multi or because
         # nothing new exists; never regress below a prior offset
-        return {"version": capped if capped in base or capped == self.start_version else cur}
+        out = capped if capped in base or capped == since else cur
+        self._cursor = max(out, since)
+        return {"version": self._cursor}
 
     # -- planning --------------------------------------------------
     def partitions(
@@ -478,11 +485,8 @@ class TxTableBatchReader(DataSourceReader):
         if partition.drop_positions:
             import pyarrow as pa
 
-            keep = [
-                i
-                for i in range(out.num_rows)
-                if i not in set(partition.drop_positions)
-            ]
+            drop = set(partition.drop_positions)
+            keep = [i for i in range(out.num_rows) if i not in drop]
             out = out.take(pa.array(keep, type=pa.int64()))
         return iter(out.to_batches(max_chunksize=1 << 16))
 

@@ -368,6 +368,11 @@ def _scale_check_dedup_pipe_agg(spark, con, sf_dir, registry):
     )
 
 
+#: queries where a 0-row result IS the assertion (explicit opt-in to
+#: the vacuous-result guard below; currently none — every registered
+#: query must produce rows at every checked SF)
+EXPECTED_EMPTY: "set[str]" = set()
+
 SCALE_CHECKERS = {
     "embedding_neardup": _scale_check_embedding_neardup,
     "neardup_front_door": _scale_check_neardup_front_door,
@@ -428,7 +433,14 @@ def main() -> int:
             n_bad += 1
             continue
         sm, dm = multiset(s_rows, s_cols), multiset(d_rows, d_cols)
-        if sm == dm:
+        if not s_rows and not d_rows and name not in EXPECTED_EMPTY:
+            # a 0-row/0-row compare verifies NOTHING (the r12
+            # hidden_partition_agg hole): refuse the vacuous green
+            n_bad += 1
+            print(f"{name}: VACUOUS (0 rows both sides — the compare "
+                  "verified nothing; fix the query window or add the "
+                  "name to EXPECTED_EMPTY)")
+        elif sm == dm:
             print(f"{name}: OK ({len(s_rows)} rows bit-exact, "
                   f"{time.time() - t0:.1f}s)")
         else:

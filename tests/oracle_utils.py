@@ -70,8 +70,18 @@ def _approx_eq(a, b, rel=1e-9, abs_tol=1e-9) -> bool:
     return a == b
 
 
-def compare_query(spark, sf_dir: str, spark_df, oracle_sql: str) -> None:
-    """Assert Spark result ≍ DuckDB oracle result (order-insensitive)."""
+def compare_query(
+    spark, sf_dir: str, spark_df, oracle_sql: str,
+    allow_empty: bool = False,
+) -> None:
+    """Assert Spark result ≍ DuckDB oracle result (order-insensitive).
+
+    A comparison where BOTH sides return zero rows verified nothing —
+    rows/schema/hash pass vacuously whatever the query computes (the
+    round-12 ``hidden_partition_agg`` hole: a date window outside the
+    data's range sailed green until the sf1 replay caught it). Such a
+    result now FAILS unless the caller opts in with
+    ``allow_empty=True`` for a genuinely expected-empty check."""
     s_cols = [c.lower() for c in spark_df.columns]
     s_rows = [tuple(r) for r in spark_df.collect()]
 
@@ -86,6 +96,11 @@ def compare_query(spark, sf_dir: str, spark_df, oracle_sql: str) -> None:
     )
     assert len(s_rows) == len(d_rows), (
         f"row count mismatch: spark={len(s_rows)} duckdb={len(d_rows)}"
+    )
+    assert s_rows or allow_empty, (
+        "vacuous oracle comparison: both sides returned 0 rows, so the "
+        "check verified nothing — fix the query/fixture window, or opt "
+        "in explicitly with allow_empty=True"
     )
 
     s_norm = _rows_to_multiset(s_rows, s_cols)

@@ -193,3 +193,120 @@ def test_batch_reader_refuses_equality_tombstones(spark, tmp_path):
     )
     with pytest.raises(Exception, match="equality tombstones"):
         spark.read.format("txtable").option("path", t).load().count()
+
+
+def test_logview_replay_parity_over_randomized_history(spark, tmp_path):
+    """VERDICT r12 #4: _LogView reimplements the _replay fold in pure
+    python (the DataSource planning lifecycle has no SparkSession), so
+    a behavioral divergence below the reader-version stamp would only
+    surface as wrong streaming batches. Pin the two folds together: a
+    seeded random history of every commit shape both understand —
+    append, overwrite, merge, equality delete (mor), DV delete,
+    DV update, compact, apply_deletes, checkpoint, vacuum — must
+    produce IDENTICAL (eps, mor, dv) from both implementations at the
+    current version after every op, and at every surviving historical
+    version at the end; the schema fold must agree too (modulo
+    _LogView's declared force-nullable rule)."""
+    import json
+    import random
+
+    from distributed_mapreduce__spark.sources.txlog import (
+        _replay,
+        _write_checkpoint,
+        tx_apply_deletes,
+        tx_delete,
+        tx_merge,
+        tx_update,
+        tx_vacuum,
+    )
+    from distributed_mapreduce__spark.streaming.tx_source import _LogView
+
+    rng = random.Random(20260816)
+    t = str(tmp_path / "t")
+
+    def mk(lo, hi, tag):
+        return spark.range(lo, hi).select(
+            "id", F.lit(tag).alias("tag")
+        )
+
+    def norm_mor_dv(entries):
+        return [
+            {k: (sorted(v) if isinstance(v, list) else v)
+             for k, v in e.items()}
+            for e in entries
+        ]
+
+    def assert_parity(version=None):
+        snap = _replay(spark, t, version=version)
+        eps, mor, dv = _LogView(t).snapshot_files(version)
+        assert eps == snap.eps, f"eps diverge at v={version}"
+        assert norm_mor_dv(mor) == norm_mor_dv(snap.mor), (
+            f"mor diverge at v={version}"
+        )
+        assert norm_mor_dv(dv) == norm_mor_dv(snap.dv), (
+            f"dv diverge at v={version}"
+        )
+
+    tx_write(mk(0, 40, "base").repartition(3), t, stats_cols=["id"])
+    assert_parity()
+    seq = 0
+    for step in range(24):
+        op = rng.choice(
+            ["append", "append", "merge", "eq_delete", "dv_delete",
+             "dv_update", "overwrite", "compact", "apply", "ckpt",
+             "vacuum"]
+        )
+        seq += 1
+        lo = rng.randrange(0, 80)
+        try:
+            if op == "append":
+                tx_write(mk(lo, lo + rng.randint(1, 9), f"a{seq}"), t)
+            elif op == "merge":
+                tx_merge(mk(lo, lo + 4, f"m{seq}"), t, "id")
+            elif op == "eq_delete":
+                tx_delete(
+                    spark.range(lo, lo + 3).select("id"), t, "id"
+                )
+            elif op == "dv_delete":
+                tx_delete_where(spark, t, f"id % 7 = {lo % 7}")
+            elif op == "dv_update":
+                tx_update(
+                    spark, t, f"id % 5 = {lo % 5}",
+                    {"tag": f"'u{seq}'"},
+                )
+            elif op == "overwrite":
+                tx_write(mk(lo, lo + 6, f"o{seq}"), t, mode="overwrite")
+            elif op == "compact":
+                tx_compact(spark, t)
+            elif op == "apply":
+                tx_apply_deletes(spark, t)
+            elif op == "ckpt":
+                _write_checkpoint(
+                    spark, t, _replay(spark, t).version
+                )
+            elif op == "vacuum":
+                tx_vacuum(spark, t)
+        except (RuntimeError, ValueError):
+            # legal refusals (e.g. compact/merge over live DV debt)
+            # still leave the log consistent — parity must hold anyway
+            pass
+        assert_parity()
+
+    # every surviving version replays identically through both folds
+    view = _LogView(t)
+    snap_now = _replay(spark, t)
+    for v in sorted({v for v, _ in view.commits()}):
+        try:
+            assert_parity(version=v)
+        except (ValueError, FileNotFoundError, RuntimeError):
+            # below-the-checkpoint history both sides may refuse;
+            # the CURRENT version must always compare (proven above)
+            assert v < snap_now.version
+
+    # schema fold parity (modulo the declared force-nullable rule)
+    logical = json.loads(view.schema_json())
+    recorded = json.loads(snap_now.schema)
+    recorded["fields"] = [
+        {**f, "nullable": True} for f in recorded["fields"]
+    ]
+    assert logical == recorded

@@ -207,3 +207,59 @@ def test_update_replicates_through_cdc_pipe(spark, tmp_path):
     a = {tuple(r) for r in tx_read(spark, src).collect()}
     b = {tuple(r) for r in tx_read(spark, dst).collect()}
     assert a == b and len(a) == 1000
+
+
+def test_update_conflicts_with_concurrent_overlapping_dv(
+    spark, table, monkeypatch
+):
+    """ADVICE r12: two merge-on-read writers planning DVs from the same
+    snapshot against the SAME files are a write-write conflict — both
+    chose positions against the same pre-image rows (a racing DELETE's
+    victims would be resurrected as our UPDATE's post-images). The
+    second committer must abort, mirroring _commit_rewrite's
+    planned-DV rule. Simulated by injecting a real tx_delete_where
+    between the update's planning and its commit."""
+    from distributed_mapreduce__spark.sources import txlog
+
+    real_stage = txlog._stage_dv
+    fired = {}
+
+    def stage_with_concurrent_delete(pos, path):
+        if "done" not in fired:
+            fired["done"] = True
+            # the racing DELETE lands a DV on the same files v=3 lives in
+            tx_delete_where(spark, path, "v = 4")
+        return real_stage(pos, path)
+
+    monkeypatch.setattr(txlog, "_stage_dv", stage_with_concurrent_delete)
+    with pytest.raises(RuntimeError, match="concurrent delete/update"):
+        tx_update(spark, table, "v = 3", {"tag": "'updated'"})
+
+
+def test_update_commutes_with_disjoint_concurrent_dv(
+    spark, tmp_path, monkeypatch
+):
+    """The flip side: DVs on DISJOINT files commute (position marks on
+    different files), so a concurrent delete over other partitions'
+    files must NOT abort the update — both commits land."""
+    from distributed_mapreduce__spark.sources import txlog
+
+    t = str(tmp_path / "t")
+    # partition by v so each v value lives in its own files
+    tx_write(_df(spark), t, partition_by=["v"], stats_cols=["id"])
+
+    real_stage = txlog._stage_dv
+    fired = {}
+
+    def stage_with_disjoint_delete(pos, path):
+        if "done" not in fired:
+            fired["done"] = True
+            tx_delete_where(spark, path, "v = 7")
+        return real_stage(pos, path)
+
+    monkeypatch.setattr(txlog, "_stage_dv", stage_with_disjoint_delete)
+    tx_update(spark, t, "v = 3", {"tag": "'updated'"})
+    out = tx_read(spark, t)
+    assert out.filter("v = 7").count() == 0
+    assert out.filter("tag = 'updated'").count() == 100
+    assert out.count() == 900
