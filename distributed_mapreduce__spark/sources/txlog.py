@@ -1004,18 +1004,11 @@ def tx_set_partitioning(
     snap = _replay(spark, path)
     _check_writer_features(snap.properties, path)
     spec_fields = _parse_partition_spec(partition_by)
-    partition_by = [pf.spec for pf in spec_fields]  # canonical form
     if snap.schema is None:
         raise ValueError(
             f"table {path} has no recorded write schema; partition "
             "evolution needs it to read mixed layouts back typed — "
             "rewrite once with tx_write(mode='overwrite') first"
-        )
-    if partition_by and _phys_map(snap.schema):
-        raise ValueError(
-            f"tx_set_partitioning: the table at {path} uses column "
-            "mapping; partitioned layouts are not combinable with it "
-            "in this build"
         )
     fields = {f["name"] for f in json.loads(snap.schema)["fields"]}
     missing = [pf.source for pf in spec_fields if pf.source not in fields]
@@ -1024,10 +1017,21 @@ def tx_set_partitioning(
             f"partition_by source columns {missing} not in the table "
             f"schema at {path} (has {sorted(fields)})"
         )
+    # column mapping: the user names LOGICAL columns; the log records
+    # the spec in PHYSICAL terms (stable across renames), same
+    # indirection as stats/bloom keys
+    pm = _phys_map(snap.schema)
+    if pm:
+        spec_fields = _parse_partition_spec(
+            _spec_map_sources(spec_fields, pm)
+        )
+    partition_by = [pf.spec for pf in spec_fields]  # canonical form
+    phys_fields = {_field_phys(f) for f in json.loads(snap.schema)["fields"]}
     clash = [
         pf.name
         for pf in spec_fields
-        if pf.transform != "identity" and pf.name in fields
+        if pf.transform != "identity"
+        and (pf.name in fields or pf.name in phys_fields)
     ]
     if clash:
         raise ValueError(
@@ -1327,14 +1331,16 @@ def _committed_txns(spark, path: str) -> dict[str, int]:
 # column (Iceberg table spec, "Partition Transforms").
 
 
+# column part allows '-' so specs can reference column-mapping
+# PHYSICAL names (fresh identities are ``col-<hex>``)
 _TIME_TRANSFORM_RE = re.compile(
-    r"^\s*(days|months|years|hours)\s*\(\s*(\w+)\s*\)\s*$"
+    r"^\s*(days|months|years|hours)\s*\(\s*([\w-]+)\s*\)\s*$"
 )
 _ARG_TRANSFORM_RE = re.compile(
-    r"^\s*(bucket|truncate)\s*\(\s*(\d+)\s*,\s*(\w+)\s*\)\s*$"
+    r"^\s*(bucket|truncate)\s*\(\s*(\d+)\s*,\s*([\w-]+)\s*\)\s*$"
 )
-_DERIVED_TIME_RE = re.compile(r"^_p_(days|months|years|hours)_(\w+)$")
-_DERIVED_ARG_RE = re.compile(r"^_p_(bucket|truncate)_(\d+)_(\w+)$")
+_DERIVED_TIME_RE = re.compile(r"^_p_(days|months|years|hours)_([\w-]+)$")
+_DERIVED_ARG_RE = re.compile(r"^_p_(bucket|truncate)_(\d+)_([\w-]+)$")
 
 
 @dataclasses.dataclass(frozen=True)
@@ -1401,6 +1407,27 @@ def _parse_derived_name(name: str) -> "_PartField | None":
         t, n, c = m.groups()
         return _PartField(f"{t}({int(n)},{c})", t, c, int(n))
     return None
+
+
+def _spec_map_sources(
+    fields: "list[_PartField]", name_map: dict
+) -> "list[str]":
+    """The spec with every SOURCE column renamed through ``name_map``
+    (logical→physical when recording on a mapped table, the inverse
+    when displaying). The log stores partition specs in PHYSICAL
+    terms — the same stable identity data files, stats, and blooms key
+    on — so RENAME COLUMN never touches the spec, the placement dirs,
+    or a single data byte; only the user-facing surface translates."""
+    out = []
+    for pf in fields:
+        src = name_map.get(pf.source, pf.source)
+        if pf.transform == "identity":
+            out.append(src)
+        elif pf.arg is None:
+            out.append(f"{pf.transform}({src})")
+        else:
+            out.append(f"{pf.transform}({pf.arg},{src})")
+    return out
 
 
 _INTEGRAL_DTYPES = ("tinyint", "smallint", "int", "bigint")
@@ -1642,20 +1669,6 @@ def _apply_column_mapping(
     return df.select(*sel), json.dumps({**logical, "fields": out_fields})
 
 
-def _refuse_mapped_partitioned(snap: "_Snapshot", path: str, op: str):
-    """Column mapping and partitioned layouts are mutually exclusive
-    in this build: partition directory names are identity/transform
-    values of SOURCE columns, and renaming one would orphan the
-    recorded spec. Refused loudly in both directions."""
-    if snap.partition_by:
-        raise ValueError(
-            f"{op}: the table at {path} is partitioned "
-            f"({snap.partition_by}); column mapping on partitioned "
-            "tables is not supported by this build — rewrite "
-            "unpartitioned first (tx_write mode='overwrite')"
-        )
-
-
 def _mapping_commit(
     spark, path: str, snap: "_Snapshot", new_schema_json: str,
     max_retries: int,
@@ -1690,7 +1703,6 @@ def _mapping_prereqs(spark, path: str, op: str) -> "_Snapshot":
     snap = _replay(spark, path)
     _check_writer_features(snap.properties, path)
     _refuse_mor(snap, path, op)
-    _refuse_mapped_partitioned(snap, path, op)
     if snap.schema is None:
         raise ValueError(
             f"{op}: the table at {path} has no recorded write schema; "
@@ -1726,10 +1738,16 @@ def tx_rename_column(
     with their own schema: ``tx_read(version=...)`` below the rename
     still shows the old name.
 
+    Works on PARTITIONED tables too (hive and hidden/transform
+    layouts): the recorded spec, the placement directories, and the
+    per-file partition stats all key on the stable PHYSICAL name, so
+    renaming a partition SOURCE column is the same zero-byte metadata
+    commit — pruning on the new logical name keeps skipping, and the
+    user-facing spec (``tx_detail``) translates back.
+
     Refused while merge-on-read tombstones are live (their recorded
-    key column is logical), on partitioned tables (the spec names
-    source columns), and while a CHECK constraint references the
-    column (drop it, rename, re-add against the new name)."""
+    key column is logical) and while a CHECK constraint references
+    the column (drop it, rename, re-add against the new name)."""
     snap = _mapping_prereqs(spark, path, "tx_rename_column")
     d = json.loads(snap.schema)
     names = [f["name"] for f in d["fields"]]
@@ -1778,6 +1796,20 @@ def tx_drop_column(
                        f"(has {names})")
     if len(names) == 1:
         raise ValueError(f"cannot drop the only column of {path}")
+    # the layout depends on its source columns: dropping one would
+    # orphan the spec (future writes could not compute placement)
+    phys = next(_field_phys(f) for f in d["fields"] if f["name"] == name)
+    dep = [
+        pf.spec
+        for pf in _parse_partition_spec(snap.partition_by)
+        if pf.source == phys
+    ]
+    if dep:
+        raise ValueError(
+            f"cannot drop {name!r}: the partition spec {dep} derives "
+            "placement from it — evolve the spec first with "
+            "tx_set_partitioning"
+        )
     refs = _constraint_refs(snap.properties, name)
     if refs:
         raise ValueError(
@@ -2293,13 +2325,51 @@ def tx_write(
         if txn is not None and (prior := snap0.txns.get(txn)) is not None:
             return prior
         _check_writer_features(snap0.properties, path)
+    schema_json = df.schema.json()
+    stage_df = df
+    mapped0 = table_exists and bool(_phys_map(snap0.schema))
+    if mapped0:
+        # stage under PHYSICAL names; the commit records the logical
+        # schema (new columns get fresh physical identities)
+        stage_df, schema_json = _apply_column_mapping(df, snap0.schema)
+    pm_planned = _phys_map(schema_json)
+    inv_planned = {p: l for l, p in pm_planned.items()}
+
     existing_pb = snap0.partition_by if table_exists else None
     fields = _parse_partition_spec(partition_by)
+    if fields:
+        # the USER names LOGICAL columns — validate there, then
+        # translate the spec's sources to their PHYSICAL identities
+        # (the same stable names data bytes, stats, and blooms key
+        # on), which is what the log records: RENAME COLUMN never has
+        # to touch a spec or a placement directory
+        missing = [
+            pf.source for pf in fields if pf.source not in df.columns
+        ]
+        if missing:
+            raise ValueError(
+                f"partition_by source columns {missing} not in the "
+                f"DataFrame (has {df.columns})"
+            )
+        if pm_planned:
+            fields = _parse_partition_spec(
+                _spec_map_sources(fields, pm_planned)
+            )
     partition_by = [pf.spec for pf in fields] or None  # canonical form
     if mode == "append" and table_exists:
         if partition_by is None:
             partition_by = existing_pb  # appends inherit the layout
             fields = _parse_partition_spec(partition_by)
+            missing = [
+                inv_planned.get(pf.source, pf.source)
+                for pf in fields
+                if pf.source not in stage_df.columns
+            ]
+            if missing:
+                raise ValueError(
+                    f"partition_by source columns {missing} not in "
+                    f"the DataFrame (has {df.columns})"
+                )
         elif partition_by != list(existing_pb or []):
             raise ValueError(
                 f"append to {path} with partition_by="
@@ -2309,18 +2379,11 @@ def tx_write(
                 "with mode='overwrite'"
             )
     if fields:
-        missing = [
-            pf.source for pf in fields if pf.source not in df.columns
-        ]
-        if missing:
-            raise ValueError(
-                f"partition_by source columns {missing} not in the "
-                f"DataFrame (has {df.columns})"
-            )
         clash = [
             pf.name
             for pf in fields
-            if pf.transform != "identity" and pf.name in df.columns
+            if pf.transform != "identity"
+            and (pf.name in df.columns or pf.name in stage_df.columns)
         ]
         if clash:
             raise ValueError(
@@ -2336,20 +2399,6 @@ def tx_write(
         _check_constraints(
             df, snap0.properties, path, f"tx_write(mode={mode!r})"
         )
-    schema_json = df.schema.json()
-    stage_df = df
-    mapped0 = table_exists and bool(_phys_map(snap0.schema))
-    if mapped0:
-        if partition_by:
-            raise ValueError(
-                f"tx_write: the table at {path} uses column mapping; "
-                "partitioned layouts are not combinable with it in "
-                "this build"
-            )
-        # stage under PHYSICAL names; the commit records the logical
-        # schema (new columns get fresh physical identities)
-        stage_df, schema_json = _apply_column_mapping(df, snap0.schema)
-    pm_planned = _phys_map(schema_json)
 
     added = _stage_and_place(stage_df, path, partition_by)
     stat_cols = set(stats_cols or [])
@@ -2392,7 +2441,8 @@ def tx_write(
         hidden = [
             c
             for c in bcols
-            if any(pf.name == c and pf.transform == "identity"
+            if any(pf.name == pm_planned.get(c, c)
+                   and pf.transform == "identity"
                    for pf in fields)
         ]
         if hidden:
@@ -3013,8 +3063,12 @@ def _scan_files(
                 F.broadcast(_pos_name_map(spark, files)), "__dv_base"
             ).drop("__dv_base")
         return out
+    mapped = snap.schema is not None and bool(_phys_map(snap.schema))
     recorded = (
-        {f["name"] for f in json.loads(snap.schema)["fields"]}
+        # PHYSICAL names: the layout contract on disk — file bytes AND
+        # partition directory names (specs record physical sources on
+        # mapped tables); equals the logical set when unmapped
+        {_field_phys(f) for f in json.loads(snap.schema)["fields"]}
         if snap.schema is not None
         else None
     )
@@ -3028,11 +3082,7 @@ def _scan_files(
         if sig:
             reader = reader.option("basePath", root)
         if snap.schema is not None:
-            from pyspark.sql.types import StructType
-
-            reader = reader.schema(
-                StructType.fromJson(json.loads(snap.schema))
-            )
+            reader = reader.schema(_physical_struct(snap.schema))
         elif merge_schema or snap.evolved:
             reader = reader.option("mergeSchema", "true")
         part = reader.parquet(*groups[(root, sig)])
@@ -3051,6 +3101,11 @@ def _scan_files(
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
+    if mapped:
+        # physical → current logical names, the same rename the
+        # unpartitioned mapped branch applies (positional columns
+        # pass through untouched)
+        out = _to_logical_frame(out, snap.schema)
     if with_pos:
         from pyspark.sql import functions as F
 
@@ -3080,11 +3135,12 @@ def _reader_for(spark, path: str, snap: _Snapshot, merge_schema: bool = False):
     if snap.partition_by:
         reader = reader.option("basePath", f"{path}/data")
         if snap.schema is not None:
-            from pyspark.sql.types import StructType
-
-            return reader.schema(
-                StructType.fromJson(json.loads(snap.schema))
-            )
+            # PHYSICAL names — what file bytes and placement dirs
+            # carry (identical to the logical struct on unmapped
+            # tables). Callers surfacing table data go through
+            # _scan_files, which renames back to logical; the direct
+            # consumers (_collect_stats/_collect_blooms) WANT physical
+            return reader.schema(_physical_struct(snap.schema))
     if merge_schema or snap.evolved:
         reader = reader.option("mergeSchema", "true")
     return reader
@@ -3255,11 +3311,19 @@ def tx_detail(spark: SparkSession, path: str) -> dict:
             )
         except Exception:  # noqa: BLE001
             pass
+    # the spec is recorded in PHYSICAL terms on mapped tables; users
+    # think in logical names, so the summary translates back
+    pm_inv = {p: l for l, p in _phys_map(snap.schema).items()}
+    display_pb = (
+        _spec_map_sources(_parse_partition_spec(snap.partition_by), pm_inv)
+        if snap.partition_by and pm_inv
+        else snap.partition_by
+    )
     return {
         "version": snap.version,
         "num_files": len(snap.eps),
         "size_bytes": total,
-        "partition_by": snap.partition_by,
+        "partition_by": display_pb,
         "schema_evolved": snap.evolved,
         "column_mapped": bool(_phys_map(snap.schema)),
         "live_mor_tombstones": len(snap.mor),

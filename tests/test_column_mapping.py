@@ -179,19 +179,14 @@ def test_refusals(spark, table, tmp_path):
     )
     with pytest.raises(ValueError, match="merge-on-read"):
         tx_rename_column(spark, t2, "val", "amount")
-    # partitioned tables can't map; mapped tables can't partition
+    # a partition SOURCE column cannot be dropped (the spec derives
+    # placement from it) — but renaming it is fine (round 13: specs
+    # record physical names, so mapping and partitioning combine)
     t3 = str(tmp_path / "part")
     tx_write(_df(spark, 0, 10), t3, partition_by=["tag"])
-    with pytest.raises(ValueError, match="partitioned"):
-        tx_rename_column(spark, t3, "val", "amount")
-    tx_rename_column(spark, table, "tag", "label")
-    with pytest.raises(ValueError, match="not combinable"):
-        tx_set_partitioning(spark, table, ["label"])
-    with pytest.raises(ValueError, match="not combinable"):
-        tx_write(
-            _df(spark, 0, 1).withColumnRenamed("tag", "label"),
-            table, mode="overwrite", partition_by=["label"],
-        )
+    tx_rename_column(spark, t3, "tag", "label")
+    with pytest.raises(ValueError, match="partition spec"):
+        tx_drop_column(spark, t3, "label")
     # dropping the only column
     t4 = str(tmp_path / "one")
     tx_write(spark.range(3).select("id"), t4)
