@@ -1122,3 +1122,64 @@ def sql_dml_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) "
         f"AS total_qty FROM {name} GROUP BY l_returnflag",
     )
+
+
+_ROW_TRACK_ORACLE = """
+SELECT l_returnflag,
+       count(*) AS n_items,
+       count(*) AS n_ids,
+       CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS total_qty
+FROM lineitem
+WHERE NOT (l_linestatus = 'F' AND l_discount < 0.02)
+GROUP BY l_returnflag
+"""
+
+
+@register_local("row_tracking_agg", oracle=_ROW_TRACK_ORACLE)
+def row_tracking_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROW TRACKING under the value oracle (round 13, VERDICT r12 #5):
+    ingest lineitem into a tracked ACID table across two commits,
+    DV-delete a slice, SETTLE and COMPACT (both preserving rewrites
+    materialize ``_row_id`` into the new bytes), then aggregate over
+    ``tx_scan_with_row_ids``. ``n_ids`` counts DISTINCT row ids and
+    must equal ``n_items`` — the oracle pins both to DuckDB's direct
+    count, so an id collision, a lost id, or a resurrected DV victim
+    all surface as value mismatches. (Delta row tracking is the public
+    model; reference repo has no storage layer — extension E7+.)"""
+    import tempfile
+
+    from ..sources.txlog import (
+        tx_apply_deletes,
+        tx_compact,
+        tx_delete_where,
+        tx_enable_row_tracking,
+        tx_scan_with_row_ids,
+        tx_write,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_returnflag", "l_linestatus",
+        "l_discount",
+    )
+    table = tempfile.mkdtemp(prefix="txlog_rowtrack_") + "/t"
+    tx_write(li.filter(F.col("l_orderkey") % 2 == 0), table)
+    tx_enable_row_tracking(spark, table)
+    tx_write(li.filter(F.col("l_orderkey") % 2 == 1), table)
+    tx_delete_where(
+        spark, table, "l_linestatus = 'F' AND l_discount < 0.02"
+    )
+    # settle the DV (a preserving rewrite: survivors keep their ids,
+    # materialized into the rewritten bytes), then compact
+    tx_apply_deletes(spark, table)
+    tx_compact(spark, table, target_files=2, max_input_files=64)
+    return (
+        tx_scan_with_row_ids(spark, table)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.countDistinct("_row_id").alias("n_ids"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_qty"),
+        )
+    )

@@ -112,7 +112,7 @@ CHECKPOINT_EVERY = 10
 #: a ``dv`` commit names (file, row position) pairs as logically
 #: deleted; a lower-level reader replaying it would see "no files
 #: changed" and resurrect every DV-deleted row.
-READER_VERSION = 4
+READER_VERSION = 5
 
 #: Write-side table features this build maintains (the Delta
 #: table-features model, writer half): a table whose
@@ -129,7 +129,8 @@ READER_VERSION = 4
 #: :func:`tx_require_writer_features`.
 WRITER_FEATURES = frozenset(
     {"cdf", "schema-evolution", "partitioning", "mor", "properties",
-     "constraints", "partition-transforms", "column-mapping", "dv"}
+     "constraints", "partition-transforms", "column-mapping", "dv",
+     "row-tracking"}
 )
 
 _PAD = 20  # zero-padded version filenames sort lexicographically
@@ -627,6 +628,12 @@ class _Snapshot:
     stats: dict
     #: idempotence txn id -> version that committed it
     txns: dict
+    #: ROW TRACKING (the Delta row-tracking shape): file -> base row
+    #: id, where a row's stable id is ``base + row_index`` — or the
+    #: sentinel -1 meaning the file MATERIALIZES ``_row_id`` as a
+    #: column (preserving rewrites: compact/zorder/apply_deletes).
+    #: Empty until tx_enable_row_tracking; folded like stats
+    row_bases: dict = dataclasses.field(default_factory=dict)
 
 
 def _replay(spark, path: str, version: int | None = None) -> _Snapshot:
@@ -689,6 +696,7 @@ def _replay(spark, path: str, version: int | None = None) -> _Snapshot:
         s.partition_by = ck.get("partition_by")
         s.stats = dict(ck.get("stats") or {})
         s.txns = dict(ck.get("txns") or {})
+        s.row_bases = dict(ck.get("row_bases") or {})
         start = ckpts[-1] + 1
     commit_versions = [v for v, kind in commits if kind == "commit"]
     for v in commit_versions:
@@ -700,6 +708,8 @@ def _replay(spark, path: str, version: int | None = None) -> _Snapshot:
             s.txns.setdefault(c["txn"], v)
         for f, st in (c.get("stats") or {}).items():
             s.stats.setdefault(f, st)
+        for f, b in (c.get("row_bases") or {}).items():
+            s.row_bases.setdefault(f, b)
         m = c.get("multi")
         if m is not None and (
             _multi_status(spark, m["coordinator"], m["txid"]) != "committed"
@@ -2308,6 +2318,11 @@ def tx_write(
     refuse instead of surfacing placement metadata as data."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+    if _ROW_ID in df.columns:
+        raise ValueError(
+            f"column {_ROW_ID!r} is reserved by row tracking; rename "
+            "it before writing"
+        )
     spark = df.sparkSession
     try:
         snap0 = _replay(spark, path)
@@ -2460,6 +2475,15 @@ def tx_write(
             "cols": phys_b,
         }
     fs = hadoop_fs(spark, path)[0]
+    # row tracking: every commit on a tracked table records a row-id
+    # base per added file (ids are version-scoped, so the bases are
+    # recomputed per commit attempt inside build())
+    tracking0 = table_exists and _row_tracking_on(snap0.properties)
+    rt_counts = (
+        _count_rows_per_file(spark, path, added)
+        if tracking0 and added
+        else None
+    )
     # auto-stamp the writer features this commit USES, so older builds
     # that cannot maintain them refuse instead of corrupting
     used = set()
@@ -2502,6 +2526,8 @@ def tx_write(
             payload["stats"] = stats
         if bloom_meta:
             payload["blooms"] = bloom_meta
+        if rt_counts is not None:
+            payload["row_bases"] = _fresh_row_bases(next_v, rt_counts)
         return payload
 
     def revalidate() -> None:
@@ -2510,9 +2536,16 @@ def tx_write(
         # concurrent overwrite that retyped a column / changed the
         # partition layout — or a concurrent ADD CONSTRAINT — could
         # slip a non-conforming commit past enforcement
+        props_now = tx_properties(spark, path)
         _check_constraints(
-            df, tx_properties(spark, path), path, f"tx_write(mode={mode!r})"
+            df, props_now, path, f"tx_write(mode={mode!r})"
         )
+        if rt_counts is None and added and _row_tracking_on(props_now):
+            raise RuntimeError(
+                f"conflict: row tracking was enabled on {path} while "
+                "this write was in flight — its rows have no id bases; "
+                "re-run the write"
+            )
         if mode != "append":
             return
         _check_append_schema(df, path, schema_mode)
@@ -2721,6 +2754,15 @@ def _write_checkpoint(spark, path: str, version: int) -> bool:
         # next replay resurrects every DV-deleted row; level-4 readers
         payload["dv"] = snap.dv
         payload["reader"] = max(payload.get("reader", 1), 4)
+    live_rb = {f: b for f, b in snap.row_bases.items() if f in eps}
+    if live_rb:
+        # row-tracking bases must survive truncation or every stable
+        # row id silently changes after a vacuum; materialized files
+        # (base -1) carry _row_id bytes a pre-row-tracking reader
+        # would surface as data — level 5
+        payload["row_bases"] = live_rb
+        if any(b == -1 for b in live_rb.values()):
+            payload["reader"] = max(payload.get("reader", 1), 5)
     if snap.blooms:
         # bloom sidecar refs survive truncation, PRUNED to entries
         # whose sidecars still describe at least one live file — a
@@ -3012,9 +3054,23 @@ def _pos_name_map(spark, files: list[str]) -> DataFrame:
     )
 
 
+def _row_struct(schema_json: str, keep_row_col: bool):
+    """The physical read struct, optionally extended with the
+    ``_row_id`` LongType field — explicit-schema parquet reads
+    null-fill it for files that don't materialize ids, which is
+    exactly the coalesce contract :func:`_attach_row_ids` needs."""
+    struct = _physical_struct(schema_json)
+    if keep_row_col:
+        from pyspark.sql.types import LongType, StructField
+
+        struct = struct.add(StructField(_ROW_ID, LongType()))
+    return struct
+
+
 def _scan_files(
     spark, path: str, snap: _Snapshot, files: list[str],
     merge_schema: bool = False, with_pos: bool = False,
+    keep_row_col: bool = False,
 ) -> DataFrame:
     """Scan live ``files`` under the snapshot's read contract. A live
     set can mix LAYOUT CONTRACTS: multiple data roots (a shallow
@@ -3038,14 +3094,17 @@ def _scan_files(
     abs_files = [_abs(path, f) for f in files]
     sigs = {af: _part_signature(af) for af in abs_files}
     if not snap.partition_by and not any(sigs.values()):
-        if snap.schema is not None and _phys_map(snap.schema):
-            # column mapping: scan under the PHYSICAL schema (explicit
-            # — it also null-fills evolved columns missing from old
+        if snap.schema is not None and (
+            _phys_map(snap.schema) or keep_row_col
+        ):
+            # column mapping (or a row-id read): scan under the
+            # explicit PHYSICAL schema (it also null-fills evolved —
+            # and non-materialized _row_id — columns missing from old
             # files), then rename to the current logical names
             # (_to_logical_frame passes non-schema columns — including
             # the positional ones — through unchanged)
             raw = spark.read.schema(
-                _physical_struct(snap.schema)
+                _row_struct(snap.schema, keep_row_col)
             ).parquet(*abs_files)
             if with_pos:
                 raw = _with_pos_cols(raw)
@@ -3056,6 +3115,9 @@ def _scan_files(
             )
             if with_pos:
                 out = _with_pos_cols(out)
+            if not keep_row_col and _ROW_ID in out.columns:
+                # materialized row ids are metadata, never table data
+                out = out.drop(_ROW_ID)
         if with_pos:
             from pyspark.sql import functions as F
 
@@ -3082,7 +3144,7 @@ def _scan_files(
         if sig:
             reader = reader.option("basePath", root)
         if snap.schema is not None:
-            reader = reader.schema(_physical_struct(snap.schema))
+            reader = reader.schema(_row_struct(snap.schema, keep_row_col))
         elif merge_schema or snap.evolved:
             reader = reader.option("mergeSchema", "true")
         part = reader.parquet(*groups[(root, sig)])
@@ -3101,6 +3163,8 @@ def _scan_files(
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
+    if not keep_row_col and _ROW_ID in out.columns:
+        out = out.drop(_ROW_ID)
     if mapped:
         # physical → current logical names, the same rename the
         # unpartitioned mapped branch applies (positional columns
@@ -4010,6 +4074,7 @@ def _commit_rewrite(
     extra: dict | None = None,
     revalidate=None,
     blooms: dict | None = None,
+    row_ids_materialized: bool = False,
 ) -> int:
     """Commit a rewrite (merge/delete/compact): remove+add in one
     version, with two conflict checks run at commit time, every retry:
@@ -4034,6 +4099,7 @@ def _commit_rewrite(
     the pre-merge table)."""
     fs = hadoop_fs(spark, path)[0]
     anchor = snap_version
+    rt_counts: "dict | None" = None
     for _ in range(max_retries):
         snap_now = _replay(spark, path)
         eps_now, mor_now = snap_now.eps, snap_now.mor
@@ -4126,6 +4192,20 @@ def _commit_rewrite(
             payload["blooms"] = blooms
         if extra:
             payload.update(extra)
+        if added and _row_tracking_on(snap_now.properties):
+            if row_ids_materialized:
+                # preserving rewrite: outputs carry _row_id bytes — a
+                # pre-row-tracking reader would surface them as data
+                payload["row_bases"] = {f: -1 for f in added}
+                payload["reader"] = max(payload.get("reader", 1), 5)
+            else:
+                # content-changing rewrite: these are new row versions
+                # — fresh ids from this commit's reserved range
+                if rt_counts is None:
+                    rt_counts = _count_rows_per_file(spark, path, added)
+                payload["row_bases"] = _fresh_row_bases(
+                    next_v, rt_counts
+                )
         if _write_atomic(
             spark,
             fs,
@@ -4226,9 +4306,21 @@ def tx_compact(
     chosen = [f for _, f in sized[:max_input_files]]
     if len(chosen) <= target_files:
         return None
-    merged = _read_table_files(spark, path, chosen, snap).coalesce(
-        target_files
-    )
+    preserve_ids = _row_tracking_on(snap.properties)
+    if preserve_ids:
+        # a pure rewrite: rows keep their STABLE ids — read them and
+        # materialize _row_id into the compacted bytes
+        merged = _attach_row_ids(
+            spark, snap,
+            _scan_files(
+                spark, path, snap, chosen,
+                with_pos=True, keep_row_col=True,
+            ),
+        ).drop("_file", "_pos").coalesce(target_files)
+    else:
+        merged = _read_table_files(spark, path, chosen, snap).coalesce(
+            target_files
+        )
     added = _stage_and_place(
         _to_physical(merged, snap.schema), path, snap.partition_by
     )
@@ -4236,6 +4328,7 @@ def tx_compact(
         spark, path, added, chosen, snap_version, None, "compact",
         stats=_rewrite_stats(spark, path, chosen, added, None, snap),
         blooms=_rewrite_blooms(spark, path, chosen, added, snap),
+        row_ids_materialized=preserve_ids,
     )
 
 
@@ -4706,13 +4799,21 @@ def tx_apply_deletes(spark: SparkSession, path: str) -> int | None:
                 spark, path, [], [], snap.version, None, "apply_deletes",
                 extra={"dv_clears": dv_versions, "reader": 4},
             )
-        df = _scan_files(spark, path, snap, targeted, with_pos=True)
+        preserve_ids = _row_tracking_on(snap.properties)
+        df = _scan_files(
+            spark, path, snap, targeted,
+            with_pos=True, keep_row_col=preserve_ids,
+        )
         pos = spark.read.parquet(
             *[_abs(path, sf) for d in snap.dv for sf in d["files"]]
         )
         survivors = df.join(
             F.broadcast(pos), ["_file", "_pos"], "left_anti"
-        ).drop("_file", "_pos")
+        )
+        if preserve_ids:
+            # settling deletes must not re-identify the survivors
+            survivors = _attach_row_ids(spark, snap, survivors)
+        survivors = survivors.drop("_file", "_pos")
         added = _stage_and_place(
             _to_physical(survivors, snap.schema), path, snap.partition_by
         )
@@ -4721,6 +4822,7 @@ def tx_apply_deletes(spark: SparkSession, path: str) -> int | None:
             "apply_deletes",
             stats=_rewrite_stats(spark, path, targeted, added, None, snap),
             blooms=_rewrite_blooms(spark, path, targeted, added, snap),
+            row_ids_materialized=preserve_ids,
             extra={"dv_clears": dv_versions, "reader": 4},
         )
     eps, mor, snap_version = snap.eps, snap.mor, snap.version
@@ -4742,9 +4844,19 @@ def tx_apply_deletes(spark: SparkSession, path: str) -> int | None:
         )
     from pyspark.sql import functions as F
 
+    preserve_ids = _row_tracking_on(snap.properties)
     parts = []
     for i in sorted(groups):
-        df = _read_table_files(spark, path, groups[i], snap)
+        if preserve_ids:
+            df = _attach_row_ids(
+                spark, snap,
+                _scan_files(
+                    spark, path, snap, groups[i],
+                    with_pos=True, keep_row_col=True,
+                ),
+            ).drop("_file", "_pos")
+        else:
+            df = _read_table_files(spark, path, groups[i], snap)
         for t in mor[i:]:
             if not t["files"]:
                 continue
@@ -4761,8 +4873,221 @@ def tx_apply_deletes(spark: SparkSession, path: str) -> int | None:
         spark, path, added, touched, snap_version, None, "apply_deletes",
         stats=_rewrite_stats(spark, path, touched, added, None, snap),
         blooms=_rewrite_blooms(spark, path, touched, added, snap),
+        row_ids_materialized=preserve_ids,
         extra={"mor_clears": tomb_versions, "reader": 2},
     )
+
+
+# --- row tracking (stable row ids across rewrites) ---------------------------
+#
+# The Delta row-tracking shape, adapted to this log: every row of a
+# tracked table has a STABLE 63-bit id. Fresh rows get
+# ``(commit version << 36) + offset-in-commit`` — recorded per file as
+# a BASE in the commit (``row_bases: {file: base}``), so the id of a
+# physical row is ``base + row_index`` and costs nothing at write time
+# beyond one per-file row count. Versions are unique, so concurrent
+# writers never coordinate an id watermark. PRESERVING rewrites
+# (compact / zorder / apply_deletes) read ids and MATERIALIZE them as
+# a real ``_row_id`` column in their outputs (recorded as base -1),
+# which is what makes the id survive arbitrary re-binning — the
+# property (file, row-ordinal) coordinates fundamentally lack.
+# Content-changing fronts (merge, CoW delete, UPDATE post-images)
+# assign FRESH ids to the rows they rewrite — those are new row
+# versions. Reader level 5 guards materialized files (an older build
+# would surface ``_row_id`` as table data).
+
+_ROW_ID = "_row_id"
+_ROW_BASE_SHIFT = 36  # id = (commit version << 36) + offset-in-commit
+
+
+def _row_tracking_on(props: dict) -> bool:
+    return "row-tracking" in (props.get("writer.features") or [])
+
+
+def _count_rows_per_file(
+    spark, path: str, files: list[str]
+) -> "dict[str, int]":
+    """PHYSICAL row count per file, one grouped pass (count star over
+    a parquet scan is metadata-cheap — no column bytes decode).
+    ``base + row_index`` must cover every physical row, so DV-hidden
+    rows count too. Attribution via the UUID basename, the
+    :func:`_pos_name_map` rule."""
+    from pyspark.sql import functions as F
+
+    base_map: "dict[str, str]" = {}
+    for f in files:
+        b = f.rsplit("/", 1)[-1]
+        if b in base_map:
+            raise RuntimeError(
+                f"data file basename collision: {b!r} — cannot "
+                "attribute row counts"
+            )
+        base_map[b] = f
+    rows = (
+        spark.read.parquet(*[_abs(path, f) for f in files])
+        .groupBy(
+            F.element_at(
+                F.split(F.input_file_name(), "/"), -1
+            ).alias("__b")
+        )
+        .count()
+        .collect()
+    )
+    out: "dict[str, int]" = {}
+    for r in rows:
+        rel = base_map.get(r["__b"])
+        if rel is not None:
+            out[rel] = r["count"]
+    for f in files:  # zero-row part files never reach the groupBy
+        out.setdefault(f, 0)
+    return out
+
+
+def _fresh_row_bases(next_v: int, counts: "dict[str, int]") -> dict:
+    """``{file: base}`` for a commit landing at ``next_v``. The commit
+    owns the id range ``[v << 36, (v+1) << 36)`` outright — up to 2^36
+    rows per commit, 2^27 commits, no cross-writer coordination."""
+    out, off = {}, 0
+    for f in sorted(counts):
+        out[f] = (next_v << _ROW_BASE_SHIFT) + off
+        off += counts[f]
+    if off > (1 << _ROW_BASE_SHIFT):
+        raise ValueError(
+            f"commit carries {off} rows, beyond the 2^36 row-id range "
+            "one commit owns — split the write"
+        )
+    return out
+
+
+def tx_enable_row_tracking(
+    spark: SparkSession, path: str, max_retries: int = 20
+) -> int:
+    """Turn on ROW TRACKING: one metadata commit backfills a row-id
+    base for every live file (ids for existing rows are assigned as of
+    THIS commit's version) and stamps the ``row-tracking`` writer
+    feature, so every later write on any build either assigns bases or
+    refuses — a tracked table never silently grows id-less rows.
+    Idempotent; refuses on tables without a recorded write schema and
+    on a concurrent file-set change (the backfilled counts would be
+    stale)."""
+    snap = _replay(spark, path)
+    _check_writer_features(snap.properties, path)
+    if _row_tracking_on(snap.properties):
+        return snap.version
+    if snap.schema is None:
+        raise ValueError(
+            f"tx_enable_row_tracking: the table at {path} has no "
+            "recorded write schema; rewrite once with "
+            "tx_write(mode='overwrite') first"
+        )
+    if _ROW_ID in {f["name"] for f in json.loads(snap.schema)["fields"]}:
+        raise ValueError(
+            f"the table at {path} has a data column named {_ROW_ID!r} "
+            "— that name is reserved by row tracking"
+        )
+    files = sorted(snap.eps)
+    counts = _count_rows_per_file(spark, path, files) if files else {}
+    delta = _writer_feature_delta(snap.properties, {"row-tracking"})
+    fs = hadoop_fs(spark, path)[0]
+
+    def build(next_v: int) -> dict:
+        payload = {
+            "version": next_v,
+            "action": "meta",
+            "add": [],
+            "remove": [],
+            "txn": None,
+        }
+        if counts:
+            payload["row_bases"] = _fresh_row_bases(next_v, counts)
+        if delta:
+            payload["properties"] = delta
+        return payload
+
+    def revalidate() -> None:
+        now = _replay(spark, path)
+        if set(now.eps) != set(files):
+            raise RuntimeError(
+                f"conflict: the live file set of {path} changed while "
+                "row tracking was being enabled — re-run "
+                "tx_enable_row_tracking on the new snapshot"
+            )
+
+    return _commit_with_retries(
+        spark, path, fs, build, None, max_retries,
+        revalidate=revalidate, checked_at=snap.version,
+    )
+
+
+def _attach_row_ids(spark, snap: "_Snapshot", df: DataFrame) -> DataFrame:
+    """Complete a positional scan's ``_row_id``: files that
+    MATERIALIZE the column already carry it (explicit-schema reads
+    null-fill the rest); everything else computes ``base + _pos``
+    through one broadcast of the KB-scale base map."""
+    from pyspark.sql import functions as F
+
+    items = [
+        (f, b)
+        for f, b in snap.row_bases.items()
+        if isinstance(b, int) and b >= 0 and f in snap.eps
+    ]
+    if not items:
+        return df
+    bases = spark.createDataFrame(items, "_file string, __rb long")
+    return (
+        df.join(F.broadcast(bases), "_file", "left")
+        .withColumn(
+            _ROW_ID,
+            F.coalesce(F.col(_ROW_ID), F.col("__rb") + F.col("_pos")),
+        )
+        .drop("__rb")
+    )
+
+
+def tx_scan_with_row_ids(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """Snapshot read prefixed by the stable ``_row_id`` column. Live
+    deletion vectors are applied; refuses on live equality tombstones
+    (settle first) and on untracked tables. A row keeps its id across
+    compact / zorder / apply_deletes — the pin a CDC consumer needs to
+    follow one row through maintenance."""
+    from pyspark.sql import functions as F
+
+    snap = _replay(spark, path, version)
+    if not _row_tracking_on(snap.properties):
+        raise ValueError(
+            f"row tracking is not enabled on {path}; run "
+            "tx_enable_row_tracking first"
+        )
+    if snap.mor:
+        raise ValueError(
+            f"tx_scan_with_row_ids on {path} with live equality "
+            "tombstones; run tx_apply_deletes first"
+        )
+    files = sorted(snap.eps)
+    if not files:
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        base = json.loads(snap.schema)["fields"] if snap.schema else []
+        return spark.createDataFrame(
+            [],
+            StructType(
+                [StructField(_ROW_ID, LongType())]
+                + [StructField.fromJson(f) for f in base]
+            ),
+        )
+    df = _scan_files(
+        spark, path, snap, files, with_pos=True, keep_row_col=True
+    )
+    if snap.dv:
+        pos = spark.read.parquet(
+            *[_abs(path, sf) for d in snap.dv for sf in d["files"]]
+        )
+        df = df.join(F.broadcast(pos), ["_file", "_pos"], "left_anti")
+    df = _attach_row_ids(spark, snap, df)
+    data = [c for c in df.columns if c not in ("_file", "_pos", _ROW_ID)]
+    return df.select(_ROW_ID, *data)
 
 
 def tx_scan_with_pos(
@@ -4851,6 +5176,13 @@ def _commit_dv(
     fs = hadoop_fs(spark, path)[0]
     used = {"dv"} | ({"cdf"} if cdf_files is not None else set())
     delta = _writer_feature_delta(snap.properties, used)
+    # row tracking: UPDATE post-images are new row versions — fresh
+    # ids from this commit's reserved range
+    rt_counts = (
+        _count_rows_per_file(spark, path, added)
+        if added and _row_tracking_on(snap.properties)
+        else None
+    )
     # DV entries visible at PLAN time, by identity — any entry beyond
     # these seen at commit time was committed concurrently
     planned_dv = {(d["version"], tuple(d["files"])) for d in snap.dv}
@@ -4912,6 +5244,8 @@ def _commit_dv(
             payload["blooms"] = blooms
         if cdf_files is not None:
             payload["cdf"] = {"files": cdf_files, "key": None}
+        if rt_counts is not None:
+            payload["row_bases"] = _fresh_row_bases(next_v, rt_counts)
         return payload
 
     return _commit_with_retries(
@@ -5482,7 +5816,18 @@ def tx_optimize_zorder(
         files = [f for f in files if marks.get(f) != spec]
         if not files:
             return None  # everything live is already clustered
-    df = _read_table_files(spark, path, files, snap)
+    preserve_ids = _row_tracking_on(snap.properties)
+    if preserve_ids:
+        # re-clustering moves rows between files arbitrarily — exactly
+        # the case stable ids exist for: materialize them
+        df = _attach_row_ids(
+            spark, snap,
+            _scan_files(
+                spark, path, snap, files, with_pos=True, keep_row_col=True
+            ),
+        ).drop("_file", "_pos")
+    else:
+        df = _read_table_files(spark, path, files, snap)
     clustered = zorder_by(df, list(cols), n_files=n_files, bits=bits)
     added = _stage_and_place(
         _to_physical(clustered, snap.schema), path, snap.partition_by
@@ -5499,6 +5844,7 @@ def tx_optimize_zorder(
         spark, path, added, files, snap_version, None, "zorder",
         stats=stats,
         blooms=_rewrite_blooms(spark, path, files, added, snap),
+        row_ids_materialized=preserve_ids,
         extra={"zorder": spec},
     )
 

@@ -1,0 +1,264 @@
+"""ROW TRACKING (sources/txlog.py, round 13, VERDICT r12 #5): stable
+63-bit row ids that survive rewrites. Fresh rows take
+``(commit version << 36) + offset`` recorded as per-file BASES in the
+commit (id = base + row_index, zero write-time cost beyond a row
+count, no cross-writer watermark); preserving rewrites
+(compact/zorder/apply_deletes) MATERIALIZE ``_row_id`` into their
+outputs (base -1, reader level 5) so the id survives arbitrary
+re-binning; content-changing fronts (merge, UPDATE post-images)
+assign fresh ids — those are new row versions. Model: Delta's row
+tracking (public docs)."""
+
+from __future__ import annotations
+
+import glob
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from distributed_mapreduce__spark.sources.txlog import (
+    _replay,
+    tx_apply_deletes,
+    tx_compact,
+    tx_delete_where,
+    tx_enable_row_tracking,
+    tx_merge,
+    tx_optimize_zorder,
+    tx_read,
+    tx_scan_with_row_ids,
+    tx_update,
+    tx_write,
+)
+
+
+def _df(spark, lo=0, hi=100, tag="x"):
+    return spark.range(lo, hi).select(
+        "id", F.lit(tag).alias("tag")
+    )
+
+
+def _id_map(spark, path, version=None):
+    """{_row_id: (id, tag)} — the tracking invariant under test."""
+    return {
+        r._row_id: (r.id, r.tag)
+        for r in tx_scan_with_row_ids(spark, path, version=version).collect()
+    }
+
+
+@pytest.fixture()
+def tracked(spark, tmp_path):
+    t = str(tmp_path / "t")
+    tx_write(_df(spark).repartition(4), t, stats_cols=["id"])
+    tx_enable_row_tracking(spark, t)
+    return t
+
+
+def test_enable_backfills_unique_ids(spark, tracked):
+    m = _id_map(spark, tracked)
+    assert len(m) == 100  # every row has an id, all distinct
+    assert all(v is not None for v in m)
+    # idempotent
+    v = tx_enable_row_tracking(spark, tracked)
+    assert v == _replay(spark, tracked).version
+    assert _id_map(spark, tracked) == m
+
+
+def test_appends_get_fresh_distinct_ids(spark, tracked):
+    before = _id_map(spark, tracked)
+    tx_write(_df(spark, 1000, 1050, "new").repartition(2), tracked)
+    after = _id_map(spark, tracked)
+    assert len(after) == 150
+    # old rows keep their exact ids
+    assert {k: v for k, v in after.items() if k in before} == before
+    # new ids come from the append commit's reserved range
+    new_ids = set(after) - set(before)
+    ver = _replay(spark, tracked).version
+    assert all(i >> 36 == ver for i in new_ids)
+
+
+def test_ids_survive_compaction(spark, tracked):
+    for i in range(3):
+        tx_write(_df(spark, 1000 + i * 10, 1005 + i * 10, f"a{i}"), tracked)
+    before = _id_map(spark, tracked)
+    assert tx_compact(spark, tracked, max_input_files=64) is not None
+    after = _id_map(spark, tracked)
+    assert after == before  # the whole mapping is stable
+    # and the commit guards materialized bytes behind reader level 5
+    snap = _replay(spark, tracked)
+    assert all(
+        b == -1
+        for f, b in snap.row_bases.items()
+        if f in snap.eps
+    )
+
+
+def test_ids_survive_zorder(spark, tracked):
+    tx_write(_df(spark, 500, 600, "z").repartition(3), tracked)
+    before = _id_map(spark, tracked)
+    assert tx_optimize_zorder(spark, tracked, ["id"], n_files=4) is not None
+    assert _id_map(spark, tracked) == before
+
+
+def test_ids_survive_settling_deletes(spark, tracked):
+    before = _id_map(spark, tracked)
+    victims = {k for k, (i, _) in before.items() if i % 10 == 3}
+    tx_delete_where(spark, tracked, "id % 10 = 3")
+    # DV phase: victims' ids gone, survivors untouched (no rewrite)
+    mid = _id_map(spark, tracked)
+    assert set(mid) == set(before) - victims
+    # settle: the rewrite must not re-identify the survivors
+    tx_apply_deletes(spark, tracked)
+    after = _id_map(spark, tracked)
+    assert after == {k: v for k, v in before.items() if k not in victims}
+
+
+def test_cdc_consumer_tracks_one_row_across_rewrites(spark, tracked):
+    """The verdict's pin: follow ONE physical row through maintenance
+    by id alone."""
+    before = _id_map(spark, tracked)
+    rid = next(k for k, (i, _) in before.items() if i == 42)
+    tx_compact(spark, tracked, max_input_files=64)
+    tx_optimize_zorder(spark, tracked, ["id"], n_files=3)
+    after = _id_map(spark, tracked)
+    assert after[rid] == (42, "x")
+
+
+def test_update_post_images_get_fresh_ids(spark, tracked):
+    before = _id_map(spark, tracked)
+    old_ids = {k for k, (i, _) in before.items() if i % 10 == 7}
+    tx_update(spark, tracked, "id % 10 = 7", {"tag": "'upd'"})
+    after = _id_map(spark, tracked)
+    # pre-image ids retired with the DV; post-images are NEW rows
+    assert not (old_ids & set(after))
+    upd = {k: v for k, v in after.items() if v[1] == "upd"}
+    assert len(upd) == 10
+    # untouched rows keep their ids exactly
+    keep = {k: v for k, v in before.items() if k not in old_ids}
+    assert {k: v for k, v in after.items() if v[1] != "upd"} == keep
+
+
+def test_merge_rewrites_reassign_only_touched(spark, tmp_path):
+    t = str(tmp_path / "t")
+    # range-clustered files so the key-targeted merge touches ONE file
+    tx_write(
+        _df(spark).repartitionByRange(4, "id"), t, stats_cols=["id"]
+    )
+    tx_enable_row_tracking(spark, t)
+    before = _id_map(spark, t)
+    upd = spark.createDataFrame([(5, "merged")], "id long, tag string")
+    tx_merge(upd, t, "id")
+    after = _id_map(spark, t)
+    # the merged-in row exists under a fresh id
+    assert "merged" in {v[1] for v in after.values()}
+    # rows in untouched FILES keep their ids (at least half the table)
+    stable = {k for k in before if k in after and before[k] == after[k]}
+    assert len(stable) >= 50
+
+
+def test_time_travel_reads_ids_below_rewrites(spark, tracked):
+    before = _id_map(spark, tracked)
+    v0 = _replay(spark, tracked).version
+    tx_compact(spark, tracked, max_input_files=64)
+    assert _id_map(spark, tracked, version=v0) == before
+
+
+def test_untracked_and_reserved_refusals(spark, tmp_path):
+    t = str(tmp_path / "plain")
+    tx_write(_df(spark), t)
+    with pytest.raises(ValueError, match="not enabled"):
+        tx_scan_with_row_ids(spark, t)
+    with pytest.raises(ValueError, match="reserved"):
+        tx_write(
+            spark.range(3).select(
+                "id", F.lit(1).alias("_row_id")
+            ),
+            t,
+        )
+
+
+def test_plain_reads_never_surface_row_id(spark, tracked):
+    tx_compact(spark, tracked, max_input_files=64)  # materializes
+    out = tx_read(spark, tracked)
+    assert "_row_id" not in out.columns
+    assert out.count() == 100
+    # raw bytes DO carry the column (that's what level 5 guards)
+    raw = (
+        spark.read.option("mergeSchema", "true")
+        .parquet(*glob.glob(f"{tracked}/data/*.parquet"))
+    )
+    assert "_row_id" in raw.columns
+
+
+def test_tracking_on_mapped_partitioned_table(spark, tmp_path):
+    """Cross-feature: row ids on a column-mapped, hive-partitioned
+    table — bases ride the same fold, ids survive compaction, and the
+    rename changes nothing."""
+    from distributed_mapreduce__spark.sources.txlog import (
+        tx_rename_column,
+    )
+
+    t = str(tmp_path / "t")
+    df = spark.range(90).select(
+        "id", (F.col("id") % 3).alias("k"), F.lit("x").alias("tag")
+    )
+    tx_write(df, t, partition_by=["k"], stats_cols=["id"])
+    tx_rename_column(spark, t, "tag", "label")
+    tx_enable_row_tracking(spark, t)
+    before = _id_map_cols(spark, t)
+    assert len(before) == 90
+    tx_compact(spark, t, max_input_files=64)
+    assert _id_map_cols(spark, t) == before
+
+
+def _id_map_cols(spark, path):
+    return {
+        r["_row_id"]: tuple(
+            r[c] for c in ("id", "label", "k")
+        )
+        for r in tx_scan_with_row_ids(spark, path).collect()
+    }
+
+
+def test_checkpoint_and_vacuum_keep_bases(spark, tracked, tmp_path):
+    from distributed_mapreduce__spark.sources.txlog import (
+        _write_checkpoint,
+        tx_vacuum,
+    )
+
+    before = _id_map(spark, tracked)
+    for i in range(12):
+        tx_write(_df(spark, 2000 + i, 2001 + i, "c").coalesce(1), tracked)
+    mid = _id_map(spark, tracked)
+    _write_checkpoint(spark, tracked, _replay(spark, tracked).version)
+    tx_vacuum(spark, tracked, retain_last=0)
+    after = _id_map(spark, tracked)
+    assert after == mid
+    assert {k: v for k, v in after.items() if k in before} == before
+
+
+def test_enable_conflicts_with_concurrent_append(
+    spark, tmp_path, monkeypatch
+):
+    """A write in flight while row tracking is being enabled must not
+    slip through id-less: the write's commit-time revalidation catches
+    the feature appearing after its planning."""
+    from distributed_mapreduce__spark.sources import txlog
+
+    t = str(tmp_path / "t")
+    tx_write(_df(spark), t)
+    real_stage = txlog._stage_and_place
+    fired = {}
+
+    def stage_with_concurrent_enable(df, path, partition_by=None):
+        out = real_stage(df, path, partition_by)
+        if "done" not in fired:
+            fired["done"] = True
+            tx_enable_row_tracking(spark, path)
+        return out
+
+    monkeypatch.setattr(
+        txlog, "_stage_and_place", stage_with_concurrent_enable
+    )
+    with pytest.raises(RuntimeError, match="row tracking was enabled"):
+        tx_write(_df(spark, 200, 210), t)

@@ -310,3 +310,93 @@ def test_logview_replay_parity_over_randomized_history(spark, tmp_path):
         {**f, "nullable": True} for f in recorded["fields"]
     ]
     assert logical == recorded
+
+
+def test_planner_fs_seam_plans_object_store_shape(spark, tmp_path):
+    """VERDICT r12 #7: planning I/O is a SEAM. Mirror a real table's
+    bytes into an in-memory store under mem://, bind it with
+    register_planner_fs, and the SAME fold must plan identically:
+    commits, schema, snapshot files, change sets, and the batch
+    reader's partitions (including DV drop-lists) all equal the
+    local planning — proving the object-store shape without network
+    access. file: URIs keep working through the fast path."""
+    import io
+    import os
+
+    from distributed_mapreduce__spark.sources.txlog import tx_write
+    from distributed_mapreduce__spark.streaming.tx_source import (
+        _LogView,
+        _SCHEME_FS,
+        TxTableBatchReader,
+        register_planner_fs,
+    )
+
+    class _DictFS:
+        def __init__(self, files):
+            self.files = files
+
+        def _asdir(self, p):
+            return p.rstrip("/") + "/"
+
+        def isdir(self, p):
+            d = self._asdir(p)
+            return any(k.startswith(d) for k in self.files)
+
+        def listdir(self, p):
+            d = self._asdir(p)
+            return sorted(
+                {
+                    k[len(d):].split("/", 1)[0]
+                    for k in self.files
+                    if k.startswith(d)
+                }
+            )
+
+        def exists(self, p):
+            return p in self.files or self.isdir(p)
+
+        def read_text(self, p):
+            return self.files[p].decode()
+
+        def arrow_read(self, p):
+            import pyarrow.parquet as pq
+
+            return pq.read_table(io.BytesIO(self.files[p]))
+
+    t = str(tmp_path / "t")
+    tx_write(spark.range(50).select("id").repartition(3), t)
+    tx_write(spark.range(50, 80).select("id"), t)
+    tx_delete_where(spark, t, "id % 11 = 0")  # a DV for the drop-lists
+
+    # mirror every byte into the fake store under mem://tbl
+    files = {}
+    for root, _dirs, names in os.walk(t):
+        for n in names:
+            full = os.path.join(root, n)
+            rel = os.path.relpath(full, t)
+            with open(full, "rb") as fh:
+                files[f"mem://tbl/{rel}"] = fh.read()
+    register_planner_fs("mem", _DictFS(files))
+    try:
+        local, remote = _LogView(t), _LogView("mem://tbl")
+        assert remote.commits() == local.commits()
+        assert remote.schema_json() == local.schema_json()
+        l_eps, l_mor, l_dv = local.snapshot_files()
+        r_eps, r_mor, r_dv = remote.snapshot_files()
+        assert (r_eps, r_mor, r_dv) == (l_eps, l_mor, l_dv)
+        assert remote.change_files(-1, 1) == local.change_files(-1, 1)
+
+        # batch-reader planning: same files, same DV drop-lists,
+        # modulo the path prefix
+        def plan(path):
+            rd = TxTableBatchReader({"path": path}, local.schema_json())
+            return sorted(
+                (p.abs_path.rsplit("/data/", 1)[-1], p.drop_positions)
+                for p in rd.partitions()
+            )
+
+        assert plan("mem://tbl") == plan(t)
+        # file: URI still plans through the local fast path
+        assert _LogView(f"file://{t}").commits() == local.commits()
+    finally:
+        _SCHEME_FS.pop("mem", None)
