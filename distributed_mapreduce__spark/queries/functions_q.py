@@ -65,7 +65,7 @@ def scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@register_local(
     "array_functions",
     oracle="""
     SELECT label,

@@ -464,7 +464,7 @@ def pivot_status_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- set operations --------------------------------------------------------
 
 
-@register(
+@register_local(
     "buyer_cohorts",
     oracle="""
     SELECT 'repeat' AS cohort, o_custkey FROM (

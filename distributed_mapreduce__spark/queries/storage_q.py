@@ -907,7 +907,7 @@ GROUP BY l_returnflag
 """
 
 
-@register_local("dv_update_agg", oracle=_UPDATE_ORACLE)
+@register("dv_update_agg", oracle=_UPDATE_ORACLE)
 def dv_update_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deletion-vector UPDATE under the value oracle (round 12):
     commit lineitem, then ``tx_update`` a predicate slice — ONE atomic
@@ -951,7 +951,7 @@ GROUP BY lang
 """
 
 
-@register_local("tx_source_stream_agg", oracle=_TXSRC_ORACLE)
+@register("tx_source_stream_agg", oracle=_TXSRC_ORACLE)
 def tx_source_stream_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ``txtable`` Structured Streaming source under the value
     oracle (round 12, streaming/tx_source.py): ACID-ingest documents
@@ -1005,7 +1005,7 @@ GROUP BY o_orderpriority
 """
 
 
-@register_local("mapped_partition_agg", oracle=_MAPPED_PART_ORACLE)
+@register("mapped_partition_agg", oracle=_MAPPED_PART_ORACLE)
 def mapped_partition_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """COLUMN MAPPING x PARTITIONED LAYOUT under the value oracle
     (round 13, VERDICT r12 #1): ingest half the orders into an ACID
@@ -1135,7 +1135,7 @@ GROUP BY l_returnflag
 """
 
 
-@register_local("row_tracking_agg", oracle=_ROW_TRACK_ORACLE)
+@register("row_tracking_agg", oracle=_ROW_TRACK_ORACLE)
 def row_tracking_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROW TRACKING under the value oracle (round 13, VERDICT r12 #5):
     ingest lineitem into a tracked ACID table across two commits,

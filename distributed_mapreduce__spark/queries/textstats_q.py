@@ -82,7 +82,7 @@ def lang_id_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lang_id(docs, language_profiles_df(spark))
 
 
-@register(
+@register_local(
     "token_counts",
     oracle=f"""
     SELECT source,

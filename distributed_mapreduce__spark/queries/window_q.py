@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.relational import dec, disc_price, top_k_per_group
-from ..registry import register
+from ..registry import register, register_local
 from ..sources.tables import load_table
 
 
@@ -55,7 +55,7 @@ def topk_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("p_brand", "l_partkey", "revenue", "rn")
 
 
-@register(
+@register_local(
     "customer_order_timeline",
     oracle="""
     SELECT o_custkey, o_orderkey,
