@@ -93,6 +93,25 @@ def documents(
     for ln in lengths:
         texts.append(" ".join(words[pos:pos + ln]))
         pos += ln
+    # Plant NEAR-DUPLICATES (round 13): the driver's own fixtures pair
+    # up organically (skewed word draw), but a uniform draw over this
+    # vocabulary makes jaccard>=0.5 pairs vanishingly rare — which
+    # left dedup_minhash_pairs verifying a 0-row result at sf1 (the
+    # exact vacuous-green the new oracle guard now refuses). The last
+    # 2% of docs become one-word-mutated copies of earlier LONG docs:
+    # deterministic, exact-dup-free, and guaranteed high-jaccard.
+    n_dup = n_docs // 50
+    long_ix = [i for i, t in enumerate(texts[: n_docs - n_dup])
+               if len(t.split()) >= 30]
+    src_ix = rng.choice(len(long_ix), size=n_dup)
+    for k in range(n_dup):
+        src = texts[long_ix[int(src_ix[k])]].split()
+        p = int(rng.integers(0, len(src)))
+        repl = str(rng.choice(vocab))
+        if repl == src[p]:  # mutation must CHANGE the text
+            repl = vocab[(vocab.index(repl) + 1) % len(vocab)]
+        src[p] = repl
+        texts[n_docs - n_dup + k] = " ".join(src)
     tbl = pa.table({
         "doc_id": pa.array(range(n_docs), pa.int64()),
         "text": pa.array(texts),
