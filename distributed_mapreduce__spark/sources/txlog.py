@@ -2884,6 +2884,38 @@ def _prunable(file_stats: dict, conjuncts: "list[tuple]") -> bool:
     return False
 
 
+def _prune_files(
+    spark, path: str, snap: "_Snapshot", files: list[str],
+    conjuncts: "list[tuple]",
+) -> list[str]:
+    """Log-stats + bloom data skipping for ``(col, lo, hi)`` conjuncts
+    — the shared prune core of tx_read and tx_scan_with_row_ids.
+    Column mapping: stats and blooms key on stable PHYSICAL names, so
+    the predicate column translates here; the caller's residual
+    filter stays logical."""
+    logged = snap.stats
+    pm = _phys_map(snap.schema) if snap.schema else {}
+    prune = (
+        [(pm.get(c, c), lo, hi) for c, lo, hi in conjuncts]
+        if pm
+        else conjuncts
+    )
+    files = [
+        f for f in files if not _prunable(logged.get(f) or {}, prune)
+    ]
+    if files and snap.blooms:
+        # equality conjuncts also consult per-file blooms — the
+        # point-lookup skip [min, max] can't give on unclustered
+        # high-cardinality columns (see tx_write bloom_cols)
+        eqs = [
+            (c, lo) for c, lo, hi in prune
+            if lo is not None and lo == hi
+        ]
+        if eqs:
+            files = _bloom_prune(spark, path, snap, files, eqs)
+    return files
+
+
 def tx_read(
     spark: SparkSession,
     path: str,
@@ -2941,29 +2973,7 @@ def tx_read(
         else list(where)
     )
     if conjuncts:
-        logged = snap.stats
-        # column mapping: stats key on stable PHYSICAL names — the
-        # predicate column translates here, the residual filter below
-        # stays logical
-        pm = _phys_map(snap.schema) if snap.schema else {}
-        prune = (
-            [(pm.get(c, c), lo, hi) for c, lo, hi in conjuncts]
-            if pm
-            else conjuncts
-        )
-        files = [
-            f for f in files if not _prunable(logged.get(f) or {}, prune)
-        ]
-        if files and snap.blooms:
-            # equality conjuncts also consult per-file blooms — the
-            # point-lookup skip [min, max] can't give on unclustered
-            # high-cardinality columns (see tx_write bloom_cols)
-            eqs = [
-                (c, lo) for c, lo, hi in prune
-                if lo is not None and lo == hi
-            ]
-            if eqs:
-                files = _bloom_prune(spark, path, snap, files, eqs)
+        files = _prune_files(spark, path, snap, files, conjuncts)
     if not files:
         # an overwrite with an empty DataFrame is a legal empty table:
         # the recorded schema builds the empty frame directly; tables
@@ -5045,13 +5055,16 @@ def _attach_row_ids(spark, snap: "_Snapshot", df: DataFrame) -> DataFrame:
 
 
 def tx_scan_with_row_ids(
-    spark: SparkSession, path: str, version: int | None = None
+    spark: SparkSession, path: str, version: int | None = None,
+    where: "tuple | list[tuple] | None" = None,
 ) -> DataFrame:
     """Snapshot read prefixed by the stable ``_row_id`` column. Live
     deletion vectors are applied; refuses on live equality tombstones
     (settle first) and on untracked tables. A row keeps its id across
     compact / zorder / apply_deletes — the pin a CDC consumer needs to
-    follow one row through maintenance."""
+    follow one row through maintenance. ``where=(col, lo, hi)``
+    conjuncts prune files from the log exactly like ``tx_read``
+    (stats + blooms + transforms) and re-apply as residual filters."""
     from pyspark.sql import functions as F
 
     snap = _replay(spark, path, version)
@@ -5066,6 +5079,13 @@ def tx_scan_with_row_ids(
             "tombstones; run tx_apply_deletes first"
         )
     files = sorted(snap.eps)
+    conjuncts = (
+        [] if where is None
+        else [where] if isinstance(where, tuple)
+        else list(where)
+    )
+    if conjuncts and files:
+        files = _prune_files(spark, path, snap, files, conjuncts)
     if not files:
         from pyspark.sql.types import LongType, StructField, StructType
 
@@ -5087,7 +5107,13 @@ def tx_scan_with_row_ids(
         df = df.join(F.broadcast(pos), ["_file", "_pos"], "left_anti")
     df = _attach_row_ids(spark, snap, df)
     data = [c for c in df.columns if c not in ("_file", "_pos", _ROW_ID)]
-    return df.select(_ROW_ID, *data)
+    out = df.select(_ROW_ID, *data)
+    for col, lo, hi in conjuncts:  # residual filters own correctness
+        if lo is not None:
+            out = out.filter(F.col(col) >= F.lit(lo))
+        if hi is not None:
+            out = out.filter(F.col(col) <= F.lit(hi))
+    return out
 
 
 def tx_scan_with_pos(
@@ -5997,6 +6023,18 @@ def tx_restore(
                 "targets)"
             )
     stats = {f: st for f, st in snap.stats.items() if f in snap.eps}
+    # row tracking: a restore can resurrect files that predate the
+    # enable backfill or whose bases were checkpoint-truncated while
+    # the file was dead — give those fresh bases IN the restore commit
+    # (resurrected rows whose old ids are unknowable are new row
+    # versions; files whose bases or materialized ids survive the
+    # fold keep their identities untouched)
+    now = _replay(spark, path)
+    rt_counts = None
+    if _row_tracking_on(now.properties):
+        missing = [f for f in files if f not in now.row_bases]
+        if missing:
+            rt_counts = _count_rows_per_file(spark, path, missing)
 
     def build(next_v: int) -> dict:
         payload = {
@@ -6007,6 +6045,8 @@ def tx_restore(
             "txn": None,
             "restore_of": eff,
         }
+        if rt_counts is not None:
+            payload["row_bases"] = _fresh_row_bases(next_v, rt_counts)
         # the restore is an overwrite, so it RESETS the write schema
         # and partition layout — to the restored version's own
         # (enforcement and pruning follow the time travel)
@@ -6064,6 +6104,20 @@ def tx_clone(
         _abs(src, f): snap.stats[f] for f in files if f in snap.stats
     }
     props = tx_properties(spark, src)
+    # row tracking: the clone keeps the SOURCE's row identities — its
+    # seed commit re-keys the source's bases (and materialized
+    # markers) onto the absolute refs; source files that predate the
+    # enable backfill get fresh bases under the seed version
+    row_bases = {
+        _abs(src, f): snap.row_bases[f]
+        for f in files
+        if f in snap.row_bases
+    }
+    rt_counts = None
+    if _row_tracking_on(props):
+        missing = [_abs(src, f) for f in files if f not in snap.row_bases]
+        if missing:
+            rt_counts = _count_rows_per_file(spark, src, missing)
 
     def build(next_v: int) -> dict:
         payload = {
@@ -6082,8 +6136,29 @@ def tx_clone(
             payload["properties"] = props
         if stats:
             payload["stats"] = stats
+        if row_bases or rt_counts:
+            payload["row_bases"] = {
+                **row_bases,
+                **(
+                    _fresh_row_bases(next_v, rt_counts)
+                    if rt_counts
+                    else {}
+                ),
+            }
         return payload
 
-    return _commit_with_retries(
-        spark, dst, hadoop_fs(spark, dst)[0], build, None, max_retries
-    )
+    # the clone's version counter CONTINUES the source's (seed commit
+    # at eff+1, not 0): imported row-id ranges are version-scoped, so
+    # restarting at 0 would let the clone's own commits re-mint id
+    # ranges the imported rows already occupy
+    seed_v = eff + 1
+    payload = build(seed_v)
+    fs_dst = hadoop_fs(spark, dst)[0]
+    if not _write_atomic(
+        spark,
+        fs_dst,
+        f"{dst}/_txlog/{seed_v:0{_PAD}d}.json",
+        json.dumps(payload).encode(),
+    ):
+        raise FileExistsError(f"clone destination {dst} already exists")
+    return seed_v

@@ -262,3 +262,58 @@ def test_enable_conflicts_with_concurrent_append(
     )
     with pytest.raises(RuntimeError, match="row tracking was enabled"):
         tx_write(_df(spark, 200, 210), t)
+
+
+def test_restore_keeps_or_mints_ids(spark, tracked):
+    from distributed_mapreduce__spark.sources.txlog import tx_restore
+
+    before = _id_map(spark, tracked)
+    v_tracked = _replay(spark, tracked).version
+    tx_write(_df(spark, 3000, 3010, "later"), tracked)
+    tx_compact(spark, tracked, max_input_files=64)
+    # restore to the post-enable snapshot: the exact id map returns
+    tx_restore(spark, tracked, version=v_tracked)
+    assert _id_map(spark, tracked) == before
+    # restore to the PRE-enable snapshot: those files predate the
+    # backfill, so the contract (non-null, unique) holds via fresh
+    # bases minted in the restore commit
+    tx_restore(spark, tracked, version=0)
+    m = _id_map(spark, tracked)
+    assert len(m) == 100
+    assert sorted(i for i, _ in m.values()) == list(range(100))
+
+
+def test_clone_preserves_row_identity(spark, tracked, tmp_path):
+    from distributed_mapreduce__spark.sources.txlog import tx_clone
+
+    tx_compact(spark, tracked, max_input_files=64)  # materialized ids
+    tx_write(_df(spark, 500, 520, "post"), tracked)  # base-tracked ids
+    src_map = _id_map(spark, tracked)
+    dst = str(tmp_path / "clone")
+    tx_clone(spark, tracked, dst)
+    # the clone sees the SAME stable ids for the same rows
+    assert _id_map(spark, dst) == src_map
+    # and is independently tracked from its first own write
+    tx_write(_df(spark, 9000, 9005, "clone-own"), dst)
+    m = _id_map(spark, dst)
+    assert len(m) == len(src_map) + 5
+    assert {k: v for k, v in m.items() if k in src_map} == src_map
+
+
+def test_id_scan_prunes_like_tx_read(spark, tmp_path):
+    """where= on the id scan: log-stats pruning + residual filters,
+    identical file-skipping behavior to tx_read."""
+    t = str(tmp_path / "t")
+    for lo in (0, 1000, 2000):
+        tx_write(
+            spark.range(lo, lo + 50).select(
+                "id", F.lit(f"b{lo}").alias("tag")
+            ).coalesce(1),
+            t, stats_cols=["id"],
+        )
+    tx_enable_row_tracking(spark, t)
+    hit = tx_scan_with_row_ids(spark, t, where=("id", 1005, 1010))
+    rows = hit.collect()
+    assert sorted(r.id for r in rows) == list(range(1005, 1011))
+    assert all(r._row_id is not None for r in rows)
+    assert len(hit.inputFiles()) == 1  # only the middle commit's file

@@ -285,3 +285,95 @@ def test_two_writer_interleaving_replays_consistently(spark, tmp_path):
     # survive in writer.features
     feats = set(tx_properties(spark, t).get("writer.features", []))
     assert {"partitioning", "constraints"} <= feats
+
+
+def test_row_id_invariants_over_random_ops(spark, tmp_path):
+    """Row-tracking model pins over a seeded random op sequence
+    (round 13): after EVERY operation on a tracked table,
+
+    - every visible row has a NON-NULL id and ids are UNIQUE
+      (count == countDistinct — the core identity contract);
+    - PURE rewrites (compact, settle) preserve the full id -> row
+      mapping bit-exactly;
+    - content-changing ops (merge, DV delete/update) may retire and
+      mint ids but never collide with ids seen across the table's
+      whole history (version-scoped ranges make reuse impossible)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from distributed_mapreduce__spark.sources.txlog import (
+        tx_apply_deletes,
+        tx_delete_where,
+        tx_enable_row_tracking,
+        tx_scan_with_row_ids,
+        tx_update,
+    )
+
+    rng = random.Random(20260817)
+    t = str(tmp_path / "t")
+    tx_write(
+        _to_df(spark, [(i, "base") for i in range(40)]).repartition(3),
+        t, stats_cols=["id"],
+    )
+    tx_enable_row_tracking(spark, t)
+
+    def id_map():
+        return {
+            r._row_id: (r.id, r.tag)
+            for r in tx_scan_with_row_ids(spark, t).collect()
+        }
+
+    seen_ids = set(id_map())
+    tag_seq = 0
+    for step in range(18):
+        op = rng.choice(
+            ["append", "append", "merge", "dv_delete", "dv_update",
+             "compact", "settle"]
+        )
+        tag_seq += 1
+        before = id_map()
+        pure = False
+        try:
+            if op == "append":
+                rows = [(100 * tag_seq + j, f"a{tag_seq}")
+                        for j in range(rng.randint(1, 6))]
+                tx_write(_to_df(spark, rows), t)
+            elif op == "merge":
+                rows = [(rng.randrange(40), f"m{tag_seq}")]
+                tx_merge(_to_df(spark, rows), t, "id")
+            elif op == "dv_delete":
+                tx_delete_where(spark, t, f"id % 9 = {step % 9}")
+            elif op == "dv_update":
+                tx_update(
+                    spark, t, f"id % 7 = {step % 7}",
+                    {"tag": f"'u{tag_seq}'"},
+                )
+            elif op == "compact":
+                tx_compact(spark, t, target_files=2)
+                pure = True
+            elif op == "settle":
+                tx_apply_deletes(spark, t)
+                pure = True
+        except (RuntimeError, ValueError):
+            # legal refusals (compact/merge over live DV debt) leave
+            # the table consistent; the invariants must hold anyway
+            pure = None
+        after = id_map()
+        # uniqueness + completeness, every step
+        df = tx_scan_with_row_ids(spark, t)
+        agg = df.agg(
+            F.count("*").alias("n"),
+            F.countDistinct("_row_id").alias("d"),
+            F.sum(F.col("_row_id").isNull().cast("int")).alias("nulls"),
+        ).collect()[0]
+        assert agg.n == agg.d and (agg.nulls or 0) == 0, (step, op)
+        if pure:
+            assert after == before, f"step {step}: {op} re-identified rows"
+        # no id from the table's history is ever minted twice for a
+        # DIFFERENT row
+        for rid, row in after.items():
+            if rid in seen_ids and rid in before:
+                continue  # still the same id; row content may evolve
+            assert rid not in seen_ids, (step, op, rid)
+        seen_ids |= set(after)
