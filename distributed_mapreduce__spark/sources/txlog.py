@@ -4525,6 +4525,7 @@ def tx_changes_cdf(
     path: str,
     since_version: int | None = None,
     preimage: bool = False,
+    with_row_ids: bool = False,
 ):
     """CDC-complete per-commit change feed: yields ``(version, kind,
     DataFrame | None)`` with kind ``'insert'`` for appends,
@@ -4566,11 +4567,59 @@ def tx_changes_cdf(
 
     Still raises on merge / copy-on-write delete commits written with
     ``cdf=False`` (or by an older build): without stored change rows
-    the honest contract is reprocess-from-snapshot."""
+    the honest contract is reprocess-from-snapshot.
+
+    ``with_row_ids=True`` (tracked tables only) keys the feed on
+    STABLE ROW IDS — the identity that survives maintenance, so a
+    consumer can follow one row across compaction/zorder/settling:
+
+    - ``'insert'`` frames carry ``_row_id`` from the commit's own
+      recorded bases (no fold dependency — replays below later
+      checkpoints reconstruct exactly);
+    - DELETION-VECTOR deletes reconstruct pre-images WITH ids straight
+      from the DV's (file, position) coordinates — including DV
+      deletes written with ``cdf=False``, whose positions alone fully
+      determine the victims (an upgrade over the sidecar path);
+    - DV UPDATE frames carry id-complete pre- AND post-images
+      (positions give the pre side, the commit's bases the post side);
+    - ``'overwrite'`` frames are the id-scan of the snapshot;
+    - merge / copy-on-write frames and mor key-frames carry a NULL
+      ``_row_id`` (their sidecars are key-addressed; identity is
+      unknowable post-hoc) — consumers keyed on ids must treat NULL
+      as reprocess-by-key."""
     from pyspark.sql import functions as F
 
     raw, _ = _change_commits(spark, path, since_version)
     snap = _replay(spark, path)
+    if with_row_ids and not _row_tracking_on(snap.properties):
+        raise ValueError(
+            f"with_row_ids=True needs row tracking on {path}; run "
+            "tx_enable_row_tracking first"
+        )
+
+    def _null_ids(df):
+        return df.select(
+            F.lit(None).cast("long").alias(_ROW_ID), "*"
+        )
+
+    def _dv_preimages(v: int, c: dict) -> DataFrame:
+        """Id-complete DV victims, purely from coordinates."""
+        snap_v = _replay(spark, path, v)
+        pos = spark.read.parquet(
+            *[_abs(path, sf) for sf in c["dv"]["files"]]
+        )
+        targets = [f for f in c["dv"]["targets"]]
+        pre = _scan_files(
+            spark, path, snap_v, targets,
+            with_pos=True, keep_row_col=True,
+        ).join(F.broadcast(pos), ["_file", "_pos"], "semi")
+        pre = _attach_row_ids_map(spark, snap_v.row_bases, pre)
+        data = [
+            x for x in pre.columns
+            if x not in ("_file", "_pos", _ROW_ID)
+        ]
+        return pre.select(_ROW_ID, *data)
+
     for v, c in raw:
         if c is None or c["action"] in (
             "compact", "zorder", "apply_deletes", "meta"
@@ -4590,9 +4639,43 @@ def tx_changes_cdf(
                 deleted = tx_read(spark, path, version=v - 1).join(
                     F.broadcast(keys), tomb["col"], "semi"
                 )
-                yield v, "delete", deleted
+                yield v, "delete", (
+                    _null_ids(deleted) if with_row_ids else deleted
+                )
             else:
-                yield v, "delete", keys
+                yield v, "delete", (
+                    _null_ids(keys) if with_row_ids else keys
+                )
+            continue
+        if with_row_ids and c.get("dv") and c["action"] in (
+            "delete", "update"
+        ):
+            # identity-complete reconstruction from COORDINATES —
+            # works even without a cdf sidecar (the DV's positions
+            # alone determine the victims)
+            pre = _dv_preimages(v, c)
+            if c["action"] == "delete":
+                yield v, "delete", pre
+                continue
+            ct = "_change_type"
+            out = pre.withColumn(ct, F.lit("update_preimage"))
+            if c.get("add"):
+                post = _scan_files(
+                    spark, path, snap, c["add"],
+                    with_pos=True, keep_row_col=True,
+                )
+                post = _attach_row_ids_map(
+                    spark, c.get("row_bases") or {}, post
+                )
+                data = [
+                    x for x in post.columns
+                    if x not in ("_file", "_pos", _ROW_ID)
+                ]
+                out = out.unionByName(
+                    post.select(_ROW_ID, *data)
+                    .withColumn(ct, F.lit("update_postimage"))
+                )
+            yield v, "cdf", out
             continue
         if (
             c["action"] in ("merge", "delete", "update")
@@ -4609,6 +4692,8 @@ def tx_changes_cdf(
                 # columns even for pre-rename merges (physical names
                 # are stable; unmapped tables: identity)
                 rows = _to_logical_frame(rows, snap.schema)
+            if with_row_ids:
+                rows = _null_ids(rows)  # key-addressed: no identity
             if c["action"] == "delete":
                 yield v, "delete", rows.drop("_change_type")
             else:
@@ -4616,8 +4701,20 @@ def tx_changes_cdf(
             continue
         if c["action"] == "overwrite":
             # snapshot reset: the overwrite's add list IS the whole
-            # table as of v (tx_read handles the empty-table case)
-            yield v, "overwrite", tx_read(spark, path, version=v)
+            # table as of v (tx_read handles the empty-table case).
+            # An overwrite BELOW the tracking-enable point has no ids
+            # to give — NULL-id frame, the key-addressed contract
+            if with_row_ids:
+                if _row_tracking_on(_replay(spark, path, v).properties):
+                    yield v, "overwrite", tx_scan_with_row_ids(
+                        spark, path, version=v
+                    )
+                else:
+                    yield v, "overwrite", _null_ids(
+                        tx_read(spark, path, version=v)
+                    )
+            else:
+                yield v, "overwrite", tx_read(spark, path, version=v)
             continue
         if c["action"] != "append" or c.get("remove"):
             raise ValueError(
@@ -4628,6 +4725,19 @@ def tx_changes_cdf(
         files = c.get("add", [])
         if not files:
             yield v, None, None
+        elif with_row_ids:
+            # the commit's OWN recorded bases: replays below later
+            # checkpoints reconstruct exactly (no fold dependency)
+            ins = _scan_files(
+                spark, path, snap, files,
+                with_pos=True, keep_row_col=True,
+            )
+            ins = _attach_row_ids_map(spark, c.get("row_bases") or {}, ins)
+            data = [
+                x for x in ins.columns
+                if x not in ("_file", "_pos", _ROW_ID)
+            ]
+            yield v, "insert", ins.select(_ROW_ID, *data)
         else:
             # same read contract as snapshots: evolved footer merge +
             # partition-column reconstruction (see _reader_for)
@@ -5029,7 +5139,7 @@ def tx_enable_row_tracking(
     )
 
 
-def _attach_row_ids(spark, snap: "_Snapshot", df: DataFrame) -> DataFrame:
+def _attach_row_ids_map(spark, base_map: dict, df: DataFrame) -> DataFrame:
     """Complete a positional scan's ``_row_id``: files that
     MATERIALIZE the column already carry it (explicit-schema reads
     null-fill the rest); everything else computes ``base + _pos``
@@ -5038,8 +5148,8 @@ def _attach_row_ids(spark, snap: "_Snapshot", df: DataFrame) -> DataFrame:
 
     items = [
         (f, b)
-        for f, b in snap.row_bases.items()
-        if isinstance(b, int) and b >= 0 and f in snap.eps
+        for f, b in base_map.items()
+        if isinstance(b, int) and b >= 0
     ]
     if not items:
         return df
@@ -5051,6 +5161,15 @@ def _attach_row_ids(spark, snap: "_Snapshot", df: DataFrame) -> DataFrame:
             F.coalesce(F.col(_ROW_ID), F.col("__rb") + F.col("_pos")),
         )
         .drop("__rb")
+    )
+
+
+def _attach_row_ids(spark, snap: "_Snapshot", df: DataFrame) -> DataFrame:
+    """:func:`_attach_row_ids_map` over the snapshot's LIVE files."""
+    return _attach_row_ids_map(
+        spark,
+        {f: b for f, b in snap.row_bases.items() if f in snap.eps},
+        df,
     )
 
 

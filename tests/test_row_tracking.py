@@ -317,3 +317,83 @@ def test_id_scan_prunes_like_tx_read(spark, tmp_path):
     assert sorted(r.id for r in rows) == list(range(1005, 1011))
     assert all(r._row_id is not None for r in rows)
     assert len(hit.inputFiles()) == 1  # only the middle commit's file
+
+
+def test_cdc_feed_keyed_on_row_ids(spark, tmp_path):
+    """tx_changes_cdf(with_row_ids=True): the change feed keyed on
+    STABLE ids. A consumer maintaining {id: row} from the frames alone
+    — inserts add, delete frames retire ids, update frames retire
+    pre-ids and add post-ids — must converge to exactly the id scan
+    of the final table, across appends, a cdf=False DV delete (ids
+    reconstructed purely from coordinates), a DV update, and a
+    compaction (a no-op frame that must not disturb identity)."""
+    from distributed_mapreduce__spark.sources.txlog import (
+        tx_changes_cdf,
+    )
+
+    t = str(tmp_path / "t")
+    tx_write(_df(spark, 0, 60).repartition(3), t, stats_cols=["id"])
+    tx_enable_row_tracking(spark, t)
+    v_enable = _replay(spark, t).version
+    tx_write(_df(spark, 100, 120, "batch2"), t)
+    tx_delete_where(spark, t, "id % 5 = 0", cdf=False)
+    tx_update(spark, t, "id % 7 = 1", {"tag": "'patched'"})
+    tx_apply_deletes(spark, t)  # settle, then compact: no-op frames
+    tx_compact(spark, t, max_input_files=64)
+
+    state = dict(_id_map(spark, t, version=v_enable))
+    for v, kind, df in tx_changes_cdf(
+        spark, t, since_version=v_enable, with_row_ids=True
+    ):
+        if df is None:
+            continue
+        rows = df.collect()
+        assert all(r._row_id is not None for r in rows), (v, kind)
+        if kind == "insert":
+            for r in rows:
+                assert r._row_id not in state
+                state[r._row_id] = (r.id, r.tag)
+        elif kind == "delete":
+            for r in rows:
+                del state[r._row_id]  # KeyError = wrong identity
+        elif kind == "cdf":
+            for r in rows:
+                if r._change_type == "update_preimage":
+                    del state[r._row_id]
+            for r in rows:
+                if r._change_type == "update_postimage":
+                    assert r._row_id not in state
+                    state[r._row_id] = (r.id, r.tag)
+    assert state == _id_map(spark, t)
+
+
+def test_cdc_feed_null_ids_for_key_addressed_frames(spark, tmp_path):
+    """Merge frames are key-addressed (identity unknowable post-hoc):
+    with_row_ids yields them with NULL _row_id — loud, not silent."""
+    from distributed_mapreduce__spark.sources.txlog import (
+        tx_changes_cdf,
+    )
+
+    t = str(tmp_path / "t")
+    tx_write(_df(spark, 0, 30), t, stats_cols=["id"])
+    tx_enable_row_tracking(spark, t)
+    v0 = _replay(spark, t).version
+    tx_merge(
+        spark.createDataFrame([(5, "merged")], "id long, tag string"),
+        t, "id",
+    )
+    frames = [
+        (v, kind, df)
+        for v, kind, df in tx_changes_cdf(
+            spark, t, since_version=v0, with_row_ids=True
+        )
+        if df is not None
+    ]
+    assert [k for _, k, _ in frames] == ["cdf"]
+    rows = frames[0][2].collect()
+    assert rows and all(r._row_id is None for r in rows)
+    # untracked tables refuse the flag
+    t2 = str(tmp_path / "plain")
+    tx_write(_df(spark, 0, 5), t2)
+    with pytest.raises(ValueError, match="row tracking"):
+        list(tx_changes_cdf(spark, t2, with_row_ids=True))
