@@ -340,7 +340,11 @@ class _LogView:
     ) -> "tuple[list[str], int]":
         """(files added by commits in (since, upto]), capped cursor) —
         the insert-only interpretation, stopping before a pending
-        multi-table commit. Raises on row-changing commits."""
+        multi-table commit. Raises on row-changing commits. Each
+        call also refreshes ``self.file_bases`` — {added file:
+        row-id base} from the commits' own row_bases records (None
+        when the commit predates row tracking) — for the
+        ``withRowIds`` feed."""
         commits = self.commits()
         versions = sorted({v for v, _ in commits})
         if not versions:
@@ -352,6 +356,7 @@ class _LogView:
                 f"{self.path}; reprocess from a snapshot read"
             )
         files: list[str] = []
+        self.file_bases: "dict[str, int | None]" = {}
         cursor = since
         for v, kind in commits:
             if kind != "commit" or v <= since or v > latest:
@@ -386,7 +391,10 @@ class _LogView:
                     "— reprocess via tx_read and resume, or consume "
                     "CDC through tx_changes_cdf / the table pipes"
                 )
-            files.extend(c.get("add", []))
+            bases = c.get("row_bases") or {}
+            for f in c.get("add", []):
+                files.append(f)
+                self.file_bases[f] = bases.get(f)
             cursor = v
         return files, cursor
 
@@ -437,8 +445,10 @@ def _normalize_file(
 
 
 class _FilePartition(InputPartition):
-    def __init__(self, abs_path: str):
+    def __init__(self, abs_path: str, row_base: "int | None" = None):
         self.abs_path = abs_path
+        #: row-id base for the withRowIds feed (ids = base + ordinal)
+        self.row_base = row_base
 
 
 class TxTableStreamReader(DataSourceStreamReader):
@@ -453,6 +463,11 @@ class TxTableStreamReader(DataSourceStreamReader):
             for f in fields
         }
         self.logical = [f["name"] for f in fields]
+        #: sample-level provenance: emit a leading _row_id column
+        #: (stable ids from the commits' recorded bases)
+        self.with_row_ids = (
+            str(options.get("withrowids", "")).lower() == "true"
+        )
         #: last offset this reader returned — the `since` cursor for the
         #: next trigger, so per-trigger planning json-loads only the NEW
         #: commits, not the whole consumed history (ADVICE r12)
@@ -482,12 +497,22 @@ class TxTableStreamReader(DataSourceStreamReader):
     ) -> "Sequence[InputPartition]":
         view = _LogView(self.path)
         files, _ = view.change_files(start["version"], end["version"])
-        parts = [
-            _FilePartition(
-                f if os.path.isabs(f) else os.path.join(self.path, f)
+        parts = []
+        for f in files:
+            base = view.file_bases.get(f)
+            if self.with_row_ids and not isinstance(base, int):
+                raise ValueError(
+                    f"withRowIds stream over {self.path}: file {f!r} "
+                    "was committed without row-id bases (the commit "
+                    "predates tx_enable_row_tracking) — start the "
+                    "stream at a post-enable version"
+                )
+            parts.append(
+                _FilePartition(
+                    f if os.path.isabs(f) else os.path.join(self.path, f),
+                    base,
+                )
             )
-            for f in files
-        ]
         return parts or [_FilePartition("")]
 
     # -- executor-side read ---------------------------------------
@@ -498,6 +523,14 @@ class TxTableStreamReader(DataSourceStreamReader):
             partition.abs_path, self.schema_json, self.phys,
             self.logical, fs=self._fs,
         )
+        if self.with_row_ids:
+            import pyarrow as pa
+
+            base = partition.row_base
+            ids = pa.array(
+                range(base, base + out.num_rows), type=pa.int64()
+            )
+            out = out.add_column(0, "_row_id", ids)
         return iter(out.to_batches(max_chunksize=1 << 16))
 
     def commit(self, end: dict) -> None:
@@ -593,10 +626,17 @@ class TxTableDataSource(DataSource):
         return "txtable"
 
     def schema(self):
-        from pyspark.sql.types import StructType
+        from pyspark.sql.types import LongType, StructField, StructType
 
         view = _LogView(self.options["path"])
-        return StructType.fromJson(json.loads(view.schema_json()))
+        struct = StructType.fromJson(json.loads(view.schema_json()))
+        if str(self.options.get("withrowids", "")).lower() == "true":
+            # sample-level provenance: the feed leads with the stable
+            # row id (ids = the commit's recorded base + row ordinal)
+            struct = StructType(
+                [StructField("_row_id", LongType())] + struct.fields
+            )
+        return struct
 
     def reader(self, schema) -> TxTableBatchReader:
         view = _LogView(self.options["path"])

@@ -400,3 +400,59 @@ def test_planner_fs_seam_plans_object_store_shape(spark, tmp_path):
         assert _LogView(f"file://{t}").commits() == local.commits()
     finally:
         _SCHEME_FS.pop("mem", None)
+
+
+def test_with_row_ids_stream_carries_stable_ids(spark, tmp_path):
+    """option("withRowIds", "true"): the insert feed leads with the
+    stable _row_id from each commit's recorded bases — sample-level
+    provenance for training-data consumers. The streamed ids must
+    equal the engine's own id scan for the same rows, and a stream
+    over pre-tracking commits refuses loudly."""
+    from distributed_mapreduce__spark.sources.txlog import (
+        tx_enable_row_tracking,
+        tx_scan_with_row_ids,
+    )
+
+    t = str(tmp_path / "t")
+    tx_write(spark.range(20).select("id"), t)
+    tx_enable_row_tracking(spark, t)
+    v_enable = 1
+    register_tx_source(spark)
+    q = (
+        spark.readStream.format("txtable")
+        .option("path", t)
+        .option("withRowIds", "true")
+        .option("startingVersion", v_enable)
+        .load()
+        .writeStream.format("memory").queryName("txsrc_ids").start()
+    )
+    try:
+        tx_write(spark.range(100, 130).select("id"), t)
+        tx_write(spark.range(200, 210).select("id"), t)
+        q.processAllAvailable()
+        got = {
+            r._row_id: r.id
+            for r in spark.table("txsrc_ids").collect()
+        }
+        want = {
+            r._row_id: r.id
+            for r in tx_scan_with_row_ids(spark, t).collect()
+            if r.id >= 100  # the feed starts after the enable version
+        }
+        assert got == want and len(got) == 40
+    finally:
+        q.stop()
+    # pre-tracking commits have no bases: the id stream must refuse
+    q2 = (
+        spark.readStream.format("txtable")
+        .option("path", t)
+        .option("withRowIds", "true")
+        .load()
+        .writeStream.format("memory").queryName("txsrc_ids2").start()
+    )
+    try:
+        with pytest.raises(Exception):
+            q2.processAllAvailable()
+        assert "predates" in str(q2.exception())
+    finally:
+        q2.stop()
