@@ -15,6 +15,9 @@ Covered:
   frozen physical name) + a partition-pruned read under the NEW name
 - sql_dml_update_delete: the SQL front door driving a DV UPDATE and a
   DV DELETE (string → parse → the same commit paths) + the read
+- cdc_by_id_drain: tx_changes_cdf(with_row_ids=True) draining a
+  mixed history (append, cdf=False DV delete reconstructed from
+  coordinates, DV update with id-complete pre+post images)
 - bloom_cached_lookup_5x: five repeated bloom point lookups on one
   snapshot — the (path, sidecar)-keyed session cache means lookups
   2-5 cost zero sidecar I/O (ADVICE r12 / VERDICT #8's "measured
@@ -116,6 +119,33 @@ def measure(spark, sf_dir: str, tmp: str) -> dict[str, float]:
     tx_sql(spark, "DELETE FROM bench_sql_t WHERE o_orderkey % 501 = 0")
     _noop(tx_read(spark, tsql))
     out["sql_dml_update_delete"] = round(time.perf_counter() - t0, 3)
+
+    # CDC keyed on stable row ids: drain a mixed history
+    tcdc = f"{tmp}/cdc_ids_t"
+    li = orders.select("o_orderkey", "o_totalprice")
+    tx_write(li.repartitionByRange(4, "o_orderkey"), tcdc,
+             stats_cols=["o_orderkey"])
+    from distributed_mapreduce__spark.sources.txlog import (
+        tx_changes_cdf,
+        tx_delete_where,
+        tx_enable_row_tracking,
+        tx_update,
+    )
+    tx_enable_row_tracking(spark, tcdc)
+    v0 = 1
+    tx_write(li.limit(20000), tcdc)
+    tx_delete_where(spark, tcdc, "o_orderkey % 100 = 0", cdf=False)
+    tx_update(spark, tcdc, "o_orderkey % 101 = 0",
+              {"o_totalprice": "-o_totalprice"})
+    t0 = time.perf_counter()
+    n = 0
+    for _v, _kind, df in tx_changes_cdf(
+        spark, tcdc, since_version=v0, with_row_ids=True
+    ):
+        if df is not None:
+            n += df.count()
+    assert n > 0
+    out["cdc_by_id_drain"] = round(time.perf_counter() - t0, 3)
 
     # bloom sidecar cache: five point lookups on ONE snapshot
     tbl = f"{tmp}/bloom_cache_t"
