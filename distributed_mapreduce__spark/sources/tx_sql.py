@@ -166,6 +166,14 @@ _ALTER_PARTITION_RE = re.compile(
     r"\(([^)]*)\)\s*;?\s*$",
     re.IGNORECASE,
 )
+_RESTORE_RE = re.compile(
+    r"^\s*RESTORE\s+TABLE\s+(\S+)\s+(?:TO\s+)?VERSION\s+AS\s+OF\s+"
+    r"(\d+)\s*;?\s*$",
+    re.IGNORECASE,
+)
+_DESCRIBE_RE = re.compile(
+    r"^\s*DESCRIBE\s+DETAIL\s+(\S+)\s*;?\s*$", re.IGNORECASE
+)
 _MERGE_ON_RE = re.compile(
     r"^\s*(?:\w+\.)?(\w+)\s*(?:=\s*(?:\w+\.)?(\w+)\s*)?$"
 )
@@ -302,6 +310,31 @@ def tx_sql(spark: SparkSession, sql: str):
         v = tx_set_partitioning(spark, path, specs)
         _refresh(spark, path, name)
         return v
+    m = _RESTORE_RE.match(sql)
+    if m:
+        from .txlog import tx_restore
+
+        path, name = _path_of(m.group(1))
+        v = tx_restore(spark, path, version=int(m.group(2)))
+        _refresh(spark, path, name)
+        return v
+    m = _DESCRIBE_RE.match(sql)
+    if m:
+        import json as _json
+
+        from .txlog import tx_detail
+
+        path, _name = _path_of(m.group(1))
+        det = tx_detail(spark, path)
+        # one-row frame, complex fields JSON-stringified (DESCRIBE is
+        # a human/report surface; exact types live on tx_detail)
+        flat = {
+            k: (v if isinstance(v, (int, bool))
+                else v if isinstance(v, str)
+                else _json.dumps(v))  # None -> "null", lists/dicts -> JSON
+            for k, v in det.items()
+        }
+        return spark.createDataFrame([flat])
     head = sql.lstrip()[:10].upper()
     if head.startswith(("SELECT", "WITH", "VALUES", "TABLE")):
         # reads: re-resolve every registered snapshot so the query
@@ -316,5 +349,6 @@ def tx_sql(spark: SparkSession, sql: str):
         "OPTIMIZE [ZORDER BY (...)] / VACUUM [RETAIN n HOURS] / "
         "ALTER TABLE (RENAME COLUMN | DROP COLUMN | ADD CONSTRAINT "
         "... CHECK (...) | DROP CONSTRAINT | SET PARTITIONED BY "
-        "(...)) / SELECT|WITH|VALUES|TABLE"
+        "(...)) / RESTORE TABLE ... VERSION AS OF n / "
+        "DESCRIBE DETAIL / SELECT|WITH|VALUES|TABLE"
     )

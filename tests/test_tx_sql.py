@@ -167,3 +167,15 @@ def test_refusals(spark, pair):
         tx_sql(spark, "TRUNCATE TABLE t_sql")
     with pytest.raises(ValueError, match="SET assignment"):
         tx_sql(spark, "UPDATE t_sql SET 5 WHERE id = 1")
+
+
+def test_restore_and_describe_detail(spark, pair):
+    a, _ = pair
+    tx_sql(spark, "DELETE FROM t_sql WHERE id < 150")
+    assert tx_sql(spark, "SELECT count(*) AS n FROM t_sql").first().n == 50
+    tx_sql(spark, "RESTORE TABLE t_sql TO VERSION AS OF 0")
+    assert tx_sql(spark, "SELECT count(*) AS n FROM t_sql").first().n == 200
+    det = tx_sql(spark, "DESCRIBE DETAIL t_sql").collect()
+    assert len(det) == 1
+    row = det[0].asDict()
+    assert row["num_files"] >= 1 and row["version"] >= 2
