@@ -1,29 +1,38 @@
-"""SQL DML front door for the transactional table (round 13, VERDICT
-r12 #6): ``tx_sql(spark, "UPDATE t SET ... WHERE ...")`` parses a
-small, explicit grammar and dispatches to the existing Python fronts
+"""SQL DML front door for the transactional table (rounds 13-14):
+``tx_sql(spark, "UPDATE t SET ... WHERE ...")`` parses a small,
+explicit grammar and dispatches to the existing Python fronts
 (tx_update / tx_delete_where / tx_write / tx_merge / tx_compact /
-tx_optimize_zorder / tx_vacuum / the ALTER family) — so a SQL-only
-client can drive the full ACID surface without learning the Python
-API, and every statement keeps the fronts' commit-time semantics
-(conflict revalidation, constraints, CDF, deletion vectors) because
-it IS the same code path. Statements name tables registered with
-:func:`tx_register_table` (or inline ``txtable.`/abs/path```), and
-reads go through freshly-resolved :func:`tx_view` snapshots, so a
-SELECT after a DML sees the new version.
+tx_optimize_zorder / tx_vacuum / tx_restore / tx_set_properties / the
+ALTER family) — so a SQL-only client can drive the full ACID surface
+without learning the Python API, and every statement keeps the
+fronts' commit-time semantics (conflict revalidation, constraints,
+CDF, deletion vectors) because it IS the same code path. Statements
+name tables registered with :func:`tx_register_table` (or inline
+``txtable.`/abs/path```), and reads go through freshly-resolved
+:func:`tx_view` snapshots, so a SELECT after a DML sees the new
+version. SELECTs may time-travel per table reference with
+``<name> VERSION AS OF n`` / ``<name> TIMESTAMP AS OF '<utc ts>'``.
+
+Round 14 (VERDICT r13 #1/#2/#6): the full conditional MERGE grammar
+(``WHEN MATCHED [AND c] THEN UPDATE SET ...|DELETE``, ``WHEN NOT
+MATCHED [AND c] THEN INSERT ...``, ``WHEN NOT MATCHED BY SOURCE ...``,
+multi-column ``ON`` conjunctions), ``DESCRIBE HISTORY``,
+``ALTER TABLE SET/UNSET TBLPROPERTIES``, ``RESTORE ... TIMESTAMP AS
+OF``, and QUOTE-AWARE keyword scanning — ``WHERE``/``WHEN``/``THEN``
+inside string literals or parens no longer split statements (the
+round-13 trap), and inline ``txtable.`...``` paths may contain
+spaces.
 
 Deliberately NOT a SQL engine: SELECT/WITH statements are handed to
 Spark SQL unchanged (over refreshed snapshot views — Catalyst owns
 query planning); only the DML/DDL statements Spark cannot run against
 this log format are parsed here, and anything outside the grammar
-refuses loudly with the supported shape in the message. Statement
-text inside string literals containing the bare keyword ``WHERE`` is
-the known parse limitation (documented, refused nowhere silently —
-the residual expression still goes through Spark SQL's parser, which
-raises on garbage).
+refuses loudly with the supported shape in the message.
 
 Reference model: Delta Lake's SQL surface (UPDATE/DELETE/MERGE/
-OPTIMIZE/VACUUM/ALTER TABLE), public docs. The reference repo
-(/root/reference) has no SQL or storage surface — extension E7+."""
+OPTIMIZE/VACUUM/RESTORE/DESCRIBE/ALTER TABLE), public docs. The
+reference repo (/root/reference) has no SQL or storage surface —
+extension E7+."""
 
 from __future__ import annotations
 
@@ -42,6 +51,7 @@ from .txlog import (
     tx_read,
     tx_rename_column,
     tx_set_partitioning,
+    tx_set_properties,
     tx_update,
     tx_vacuum,
     tx_view,
@@ -52,6 +62,9 @@ from .txlog import (
 _TABLES: "dict[str, str]" = {}
 
 _INLINE_RE = re.compile(r"^txtable\.`([^`]+)`$")
+#: a statement's table token: a bare identifier or the backtick-quoted
+#: inline form (which may contain spaces — ADVICE r13)
+_TBL = r"(txtable\.`[^`]+`|[A-Za-z_][A-Za-z0-9_]*)"
 
 
 def tx_register_table(
@@ -97,7 +110,7 @@ def _split_top(s: str, sep: str = ",") -> "list[str]":
             cur.append(ch)
             if ch == q:
                 q = None
-        elif ch in "'\"":
+        elif ch in "'\"`":
             q = ch
             cur.append(ch)
         elif ch == "(":
@@ -115,67 +128,187 @@ def _split_top(s: str, sep: str = ",") -> "list[str]":
     return [x.strip() for x in out if x.strip()]
 
 
+def _top_positions(s: str) -> "set[int]":
+    """Indices of ``s`` at paren depth zero, outside ' " ` quotes and
+    outside CASE...END expressions — the scanner every keyword split
+    below goes through, so a WHERE/WHEN/THEN inside a string literal
+    (or a CASE expression's own WHEN/THEN) can never split a
+    statement."""
+    base: "set[int]" = set()
+    depth, q = 0, None
+    for i, ch in enumerate(s):
+        if q is not None:
+            if ch == q:
+                q = None
+            continue
+        if ch in "'\"`":
+            q = ch
+            continue
+        if ch == "(":
+            depth += 1
+            continue
+        if ch == ")":
+            depth -= 1
+            continue
+        if depth == 0:
+            base.add(i)
+    # mask CASE...END spans (nesting-aware, only at base level)
+    intervals, cd, start = [], 0, None
+    for m in re.finditer(r"\b(CASE|END)\b", s, re.IGNORECASE):
+        if m.start() not in base:
+            continue
+        if m.group(1).upper() == "CASE":
+            if cd == 0:
+                start = m.start()
+            cd += 1
+        elif cd > 0:
+            cd -= 1
+            if cd == 0:
+                intervals.append((start, m.end()))
+    if cd > 0 and start is not None:  # unbalanced: fail closed
+        intervals.append((start, len(s)))
+    if not intervals:
+        return base
+    return {
+        i for i in base if not any(a <= i < b for a, b in intervals)
+    }
+
+
+def _find_top_kw(s: str, kw: str, top: "set[int] | None" = None) -> int:
+    """Index of the first TOP-LEVEL occurrence of keyword ``kw``
+    (word-bounded, case-insensitive), or -1."""
+    if top is None:
+        top = _top_positions(s)
+    for m in re.finditer(rf"\b{kw}\b", s, re.IGNORECASE):
+        if m.start() in top:
+            return m.start()
+    return -1
+
+
+def _split_top_kw(s: str, kw: str) -> "list[str]":
+    """Split ``s`` at every top-level occurrence of ``kw``; the first
+    element is the text before the first occurrence, each later
+    element starts with the keyword itself."""
+    top = _top_positions(s)
+    cuts = [
+        m.start()
+        for m in re.finditer(rf"\b{kw}\b", s, re.IGNORECASE)
+        if m.start() in top
+    ]
+    if not cuts:
+        return [s]
+    parts = [s[: cuts[0]]]
+    for a, b in zip(cuts, cuts[1:] + [len(s)]):
+        parts.append(s[a:b])
+    return parts
+
+
 _UPDATE_RE = re.compile(
-    r"^\s*UPDATE\s+(\S+)\s+SET\s+(.*?)(?:\s+WHERE\s+(.*?))?\s*;?\s*$",
+    rf"^\s*UPDATE\s+{_TBL}\s+SET\s+(.*?)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 _DELETE_RE = re.compile(
-    r"^\s*DELETE\s+FROM\s+(\S+)(?:\s+WHERE\s+(.*?))?\s*;?\s*$",
+    rf"^\s*DELETE\s+FROM\s+{_TBL}(?:\s+WHERE\s+(.*?))?\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 _INSERT_RE = re.compile(
-    r"^\s*INSERT\s+(INTO|OVERWRITE)\s+(\S+)\s+"
+    rf"^\s*INSERT\s+(INTO|OVERWRITE)\s+{_TBL}\s+"
     r"(SELECT\b.*|VALUES\b.*?)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
-_MERGE_RE = re.compile(
-    r"^\s*MERGE\s+INTO\s+(\S+)\s+USING\s+(\(.*\)|\S+)"
+_MERGE_HEAD_RE = re.compile(
+    rf"^\s*MERGE\s+INTO\s+{_TBL}\s+USING\s+(\(.*\)|\S+)"
     r"(?:\s+(?:AS\s+)?(\w+))?\s+ON\s+(.*?)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+_MERGE_ON_TERM_RE = re.compile(
+    r"^\s*(?:\w+\.)?(\w+)\s*(?:=\s*(?:\w+\.)?(\w+)\s*)?$"
+)
+#: clause HEADS (text before the quote-aware top-level THEN cut);
+#: the AND condition runs greedily to the head's end
+_WHEN_MATCHED_RE = re.compile(
+    r"^WHEN\s+MATCHED(?:\s+AND\s+(.*))?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_WHEN_NOT_MATCHED_RE = re.compile(
+    r"^WHEN\s+NOT\s+MATCHED(?:\s+BY\s+TARGET)?(?:\s+AND\s+(.*))?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_WHEN_NOT_MATCHED_BY_SOURCE_RE = re.compile(
+    r"^WHEN\s+NOT\s+MATCHED\s+BY\s+SOURCE(?:\s+AND\s+(.*))?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_INSERT_ACTION_RE = re.compile(
+    r"^INSERT\s*(\*|\(([^)]*)\)\s*VALUES\s*\((.*)\))\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
 _OPTIMIZE_RE = re.compile(
-    r"^\s*OPTIMIZE\s+(\S+)"
+    rf"^\s*OPTIMIZE\s+{_TBL}"
     r"(?:\s+ZORDER\s+BY\s*\(([^)]*)\))?\s*;?\s*$",
     re.IGNORECASE,
 )
 _VACUUM_RE = re.compile(
-    r"^\s*VACUUM\s+(\S+)"
+    rf"^\s*VACUUM\s+{_TBL}"
     r"(?:\s+RETAIN\s+(\d+(?:\.\d+)?)\s+HOURS)?\s*;?\s*$",
     re.IGNORECASE,
 )
 _ALTER_RENAME_RE = re.compile(
-    r"^\s*ALTER\s+TABLE\s+(\S+)\s+RENAME\s+COLUMN\s+(\w+)\s+TO\s+"
+    rf"^\s*ALTER\s+TABLE\s+{_TBL}\s+RENAME\s+COLUMN\s+(\w+)\s+TO\s+"
     r"(\w+)\s*;?\s*$",
     re.IGNORECASE,
 )
 _ALTER_DROP_RE = re.compile(
-    r"^\s*ALTER\s+TABLE\s+(\S+)\s+DROP\s+COLUMN\s+(\w+)\s*;?\s*$",
+    rf"^\s*ALTER\s+TABLE\s+{_TBL}\s+DROP\s+COLUMN\s+(\w+)\s*;?\s*$",
     re.IGNORECASE,
 )
 _ALTER_ADD_CONSTRAINT_RE = re.compile(
-    r"^\s*ALTER\s+TABLE\s+(\S+)\s+ADD\s+CONSTRAINT\s+(\w+)\s+"
+    rf"^\s*ALTER\s+TABLE\s+{_TBL}\s+ADD\s+CONSTRAINT\s+(\w+)\s+"
     r"CHECK\s*\((.*)\)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 _ALTER_DROP_CONSTRAINT_RE = re.compile(
-    r"^\s*ALTER\s+TABLE\s+(\S+)\s+DROP\s+CONSTRAINT\s+(\w+)\s*;?\s*$",
+    rf"^\s*ALTER\s+TABLE\s+{_TBL}\s+DROP\s+CONSTRAINT\s+(\w+)\s*;?\s*$",
     re.IGNORECASE,
 )
 _ALTER_PARTITION_RE = re.compile(
-    r"^\s*ALTER\s+TABLE\s+(\S+)\s+SET\s+PARTITIONED\s+BY\s*"
+    rf"^\s*ALTER\s+TABLE\s+{_TBL}\s+SET\s+PARTITIONED\s+BY\s*"
     r"\(([^)]*)\)\s*;?\s*$",
     re.IGNORECASE,
 )
+_ALTER_SET_PROPS_RE = re.compile(
+    rf"^\s*ALTER\s+TABLE\s+{_TBL}\s+SET\s+TBLPROPERTIES\s*"
+    r"\((.*)\)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_ALTER_UNSET_PROPS_RE = re.compile(
+    rf"^\s*ALTER\s+TABLE\s+{_TBL}\s+UNSET\s+TBLPROPERTIES\s*"
+    r"\((.*)\)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
 _RESTORE_RE = re.compile(
-    r"^\s*RESTORE\s+TABLE\s+(\S+)\s+(?:TO\s+)?VERSION\s+AS\s+OF\s+"
+    rf"^\s*RESTORE\s+TABLE\s+{_TBL}\s+(?:TO\s+)?VERSION\s+AS\s+OF\s+"
     r"(\d+)\s*;?\s*$",
     re.IGNORECASE,
 )
-_DESCRIBE_RE = re.compile(
-    r"^\s*DESCRIBE\s+DETAIL\s+(\S+)\s*;?\s*$", re.IGNORECASE
+_RESTORE_TS_RE = re.compile(
+    rf"^\s*RESTORE\s+TABLE\s+{_TBL}\s+(?:TO\s+)?TIMESTAMP\s+AS\s+OF\s+"
+    r"'([^']+)'\s*;?\s*$",
+    re.IGNORECASE,
 )
-_MERGE_ON_RE = re.compile(
-    r"^\s*(?:\w+\.)?(\w+)\s*(?:=\s*(?:\w+\.)?(\w+)\s*)?$"
+_DESCRIBE_RE = re.compile(
+    rf"^\s*DESCRIBE\s+DETAIL\s+{_TBL}\s*;?\s*$", re.IGNORECASE
+)
+_DESCRIBE_HISTORY_RE = re.compile(
+    rf"^\s*DESCRIBE\s+HISTORY\s+{_TBL}\s*;?\s*$", re.IGNORECASE
+)
+#: per-table-reference time travel inside SELECT/WITH statements
+_TT_RE = re.compile(
+    r"\b([A-Za-z_][A-Za-z0-9_]*)\s+VERSION\s+AS\s+OF\s+(\d+)",
+    re.IGNORECASE,
+)
+_TT_TS_RE = re.compile(
+    r"\b([A-Za-z_][A-Za-z0-9_]*)\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'",
+    re.IGNORECASE,
 )
 
 
@@ -194,17 +327,250 @@ def _parse_assignments(raw: str) -> "dict[str, str]":
     return out
 
 
+def _parse_prop_value(raw: str):
+    """A TBLPROPERTIES value: quoted string literal, with the common
+    scalars coerced to their native type so ``'false'`` means false to
+    property consumers like ``cdf.enabled`` (Delta stores strings and
+    coerces at read; our property folds are typed)."""
+    v = raw.strip()
+    if len(v) >= 2 and v[0] == v[-1] and v[0] in "'\"":
+        v = v[1:-1]
+    low = v.lower()
+    if low == "true":
+        return True
+    if low == "false":
+        return False
+    try:
+        return int(v)
+    except ValueError:
+        pass
+    try:
+        return float(v)
+    except ValueError:
+        pass
+    return v
+
+
+def _parse_props(raw: str, with_values: bool) -> dict:
+    """``('k'='v', ...)`` (SET) or ``('k', ...)`` (UNSET -> None)."""
+    out: dict = {}
+    for item in _split_top(raw):
+        if with_values:
+            m = re.match(r"^\s*'([^']+)'\s*=\s*(.+?)\s*$", item, re.DOTALL)
+            if not m:
+                raise ValueError(
+                    f"cannot parse TBLPROPERTIES entry {item!r} "
+                    "(expected 'key' = 'value')"
+                )
+            out[m.group(1)] = _parse_prop_value(m.group(2))
+        else:
+            m = re.match(r"^\s*'([^']+)'\s*$", item)
+            if not m:
+                raise ValueError(
+                    f"cannot parse UNSET TBLPROPERTIES entry {item!r} "
+                    "(expected 'key')"
+                )
+            out[m.group(1)] = None
+    if not out:
+        raise ValueError("TBLPROPERTIES needs at least one entry")
+    return out
+
+
+def _parse_ts(raw: str) -> float:
+    """``TIMESTAMP AS OF`` literal -> epoch seconds. Accepts a bare
+    epoch number or an ISO timestamp, interpreted as UTC when it
+    carries no zone (commit ``ts`` stamps are epoch UTC)."""
+    try:
+        return float(raw)
+    except ValueError:
+        pass
+    from datetime import datetime, timezone
+
+    dt = datetime.fromisoformat(raw)
+    if dt.tzinfo is None:
+        dt = dt.replace(tzinfo=timezone.utc)
+    return dt.timestamp()
+
+
+def _requalify(expr: "str | None", tname: str, salias: "str | None"):
+    """Rewrite user qualifiers to the engine's fixed aliases: the
+    target table name (and alias ``t``) -> ``t.``, the USING view
+    name / its alias -> ``s.``. Word-boundary textual rewrite —
+    qualifiers inside string literals are the documented edge."""
+    if expr is None:
+        return None
+    out = expr
+    if re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", tname or ""):
+        out = re.sub(rf"\b{tname}\.", "t.", out)
+    if (
+        salias
+        and salias != "s"
+        and re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", salias)
+    ):
+        out = re.sub(rf"\b{salias}\.", "s.", out)
+    return out
+
+
+def _parse_merge(spark, sql: str):
+    """The full MERGE grammar -> (path, name, source df, keys,
+    when_matched, when_not_matched, when_not_matched_by_source).
+    No WHEN clause at all = the legacy unconditional upsert."""
+    segs = _split_top_kw(sql, "WHEN")
+    head, clauses = segs[0], segs[1:]
+    m = _MERGE_HEAD_RE.match(head)
+    if not m:
+        raise ValueError(
+            "cannot parse MERGE head: expected MERGE INTO <table> "
+            "USING <view> [AS alias] ON <equi-conjunction> "
+            "[WHEN ... THEN ...]..."
+        )
+    path, name = _path_of(m.group(1))
+    src_token, salias, on_raw = m.group(2), m.group(3), m.group(4)
+    if src_token.startswith("("):
+        raise ValueError(
+            "MERGE USING takes a registered view or temp-view NAME "
+            "(register the subquery as a temp view first); subqueries "
+            "are not part of this grammar"
+        )
+    keys: "list[str]" = []
+    for term in _split_top_kw(on_raw, "AND"):
+        term = re.sub(r"^\s*AND\b", "", term, flags=re.IGNORECASE)
+        t = _MERGE_ON_TERM_RE.match(term)
+        if not t or (t.group(2) and t.group(1) != t.group(2)):
+            raise ValueError(
+                f"cannot parse MERGE ON term {term.strip()!r}: "
+                "supported shapes are <k> or t.<k> = s.<k> (same "
+                "column name both sides), AND-conjoined"
+            )
+        keys.append(t.group(1))
+
+    def rq(e):
+        # the USING view's own name qualifies the source when no
+        # alias was given (and either way, both must map to s.)
+        e = _requalify(e, m.group(1), salias)
+        return _requalify(e, "", src_token) if e is not None else None
+
+    wm: "list[dict] | None" = None
+    wnm: "list[dict] | None" = None
+    wnmbs: "list[dict] | None" = None
+    for cl in clauses:
+        cl = cl.strip().rstrip(";").strip()
+        cut = _find_top_kw(cl, "THEN")
+        if cut < 0:
+            raise ValueError(f"MERGE clause without THEN: {cl!r}")
+        head_cl, action = cl[:cut].strip(), cl[cut + 4:].strip()
+        b = _WHEN_NOT_MATCHED_BY_SOURCE_RE.match(head_cl)
+        n = None if b else _WHEN_NOT_MATCHED_RE.match(head_cl)
+        w = None if (b or n) else _WHEN_MATCHED_RE.match(head_cl)
+        hit = b or n or w
+        if hit is None:
+            raise ValueError(f"cannot parse MERGE clause {cl!r}")
+        cond = rq(hit.group(1))
+        if n:
+            ia = _INSERT_ACTION_RE.match(action)
+            if not ia:
+                raise ValueError(
+                    f"cannot parse MERGE insert action {action!r} "
+                    "(expected INSERT * or INSERT (cols) VALUES "
+                    "(exprs))"
+                )
+            if ia.group(1) == "*":
+                values = None
+            else:
+                cols = [c.strip() for c in ia.group(2).split(",") if c.strip()]
+                exprs = _split_top(ia.group(3))
+                if len(cols) != len(exprs):
+                    raise ValueError(
+                        f"MERGE INSERT arity mismatch: {len(cols)} "
+                        f"columns vs {len(exprs)} values"
+                    )
+                values = {c: rq(e) for c, e in zip(cols, exprs)}
+            wnm = (wnm or []) + [{"condition": cond, "values": values}]
+            continue
+        if re.match(r"^DELETE\s*$", action, re.IGNORECASE):
+            entry = {"action": "delete", "condition": cond}
+        else:
+            u = re.match(
+                r"^UPDATE\s+SET\s+(.*)$", action, re.IGNORECASE | re.DOTALL
+            )
+            if not u:
+                raise ValueError(
+                    f"cannot parse MERGE matched action {action!r} "
+                    "(expected UPDATE SET ... or DELETE)"
+                )
+            body = u.group(1).strip()
+            sets = (
+                None
+                if body == "*"
+                else {c: rq(e) for c, e in _parse_assignments(body).items()}
+            )
+            entry = {"action": "update", "condition": cond, "set": sets}
+        if b:
+            wnmbs = (wnmbs or []) + [entry]
+        else:
+            wm = (wm or []) + [entry]
+    return path, name, spark.table(src_token), keys, wm, wnm, wnmbs
+
+
+def _time_travel_views(spark, sql: str) -> str:
+    """Rewrite ``<registered name> VERSION|TIMESTAMP AS OF`` table
+    references in a SELECT to temp views bound to the historical
+    snapshot — per-query time travel (Delta's SELECT syntax)."""
+    def sub_v(m):
+        name, v = m.group(1), int(m.group(2))
+        if name not in _TABLES:
+            return m.group(0)
+        view = f"{name}__v{v}"
+        tx_read(spark, _TABLES[name], version=v).createOrReplaceTempView(view)
+        return view
+
+    def sub_ts(m):
+        name = m.group(1)
+        if name not in _TABLES:
+            return m.group(0)
+        ts = _parse_ts(m.group(2))
+        view = f"{name}__ts{int(ts)}"
+        tx_read(spark, _TABLES[name], as_of_ts=ts).createOrReplaceTempView(
+            view
+        )
+        return view
+
+    return _TT_TS_RE.sub(sub_ts, _TT_RE.sub(sub_v, sql))
+
+
+def _one_row_frame(spark, d: dict) -> DataFrame:
+    import json as _json
+
+    flat = {
+        k: (
+            v
+            if isinstance(v, (int, bool, str))
+            else _json.dumps(v)  # None -> "null", lists/dicts -> JSON
+        )
+        for k, v in d.items()
+    }
+    return spark.createDataFrame([flat])
+
+
 def tx_sql(spark: SparkSession, sql: str):
     """Run one statement. DML/DDL returns the committed version (int;
     VACUUM returns the deleted-file list, OPTIMIZE may return None
     when there was nothing to do); SELECT/WITH/VALUES return the
-    DataFrame from Spark SQL over freshly-resolved snapshot views."""
+    DataFrame from Spark SQL over freshly-resolved snapshot views,
+    DESCRIBE DETAIL/HISTORY return report DataFrames."""
     m = _UPDATE_RE.match(sql)
     if m:
         path, name = _path_of(m.group(1))
+        rest = m.group(2)
+        # quote-aware WHERE split (round 14): a bare WHERE inside a
+        # string literal in the SET list no longer truncates it
+        cut = _find_top_kw(rest, "WHERE")
+        assigns, where = (
+            (rest, "true") if cut < 0 else (rest[:cut], rest[cut + 5:])
+        )
         v = tx_update(
-            spark, path, m.group(3) or "true",
-            _parse_assignments(m.group(2)),
+            spark, path, where.strip() or "true",
+            _parse_assignments(assigns),
         )
         _refresh(spark, path, name)
         return v
@@ -241,25 +607,22 @@ def tx_sql(spark: SparkSession, sql: str):
         v = tx_write(df, path, mode=mode)
         _refresh(spark, path, name)
         return v
-    m = _MERGE_RE.match(sql)
-    if m:
-        path, name = _path_of(m.group(1))
-        src_token = m.group(2)
-        if src_token.startswith("("):
-            raise ValueError(
-                "MERGE USING takes a registered view or temp-view "
-                "NAME (register the subquery as a temp view first); "
-                "subqueries are not part of this grammar"
+    if re.match(r"^\s*MERGE\b", sql, re.IGNORECASE):
+        path, name, src, keys, wm, wnm, wnmbs = _parse_merge(spark, sql)
+        if wm is None and wnm is None and wnmbs is None:
+            if len(keys) != 1:
+                raise ValueError(
+                    "MERGE without WHEN clauses is the unconditional "
+                    "single-key upsert; composite keys need explicit "
+                    "WHEN clauses"
+                )
+            v = tx_merge(src, path, keys[0])
+        else:
+            v = tx_merge(
+                src, path, keys,
+                when_matched=wm, when_not_matched=wnm,
+                when_not_matched_by_source=wnmbs,
             )
-        on = _MERGE_ON_RE.match(m.group(4))
-        if not on or (on.group(2) and on.group(1) != on.group(2)):
-            raise ValueError(
-                f"cannot parse MERGE ON {m.group(4)!r}: supported "
-                "shapes are ON <key_col> or ON t.<k> = s.<k> with the "
-                "same column name both sides (tx_merge upserts by one "
-                "key column)"
-            )
-        v = tx_merge(spark.table(src_token), path, on.group(1))
         _refresh(spark, path, name)
         return v
     m = _OPTIMIZE_RE.match(sql)
@@ -310,6 +673,18 @@ def tx_sql(spark: SparkSession, sql: str):
         v = tx_set_partitioning(spark, path, specs)
         _refresh(spark, path, name)
         return v
+    m = _ALTER_SET_PROPS_RE.match(sql)
+    if m:
+        path, name = _path_of(m.group(1))
+        v = tx_set_properties(spark, path, _parse_props(m.group(2), True))
+        _refresh(spark, path, name)
+        return v
+    m = _ALTER_UNSET_PROPS_RE.match(sql)
+    if m:
+        path, name = _path_of(m.group(1))
+        v = tx_set_properties(spark, path, _parse_props(m.group(2), False))
+        _refresh(spark, path, name)
+        return v
     m = _RESTORE_RE.match(sql)
     if m:
         from .txlog import tx_restore
@@ -318,37 +693,70 @@ def tx_sql(spark: SparkSession, sql: str):
         v = tx_restore(spark, path, version=int(m.group(2)))
         _refresh(spark, path, name)
         return v
-    m = _DESCRIBE_RE.match(sql)
+    m = _RESTORE_TS_RE.match(sql)
     if m:
+        from .txlog import tx_restore
+
+        path, name = _path_of(m.group(1))
+        v = tx_restore(spark, path, to_ts=_parse_ts(m.group(2)))
+        _refresh(spark, path, name)
+        return v
+    m = _DESCRIBE_HISTORY_RE.match(sql)
+    if m:
+        from .txlog import tx_history
+
+        path, _name = _path_of(m.group(1))
+        hist = tx_history(spark, path)
+        # one row per commit, newest first (Delta's DESCRIBE HISTORY
+        # order); optional fields normalized so the frame is rectangular
+        cols = ["version", "action", "n_added", "n_removed", "txn", "ts"]
+        extras = sorted({k for h in hist for k in h} - set(cols))
         import json as _json
 
+        rows = [
+            tuple(
+                h.get(c)
+                if isinstance(h.get(c), (int, float, str, bool))
+                or h.get(c) is None
+                else _json.dumps(h.get(c))
+                for c in cols + extras
+            )
+            for h in reversed(hist)
+        ]
+        return spark.createDataFrame(
+            rows,
+            "version long, action string, n_added long, n_removed long, "
+            "txn string, ts double"
+            + "".join(f", {c} string" for c in extras),
+        )
+    m = _DESCRIBE_RE.match(sql)
+    if m:
         from .txlog import tx_detail
 
         path, _name = _path_of(m.group(1))
-        det = tx_detail(spark, path)
         # one-row frame, complex fields JSON-stringified (DESCRIBE is
         # a human/report surface; exact types live on tx_detail)
-        flat = {
-            k: (v if isinstance(v, (int, bool))
-                else v if isinstance(v, str)
-                else _json.dumps(v))  # None -> "null", lists/dicts -> JSON
-            for k, v in det.items()
-        }
-        return spark.createDataFrame([flat])
+        return _one_row_frame(spark, tx_detail(spark, path))
     head = sql.lstrip()[:10].upper()
     if head.startswith(("SELECT", "WITH", "VALUES", "TABLE")):
         # reads: re-resolve every registered snapshot so the query
-        # sees the CURRENT version, then let Catalyst own the plan
+        # sees the CURRENT version, then let Catalyst own the plan;
+        # VERSION/TIMESTAMP AS OF references bind historical views
         for nm, p in _TABLES.items():
             tx_view(spark, p, nm)
-        return spark.sql(sql)
+        return spark.sql(_time_travel_views(spark, sql))
     raise ValueError(
         f"unsupported statement {sql.strip().split(None, 1)[0]!r}: "
         "tx_sql speaks UPDATE / DELETE FROM / INSERT INTO|OVERWRITE "
-        "(SELECT or VALUES) / MERGE INTO ... USING <view> ON <key> / "
+        "(SELECT or VALUES) / MERGE INTO ... USING <view> ON <keys> "
+        "[WHEN MATCHED [AND c] THEN UPDATE SET ...|DELETE] [WHEN NOT "
+        "MATCHED [AND c] THEN INSERT *|(cols) VALUES (exprs)] [WHEN "
+        "NOT MATCHED BY SOURCE [AND c] THEN UPDATE SET ...|DELETE] / "
         "OPTIMIZE [ZORDER BY (...)] / VACUUM [RETAIN n HOURS] / "
         "ALTER TABLE (RENAME COLUMN | DROP COLUMN | ADD CONSTRAINT "
-        "... CHECK (...) | DROP CONSTRAINT | SET PARTITIONED BY "
-        "(...)) / RESTORE TABLE ... VERSION AS OF n / "
-        "DESCRIBE DETAIL / SELECT|WITH|VALUES|TABLE"
+        "... CHECK (...) | DROP CONSTRAINT | SET PARTITIONED BY (...) "
+        "| SET/UNSET TBLPROPERTIES (...)) / RESTORE TABLE ... "
+        "VERSION|TIMESTAMP AS OF / DESCRIBE DETAIL|HISTORY / "
+        "SELECT|WITH|VALUES|TABLE (with per-table VERSION|TIMESTAMP "
+        "AS OF)"
     )

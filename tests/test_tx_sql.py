@@ -179,3 +179,168 @@ def test_restore_and_describe_detail(spark, pair):
     assert len(det) == 1
     row = det[0].asDict()
     assert row["num_files"] >= 1 and row["version"] >= 2
+
+
+# ---------------------------------------------------------------- r14
+
+
+def test_merge_when_clauses_match_python_twin(spark, pair):
+    a, b = pair
+    src = spark.createDataFrame(
+        [(3, 500, "s"), (7, 1, "s"), (777, 9, "s"), (888, 9, "s")],
+        "id long, v long, tag string",
+    )
+    src.createOrReplaceTempView("m_src")
+    v = tx_sql(
+        spark,
+        "MERGE INTO t_sql USING m_src AS u ON t_sql.id = u.id "
+        "WHEN MATCHED AND u.v > t_sql.v THEN UPDATE SET v = u.v, "
+        "tag = concat(t.tag, '!') "
+        "WHEN MATCHED THEN DELETE "
+        "WHEN NOT MATCHED AND u.id < 800 THEN "
+        "INSERT (id, v, tag) VALUES (u.id, u.v * 2, 'new')",
+    )
+    assert isinstance(v, int)
+    tx_merge(
+        src, b, "id",
+        when_matched=[
+            {"condition": "s.v > t.v",
+             "set": {"v": "s.v", "tag": "concat(t.tag, '!')"}},
+            {"action": "delete"},
+        ],
+        when_not_matched=[
+            {"condition": "s.id < 800",
+             "values": {"id": "s.id", "v": "s.v * 2", "tag": "'new'"}},
+        ],
+    )
+    assert _rows(spark, a) == _rows(spark, b)
+
+
+def test_merge_by_source_and_multi_key_sql(spark, tmp_path):
+    a, b = str(tmp_path / "sql"), str(tmp_path / "py")
+    df = spark.createDataFrame(
+        [(1, "a", 10), (1, "b", 20), (2, "a", 30)],
+        "k1 long, k2 string, v long",
+    )
+    tx_write(df, a)
+    tx_write(df, b)
+    tx_register_table(spark, "mk_sql", a)
+    src = spark.createDataFrame(
+        [(1, "a", 100)], "k1 long, k2 string, v long"
+    )
+    src.createOrReplaceTempView("mk_src")
+    tx_sql(
+        spark,
+        "MERGE INTO mk_sql USING mk_src ON mk_sql.k1 = mk_src.k1 "
+        "AND k2 = k2 "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = t.v + 1",
+    )
+    tx_merge(
+        src, b, ["k1", "k2"],
+        when_matched=[{}],
+        when_not_matched_by_source=[
+            {"action": "update", "set": {"v": "t.v + 1"}}
+        ],
+    )
+    assert _rows(spark, a) == _rows(spark, b)
+
+
+def test_update_where_inside_string_literal(spark, pair):
+    a, b = pair
+    # round-14: the bare WHERE inside the literal no longer splits the
+    # SET list (the round-13 documented trap)
+    tx_sql(
+        spark,
+        "UPDATE t_sql SET tag = ' WHERE is a word' WHERE id = 5",
+    )
+    tx_update(spark, b, "id = 5", {"tag": "' WHERE is a word'"})
+    assert _rows(spark, a) == _rows(spark, b)
+
+
+def test_merge_set_with_case_when(spark, pair):
+    a, b = pair
+    src = spark.createDataFrame(
+        [(4, 0, "s"), (6, 9, "s")], "id long, v long, tag string"
+    )
+    src.createOrReplaceTempView("case_src")
+    tx_sql(
+        spark,
+        "MERGE INTO t_sql USING case_src ON t_sql.id = case_src.id "
+        "WHEN MATCHED THEN UPDATE SET tag = "
+        "CASE WHEN case_src.v > 5 THEN 'big' ELSE 'small' END",
+    )
+    tx_merge(
+        src, b, "id",
+        when_matched=[{"set": {
+            "tag": "CASE WHEN s.v > 5 THEN 'big' ELSE 'small' END"}}],
+    )
+    assert _rows(spark, a) == _rows(spark, b)
+
+
+def test_tblproperties_set_unset(spark, pair):
+    a, _b = pair
+    from distributed_mapreduce__spark.sources.txlog import tx_properties
+
+    tx_sql(
+        spark,
+        "ALTER TABLE t_sql SET TBLPROPERTIES ("
+        "'cdf.enabled' = 'false', 'owner' = 'team-data', 'retries'='3')",
+    )
+    props = tx_properties(spark, a)
+    assert props["cdf.enabled"] is False  # coerced, not the string
+    assert props["owner"] == "team-data" and props["retries"] == 3
+    tx_sql(spark, "ALTER TABLE t_sql UNSET TBLPROPERTIES ('owner')")
+    assert "owner" not in tx_properties(spark, a)
+
+
+def test_describe_history_frame(spark, pair):
+    a, _b = pair
+    tx_sql(spark, "DELETE FROM t_sql WHERE id < 10")
+    h = tx_sql(spark, "DESCRIBE HISTORY t_sql")
+    rows = h.collect()
+    assert rows[0].version > rows[-1].version  # newest first
+    assert {r.action for r in rows} >= {"append"}
+    assert h.columns[:4] == ["version", "action", "n_added", "n_removed"]
+
+
+def test_restore_timestamp_as_of(spark, pair):
+    a, _b = pair
+    import json, os, time
+
+    n0 = tx_read(spark, a).count()
+    tx_sql(spark, "DELETE FROM t_sql WHERE id < 100")
+    # pick the instant just after v0 from its own commit stamp
+    c0 = json.load(open(os.path.join(a, "_txlog", f"{0:020d}.json")))
+    ts = c0["ts"] + 0.0001
+    from datetime import datetime, timezone
+
+    iso = datetime.fromtimestamp(ts, tz=timezone.utc).isoformat()
+    tx_sql(spark, f"RESTORE TABLE t_sql TO TIMESTAMP AS OF '{iso}'")
+    assert tx_read(spark, a).count() == n0
+
+
+def test_select_version_as_of(spark, pair):
+    a, _b = pair
+    tx_sql(spark, "DELETE FROM t_sql WHERE id >= 50")
+    now = tx_sql(spark, "SELECT count(*) AS n FROM t_sql").first().n
+    old = tx_sql(
+        spark,
+        "SELECT count(*) AS n FROM t_sql VERSION AS OF 0",
+    ).first().n
+    assert (now, old) == (50, 200)
+    # joins across versions work too (self-diff)
+    diff = tx_sql(
+        spark,
+        "SELECT count(*) AS n FROM t_sql VERSION AS OF 0 o "
+        "LEFT ANTI JOIN t_sql c ON o.id = c.id",
+    ).first().n
+    assert diff == 150
+
+
+def test_inline_path_with_spaces(spark, tmp_path):
+    t = str(tmp_path / "a table with spaces")
+    tx_write(_df(spark), t)
+    v = tx_sql(spark, f"DELETE FROM txtable.`{t}` WHERE id < 100")
+    assert isinstance(v, int)
+    assert tx_read(spark, t).count() == 100
