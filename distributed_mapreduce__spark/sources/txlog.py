@@ -634,6 +634,12 @@ class _Snapshot:
     #: column (preserving rewrites: compact/zorder/apply_deletes).
     #: Empty until tx_enable_row_tracking; folded like stats
     row_bases: dict = dataclasses.field(default_factory=dict)
+    #: PARTITION-SPEC LINEAGE (Iceberg's spec-id registry, round 14):
+    #: one entry per spec CHANGE, in commit order —
+    #: ``{"spec_id": n, "partition_by": [...] | None, "version": v}``.
+    #: Derived during the fold and persisted in checkpoints, so the
+    #: registry survives log truncation; empty = never partitioned
+    spec_history: list = dataclasses.field(default_factory=list)
 
 
 def _replay(spark, path: str, version: int | None = None) -> _Snapshot:
@@ -697,6 +703,21 @@ def _replay(spark, path: str, version: int | None = None) -> _Snapshot:
         s.stats = dict(ck.get("stats") or {})
         s.txns = dict(ck.get("txns") or {})
         s.row_bases = dict(ck.get("row_bases") or {})
+        s.spec_history = list(
+            ck.get("spec_history")
+            or (
+                # legacy checkpoint: pre-truncation lineage is gone;
+                # seed with the folded spec as entry 0 so ids stay
+                # monotonic from here on
+                [{
+                    "spec_id": 0,
+                    "partition_by": ck["partition_by"],
+                    "version": ckpts[-1],
+                }]
+                if ck.get("partition_by") is not None
+                else []
+            )
+        )
         start = ckpts[-1] + 1
     commit_versions = [v for v, kind in commits if kind == "commit"]
     for v in commit_versions:
@@ -769,6 +790,20 @@ def _replay(spark, path: str, version: int | None = None) -> _Snapshot:
                     s.schema = sc
             if c.get("partition_by") is not None:
                 s.partition_by = c["partition_by"]
+        # partition-spec lineage: one registry entry per CHANGE (set,
+        # evolve, un-partition, overwrite/restore reset) — spec ids
+        # are ordinal in commit order, Iceberg's spec-id model
+        prev_pb = (
+            s.spec_history[-1]["partition_by"] if s.spec_history else None
+        )
+        if (s.partition_by or None) != (prev_pb or None):
+            s.spec_history.append(
+                {
+                    "spec_id": len(s.spec_history),
+                    "partition_by": s.partition_by,
+                    "version": v,
+                }
+            )
         for f in c.get("remove", []):
             s.eps.pop(f, None)
         for f in c.get("add", []):
@@ -2727,6 +2762,11 @@ def _write_checkpoint(spark, path: str, version: int) -> bool:
             # column mapping outlives log truncation: a level-2
             # reader would surface physical names as data
             payload["reader"] = max(payload.get("reader", 1), 3)
+    if snap.spec_history:
+        # the spec-id registry survives truncation (advisory metadata:
+        # reads derive each file's layout from its own path — no
+        # reader stamp needed, old builds ignore the key)
+        payload["spec_history"] = snap.spec_history
     if snap.partition_by is not None:
         # the live layout's partition columns: append-consistency
         # enforcement and partition-column reads survive truncation
@@ -3398,6 +3438,14 @@ def tx_detail(spark: SparkSession, path: str) -> dict:
         "num_files": len(snap.eps),
         "size_bytes": total,
         "partition_by": display_pb,
+        # the spec-id registry (round 14): every spec the table ever
+        # wrote under, with the commit that introduced it — Iceberg's
+        # spec lineage; current id = the last entry's (None = never
+        # partitioned)
+        "partition_spec_id": (
+            snap.spec_history[-1]["spec_id"] if snap.spec_history else None
+        ),
+        "partition_spec_history": list(snap.spec_history),
         "schema_evolved": snap.evolved,
         "column_mapped": bool(_phys_map(snap.schema)),
         "live_mor_tombstones": len(snap.mor),

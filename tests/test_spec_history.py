@@ -1,0 +1,87 @@
+"""Partition-spec HISTORY registry (round 14, VERDICT r13 #7 —
+Iceberg's spec-id lineage): every spec the table ever wrote under is
+a numbered registry entry derived in the replay fold and persisted in
+checkpoints, so partitioning METADATA time-travels and survives log
+truncation; ``tx_detail`` exposes current id + lineage."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from distributed_mapreduce__spark.sources.txlog import (
+    _replay,
+    _write_checkpoint,
+    tx_detail,
+    tx_read,
+    tx_restore,
+    tx_set_partitioning,
+    tx_vacuum,
+    tx_write,
+)
+
+
+def _df(spark, lo=0, hi=40):
+    return spark.range(lo, hi).select(
+        "id",
+        (F.col("id") % 4).cast("string").alias("k"),
+        F.to_timestamp(
+            F.lit("2026-01-01 00:00:00")
+        ).alias("ts"),
+    )
+
+
+def test_lineage_records_every_spec_change(spark, tmp_path):
+    t = str(tmp_path / "t")
+    tx_write(_df(spark), t, partition_by=["k"])            # spec 0
+    v1 = tx_set_partitioning(spark, t, ["days(ts)"])       # spec 1
+    v2 = tx_set_partitioning(spark, t, [])                 # spec 2: none
+    hist = tx_detail(spark, t)["partition_spec_history"]
+    assert [h["spec_id"] for h in hist] == [0, 1, 2]
+    assert hist[0]["partition_by"] == ["k"] and hist[0]["version"] == 0
+    assert hist[1] == {
+        "spec_id": 1, "partition_by": ["days(ts)"], "version": v1,
+    }
+    assert hist[2]["partition_by"] == [] and hist[2]["version"] == v2
+    assert tx_detail(spark, t)["partition_spec_id"] == 2
+
+
+def test_partitioning_metadata_time_travels(spark, tmp_path):
+    t = str(tmp_path / "t")
+    tx_write(_df(spark, 0, 20), t, partition_by=["k"])
+    tx_set_partitioning(spark, t, [])
+    tx_write(_df(spark, 20, 30), t)
+    # the old version replays under its OWN spec: metadata and data
+    old = _replay(spark, t, 0)
+    assert old.partition_by == ["k"]
+    assert [h["spec_id"] for h in old.spec_history] == [0]
+    got = tx_read(spark, t, version=0)
+    assert got.count() == 20 and "k" in got.columns
+    # current snapshot knows the whole lineage
+    assert [
+        h["spec_id"]
+        for h in tx_detail(spark, t)["partition_spec_history"]
+    ] == [0, 1]
+
+
+def test_lineage_survives_checkpoint_truncation(spark, tmp_path):
+    t = str(tmp_path / "t")
+    tx_write(_df(spark), t, partition_by=["k"])
+    tx_set_partitioning(spark, t, ["bucket(4, id)"])
+    for i in range(3):
+        tx_write(_df(spark, 100 + i * 10, 110 + i * 10), t)
+    snap = _replay(spark, t)
+    assert _write_checkpoint(spark, t, snap.version)
+    tx_vacuum(spark, t, retain_last=0)
+    hist = tx_detail(spark, t)["partition_spec_history"]
+    assert [h["spec_id"] for h in hist] == [0, 1]
+    assert hist[1]["partition_by"] == ["bucket(4,id)"]  # canonical form
+
+
+def test_restore_reset_appends_a_spec_entry(spark, tmp_path):
+    t = str(tmp_path / "t")
+    tx_write(_df(spark), t, partition_by=["k"])            # spec 0
+    tx_set_partitioning(spark, t, [])                      # spec 1
+    v = tx_restore(spark, t, 0)                            # back to ["k"]
+    hist = tx_detail(spark, t)["partition_spec_history"]
+    assert [h["spec_id"] for h in hist] == [0, 1, 2]
+    assert hist[2]["partition_by"] == ["k"] and hist[2]["version"] == v
