@@ -535,7 +535,7 @@ def orders_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- two-sided dimension join (TPC-H Q7 shape) -----------------------------
 
 
-@register(
+@register_local(
     "trade_volume_by_nations",
     oracle="""
     SELECT n1.n_name AS cust_nation, n2.n_name AS supp_nation,

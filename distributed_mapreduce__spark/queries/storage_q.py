@@ -1078,7 +1078,7 @@ GROUP BY l_returnflag
 """
 
 
-@register_local("sql_dml_agg", oracle=_SQL_DML_ORACLE)
+@register("sql_dml_agg", oracle=_SQL_DML_ORACLE)
 def sql_dml_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SQL DML front door under the value oracle (round 13,
     VERDICT r12 #6): drive a whole ACID maintenance sequence through
@@ -1121,6 +1121,134 @@ def sql_dml_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"SELECT l_returnflag, count(*) AS n_items, "
         "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) "
         f"AS total_qty FROM {name} GROUP BY l_returnflag",
+    )
+
+
+_MERGE_INTO_ORACLE = """
+WITH tgt AS (
+  SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_tax,
+         l_returnflag
+  FROM lineitem WHERE l_orderkey % 2 = 0
+),
+src AS (
+  -- the synthetic lineitem repeats (orderkey, linenumber): fold the
+  -- source unique per key (Delta refuses multi-match sources; the
+  -- target side MAY fan out — one source row updates every match)
+  SELECT l_orderkey, l_linenumber,
+         min(l_quantity) AS l_quantity, min(l_discount) AS l_discount,
+         min(l_tax) AS l_tax, min(l_returnflag) AS l_returnflag
+  FROM lineitem WHERE l_orderkey % 3 = 0
+  GROUP BY l_orderkey, l_linenumber
+),
+m AS (
+  SELECT t.l_quantity AS t_qty, s.l_quantity AS s_qty,
+         s.l_discount AS s_disc
+  FROM tgt t
+  JOIN src s ON s.l_orderkey = t.l_orderkey
+            AND s.l_linenumber = t.l_linenumber
+),
+surv_matched AS (             -- clause 1 (update); clause 2 deletes
+  SELECT t_qty + s_qty AS l_quantity, 'M' AS l_returnflag
+  FROM m WHERE s_disc > 0.05
+),
+unmatched_tgt AS (            -- no clause hit: survive unchanged
+  SELECT t.l_quantity, t.l_returnflag
+  FROM tgt t
+  LEFT JOIN src s ON s.l_orderkey = t.l_orderkey
+                 AND s.l_linenumber = t.l_linenumber
+  WHERE s.l_orderkey IS NULL
+),
+ins AS (                      -- conditional INSERT of unmatched src
+  SELECT s.l_quantity, 'I' AS l_returnflag
+  FROM src s
+  LEFT JOIN tgt t ON t.l_orderkey = s.l_orderkey
+                 AND t.l_linenumber = s.l_linenumber
+  WHERE t.l_orderkey IS NULL AND s.l_tax < 0.07
+),
+final AS (
+  SELECT * FROM surv_matched
+  UNION ALL SELECT * FROM unmatched_tgt
+  UNION ALL SELECT * FROM ins
+)
+SELECT l_returnflag,
+       count(*) AS n_items,
+       CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS total_qty
+FROM final
+GROUP BY l_returnflag
+"""
+
+
+@register("merge_into_agg", oracle=_MERGE_INTO_ORACLE)
+def merge_into_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional MULTI-KEY MERGE under the value oracle (round 14,
+    VERDICT r13 #1): ingest the even-orderkey half of lineitem into an
+    ACID table keyed by the composite (l_orderkey, l_linenumber), then
+    MERGE the div-3 slice with the full Delta clause shape —
+    ``WHEN MATCHED AND s.l_discount > 0.05 THEN UPDATE SET`` (an
+    expression over both sides), ``WHEN MATCHED THEN DELETE``
+    (first-match-wins order), and a conditional ``WHEN NOT MATCHED
+    THEN INSERT`` — and aggregate the post-merge table. DuckDB replays
+    the same clause algebra relationally (join / anti-joins / unions),
+    so equality proves clause gating, ordering, expression evaluation,
+    and the composite-key pruning end to end (txlog._prepare_merge_into;
+    Delta MERGE INTO is the public model — the reference repo has no
+    DML)."""
+    import tempfile
+
+    from ..sources.txlog import tx_merge, tx_read, tx_write
+
+    cols = [
+        "l_orderkey", "l_linenumber", "l_quantity", "l_discount",
+        "l_tax", "l_returnflag",
+    ]
+    li = load_table(spark, sf_dir, "lineitem").select(*cols)
+    table = tempfile.mkdtemp(prefix="txlog_merge_into_") + "/t"
+    tx_write(
+        li.filter(F.col("l_orderkey") % 2 == 0), table,
+        stats_cols=["l_orderkey"],
+    )
+    # fold the source unique per composite key (same algebra as the
+    # oracle's src CTE) — the target side keeps its duplicates, so the
+    # merge also exercises one-source-row-updates-many-target-rows
+    src = (
+        li.filter(F.col("l_orderkey") % 3 == 0)
+        .groupBy("l_orderkey", "l_linenumber")
+        .agg(
+            F.min("l_quantity").alias("l_quantity"),
+            F.min("l_discount").alias("l_discount"),
+            F.min("l_tax").alias("l_tax"),
+            F.min("l_returnflag").alias("l_returnflag"),
+        )
+        .select(*cols)
+    )
+    tx_merge(
+        src, table, ["l_orderkey", "l_linenumber"],
+        when_matched=[
+            {"condition": "s.l_discount > 0.05",
+             "set": {"l_quantity": "t.l_quantity + s.l_quantity",
+                     "l_returnflag": "'M'"}},
+            {"action": "delete"},
+        ],
+        when_not_matched=[
+            {"condition": "s.l_tax < 0.07",
+             "values": {"l_orderkey": "s.l_orderkey",
+                        "l_linenumber": "s.l_linenumber",
+                        "l_quantity": "s.l_quantity",
+                        "l_discount": "s.l_discount",
+                        "l_tax": "s.l_tax",
+                        "l_returnflag": "'I'"}},
+        ],
+        cdf=False,  # the feed path is pinned in tests; keep the row lean
+    )
+    return (
+        tx_read(spark, table)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_qty"),
+        )
     )
 
 

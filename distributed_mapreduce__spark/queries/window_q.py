@@ -85,7 +85,7 @@ def customer_order_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@register_local(
     "ship_latency_rank",
     oracle="""
     SELECT o_orderkey, l_linenumber, lat_days,
