@@ -713,14 +713,14 @@ def tx_sql(spark: SparkSession, sql: str):
         extras = sorted({k for h in hist for k in h} - set(cols))
         import json as _json
 
+        def _ex(v):  # extras are declared string: stringify non-None
+            if v is None or isinstance(v, str):
+                return v
+            return _json.dumps(v)
+
         rows = [
-            tuple(
-                h.get(c)
-                if isinstance(h.get(c), (int, float, str, bool))
-                or h.get(c) is None
-                else _json.dumps(h.get(c))
-                for c in cols + extras
-            )
+            tuple(h.get(c) for c in cols)
+            + tuple(_ex(h.get(c)) for c in extras)
             for h in reversed(hist)
         ]
         return spark.createDataFrame(

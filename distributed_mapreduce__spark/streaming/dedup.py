@@ -326,28 +326,44 @@ def tx_dedup_table(
     rewrite, and ``tx_vacuum`` after ``tx_apply_deletes`` gives
     physical erasure when required.
 
-    Row identity is the positional coordinate itself (zero-padded so
-    its lexicographic order matches physical order), so this dedups
-    tables with NO id column and keeps exactly one copy of
-    bit-identical rows — the case key-addressed deletes cannot
-    express. Returns the committed version, or ``None`` when the
+    Row identity is (file's ADD VERSION, file, row ordinal),
+    zero-padded so lexicographic order means INGEST order first, then
+    physical order — so this dedups tables with NO id column, keeps
+    exactly one copy of bit-identical rows (the case key-addressed
+    deletes cannot express), and the survivor is DETERMINISTICALLY
+    the earliest-ingested copy. (Round 14: plain (file, pos) identity
+    made the cross-commit winner depend on which UUID file NAME
+    sorted first — a per-run coin flip the suite eventually caught;
+    prefixing the commit version restores first-seen-wins, the pipe's
+    own rule.) Returns the committed version, or ``None`` when the
     table was already clean (nothing committed). Deterministic on a
     given snapshot; ``verify='exact'`` makes the near-dup drop
     estimator-noise-free (same trade as the pipe — see
     :func:`intra_batch_dedup`)."""
-    from ..sources.txlog import tx_delete_positions, tx_scan_with_pos
+    from ..sources.txlog import (
+        _replay,
+        tx_delete_positions,
+        tx_scan_with_pos,
+    )
 
+    snap = _replay(spark, path)
+    vmap = spark.createDataFrame(
+        [(f, v) for f, v in snap.eps.items()], "_file string, __v long"
+    )
     pos = tx_scan_with_pos(spark, path)
-    docs = pos.select(
+    docs = pos.join(F.broadcast(vmap), "_file").select(
         F.concat_ws(
-            "#", F.col("_file"), F.format_string("%019d", F.col("_pos"))
+            "#",
+            F.format_string("%019d", F.col("__v")),
+            F.col("_file"),
+            F.format_string("%019d", F.col("_pos")),
         ).alias("doc_id"),
         F.col(text_col).alias("text"),
     )
     clean = intra_batch_dedup(docs, est_threshold, verify=verify)
     losers = docs.join(clean.select("doc_id"), "doc_id", "left_anti")
     lose_pos = losers.select(
-        F.substring_index("doc_id", "#", 1).alias("_file"),
+        F.split("doc_id", "#")[1].alias("_file"),
         F.substring_index("doc_id", "#", -1).cast("long").alias("_pos"),
     )
     if not lose_pos.limit(1).count():

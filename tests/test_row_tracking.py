@@ -367,21 +367,28 @@ def test_cdc_feed_keyed_on_row_ids(spark, tmp_path):
     assert state == _id_map(spark, t)
 
 
-def test_cdc_feed_null_ids_for_key_addressed_frames(spark, tmp_path):
-    """Merge frames are key-addressed (identity unknowable post-hoc):
-    with_row_ids yields them with NULL _row_id — loud, not silent."""
+def test_cdc_feed_merge_frames_id_complete(spark, tmp_path):
+    """Round 14 upgraded the merge-frame contract: sidecars
+    materialize pre-image ids at commit time and the feed
+    reconstructs post ids from the commit's own bases — merge frames
+    are ID-COMPLETE on tracked tables (they were honestly NULL-id
+    through round 13). Untracked tables still refuse the flag, and
+    PRE-round-14 sidecars (no _row_id column) still yield NULL ids."""
     from distributed_mapreduce__spark.sources.txlog import (
         tx_changes_cdf,
+        tx_scan_with_row_ids,
     )
 
     t = str(tmp_path / "t")
     tx_write(_df(spark, 0, 30), t, stats_cols=["id"])
     tx_enable_row_tracking(spark, t)
+    pre = {r.id: r._row_id for r in tx_scan_with_row_ids(spark, t).collect()}
     v0 = _replay(spark, t).version
     tx_merge(
         spark.createDataFrame([(5, "merged")], "id long, tag string"),
         t, "id",
     )
+    post = {r.id: r._row_id for r in tx_scan_with_row_ids(spark, t).collect()}
     frames = [
         (v, kind, df)
         for v, kind, df in tx_changes_cdf(
@@ -390,8 +397,56 @@ def test_cdc_feed_null_ids_for_key_addressed_frames(spark, tmp_path):
         if df is not None
     ]
     assert [k for _, k, _ in frames] == ["cdf"]
-    rows = frames[0][2].collect()
-    assert rows and all(r._row_id is None for r in rows)
+    got = {
+        r._change_type: r._row_id for r in frames[0][2].collect()
+    }
+    assert got == {
+        "update_preimage": pre[5],
+        "update_postimage": post[5],
+    }
+    # legacy sidecar (simulate pre-r14: sidecars carried no _row_id
+    # column) -> the feed falls back to NULL ids, loudly-typed.
+    # Simulated under FRESH file names + a rewritten commit ref (an
+    # in-place byte rewrite trips Spark's cached file metadata)
+    import glob as _glob
+    import json as _json
+    import os as _os
+
+    import pyarrow.parquet as _pq
+
+    merge_cj = None
+    for cj in sorted(_glob.glob(f"{t}/_txlog/*.json")):
+        c = _json.load(open(cj))
+        if c.get("action") == "merge":
+            merge_cj = cj
+            break
+    assert merge_cj is not None
+    c = _json.load(open(merge_cj))
+    legacy = []
+    for rel in c["cdf"]["files"]:
+        tbl = _pq.read_table(_os.path.join(t, rel))
+        new_rel = rel.replace(".parquet", "legacy.parquet")
+        _pq.write_table(
+            # drop the embedded spark row.metadata too — it would
+            # otherwise resurrect the dropped column as nulls
+            tbl.drop_columns(["_row_id"]).replace_schema_metadata(None),
+            _os.path.join(t, new_rel),
+        )
+        legacy.append(new_rel)
+    c["cdf"]["files"] = legacy
+    c["cdf"].pop("keys_phys", None)
+    with open(merge_cj, "w") as fh:
+        _json.dump(c, fh)
+    frames2 = [
+        df
+        for _v, kind, df in tx_changes_cdf(
+            spark, t, since_version=v0, with_row_ids=True
+        )
+        if df is not None and kind == "cdf"
+    ]
+    assert all(
+        r._row_id is None for fdf in frames2 for r in fdf.collect()
+    )
     # untracked tables refuse the flag
     t2 = str(tmp_path / "plain")
     tx_write(_df(spark, 0, 5), t2)

@@ -296,12 +296,16 @@ def test_tblproperties_set_unset(spark, pair):
 
 def test_describe_history_frame(spark, pair):
     a, _b = pair
+    # a DV delete puts an INTEGER extra (dv_targets) in the history —
+    # the frame's extras are declared string, so it must stringify
     tx_sql(spark, "DELETE FROM t_sql WHERE id < 10")
     h = tx_sql(spark, "DESCRIBE HISTORY t_sql")
     rows = h.collect()
     assert rows[0].version > rows[-1].version  # newest first
-    assert {r.action for r in rows} >= {"append"}
+    assert {r.action for r in rows} >= {"append", "delete"}
     assert h.columns[:4] == ["version", "action", "n_added", "n_removed"]
+    assert "dv_targets" in h.columns
+    assert any(r.dv_targets is not None for r in rows)
 
 
 def test_restore_timestamp_as_of(spark, pair):
