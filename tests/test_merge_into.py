@@ -341,3 +341,57 @@ def test_legacy_upsert_cdf_preimage_ids(spark, tmp_path):
     assert got[(3, "update_preimage")] == pre_ids[3]
     assert got[(3, "update_postimage")] == post_ids[3]
     assert got[(77, "insert")] == post_ids[77]
+
+
+def test_conditional_merge_on_mapped_partitioned_table(spark, tmp_path):
+    """Cross-feature: the clause engine over a COLUMN-MAPPED,
+    hive-PARTITIONED table — the join/key pruning run on logical
+    names, staging re-places survivors under physical names and the
+    live partition layout."""
+    from distributed_mapreduce__spark.sources.txlog import (
+        tx_rename_column,
+    )
+
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, f"g{i % 3}", i * 10) for i in range(12)],
+        "id long, grp string, v long",
+    )
+    tx_write(df, t, partition_by=["grp"], stats_cols=["id"])
+    tx_rename_column(spark, t, "v", "val")
+    src = spark.createDataFrame(
+        [(2, "g2", 999), (50, "gX", 5)], "id long, grp string, val long"
+    )
+    tx_merge(
+        src, t, "id",
+        when_matched=[
+            {"condition": "s.val > t.val", "set": {"val": "s.val"}},
+            {"action": "delete"},
+        ],
+        when_not_matched=[{}],
+    )
+    got = sorted((r.id, r.grp, r.val) for r in tx_read(spark, t).collect())
+    want = sorted(
+        [(i, f"g{i % 3}", i * 10) for i in range(12) if i != 2]
+        + [(2, "g2", 999), (50, "gX", 5)]
+    )
+    assert got == want
+
+
+def test_merge_update_can_move_partition(spark, tmp_path):
+    """An UPDATE SET * that changes the PARTITION column re-places the
+    row under its new hive directory, and partition-pruned reads find
+    it there."""
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, f"g{i % 3}", i * 10) for i in range(12)],
+        "id long, grp string, v long",
+    )
+    tx_write(df, t, partition_by=["grp"])
+    src = spark.createDataFrame(
+        [(1, "gMOVED", 111)], "id long, grp string, v long"
+    )
+    tx_merge(src, t, "id", when_matched=[{}])
+    moved = tx_read(spark, t, where=("grp", "gMOVED", "gMOVED")).collect()
+    assert [(r.id, r.grp, r.v) for r in moved] == [(1, "gMOVED", 111)]
+    assert tx_read(spark, t).count() == 12

@@ -152,3 +152,33 @@ def test_mid_stream_schema_change_fails_commit(spark, tmp_path):
         w.commit([m], 0)
     # the refused batch's staged file was dropped — nothing leaks
     assert tx_read(spark, t).count() == 0
+
+
+def test_sink_on_column_mapped_table(spark, tmp_path):
+    """Cross-feature: the sink stages PHYSICAL column names on mapped
+    tables (the frozen pre-rename names), and reads come back under
+    the current logical names."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from distributed_mapreduce__spark.sources.txlog import (
+        tx_rename_column,
+    )
+
+    t = str(tmp_path / "t")
+    tx_write(_df(spark, 0, 5), t)
+    tx_rename_column(spark, t, "tag", "label")
+    w = TxTableStreamWriter({"path": t, "appid": "m"}, _LogView(t).schema_json())
+    batch = spark.range(100, 105).select(
+        "id", F.lit("s").alias("label")
+    )
+    w.commit([w.write(_arrow_batches(spark, batch))], 0)
+    got = sorted((r.id, r.label) for r in tx_read(spark, t).collect())
+    assert len(got) == 10 and (100, "s") in got
+    names = {
+        c
+        for f in glob.glob(f"{t}/data/*.parquet")
+        for c in pq.ParquetFile(f).schema_arrow.names
+    }
+    assert names == {"id", "tag"}  # physical bytes never rename
