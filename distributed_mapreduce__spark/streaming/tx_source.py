@@ -76,6 +76,7 @@ from pyspark.sql.datasource import (
 
 from ..sources.txlog import READER_VERSION as _READER_VERSION
 from ..sources.txlog import WRITER_FEATURES as _WRITER_FEATURES
+from ..sources.txlog import _parse_partition_spec
 
 #: row-id bases: a commit at version v owns ids [v<<36, (v+1)<<36)
 _ROW_BASE_SHIFT = 36
@@ -845,9 +846,16 @@ class TxTableBatchReader(DataSourceReader):
 
 
 class _SinkCommitMessage(WriterCommitMessage):
-    def __init__(self, file: "str | None", rows: int):
-        self.file = file
-        self.rows = rows
+    def __init__(self, files: "list[dict]"):
+        #: staged files this task wrote:
+        #: {"rel": path, "rows": n, "parts": {phys col: value}}
+        #: (one entry per hive partition group; "parts" empty flat)
+        self.files = files
+
+
+def _stat_val(v):
+    """Commit-log-safe stat value (txlog._json_stat's rule)."""
+    return v if isinstance(v, (int, float, str, bool)) else str(v)
 
 
 def _fields_of(schema_json: str) -> dict:
@@ -876,17 +884,26 @@ class TxTableStreamWriter(DataSourceStreamArrowWriter):
     the query's ``checkpointLocation`` (stable across restarts — the
     identity the checkpoint itself names). Refuses without one.
 
+    IDENTITY hive partitioning is handled natively (round 14 late):
+    write() groups each task's rows by the partition columns and
+    places one file per group under its hive directory — partition
+    values live in the path only, never the file bytes, and the
+    commit records per-file [v, v] partition stats so pruned reads
+    skip sink-written files from the log alone.
+
     Honest scope (refusals, not corruption): the target table must
     exist with a recorded schema and the stream's schema must match
     it name-for-name/type-for-type (column mapping handled — staged
-    bytes carry physical names); partitioned layouts, CHECK
-    constraints (their SQL cannot be evaluated in this pure-python
-    lifecycle — filter upstream or use the foreachBatch pipe), and
-    unknown writer features refuse at construction AND re-validate at
-    every commit, so a mid-stream ALTER fails the query loudly
-    instead of writing files that violate the new contract. Row
-    tracking is maintained: commits record per-file id bases computed
-    from the staged row counts.
+    bytes carry physical names); TRANSFORM partition specs
+    (days/bucket/... — they need the engine's derived-column
+    placement), CHECK constraints (their SQL cannot be evaluated in
+    this pure-python lifecycle — filter upstream or use the
+    foreachBatch pipe), NULL partition values, and unknown writer
+    features refuse at construction AND re-validate at every commit
+    (schema drift and partition-spec changes too), so a mid-stream
+    ALTER fails the query loudly instead of writing files that
+    violate the new contract. Row tracking is maintained: commits
+    record per-file id bases computed from the staged row counts.
 
     Commits skip checkpoint writing (it needs a SparkSession); run
     ``tx_maintain`` on sink-heavy tables to fold the log. Design ref:
@@ -912,6 +929,14 @@ class TxTableStreamWriter(DataSourceStreamArrowWriter):
             f["name"]: (f.get("metadata") or {}).get("phys") or f["name"]
             for f in fields
         }
+        # identity hive partitioning: (physical dir col, logical col)
+        # per spec entry — write() groups batches by the logical
+        # columns and places each group under its own hive directory
+        inv = {p: l for l, p in self.phys.items()}
+        self.part_cols = [
+            (pf.source, inv.get(pf.source, pf.source))
+            for pf in _parse_partition_spec(self._partition_by)
+        ]
         appid = options.get("appid") or options.get("checkpointlocation")
         if not appid:
             raise ValueError(
@@ -939,12 +964,24 @@ class TxTableStreamWriter(DataSourceStreamArrowWriter):
                 "pure-python lifecycle — enforce upstream (filter) or "
                 "pipe through foreachBatch + tx_write"
             )
-        if view.partition_by():
+        # identity hive partitioning is handled (write() groups and
+        # places); TRANSFORM placement (days/bucket/...) needs the
+        # engine's derived-column machinery — route through
+        # tx_write/foreachBatch
+        pb = view.partition_by()
+        bad = [
+            pf.spec
+            for pf in _parse_partition_spec(pb)
+            if pf.transform != "identity"
+        ]
+        if bad:
             raise ValueError(
-                f"txtable sink on {self.path}: partitioned layouts "
-                "need placement-aware staging — write through "
-                "tx_write/foreachBatch (sink scope is flat tables)"
+                f"txtable sink on {self.path}: transform partition "
+                f"spec(s) {bad} need derived-column placement — write "
+                "through tx_write/foreachBatch (the sink handles "
+                "identity hive partitioning)"
             )
+        self._partition_by = pb or []
         self.rt = "row-tracking" in (props.get("writer.features") or [])
 
     # -- executors --------------------------------------------------
@@ -956,18 +993,67 @@ class TxTableStreamWriter(DataSourceStreamArrowWriter):
         batches = [b for b in iterator if b.num_rows]
         rows = sum(b.num_rows for b in batches)
         if not rows:
-            return _SinkCommitMessage(None, 0)
+            return _SinkCommitMessage([])
         t = pa.Table.from_batches(batches)
-        t = t.rename_columns([self.phys.get(c, c) for c in t.column_names])
-        rel = f"data/{uuid.uuid4().hex}.parquet"
-        self._fs.arrow_write(os.path.join(self.path, rel), t)
-        return _SinkCommitMessage(rel, rows)
+        if not self.part_cols:
+            t = t.rename_columns(
+                [self.phys.get(c, c) for c in t.column_names]
+            )
+            rel = f"data/{uuid.uuid4().hex}.parquet"
+            self._fs.arrow_write(os.path.join(self.path, rel), t)
+            return _SinkCommitMessage(
+                [{"rel": rel, "rows": rows, "parts": {}}]
+            )
+        # hive placement: one staged file per distinct partition tuple
+        # in THIS task's rows; partition columns live in the directory
+        # name only (never the file bytes), the engine's own layout
+        from urllib.parse import quote
+
+        logical = [lc for _p, lc in self.part_cols]
+        key_vals = list(
+            zip(*(t.column(lc).to_pylist() for lc in logical))
+        )
+        groups: "dict[tuple, list[int]]" = {}
+        for i, kv in enumerate(key_vals):
+            if any(v is None for v in kv):
+                raise ValueError(
+                    f"txtable sink on {self.path}: NULL value in "
+                    f"partition column(s) {logical} — hive placement "
+                    "has no NULL directory; filter or fill upstream"
+                )
+            groups.setdefault(kv, []).append(i)
+        data_t = t.drop_columns(logical)
+        data_t = data_t.rename_columns(
+            [self.phys.get(c, c) for c in data_t.column_names]
+        )
+        out = []
+        for kv, idx in sorted(groups.items(), key=lambda g: str(g[0])):
+            seg = "/".join(
+                f"{p}={quote(str(v), safe='')}"
+                for (p, _l), v in zip(self.part_cols, kv)
+            )
+            rel = f"data/{seg}/{uuid.uuid4().hex}.parquet"
+            self._fs.arrow_write(
+                os.path.join(self.path, rel),
+                data_t.take(pa.array(idx, type=pa.int64())),
+            )
+            out.append(
+                {
+                    "rel": rel,
+                    "rows": len(idx),
+                    "parts": {
+                        p: v
+                        for (p, _l), v in zip(self.part_cols, kv)
+                    },
+                }
+            )
+        return _SinkCommitMessage(out)
 
     # -- driver -----------------------------------------------------
     def _drop_staged(self, messages) -> None:
         for m in messages:
-            if m is not None and m.file:
-                self._fs.remove(os.path.join(self.path, m.file))
+            for f in (m.files if m is not None else []):
+                self._fs.remove(os.path.join(self.path, f["rel"]))
 
     def commit(self, messages, batchId: int) -> None:
         import time
@@ -982,6 +1068,7 @@ class TxTableStreamWriter(DataSourceStreamArrowWriter):
             return
         # mid-stream ALTERs re-validate: schema drift / new layout /
         # unknown features fail the query loudly before the commit
+        planned_pb = list(self._partition_by)
         self._check_state(view)
         if _fields_of(view.schema_json()) != _fields_of(
             self.table_schema_json
@@ -992,26 +1079,46 @@ class TxTableStreamWriter(DataSourceStreamArrowWriter):
                 "sink was streaming; restart the query against the "
                 "new schema"
             )
+        if list(self._partition_by) != planned_pb:
+            self._drop_staged(messages)
+            raise RuntimeError(
+                f"the partition spec at {self.path} changed while the "
+                "sink was streaming (staged placement is stale); "
+                "restart the query against the new layout"
+            )
         files = sorted(
-            (m.file, m.rows)
+            (f["rel"], f["rows"], f["parts"])
             for m in messages
-            if m is not None and m.file
+            if m is not None
+            for f in m.files
         )
+        # partition-column stats per staged file ([v, v] — each file
+        # IS one partition group), so partition-pruned reads skip
+        # sink-written files from the log alone
+        stats = {
+            rel: {p: [_stat_val(v), _stat_val(v)] for p, v in parts.items()}
+            for rel, _n, parts in files
+            if parts
+        }
         for _ in range(50):
             versions = sorted({v for v, _ in view.commits()})
             next_v = (versions[-1] + 1) if versions else 0
             payload = {
                 "version": next_v,
                 "action": "append",
-                "add": [f for f, _ in files],
+                "add": [f for f, _, _p in files],
                 "remove": [],
                 "txn": txn,
                 "ts": time.time(),
                 "schema": self.table_schema_json,
             }
+            if self._partition_by:
+                payload["partition_by"] = list(self._partition_by)
+            if stats:
+                payload["stats"] = stats
             if self.rt and files:
                 bases, off = {}, 0
-                for f, n in files:
+                for f, n, _p in files:
                     bases[f] = (next_v << _ROW_BASE_SHIFT) + off
                     off += n
                 if off > (1 << _ROW_BASE_SHIFT):

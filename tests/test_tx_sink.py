@@ -95,7 +95,7 @@ def test_crash_replay_dedupes_by_txn(spark, tmp_path):
     assert tx_read(spark, t).count() == 10
     import os
 
-    assert not os.path.exists(os.path.join(t, m2.file))
+    assert not os.path.exists(os.path.join(t, m2.files[0]["rel"]))
     # the NEXT batch commits normally
     m3 = w.write(_arrow_batches(spark, _df(spark, 10, 15, "z")))
     w.commit([m3], 1)
@@ -133,10 +133,10 @@ def test_sink_refusals(spark, tmp_path):
     tx_add_constraint(spark, t, "pos", "id >= 0")
     with pytest.raises(ValueError, match="constraint"):
         TxTableStreamWriter({"path": t, "appid": "a"}, schema)
-    # partitioned layouts refuse
+    # TRANSFORM partition specs refuse (identity hive is handled)
     p = str(tmp_path / "p")
-    tx_write(_df(spark, 0, 4), p, partition_by=["tag"])
-    with pytest.raises(ValueError, match="partitioned"):
+    tx_write(_df(spark, 0, 4), p, partition_by=["bucket(4, id)"])
+    with pytest.raises(ValueError, match="transform partition"):
         TxTableStreamWriter({"path": p, "appid": "a"}, schema)
 
 
@@ -182,3 +182,72 @@ def test_sink_on_column_mapped_table(spark, tmp_path):
         for c in pq.ParquetFile(f).schema_arrow.names
     }
     assert names == {"id", "tag"}  # physical bytes never rename
+
+
+def test_sink_identity_partitioned_table(spark, tmp_path):
+    """Round-14 late: the sink handles identity hive partitioning —
+    one staged file per partition group per task, values in the
+    directory name only, per-file [v,v] partition stats recorded, and
+    the end-to-end stream lands rows readable AND prunable."""
+    import glob
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+
+    register_tx_source(spark)
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    tx_write(
+        spark.range(0, 40).select(
+            "id", (F.col("id") % 3).cast("string").alias("tag")
+        ),
+        src,
+    )
+    tx_write(
+        spark.createDataFrame([], "id long, tag string"),
+        dst, partition_by=["tag"],
+    )
+    q = (
+        spark.readStream.format("txtable").option("path", src).load()
+        .writeStream.format("txtable")
+        .option("path", dst)
+        .option("appId", "part-e2e")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted((r.id, r.tag) for r in tx_read(spark, dst).collect())
+    want = sorted((i, str(i % 3)) for i in range(40))
+    assert got == want
+    # partition values live in the path, never the bytes
+    data_files = glob.glob(f"{dst}/data/tag=*/*.parquet")
+    assert data_files
+    assert all(
+        "tag" not in pq.ParquetFile(f).schema_arrow.names
+        for f in data_files
+    )
+    # pruned read matches
+    assert tx_read(spark, dst, where=("tag", "1", "1")).count() == 13
+    # the commit recorded per-file partition stats
+    cj = sorted(glob.glob(os.path.join(dst, "_txlog", "*.json")))[-1]
+    c = json.load(open(cj))
+    assert c.get("stats") and all(
+        st["tag"][0] == st["tag"][1] for st in c["stats"].values()
+    )
+
+
+def test_sink_refuses_null_partition_values(spark, tmp_path):
+    t = str(tmp_path / "t")
+    tx_write(
+        spark.createDataFrame([], "id long, tag string"),
+        t, partition_by=["tag"],
+    )
+    w = TxTableStreamWriter(
+        {"path": t, "appid": "n"}, _LogView(t).schema_json()
+    )
+    batch = spark.createDataFrame(
+        [(1, "a"), (2, None)], "id long, tag string"
+    )
+    with pytest.raises(Exception, match="NULL value in"):
+        w.write(_arrow_batches(spark, batch))
