@@ -1124,6 +1124,64 @@ def sql_dml_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SINK_PIPE_ORACLE = """
+SELECT o_orderpriority,
+       count(*) AS n_orders,
+       CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS total_price
+FROM orders
+WHERE o_orderkey % 4 < 2
+GROUP BY o_orderpriority
+"""
+
+
+@register_local("sink_pipe_agg", oracle=_SINK_PIPE_ORACLE)
+def sink_pipe_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The txtable SOURCE -> SINK table-to-table pipe under the value
+    oracle (round 14, VERDICT r13 #4): ingest two orders slices as two
+    commits, drain them through ``readStream.format("txtable")`` into
+    a second ACID table via ``writeStream.format("txtable")``
+    (availableNow, per-epoch ``txsink:`` idempotence txns), and
+    aggregate the SINK table — the result must equal DuckDB
+    aggregating the source rows directly, proving the exactly-once
+    pipe loses and duplicates nothing end to end through the engine's
+    OWN streaming runtime on both ends (streaming/tx_source.py;
+    Delta's streaming source+sink pair as the public model)."""
+    import tempfile
+
+    from ..sources.txlog import tx_read, tx_write
+    from ..streaming.tx_source import register_tx_source
+
+    register_tx_source(spark)
+    d = tempfile.mkdtemp(prefix="txsink_q_")
+    src, dst = f"{d}/src", f"{d}/dst"
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    tx_write(orders.filter(F.col("o_orderkey") % 4 == 0), src)
+    tx_write(orders.filter(F.col("o_orderkey") % 4 == 1), src)
+    tx_write(orders.limit(0), dst)
+    q = (
+        spark.readStream.format("txtable").option("path", src).load()
+        .writeStream.format("txtable")
+        .option("path", dst)
+        .option("appId", "sink_pipe_agg")
+        .option("checkpointLocation", f"{d}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        tx_read(spark, dst)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+    )
+
+
 _MERGE_INTO_ORACLE = """
 WITH tgt AS (
   SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_tax,

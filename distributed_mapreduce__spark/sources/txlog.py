@@ -3379,6 +3379,17 @@ def tx_files(
     snap = _replay(spark, path, version)
     fs = hadoop_fs(spark, path)[0]
     dv_targets = {f for d in snap.dv for f in d["targets"]}
+
+    def spec_at(v: int) -> "int | None":
+        """The spec id LIVE when the file was added (round 14 — the
+        per-file half of the spec registry, Iceberg's manifest
+        spec-id): the last lineage entry at/below the add version."""
+        cur = None
+        for e in snap.spec_history:
+            if e["version"] <= v:
+                cur = e["spec_id"]
+        return cur
+
     rows = []
     for f in sorted(snap.eps):
         af = _abs(path, f)
@@ -3400,12 +3411,14 @@ def tx_files(
                 json.dumps(part) if part else None,
                 json.dumps(st) if st else None,
                 f in dv_targets,
+                spec_at(snap.eps[f]),
             )
         )
     return spark.createDataFrame(
         rows,
         "file string, add_version long, size_bytes long, "
-        "partition_values string, stats string, dv_targeted boolean",
+        "partition_values string, stats string, dv_targeted boolean, "
+        "spec_id long",
     )
 
 

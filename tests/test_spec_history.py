@@ -85,3 +85,20 @@ def test_restore_reset_appends_a_spec_entry(spark, tmp_path):
     hist = tx_detail(spark, t)["partition_spec_history"]
     assert [h["spec_id"] for h in hist] == [0, 1, 2]
     assert hist[2]["partition_by"] == ["k"] and hist[2]["version"] == v
+
+
+def test_tx_files_exposes_per_file_spec_id(spark, tmp_path):
+    """The manifest's per-file spec_id (Iceberg's manifest spec-id):
+    each live file reports the spec LIVE at its add version."""
+    from distributed_mapreduce__spark.sources.txlog import tx_files
+
+    t = str(tmp_path / "t")
+    tx_write(_df(spark, 0, 10), t, partition_by=["k"])      # spec 0
+    tx_set_partitioning(spark, t, [])                       # spec 1
+    tx_write(_df(spark, 10, 20), t)
+    by_spec = {
+        r.spec_id: r.add_version
+        for r in tx_files(spark, t).collect()
+    }
+    assert set(by_spec) == {0, 1}
+    assert by_spec[0] == 0 and by_spec[1] > 0
