@@ -492,9 +492,13 @@ def rollup_view_available_now(
                     batch.filter(
                         ct.isin("insert", "update_postimage")
                     ).drop("_change_type"),
-                    batch.filter(ct == "update_preimage").drop(
-                        "_change_type"
-                    ),
+                    # retract pre-images AND clause-deleted rows — a
+                    # conditional merge's WHEN MATCHED DELETE emits
+                    # 'delete' rows INSIDE the cdf frame (round 14);
+                    # ignoring them would keep counting removed rows
+                    batch.filter(
+                        ct.isin("update_preimage", "delete")
+                    ).drop("_change_type"),
                     store,
                     duration,
                     keys,

@@ -193,3 +193,43 @@ def test_view_maintains_through_merges_and_cow_deletes(spark, tmp_path):
         spark, table, store, "1 hour", ("event_type",), checkpoint=ckpt
     )
     assert _view(spark, store) == _full(spark, table)
+
+
+def test_view_maintains_through_conditional_merge_deletes(spark, tmp_path):
+    """Round 14: a conditional merge's WHEN MATCHED DELETE emits
+    'delete' rows INSIDE the cdf frame — the view must RETRACT them
+    (they are neither pre-images nor post-images), or it keeps
+    counting removed rows. view == full recompute through a clause
+    merge that updates, deletes, and inserts in one commit."""
+    from distributed_mapreduce__spark.sources.txlog import tx_merge
+
+    table = str(tmp_path / "ingest")
+    store = str(tmp_path / "view")
+    ckpt = str(tmp_path / "ckpt")
+    ev = load_table(spark, SF, "events").select(
+        "event_id", "ts", "value", "event_type"
+    )
+    tx_write(ev.filter(F.col("event_id") % 2 == 0), table)
+    rollup_view_available_now(
+        spark, table, store, "1 hour", ("event_type",), checkpoint=ckpt
+    )
+    src = ev.filter(F.col("event_id") % 6 == 0).unionByName(
+        ev.filter(F.col("event_id") % 2 == 1)
+        .limit(40)
+        .withColumn("event_id", -F.col("event_id"))
+    )
+    tx_merge(
+        src, table, "event_id",
+        when_matched=[
+            # touched rows in class %12==0 re-typed (update)...
+            {"condition": "t.event_id % 12 = 0",
+             "set": {"event_type": "'retyped'"}},
+            # ...every other matched row DELETED (the new frame shape)
+            {"action": "delete"},
+        ],
+        when_not_matched=[{}],
+    )
+    rollup_view_available_now(
+        spark, table, store, "1 hour", ("event_type",), checkpoint=ckpt
+    )
+    assert _view(spark, store) == _full(spark, table)

@@ -724,3 +724,35 @@ def test_run_pipes_isolation_backoff_and_restart(spark, tmp_path):
     assert state3["copy1"]["versions"] == 1
     assert _ids(spark, d1) == list(range(18))
     assert PIPES_STATUS["copy1"]["versions"] == 1
+
+
+def test_cdc_pipe_replicates_conditional_merge(spark, tmp_path):
+    """Round 14: a CONDITIONAL merge's cdf frame carries 'delete'
+    change rows (WHEN MATCHED DELETE) alongside update pre/post and
+    inserts — the pipe's delete-then-append replication removes them
+    on the sink naturally (their keys are deleted, nothing
+    re-appends). sink == source after the clause matrix."""
+    from distributed_mapreduce__spark.sources.txlog import tx_merge
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    ckpt = str(tmp_path / "ckpt")
+    tx_write(_df(spark, 0, 8, "a"), src)
+    pipe_available_now(spark, src, dst, checkpoint=ckpt, cdc_key="id")
+
+    m = _df(spark, 2, 6, "s").unionByName(_df(spark, 20, 22, "s"))
+    tx_merge(
+        m, src, "id",
+        when_matched=[
+            {"condition": "t.id % 2 = 0", "set": {"tag": "'even'"}},
+            {"action": "delete"},  # odd matched rows die
+        ],
+        when_not_matched=[{"values": {"id": "s.id", "tag": "'new'"}}],
+    )
+    pipe_available_now(spark, src, dst, checkpoint=ckpt, cdc_key="id")
+
+    def table(path):
+        return {(x.id, x.tag) for x in tx_read(spark, path).collect()}
+
+    expect = {(0, "a"), (1, "a"), (2, "even"), (4, "even"),
+              (6, "a"), (7, "a"), (20, "new"), (21, "new")}
+    assert table(src) == expect and table(dst) == expect
