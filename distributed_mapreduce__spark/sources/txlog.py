@@ -3397,11 +3397,17 @@ def tx_files(
             size = int(fs.getFileStatus(hadoop_fs(spark, af)[1]).getLen())
         except Exception:  # noqa: BLE001 — races with vacuum: report -1
             size = -1
-        part = dict(
-            seg.split("=", 1)
-            for seg in af.rsplit("/data/", 1)[-1].split("/")[:-1]
-            if "=" in seg
-        )
+        # directory names carry hive-ESCAPED values (%XX for Spark's
+        # escape set): report the unescaped value, the same form the
+        # typed read path and the stats record (ADVICE r14)
+        part = {
+            k: unquote(v)
+            for k, v in (
+                seg.split("=", 1)
+                for seg in af.rsplit("/data/", 1)[-1].split("/")[:-1]
+                if "=" in seg
+            )
+        }
         st = snap.stats.get(f)
         rows.append(
             (

@@ -129,15 +129,14 @@ def test_sink_refusals(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="does not match the table"):
         TxTableStreamWriter({"path": t, "appid": "a"}, bad)
-    # CHECK constraints cannot be evaluated in the sink lifecycle
-    tx_add_constraint(spark, t, "pos", "id >= 0")
-    with pytest.raises(ValueError, match="constraint"):
+    # a CHECK constraint the batch validator cannot parse refuses at
+    # construction (round 15: parseable constraints are ENFORCED per
+    # batch instead — see test_sink_enforces_check_constraints)
+    tx_add_constraint(
+        spark, t, "sparkism", "xxhash64(tag) != 42"
+    )
+    with pytest.raises(ValueError, match="not evaluable"):
         TxTableStreamWriter({"path": t, "appid": "a"}, schema)
-    # TRANSFORM partition specs refuse (identity hive is handled)
-    p = str(tmp_path / "p")
-    tx_write(_df(spark, 0, 4), p, partition_by=["bucket(4, id)"])
-    with pytest.raises(ValueError, match="transform partition"):
-        TxTableStreamWriter({"path": p, "appid": "a"}, schema)
 
 
 def test_mid_stream_schema_change_fails_commit(spark, tmp_path):
@@ -251,3 +250,174 @@ def test_sink_refuses_null_partition_values(spark, tmp_path):
     )
     with pytest.raises(Exception, match="NULL value in"):
         w.write(_arrow_batches(spark, batch))
+
+
+def test_sink_transform_partitioned_table(spark, tmp_path):
+    """Round 15 (VERDICT r14 #1): the sink computes TRANSFORM
+    placement natively — days(ts) directories byte-identical to the
+    engine's, source column kept in the bytes (hidden partitioning),
+    per-file derived [v,v] + source [min,max] stats recorded so
+    transform-pruned reads skip sink files from the log alone."""
+    import datetime as dt
+    import glob
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+
+    register_tx_source(spark)
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    rows = [
+        (i, dt.datetime(2024, 3, 1 + i % 3, 6 + i % 12), f"b{i}")
+        for i in range(30)
+    ]
+    tx_write(
+        spark.createDataFrame(rows, "id long, ts timestamp, body string"),
+        src,
+    )
+    tx_write(
+        spark.createDataFrame([], "id long, ts timestamp, body string"),
+        dst, partition_by=["days(ts)"],
+    )
+    q = (
+        spark.readStream.format("txtable").option("path", src).load()
+        .writeStream.format("txtable")
+        .option("path", dst)
+        .option("appId", "days-e2e")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted((r.id, r.ts, r.body) for r in tx_read(spark, dst).collect())
+    assert got == sorted(rows)
+    # placement dirs match the engine's derived-name convention; the
+    # SOURCE column stays in the file bytes (hidden partitioning)
+    files = glob.glob(f"{dst}/data/_p_days_ts=*/*.parquet")
+    assert files
+    assert {f.rsplit("/", 2)[1] for f in files} == {
+        "_p_days_ts=2024-03-01", "_p_days_ts=2024-03-02",
+        "_p_days_ts=2024-03-03",
+    }
+    assert all(
+        "ts" in pq.ParquetFile(f).schema_arrow.names for f in files
+    )
+    # transform-pruned read: a source-column predicate opens only the
+    # matching day's files — from the log, no footer I/O
+    lo, hi = dt.datetime(2024, 3, 2), dt.datetime(2024, 3, 2, 23, 59)
+    pruned = tx_read(spark, dst, where=("ts", lo, hi))
+    assert pruned.inputFiles()
+    assert all("_p_days_ts=2024-03-02" in f for f in pruned.inputFiles())
+    assert {r.id for r in pruned.collect()} == {
+        i for i in range(30) if 1 + i % 3 == 2
+    }
+    # the commit carries derived [v,v] AND source [min,max] stats
+    cj = sorted(glob.glob(os.path.join(dst, "_txlog", "*.json")))[-1]
+    st = json.load(open(cj))["stats"]
+    assert st
+    for ent in st.values():
+        assert ent["_p_days_ts"][0] == ent["_p_days_ts"][1]
+        assert ent["ts"][0] <= ent["ts"][1]
+        assert ent["ts"][0][:10] == ent["_p_days_ts"][0]
+
+
+def test_sink_placement_parity_with_engine(spark, tmp_path):
+    """_sink_place_val is the byte-exact twin of txlog._transform_expr:
+    the same rows written by tx_write and by the sink land in the SAME
+    directory names for every transform family."""
+    import datetime as dt
+    import glob
+
+    rows = [
+        (7, dt.datetime(2024, 11, 30, 23, 59, 59), "a b/c:d"),
+        (-13, dt.datetime(2025, 1, 1, 0, 0, 1), "naïve%50"),
+        (1024, dt.datetime(2024, 2, 29, 12), "x"),
+    ]
+    schema = "k long, ts timestamp, s string"
+    for spec in ["days(ts)", "months(ts)", "years(ts)", "hours(ts)",
+                 "bucket(16, k)", "truncate(3, s)", "truncate(100, k)",
+                 "s"]:
+        eng = str(tmp_path / f"eng-{spec.replace('/', '_')}")
+        snk = str(tmp_path / f"snk-{spec.replace('/', '_')}")
+        tx_write(
+            spark.createDataFrame(rows, schema), eng,
+            partition_by=[spec],
+        )
+        tx_write(
+            spark.createDataFrame([], schema), snk, partition_by=[spec],
+        )
+        w = TxTableStreamWriter(
+            {"path": snk, "appid": "p"}, _LogView(snk).schema_json()
+        )
+        w.commit(
+            [w.write(_arrow_batches(
+                spark, spark.createDataFrame(rows, schema)
+            ))],
+            0,
+        )
+        dirs = lambda p: {  # noqa: E731
+            f.rsplit("/", 2)[1] for f in glob.glob(f"{p}/data/*/*.parquet")
+        }
+        assert dirs(eng) == dirs(snk), spec
+        got = sorted(
+            (r.k, r.ts, r.s) for r in tx_read(spark, snk).collect()
+        )
+        assert got == sorted(rows), spec
+
+
+def test_sink_refuses_null_transform_source(spark, tmp_path):
+    t = str(tmp_path / "t")
+    tx_write(
+        spark.createDataFrame([], "id long, ts timestamp"),
+        t, partition_by=["days(ts)"],
+    )
+    w = TxTableStreamWriter(
+        {"path": t, "appid": "n"}, _LogView(t).schema_json()
+    )
+    import datetime as dt
+
+    batch = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1)), (2, None)], "id long, ts timestamp"
+    )
+    with pytest.raises(Exception, match="NULL value in"):
+        w.write(_arrow_batches(spark, batch))
+
+
+def test_sink_enforces_check_constraints(spark, tmp_path):
+    """Round 15 (VERDICT r14 #7): parseable CHECK constraints are
+    evaluated per batch by duckdb under the engine's semantics — a
+    violating batch fails NAMING the constraint, NULL passes (SQL
+    CHECK), and a clean stream commits."""
+    t = str(tmp_path / "t")
+    _seed(spark, t, _df(spark, 0, 1))
+    tx_add_constraint(spark, t, "nonneg", "id >= 0")
+    w = TxTableStreamWriter(
+        {"path": t, "appid": "c"}, _LogView(t).schema_json()
+    )
+    # clean batch commits
+    w.commit([w.write(_arrow_batches(spark, _df(spark, 0, 5)))], 0)
+    assert tx_read(spark, t).count() == 5
+    # violating batch refuses, naming the constraint; nothing lands
+    with pytest.raises(ValueError, match="nonneg"):
+        w.write(_arrow_batches(spark, _df(spark, -3, 3)))
+    assert tx_read(spark, t).count() == 5
+    # NULL evaluations PASS (SQL CHECK semantics, the engine's rule)
+    batch = spark.createDataFrame(
+        [(None, "z")], "id long, tag string"
+    )
+    w.commit([w.write(_arrow_batches(spark, batch))], 1)
+    assert tx_read(spark, t).count() == 6
+
+
+def test_constraint_added_mid_stream_fails_commit(spark, tmp_path):
+    t = str(tmp_path / "t")
+    _seed(spark, t, _df(spark, 0, 1))
+    w = TxTableStreamWriter(
+        {"path": t, "appid": "c"}, _LogView(t).schema_json()
+    )
+    m = w.write(_arrow_batches(spark, _df(spark, 0, 3)))
+    tx_add_constraint(spark, t, "late", "id < 100")
+    with pytest.raises(RuntimeError, match="constraints.*changed"):
+        w.commit([m], 0)
+    # staged duplicate was dropped
+    assert tx_read(spark, t).count() == 0
