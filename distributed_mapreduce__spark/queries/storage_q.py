@@ -553,15 +553,23 @@ _MULTI_MERGE_ORACLE = """
 WITH c AS (
   SELECT l_orderkey, count(*) AS n_items FROM lineitem GROUP BY l_orderkey
 ),
-upd_o AS (
-  SELECT o_orderkey, 'U-' || o_orderpriority AS o_orderpriority
-  FROM orders WHERE o_orderkey % 4 IN (0, 1)
-),
 final_o AS (
-  SELECT * FROM upd_o
+  -- matched (%4=0), clause 1 first-match-wins: UPDATE SET * if %8=0
+  SELECT o_orderkey, 'U-' || o_orderpriority AS o_orderpriority
+  FROM orders WHERE o_orderkey % 4 = 0 AND o_orderkey % 8 = 0
   UNION ALL
+  -- matched falling to clause 2 (DELETE urgent) without matching it
   SELECT o_orderkey, o_orderpriority FROM orders
-  WHERE o_orderkey % 2 = 0 AND o_orderkey % 4 NOT IN (0, 1)
+  WHERE o_orderkey % 4 = 0 AND o_orderkey % 8 <> 0
+    AND o_orderpriority NOT LIKE '1%'
+  UNION ALL
+  -- target rows never matched by the source survive unchanged
+  SELECT o_orderkey, o_orderpriority FROM orders
+  WHERE o_orderkey % 2 = 0 AND o_orderkey % 4 <> 0
+  UNION ALL
+  -- conditional INSERT *: unmatched source keys (%4=1) with %8=1
+  SELECT o_orderkey, 'U-' || o_orderpriority FROM orders
+  WHERE o_orderkey % 4 = 1 AND o_orderkey % 8 = 1
 ),
 upd_c AS (
   SELECT l_orderkey, n_items + 1000 AS n_items
@@ -586,13 +594,15 @@ def multi_merge_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-table MERGE under the value oracle (round 11,
     sources/multitx.tx_multi(modes='merge')): seed an orders table and
     a per-order item-count table with the even keys, then atomically
-    UPSERT both in one transaction — keys %4∈{0,1} get a rewritten
-    priority / bumped count, so the updates mix in-place updates
-    (%4=0, already live) and inserts (%4=1, new keys). The same txn id
-    replays as a no-op (exactly-once), then the join-aggregate of the
-    two tables must equal a DuckDB replay of the upsert algebra —
-    proving the coordinator-record merge neither loses, duplicates,
-    nor tears the upsert across tables."""
+    MERGE both in one transaction. Round 15: the orders participant
+    carries conditional clauses (first-match-wins UPDATE SET * when
+    %8=0, DELETE urgent otherwise, conditional INSERT * of %8=1 keys)
+    while counts stays the unconditional upsert — one transaction
+    mixing both merge bodies. The same txn id replays as a no-op
+    (exactly-once), then the join-aggregate of the two tables must
+    equal a DuckDB replay of the clause algebra — proving the
+    coordinator-record merge neither loses, duplicates, nor tears
+    the upsert across tables."""
     import tempfile
 
     from ..sources.multitx import tx_multi
@@ -634,6 +644,24 @@ def multi_merge_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             txn="mm0",
             modes={to: "merge", tc: "merge"},
             merge_keys={to: "o_orderkey", tc: "l_orderkey"},
+            # round 15: the orders participant carries the FULL
+            # conditional clause shape (first-match-wins update /
+            # delete + conditional INSERT *) while counts stays the
+            # unconditional upsert — one atomic transaction mixing
+            # both merge bodies
+            merge_clauses={
+                to: {
+                    "when_matched": [
+                        {"action": "update",
+                         "condition": "s.o_orderkey % 8 = 0"},
+                        {"action": "delete",
+                         "condition": "t.o_orderpriority LIKE '1%'"},
+                    ],
+                    "when_not_matched": [
+                        {"condition": "s.o_orderkey % 8 = 1"},
+                    ],
+                }
+            },
         )
     o, c = tx_read(spark, to), tx_read(spark, tc)
     return (
@@ -1368,4 +1396,56 @@ def row_tracking_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
             .alias("total_qty"),
         )
+    )
+
+
+_HISTORY_SELECT_ORACLE = """
+WITH pr AS (
+  SELECT DISTINCT o_orderpriority AS p FROM orders
+),
+hist AS (
+  SELECT CAST(row_number() OVER (ORDER BY p) - 1 AS BIGINT) AS version,
+         'append' AS action,
+         p AS txn
+  FROM pr
+)
+SELECT version, action, txn FROM hist WHERE version >= 1
+ORDER BY version
+"""
+
+
+@register_local("history_select_agg", oracle=_HISTORY_SELECT_ORACLE)
+def history_select_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELECT-able commit history (round 15, VERDICT r14 #6 —
+    ``<name>$history`` as a relation): ingest orders as one append
+    commit per priority class (txn id = the priority, sorted), then
+    drive a maintenance-style SQL query over the history view —
+    filter by version, project (version, action, txn), order. The
+    DuckDB oracle reconstructs the expected history rows from the
+    data itself (one commit per distinct priority, versions dense
+    from 0 in sorted order), so the value hash pins that $history
+    reports exactly the commits that happened, composable in plain
+    SQL."""
+    import tempfile
+
+    from ..sources.tx_sql import tx_register_table, tx_sql
+    from ..sources.txlog import tx_write
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    prios = sorted(
+        r[0] for r in orders.select("o_orderpriority").distinct().collect()
+    )
+    d = tempfile.mkdtemp(prefix="history_q_")
+    t = f"{d}/orders_by_prio"
+    for p in prios:
+        tx_write(
+            orders.filter(F.col("o_orderpriority") == p), t, txn=p
+        )
+    tx_register_table(spark, "hist_orders", t)
+    return tx_sql(
+        spark,
+        "SELECT version, action, txn FROM hist_orders$history "
+        "WHERE version >= 1 ORDER BY version",
     )

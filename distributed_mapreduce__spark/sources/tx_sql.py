@@ -174,6 +174,42 @@ def _top_positions(s: str) -> "set[int]":
     }
 
 
+def _unquoted_positions(s: str) -> "set[int]":
+    """Indices of ``s`` outside ' \" ` quotes ONLY — the literal mask
+    for token rewrites that must still apply inside parens and CASE
+    arms (alias requalification, time-travel view substitution),
+    where the statement splitter's stricter :func:`_top_positions`
+    would wrongly skip subqueries (round 15, ADVICE r14)."""
+    out: "set[int]" = set()
+    q = None
+    for i, ch in enumerate(s):
+        if q is not None:
+            if ch == q:
+                q = None
+            continue
+        if ch in "'\"`":
+            q = ch
+            continue
+        out.add(i)
+    return out
+
+
+def _sub_unquoted(rx, repl, text: str) -> str:
+    """``rx.sub(repl, text)`` restricted to matches STARTING outside
+    string literals — ``rx`` a compiled regex, ``repl`` a string or a
+    match function."""
+    ok = _unquoted_positions(text)
+    pieces, last = [], 0
+    for m in rx.finditer(text):
+        if m.start() not in ok:
+            continue
+        pieces.append(text[last:m.start()])
+        pieces.append(repl(m) if callable(repl) else repl)
+        last = m.end()
+    pieces.append(text[last:])
+    return "".join(pieces)
+
+
 def _find_top_kw(s: str, kw: str, top: "set[int] | None" = None) -> int:
     """Index of the first TOP-LEVEL occurrence of keyword ``kw``
     (word-bounded, case-insensitive), or -1."""
@@ -395,19 +431,22 @@ def _parse_ts(raw: str) -> float:
 def _requalify(expr: "str | None", tname: str, salias: "str | None"):
     """Rewrite user qualifiers to the engine's fixed aliases: the
     target table name (and alias ``t``) -> ``t.``, the USING view
-    name / its alias -> ``s.``. Word-boundary textual rewrite —
-    qualifiers inside string literals are the documented edge."""
+    name / its alias -> ``s.``. Word-boundary rewrite SKIPPING string
+    literals (round 15, VERDICT r14 #5: ``SET note = 'see
+    orders.log'`` keeps its literal intact); a backtick-quoted
+    qualifier is treated as a literal too — quote the column, not the
+    alias."""
     if expr is None:
         return None
     out = expr
     if re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", tname or ""):
-        out = re.sub(rf"\b{tname}\.", "t.", out)
+        out = _sub_unquoted(re.compile(rf"\b{tname}\."), "t.", out)
     if (
         salias
         and salias != "s"
         and re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", salias)
     ):
-        out = re.sub(rf"\b{salias}\.", "s.", out)
+        out = _sub_unquoted(re.compile(rf"\b{salias}\."), "s.", out)
     return out
 
 
@@ -515,7 +554,10 @@ def _parse_merge(spark, sql: str):
 def _time_travel_views(spark, sql: str) -> str:
     """Rewrite ``<registered name> VERSION|TIMESTAMP AS OF`` table
     references in a SELECT to temp views bound to the historical
-    snapshot — per-query time travel (Delta's SELECT syntax)."""
+    snapshot — per-query time travel (Delta's SELECT syntax). Matches
+    inside string literals are skipped (ADVICE r14: a WHERE literal
+    like ``'orders VERSION AS OF 3'`` must survive verbatim), while
+    subqueries — inside parens — still rewrite."""
     def sub_v(m):
         name, v = m.group(1), int(m.group(2))
         if name not in _TABLES:
@@ -535,7 +577,65 @@ def _time_travel_views(spark, sql: str) -> str:
         )
         return view
 
-    return _TT_TS_RE.sub(sub_ts, _TT_RE.sub(sub_v, sql))
+    return _sub_unquoted(
+        _TT_TS_RE, sub_ts, _sub_unquoted(_TT_RE, sub_v, sql)
+    )
+
+
+def _history_frame(spark, path: str) -> DataFrame:
+    """The commit history as a DataFrame: one row per commit, newest
+    first (Delta's DESCRIBE HISTORY order); optional commit fields
+    normalized to string columns so the frame is rectangular. Shared
+    by ``DESCRIBE HISTORY`` and the SELECT-able ``<name>$history``
+    views."""
+    from .txlog import tx_history
+
+    hist = tx_history(spark, path)
+    cols = ["version", "action", "n_added", "n_removed", "txn", "ts"]
+    extras = sorted({k for h in hist for k in h} - set(cols))
+    import json as _json
+
+    def _ex(v):  # extras are declared string: stringify non-None
+        if v is None or isinstance(v, str):
+            return v
+        return _json.dumps(v)
+
+    rows = [
+        tuple(h.get(c) for c in cols)
+        + tuple(_ex(h.get(c)) for c in extras)
+        for h in reversed(hist)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "version long, action string, n_added long, n_removed long, "
+        "txn string, ts double"
+        + "".join(f", {c} string" for c in extras),
+    )
+
+
+_HIST_REF_RE = re.compile(r"\b([A-Za-z_][A-Za-z0-9_]*)\$history\b")
+
+
+def _history_views(spark, sql: str) -> str:
+    """Rewrite ``<registered name>$history`` table references to temp
+    views over the table's commit history — SELECT-able history
+    (round 15, VERDICT r14 #6): maintenance jobs compose it, e.g.
+    ``SELECT max(version) FROM t$history WHERE action = 'append'``.
+    The view binds the history AS OF query time (same freshness rule
+    as the snapshot views); references inside string literals are
+    left alone."""
+
+    def sub(m):
+        name = m.group(1)
+        if name not in _TABLES:
+            return m.group(0)
+        view = f"{name}__history"
+        _history_frame(spark, _TABLES[name]).createOrReplaceTempView(
+            view
+        )
+        return view
+
+    return _sub_unquoted(_HIST_REF_RE, sub, sql)
 
 
 def _one_row_frame(spark, d: dict) -> DataFrame:
@@ -703,32 +803,8 @@ def tx_sql(spark: SparkSession, sql: str):
         return v
     m = _DESCRIBE_HISTORY_RE.match(sql)
     if m:
-        from .txlog import tx_history
-
         path, _name = _path_of(m.group(1))
-        hist = tx_history(spark, path)
-        # one row per commit, newest first (Delta's DESCRIBE HISTORY
-        # order); optional fields normalized so the frame is rectangular
-        cols = ["version", "action", "n_added", "n_removed", "txn", "ts"]
-        extras = sorted({k for h in hist for k in h} - set(cols))
-        import json as _json
-
-        def _ex(v):  # extras are declared string: stringify non-None
-            if v is None or isinstance(v, str):
-                return v
-            return _json.dumps(v)
-
-        rows = [
-            tuple(h.get(c) for c in cols)
-            + tuple(_ex(h.get(c)) for c in extras)
-            for h in reversed(hist)
-        ]
-        return spark.createDataFrame(
-            rows,
-            "version long, action string, n_added long, n_removed long, "
-            "txn string, ts double"
-            + "".join(f", {c} string" for c in extras),
-        )
+        return _history_frame(spark, path)
     m = _DESCRIBE_RE.match(sql)
     if m:
         from .txlog import tx_detail
@@ -744,7 +820,9 @@ def tx_sql(spark: SparkSession, sql: str):
         # VERSION/TIMESTAMP AS OF references bind historical views
         for nm, p in _TABLES.items():
             tx_view(spark, p, nm)
-        return spark.sql(_time_travel_views(spark, sql))
+        return spark.sql(
+            _history_views(spark, _time_travel_views(spark, sql))
+        )
     raise ValueError(
         f"unsupported statement {sql.strip().split(None, 1)[0]!r}: "
         "tx_sql speaks UPDATE / DELETE FROM / INSERT INTO|OVERWRITE "

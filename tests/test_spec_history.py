@@ -102,3 +102,35 @@ def test_tx_files_exposes_per_file_spec_id(spark, tmp_path):
     }
     assert set(by_spec) == {0, 1}
     assert by_spec[0] == 0 and by_spec[1] > 0
+
+
+def test_legacy_checkpoint_seed_covers_pre_checkpoint_adds(
+    spark, tmp_path
+):
+    """ADVICE r14: a legacy (pre-registry) checkpoint seeds its folded
+    spec at version 0, so files added BEFORE the checkpoint resolve to
+    spec 0 in tx_files instead of NULL — the folded spec applied to
+    them too."""
+    import glob
+    import json
+    import os
+
+    from distributed_mapreduce__spark.sources.txlog import tx_files
+
+    t = str(tmp_path / "t")
+    tx_write(_df(spark, 0, 10), t, partition_by=["k"])
+    tx_write(_df(spark, 10, 20), t)
+    snap = _replay(spark, t)
+    assert _write_checkpoint(spark, t, snap.version)
+    # simulate a pre-round-14 checkpoint: drop the persisted lineage
+    (ck,) = glob.glob(os.path.join(t, "_txlog", "*.checkpoint.json"))
+    d = json.load(open(ck))
+    d.pop("spec_history", None)
+    json.dump(d, open(ck, "w"))
+    tx_vacuum(spark, t, retain_last=0)
+    rows = tx_files(spark, t).collect()
+    assert rows and all(r.spec_id == 0 for r in rows)
+    hist = tx_detail(spark, t)["partition_spec_history"]
+    assert hist == [
+        {"spec_id": 0, "partition_by": ["k"], "version": 0}
+    ]
