@@ -553,3 +553,153 @@ def test_max_files_per_trigger_soft_cap(spark, tmp_path):
         q.stop()
     # budget 4 over 3-file commits -> 2 commits per batch (18 rows)
     assert [n for n in batches if n] == [18, 18]
+
+
+def test_fsspec_planner_fs_claimer_write_path(spark, tmp_path):
+    """Round 15 (VERDICT r14 #8 + ADVICE r14 medium): the WRITE side
+    of the planner-FS seam against an fsspec-shaped in-memory object
+    store. Without a registered claimer, commit publication on a
+    rename-unsafe scheme REFUSES loudly (no exists-then-write race);
+    with txlog's S3 conditional-put claimer registered, the sink
+    stages, claims, commits, crash-replays, and reads back entirely
+    through _FsspecPlannerFS."""
+    import io
+    import os
+
+    from distributed_mapreduce__spark.sources.txlog import (
+        _CLAIMERS,
+        S3ConditionalPutClaimer,
+        register_claimer,
+        tx_write,
+    )
+    from distributed_mapreduce__spark.streaming.tx_source import (
+        _SCHEME_FS,
+        _FsspecPlannerFS,
+        _LogView,
+        TxTableBatchReader,
+        TxTableStreamWriter,
+        register_planner_fs,
+    )
+
+    store: dict = {}
+
+    class _W(io.BytesIO):
+        def __init__(self, path, text=False):
+            super().__init__()
+            self._path, self._text = path, text
+
+        def write(self, b):
+            return super().write(
+                b.encode() if isinstance(b, str) else b
+            )
+
+        def close(self):
+            store[self._path] = self.getvalue()
+            super().close()
+
+        def __exit__(self, *a):
+            self.close()
+
+    class _FakeFsspec:
+        def isdir(self, p):
+            d = p.rstrip("/") + "/"
+            return any(k.startswith(d) for k in store)
+
+        def ls(self, p, detail=False):
+            d = p.rstrip("/") + "/"
+            return sorted(
+                {d + k[len(d):].split("/", 1)[0] for k in store
+                 if k.startswith(d)}
+            )
+
+        def exists(self, p):
+            return p in store or self.isdir(p)
+
+        def open(self, p, mode="rb"):
+            if "w" in mode:
+                return _W(p, text="b" not in mode)
+            data = store[p]
+            return (
+                io.BytesIO(data) if "b" in mode
+                else io.StringIO(data.decode())
+            )
+
+        def rm(self, p):
+            if p not in store:
+                raise FileNotFoundError(p)
+            del store[p]
+
+    class _ClientErr(Exception):
+        def __init__(self, code):
+            super().__init__(code)
+            self.response = {"Error": {"Code": code}}
+
+    class _FakeS3Client:
+        def put_object(self, Bucket, Key, Body, IfNoneMatch):
+            assert IfNoneMatch == "*"
+            path = f"s3://{Bucket}/{Key}"
+            if path in store:
+                raise _ClientErr("PreconditionFailed")
+            store[path] = Body if isinstance(Body, bytes) else bytes(Body)
+            return {}
+
+    # seed a real table locally, mirror its bytes under s3://bkt/tbl
+    seed = str(tmp_path / "seed")
+    tx_write(
+        spark.createDataFrame([], "id long, tag string"), seed
+    )
+    for root, _d, names in os.walk(seed):
+        for n in names:
+            rel = os.path.relpath(os.path.join(root, n), seed)
+            with open(os.path.join(root, n), "rb") as fh:
+                store[f"s3://bkt/tbl/{rel}"] = fh.read()
+
+    register_planner_fs("s3", _FsspecPlannerFS(_FakeFsspec()))
+    try:
+        w = TxTableStreamWriter(
+            {"path": "s3://bkt/tbl", "appid": "obj"},
+            _LogView("s3://bkt/tbl").schema_json(),
+        )
+        import pyarrow as pa
+
+        batch = iter(
+            pa.Table.from_pydict(
+                {"id": [1, 2, 3], "tag": ["a", "b", "c"]},
+                schema=pa.schema(
+                    [("id", pa.int64()), ("tag", pa.string())]
+                ),
+            ).to_batches()
+        )
+        m = w.write(batch)
+        # no claimer for s3: the commit REFUSES instead of racing
+        with pytest.raises(NotImplementedError, match="put-if-absent"):
+            w.commit([m], 0)
+        register_claimer("s3", S3ConditionalPutClaimer(_FakeS3Client()))
+        w.commit([m], 0)
+        # crash replay: same batch id dedupes, staged duplicate removed
+        m2 = w.write(
+            iter(pa.Table.from_pydict(
+                {"id": [1], "tag": ["a"]},
+                schema=pa.schema(
+                    [("id", pa.int64()), ("tag", pa.string())]
+                ),
+            ).to_batches())
+        )
+        n_before = len(store)
+        w.commit([m2], 0)
+        assert len(store) == n_before - 1  # the dup staged file gone
+        # read back through the same seam
+        rd = TxTableBatchReader(
+            {"path": "s3://bkt/tbl"}, _LogView("s3://bkt/tbl").schema_json()
+        )
+        rows = sorted(
+            (r["id"], r["tag"])
+            for p in rd.partitions()
+            if p.abs_path
+            for t in rd.read(p)
+            for r in t.to_pylist()
+        )
+        assert rows == [(1, "a"), (2, "b"), (3, "c")]
+    finally:
+        _SCHEME_FS.pop("s3", None)
+        _CLAIMERS.pop("s3", None)
