@@ -291,7 +291,7 @@ def main() -> None:
         for script in ("bench_r6_ops.py", "bench_r7_ops.py",
                        "bench_r9_ops.py", "bench_r11_ops.py",
                        "bench_r12_ops.py", "bench_r13_ops.py",
-                       "bench_r14_ops.py"):
+                       "bench_r14_ops.py", "bench_r15_ops.py"):
             spec = importlib.util.spec_from_file_location(
                 script[:-3], os.path.join(REPO, "scripts", script)
             )

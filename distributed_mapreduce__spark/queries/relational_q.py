@@ -344,7 +344,7 @@ def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- exact quantiles -------------------------------------------------------
 
 
-@register(
+@register_local(
     "quantile_quantity",
     oracle="""
     SELECT l_returnflag,
@@ -768,7 +768,7 @@ def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@register_local(
     "orders_customer_join_auto",
     oracle="""
     SELECT c_mktsegment,
