@@ -248,14 +248,9 @@ def tx_multi(
             else:
                 prep = _prepare_merge(
                     spark, path, writes[path], (merge_keys or {})[path],
-                    None, psnap,
+                    None, psnap, ctx="tx_multi participant (merge)",
                 )
-                reval = (
-                    lambda props, _df=writes[path], _p=path:
-                    _check_constraints(
-                        _df, props, _p, "tx_multi participant (merge)"
-                    )
-                )
+                reval = prep["revalidate"]
             extra = dict(prep["extra"] or {})
             extra["multi"] = {"coordinator": coordinator, "txid": txid}
             versions[path] = _commit_rewrite(

@@ -103,29 +103,59 @@ def _refresh(spark, path: str, name: "str | None") -> None:
 
 def _split_top(s: str, sep: str = ",") -> "list[str]":
     """Split on ``sep`` at paren/quote depth zero (assignment lists
-    may contain function calls and quoted strings)."""
-    out, cur, depth, q = [], [], 0, None
-    for ch in s:
-        if q is not None:
-            cur.append(ch)
-            if ch == q:
-                q = None
-        elif ch in "'\"`":
-            q = ch
-            cur.append(ch)
-        elif ch == "(":
-            depth += 1
-            cur.append(ch)
-        elif ch == ")":
-            depth -= 1
-            cur.append(ch)
-        elif ch == sep and depth == 0:
-            out.append("".join(cur))
-            cur = []
-        else:
-            cur.append(ch)
+    may contain function calls and quoted strings). Quote state comes
+    from :func:`_unquoted_positions` — ONE escape rule for the whole
+    dialect, so a backslash-escaped quote inside a literal can't
+    desync this splitter from the rewrite mask (round 15 review)."""
+    unq = _unquoted_positions(s)
+    out, cur, depth = [], [], 0
+    for i, ch in enumerate(s):
+        if i in unq:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif ch == sep and depth == 0:
+                out.append("".join(cur))
+                cur = []
+                continue
+        cur.append(ch)
     out.append("".join(cur))
     return [x.strip() for x in out if x.strip()]
+
+
+def _unquoted_positions(s: str) -> "set[int]":
+    """Indices of ``s`` outside ' \" ` string/identifier literals —
+    THE quote scanner (statement splitting and token rewrites both go
+    through it, so the splitter and the literal mask can never
+    disagree on where a string ends). Honors Spark's default string
+    escapes (``spark.sql.parser.escapedStringLiterals=false``): a
+    backslash escapes the next character inside ' and \" literals,
+    and a doubled quote is an escaped quote in all three (backticks
+    escape only by doubling). An unterminated literal masks to end of
+    string (fail closed)."""
+    out: "set[int]" = set()
+    i, n, q = 0, len(s), None
+    while i < n:
+        ch = s[i]
+        if q is not None:
+            if ch == "\\" and q in "'\"" and i + 1 < n:
+                i += 2
+                continue
+            if ch == q:
+                if i + 1 < n and s[i + 1] == q:  # doubled = escaped
+                    i += 2
+                    continue
+                q = None
+            i += 1
+            continue
+        if ch in "'\"`":
+            q = ch
+            i += 1
+            continue
+        out.add(i)
+        i += 1
+    return out
 
 
 def _top_positions(s: str) -> "set[int]":
@@ -133,16 +163,13 @@ def _top_positions(s: str) -> "set[int]":
     outside CASE...END expressions — the scanner every keyword split
     below goes through, so a WHERE/WHEN/THEN inside a string literal
     (or a CASE expression's own WHEN/THEN) can never split a
-    statement."""
+    statement. Quote state comes from :func:`_unquoted_positions`
+    (one escape-handling rule for the whole dialect)."""
+    unq = _unquoted_positions(s)
     base: "set[int]" = set()
-    depth, q = 0, None
+    depth = 0
     for i, ch in enumerate(s):
-        if q is not None:
-            if ch == q:
-                q = None
-            continue
-        if ch in "'\"`":
-            q = ch
+        if i not in unq:
             continue
         if ch == "(":
             depth += 1
@@ -172,26 +199,6 @@ def _top_positions(s: str) -> "set[int]":
     return {
         i for i in base if not any(a <= i < b for a, b in intervals)
     }
-
-
-def _unquoted_positions(s: str) -> "set[int]":
-    """Indices of ``s`` outside ' \" ` quotes ONLY — the literal mask
-    for token rewrites that must still apply inside parens and CASE
-    arms (alias requalification, time-travel view substitution),
-    where the statement splitter's stricter :func:`_top_positions`
-    would wrongly skip subqueries (round 15, ADVICE r14)."""
-    out: "set[int]" = set()
-    q = None
-    for i, ch in enumerate(s):
-        if q is not None:
-            if ch == q:
-                q = None
-            continue
-        if ch in "'\"`":
-            q = ch
-            continue
-        out.add(i)
-    return out
 
 
 def _sub_unquoted(rx, repl, text: str) -> str:

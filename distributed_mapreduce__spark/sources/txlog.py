@@ -3384,15 +3384,27 @@ def tx_files(
     fs = hadoop_fs(spark, path)[0]
     dv_targets = {f for d in snap.dv for f in d["targets"]}
 
-    def spec_at(v: int) -> "int | None":
+    def spec_at(v: int, dir_names: "tuple[str, ...]") -> "int | None":
         """The spec id LIVE when the file was added (round 14 — the
         per-file half of the spec registry, Iceberg's manifest
-        spec-id): the last lineage entry at/below the add version."""
+        spec-id): the last lineage entry at/below the add version —
+        cross-checked against the file's OWN path signature (round 15
+        review): a legacy-checkpoint seed claims the folded spec at
+        version 0, which is actively wrong for files written under an
+        earlier spec the truncated log no longer records; when the
+        file's directory field names contradict the resolved spec,
+        report NULL (honest unknown) instead of a wrong id."""
         cur = None
         for e in snap.spec_history:
             if e["version"] <= v:
-                cur = e["spec_id"]
-        return cur
+                cur = e
+        if cur is None:
+            return None
+        want = tuple(
+            pf.name
+            for pf in _parse_partition_spec(cur["partition_by"])
+        )
+        return cur["spec_id"] if dir_names == want else None
 
     rows = []
     for f in sorted(snap.eps):
@@ -3411,7 +3423,7 @@ def tx_files(
                 for seg in af.rsplit("/data/", 1)[-1].split("/")[:-1]
                 if "=" in seg
             )
-        }
+        }  # insertion-ordered: path order IS the spec field order
         st = snap.stats.get(f)
         rows.append(
             (
@@ -3421,7 +3433,7 @@ def tx_files(
                 json.dumps(part) if part else None,
                 json.dumps(st) if st else None,
                 f in dv_targets,
-                spec_at(snap.eps[f]),
+                spec_at(snap.eps[f], tuple(part)),
             )
         )
     return spark.createDataFrame(
@@ -4050,9 +4062,7 @@ def tx_merge(
         reval = prep["revalidate"]
     else:
         prep = _prepare_merge(spark, path, updates, key_col, cdf, snap)
-
-        def reval(props):
-            _check_constraints(updates, props, path, "tx_merge updates")
+        reval = prep["revalidate"]
 
     return _commit_rewrite(
         spark, path, prep["added"], prep["touched"], prep["snap_version"],
@@ -4065,6 +4075,7 @@ def tx_merge(
 def _prepare_merge(
     spark, path: str, updates: DataFrame, key_col: "str | list[str]",
     cdf: "bool | None" = None, snap: "_Snapshot | None" = None,
+    ctx: str = "tx_merge updates",
 ) -> dict:
     """Everything of the UNCONDITIONAL upsert :func:`tx_merge` up to
     (but not including) the commit — validation, file pruning,
@@ -4097,7 +4108,7 @@ def _prepare_merge(
     if snap is None:
         snap = _replay(spark, path)
     _check_writer_features(snap.properties, path)
-    _check_constraints(updates, snap.properties, path, "tx_merge updates")
+    _check_constraints(updates, snap.properties, path, ctx)
     if cdf is None:
         cdf = _cdf_props_default(snap.properties)
     _refuse_mor(snap, path, "tx_merge")
@@ -4200,6 +4211,16 @@ def _prepare_merge(
     added = _stage_and_place(
         _to_physical(new_data, snap.schema), path, snap.partition_by
     )
+
+    def revalidate(props):
+        # closes over the CHECKPOINTED frame above, not the caller's
+        # raw plan (round 15 review): commit-time revalidation must
+        # judge the rows that were STAGED — a nondeterministic or
+        # concurrently-changing source would otherwise be validated
+        # against different rows than landed (and re-execute its full
+        # plan, the cost the one-pass materialization removed)
+        _check_constraints(updates, props, path, ctx)
+
     return {
         "added": added,
         "touched": touched,
@@ -4208,6 +4229,7 @@ def _prepare_merge(
         "blooms": _rewrite_blooms(spark, path, touched, added, snap),
         "conflict_keys": None if empty_updates else specs,
         "extra": extra,
+        "revalidate": revalidate,
         "planned_rt": rt,
     }
 

@@ -942,6 +942,13 @@ def _sink_place_val(pf, v):
 
     t = pf.transform
     if t == "identity":
+        # aware datetimes (Spark stamps arrow batches with the session
+        # tz) render their session-local NAIVE wall time in the
+        # directory name — _stat_val's rule, and the engine's layout:
+        # str() of the aware value would append '+00:00' and split one
+        # partition value across two directories (round 15 review)
+        if isinstance(v, _dt.datetime) and v.tzinfo is not None:
+            return v.replace(tzinfo=None)
         return v
     if t in ("days", "months", "years", "hours"):
         # txlog's date_format renders in the session timezone; arrow
@@ -1019,6 +1026,66 @@ def _constraint_violations(table, expr: str) -> int:
         return con.execute(
             f"SELECT count(*) FROM __sink_batch WHERE ({expr}) IS FALSE"
         ).fetchone()[0]
+    finally:
+        con.close()
+
+
+def _check_staged_batch(table, constraints: "dict[str, str]", path: str):
+    """Evaluate EVERY CHECK constraint over a staged Arrow batch in
+    ONE duckdb connection (register once, one vectorized scan per
+    constraint — not a connection per constraint per task per
+    micro-batch). Violation rule is SQL CHECK: predicate IS FALSE
+    fails, NULL (unknown) passes — ``txlog._check_constraints``'
+    ``eqNullSafe(False)`` arm. The connection pins its TimeZone to the
+    batch's timestamp tz (what Spark stamps from
+    ``spark.sql.session.timeZone``) so literal comparisons see
+    session-local wall time, not duckdb's host default.
+
+    Documented divergence from an ANSI-mode engine (round 15 review):
+    a constraint whose EVALUATION errors value-dependently on this
+    batch (e.g. a failing cast — invisible to the construction
+    dry-run on an empty table) refuses LOUDLY here naming the
+    constraint, fail-closed; arithmetic duckdb folds to NULL (1/0)
+    passes as unknown — the SQL standard's CHECK semantics — where
+    ANSI Spark would instead error the write."""
+    import re as _re
+
+    import duckdb
+    import pyarrow as pa
+
+    con = duckdb.connect()
+    try:
+        tz = next(
+            (
+                f.type.tz
+                for f in table.schema
+                if pa.types.is_timestamp(f.type) and f.type.tz
+            ),
+            None,
+        )
+        if tz and _re.fullmatch(r"[\w/+:-]+", tz):
+            con.execute(f"SET TimeZone='{tz}'")
+        con.register("__sink_batch", table)
+        for n, e in sorted(constraints.items()):
+            try:
+                bad = con.execute(
+                    "SELECT count(*) FROM __sink_batch "
+                    f"WHERE ({e}) IS FALSE"
+                ).fetchone()[0]
+            except Exception as err:
+                raise ValueError(
+                    f"CHECK constraint {n!r} ({e}) on table {path} "
+                    f"could not be evaluated on this micro-batch "
+                    f"({err}); nothing was committed — fail closed: "
+                    "fix the data, drop the constraint, or enforce "
+                    "upstream"
+                ) from err
+            if bad:
+                raise ValueError(
+                    f"micro-batch violates CHECK constraint {n!r} "
+                    f"({e}) on table {path} ({bad} row(s)); "
+                    "nothing was committed"
+                )
     finally:
         con.close()
 
@@ -1183,14 +1250,8 @@ class TxTableStreamWriter(DataSourceStreamArrowWriter):
         if not rows:
             return _SinkCommitMessage([])
         t = pa.Table.from_batches(batches)
-        for n, e in sorted(self.constraints.items()):
-            bad = _constraint_violations(t, e)
-            if bad:
-                raise ValueError(
-                    f"micro-batch violates CHECK constraint {n!r} "
-                    f"({e}) on table {self.path} ({bad} row(s)); "
-                    "nothing was committed"
-                )
+        if self.constraints:
+            _check_staged_batch(t, self.constraints, self.path)
         if not self.part_fields:
             t = _staged_cast(
                 t.rename_columns(

@@ -174,3 +174,40 @@ def test_constraint_added_during_merge_enforced_at_commit(spark, table):
     got = tx_read(spark, table)
     assert got.count() == 10
     assert got.filter("tag <> 'a'").count() == 0
+
+
+def test_merge_revalidate_sees_staged_rows_not_replan(
+    spark, table, tmp_path
+):
+    """Round 15 review: the commit-time revalidate hook must validate
+    the rows that were STAGED (the merge prep's one-pass checkpointed
+    frame), not re-execute the caller's source plan — a source reading
+    state that changed mid-flight (or a nondeterministic plan) would
+    otherwise be validated against rows that differ from what landed."""
+    from distributed_mapreduce__spark.sources.txlog import (
+        _commit_rewrite,
+        _prepare_merge,
+    )
+
+    p = str(tmp_path / "src_data")
+    spark.createDataFrame(
+        [(3, "a")], "id long, tag string"
+    ).write.parquet(p)
+    updates = spark.read.parquet(p)
+    prep = _prepare_merge(spark, table, updates, "id", False, None)
+    # the source's backing data changes mid-flight to a VIOLATING row
+    spark.createDataFrame(
+        [(3, "z")], "id long, tag string"
+    ).write.mode("overwrite").parquet(p)
+    tx_add_constraint(spark, table, "tag_a2", "tag = 'a'")
+    # the STAGED rows are all 'a' — the commit must succeed (the old
+    # closure over the raw plan re-read the parquet and refused)
+    _commit_rewrite(
+        spark, table, prep["added"], prep["touched"],
+        prep["snap_version"], None, "merge", stats=prep["stats"],
+        conflict_keys=prep["conflict_keys"], extra=prep["extra"],
+        revalidate=prep["revalidate"], planned_rt=prep["planned_rt"],
+    )
+    got = tx_read(spark, table)
+    assert got.count() == 10
+    assert got.filter("tag <> 'a'").count() == 0

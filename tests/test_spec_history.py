@@ -134,3 +134,37 @@ def test_legacy_checkpoint_seed_covers_pre_checkpoint_adds(
     assert hist == [
         {"spec_id": 0, "partition_by": ["k"], "version": 0}
     ]
+
+
+def test_legacy_seed_mismatched_layout_reports_null(spark, tmp_path):
+    """Round 15 review: the version-0 legacy seed claims the FOLDED
+    (latest) spec for every pre-checkpoint add — actively wrong when
+    the spec evolved before the checkpoint. tx_files cross-checks each
+    file's own path signature against the resolved spec's field names
+    and reports NULL (honest unknown) on mismatch instead of a wrong
+    id; files whose layout matches keep resolving to the seed."""
+    import glob
+    import json
+    import os
+
+    from distributed_mapreduce__spark.sources.txlog import tx_files
+
+    t = str(tmp_path / "t")
+    tx_write(_df(spark, 0, 10), t, partition_by=["k"])   # spec A
+    tx_set_partitioning(spark, t, ["days(ts)"])          # evolve -> B
+    tx_write(_df(spark, 10, 20), t)                      # B-layout adds
+    snap = _replay(spark, t)
+    assert _write_checkpoint(spark, t, snap.version)
+    (ck,) = glob.glob(os.path.join(t, "_txlog", "*.checkpoint.json"))
+    d = json.load(open(ck))
+    d.pop("spec_history", None)  # simulate a pre-round-14 checkpoint
+    json.dump(d, open(ck, "w"))
+    tx_vacuum(spark, t, retain_last=0)
+    rows = tx_files(spark, t).collect()
+    a_files = [r for r in rows if "/k=" in f"/{r.file}"]
+    b_files = [r for r in rows if "_p_days_ts=" in r.file]
+    assert a_files and b_files
+    # pre-evolution layout contradicts the seeded (folded) spec
+    assert all(r.spec_id is None for r in a_files)
+    # post-evolution files match the seed and resolve to it
+    assert all(r.spec_id == 0 for r in b_files)

@@ -421,3 +421,67 @@ def test_constraint_added_mid_stream_fails_commit(spark, tmp_path):
         w.commit([m], 0)
     # staged duplicate was dropped
     assert tx_read(spark, t).count() == 0
+
+
+def test_sink_identity_timestamp_partition_dir_parity(spark, tmp_path):
+    """Round 15 review: Spark's Arrow conversion hands the sink
+    TZ-AWARE datetimes for TimestampType — the partition directory
+    value must render the session-local NAIVE wall time (the engine's
+    layout, _stat_val's rule); ``str()`` of the aware value appended
+    ``+00:00``, splitting one partition value across two directories
+    depending on which writer landed it."""
+    import glob
+    import os
+
+    import pyarrow as pa
+
+    eng, snk = str(tmp_path / "eng"), str(tmp_path / "snk")
+    df = spark.sql(
+        "SELECT 1L AS id, timestamp'2024-11-30 23:59:59' AS ts"
+    )
+    tx_write(df, eng, partition_by=["ts"])
+    tx_write(
+        spark.createDataFrame([], "id long, ts timestamp"),
+        snk, partition_by=["ts"],
+    )
+    w = TxTableStreamWriter(
+        {"path": snk, "appid": "tz"}, _LogView(snk).schema_json()
+    )
+    # what Spark streams to the sink: tz-stamped from the session tz
+    import datetime as dt
+
+    batch = pa.table({
+        "id": pa.array([1], type=pa.int64()),
+        "ts": pa.array(
+            [dt.datetime(2024, 11, 30, 23, 59, 59)],
+            type=pa.timestamp("us", tz="UTC"),
+        ),
+    })
+    w.commit([w.write(iter(batch.to_batches()))], 0)
+
+    def dirs(root):
+        return sorted(
+            os.path.basename(os.path.dirname(p))
+            for p in glob.glob(f"{root}/data/ts=*/*.parquet")
+        )
+
+    assert dirs(snk) == dirs(eng)  # byte-identical directory names
+    got = tx_read(spark, snk).collect()
+    assert [(r.id, str(r.ts)) for r in got] == [(1, "2024-11-30 23:59:59")]
+
+
+def test_sink_check_eval_error_refuses_named(spark, tmp_path):
+    """Round 15 review: a CHECK whose EVALUATION errors
+    value-dependently on a batch (e.g. a cast no row satisfies —
+    something the construction dry-run on an empty table cannot see)
+    refuses LOUDLY naming the constraint, fail-closed — not an opaque
+    duckdb traceback killing the stream, and never a silent accept."""
+    t = str(tmp_path / "t")
+    _seed(spark, t, _df(spark, 0, 1))
+    tx_add_constraint(spark, t, "tagnum", "CAST(tag AS INT) > 0")
+    w = TxTableStreamWriter(
+        {"path": t, "appid": "e"}, _LogView(t).schema_json()
+    )
+    with pytest.raises(ValueError, match="tagnum"):
+        w.write(_arrow_batches(spark, _df(spark, 0, 3, "x")))
+    assert tx_read(spark, t).count() == 0

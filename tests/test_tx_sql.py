@@ -369,6 +369,39 @@ def test_requalify_skips_string_literals(spark, pair):
         assert got[i] == ("see t_sql.log", (i % 10) * 2)
 
 
+def test_requalify_escaped_quotes_in_literals(spark, pair):
+    """Round 15 review: backslash-escaped (Spark's default
+    ``escapedStringLiterals=false``) and doubled quotes inside a SET
+    literal don't flip the quote mask — the literal's bytes survive
+    AND the qualifier rewrite after the literal still applies (the
+    naive toggle scanner treated the ``\\'`` as the closing quote and
+    silently skipped every rewrite after it)."""
+    from distributed_mapreduce__spark.sources.tx_sql import (
+        _unquoted_positions,
+    )
+
+    s = r"tag = 'it\'s', v = t_sql.v + 1"
+    unq = _unquoted_positions(s)
+    assert s.index("t_sql.v") in unq  # after the escaped literal
+    assert s.index("it") not in unq
+    s2 = "tag = 'it''s', v = t_sql.v + 1"
+    assert s2.index("t_sql.v") in _unquoted_positions(s2)
+
+    a, _b = pair
+    spark.range(0, 5).select(
+        "id", (F.col("id") % 10).alias("v"), F.lit("s").alias("tag")
+    ).createOrReplaceTempView("src_esc")
+    tx_sql(
+        spark,
+        "MERGE INTO t_sql USING src_esc ON t_sql.id = src_esc.id "
+        "WHEN MATCHED THEN UPDATE SET tag = 'see t_sql\\'s log', "
+        "v = t_sql.v + src_esc.v",
+    )
+    got = {r.id: (r.tag, r.v) for r in tx_read(spark, a).collect()}
+    for i in range(5):
+        assert got[i] == ("see t_sql's log", (i % 10) * 2)
+
+
 def test_time_travel_ref_inside_literal_survives(spark, pair):
     """ADVICE r14: a string literal like 't_sql VERSION AS OF 0' in a
     WHERE clause is data, not a time-travel reference — while a
