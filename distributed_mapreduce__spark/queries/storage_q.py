@@ -1528,3 +1528,67 @@ def history_select_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT version, action, txn FROM hist_orders$history "
         "WHERE version >= 1 ORDER BY version",
     )
+
+
+_FILES_META_ORACLE = """
+WITH pr AS (
+  SELECT o_orderpriority AS p,
+         min(o_orderkey) AS lo,
+         max(o_orderkey) AS hi
+  FROM orders GROUP BY o_orderpriority
+)
+SELECT CAST(row_number() OVER (ORDER BY p) - 1 AS BIGINT)
+         AS add_version,
+       CAST(1 AS BIGINT) AS n_files,
+       lo, hi
+FROM pr
+ORDER BY add_version
+"""
+
+
+@register_local("files_meta_agg", oracle=_FILES_META_ORACLE)
+def files_meta_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELECT-able file metadata (round 15 late — ``<name>$files``
+    completes the metadata-table family alongside ``$history`` /
+    ``$detail``, Iceberg's files metadata table): ingest orders as one
+    single-file append commit per priority class (coalesce(1), id
+    stats recorded), then answer an operational question in ONE SQL
+    statement — per commit, how many files landed and what id range do
+    their recorded [min, max] stats claim. The DuckDB oracle
+    reconstructs the expected rows from the data itself (versions
+    dense from 0 in sorted priority order, exactly one file each, the
+    stats range = the priority class's true min/max o_orderkey), so
+    the value hash pins that $files reports real file-level metadata —
+    add versions, file counts, AND the stats bytes the pruning reads
+    trust."""
+    import tempfile
+
+    from ..sources.tx_sql import tx_register_table, tx_sql
+    from ..sources.txlog import tx_write
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    prios = sorted(
+        r[0]
+        for r in orders.select("o_orderpriority").distinct().collect()
+    )
+    d = tempfile.mkdtemp(prefix="files_q_")
+    t = f"{d}/orders_files"
+    for p in prios:
+        tx_write(
+            orders.filter(F.col("o_orderpriority") == p).coalesce(1),
+            t, stats_cols=["o_orderkey"],
+        )
+    tx_register_table(spark, "files_orders", t)
+    return tx_sql(
+        spark,
+        "SELECT add_version, "
+        "CAST(count(*) AS BIGINT) AS n_files, "
+        "min(CAST(get_json_object(stats, '$.o_orderkey[0]') "
+        "  AS BIGINT)) AS lo, "
+        "max(CAST(get_json_object(stats, '$.o_orderkey[1]') "
+        "  AS BIGINT)) AS hi "
+        "FROM files_orders$files "
+        "GROUP BY add_version ORDER BY add_version",
+    )

@@ -620,29 +620,43 @@ def _history_frame(spark, path: str) -> DataFrame:
     )
 
 
-_HIST_REF_RE = re.compile(r"\b([A-Za-z_][A-Za-z0-9_]*)\$history\b")
+_META_REF_RE = re.compile(
+    r"\b([A-Za-z_][A-Za-z0-9_]*)\$(history|files|detail)\b"
+)
 
 
 def _history_views(spark, sql: str) -> str:
-    """Rewrite ``<registered name>$history`` table references to temp
-    views over the table's commit history — SELECT-able history
-    (round 15, VERDICT r14 #6): maintenance jobs compose it, e.g.
-    ``SELECT max(version) FROM t$history WHERE action = 'append'``.
-    The view binds the history AS OF query time (same freshness rule
-    as the snapshot views); references inside string literals are
-    left alone."""
+    """Rewrite ``<registered name>$history|$files|$detail`` table
+    references to temp views over the table's METADATA — Iceberg's
+    metadata-table family as SELECT-able relations (round 15, VERDICT
+    r14 #6): maintenance jobs compose them, e.g. ``SELECT max(version)
+    FROM t$history WHERE action = 'append'`` or ``SELECT
+    sum(size_bytes) FROM t$files WHERE dv_targeted`` (the operational
+    questions tx_files exists for, now answerable in one SQL
+    statement). ``$files`` is one row per LIVE file (add version,
+    size, partition values, stats JSON, dv flag, spec id); ``$detail``
+    is the one-row DESCRIBE DETAIL frame. Views bind AS OF query time
+    (same freshness rule as the snapshot views); references inside
+    string literals are left alone."""
 
     def sub(m):
-        name = m.group(1)
+        name, kind = m.group(1), m.group(2)
         if name not in _TABLES:
             return m.group(0)
-        view = f"{name}__history"
-        _history_frame(spark, _TABLES[name]).createOrReplaceTempView(
-            view
+        from .txlog import tx_detail, tx_files
+
+        view = f"{name}__{kind}"
+        frame = (
+            _history_frame(spark, _TABLES[name])
+            if kind == "history"
+            else tx_files(spark, _TABLES[name])
+            if kind == "files"
+            else _one_row_frame(spark, tx_detail(spark, _TABLES[name]))
         )
+        frame.createOrReplaceTempView(view)
         return view
 
-    return _sub_unquoted(_HIST_REF_RE, sub, sql)
+    return _sub_unquoted(_META_REF_RE, sub, sql)
 
 
 def _one_row_frame(spark, d: dict) -> DataFrame:

@@ -448,3 +448,47 @@ def test_history_is_selectable_relation(spark, pair):
         spark, "SELECT 't_sql$history' AS s"
     ).collect()[0].s
     assert lit == "t_sql$history"
+
+
+def test_files_and_detail_are_selectable_relations(spark, pair):
+    """Round 15: the metadata-table family completes — ``t$files``
+    (one row per live file: size, partition values, stats, dv flag,
+    spec id) and ``t$detail`` compose in SELECT like ``t$history``,
+    so "how big is this table on disk" or "which files does a DV
+    target" are ONE SQL statement, cross-checkable against the
+    python APIs they bind."""
+    import os
+
+    from distributed_mapreduce__spark.sources.txlog import (
+        tx_detail,
+        tx_files,
+    )
+
+    a, _b = pair
+    got = tx_sql(
+        spark,
+        "SELECT count(*) AS n, sum(size_bytes) AS b FROM t_sql$files",
+    ).collect()[0]
+    pyrows = tx_files(spark, a).collect()
+    assert got.n == len(pyrows) == 4
+    assert got.b == sum(r.size_bytes for r in pyrows)
+    assert got.b == sum(
+        os.path.getsize(os.path.join(a, r.file)) for r in pyrows
+    )
+    # joins against data relations compose too
+    top = tx_sql(
+        spark,
+        "SELECT f.file FROM t_sql$files f "
+        "ORDER BY f.size_bytes DESC, f.file LIMIT 1",
+    ).collect()[0].file
+    assert top in {r.file for r in pyrows}
+    det = tx_sql(
+        spark,
+        "SELECT num_files, version FROM t_sql$detail",
+    ).collect()[0]
+    d = tx_detail(spark, a)
+    assert det.num_files == d["num_files"] == 4
+    assert det.version == d["version"]
+    # literal containing the reference is untouched
+    lit = tx_sql(spark, "SELECT 't_sql$files' AS s").collect()[0].s
+    assert lit == "t_sql$files"
