@@ -96,6 +96,9 @@ class _LocalPlannerFS:
     def exists(self, p: str) -> bool:
         return os.path.exists(p)
 
+    def size(self, p: str) -> int:
+        return os.path.getsize(p)
+
     def read_text(self, p: str) -> str:
         with open(p) as fh:
             return fh.read()
@@ -149,6 +152,9 @@ class _FsspecPlannerFS:
 
     def exists(self, p: str) -> bool:
         return self.fs.exists(p)
+
+    def size(self, p: str) -> int:
+        return int(self.fs.size(p))
 
     def read_text(self, p: str) -> str:
         with self.fs.open(p, "r") as fh:
@@ -539,6 +545,7 @@ class _LogView:
     def change_files(
         self, since: int, upto: "int | None" = None,
         max_files: "int | None" = None,
+        max_bytes: "int | None" = None,
     ) -> "tuple[list[str], int]":
         """(files added by commits in (since, upto]), capped cursor) —
         the insert-only interpretation, stopping before a pending
@@ -546,10 +553,13 @@ class _LogView:
         call also refreshes ``self.file_bases`` — {added file:
         row-id base} from the commits' own row_bases records (None
         when the commit predates row tracking) — for the
-        ``withRowIds`` feed. ``max_files`` is a SOFT batch bound
-        (round 15, VERDICT r14 #4): the walk stops at the first
-        commit boundary at or above the budget — commit-granular, a
-        commit's files never split across micro-batches."""
+        ``withRowIds`` feed. ``max_files`` and ``max_bytes`` are SOFT
+        batch bounds (round 15, VERDICT r14 #4; bytes = Delta's
+        maxBytesPerTrigger twin): the walk stops at the first commit
+        boundary at or above the budget — commit-granular, a commit's
+        files never split across micro-batches. Bytes come from one
+        planner-FS ``size()`` stat per candidate file, paid only when
+        the option is set (this log records no file sizes)."""
         commits = self.commits()
         versions = sorted({v for v, _ in commits})
         if not versions:
@@ -563,6 +573,7 @@ class _LogView:
         files: list[str] = []
         self.file_bases: "dict[str, int | None]" = {}
         cursor = since
+        bytes_total = 0
         for v, kind in commits:
             if kind != "commit" or v <= since or v > latest:
                 continue
@@ -600,8 +611,14 @@ class _LogView:
             for f in c.get("add", []):
                 files.append(f)
                 self.file_bases[f] = bases.get(f)
+                if max_bytes is not None:
+                    bytes_total += self.fs.size(
+                        os.path.join(self.path, f)
+                    )
             cursor = v
             if max_files is not None and len(files) >= max_files:
+                return files, cursor
+            if max_bytes is not None and bytes_total >= max_bytes:
                 return files, cursor
         return files, cursor
 
@@ -684,13 +701,16 @@ class TxTableStreamReader(DataSourceStreamReader):
         #: cold-start drain of a huge backlog is incremental instead
         #: of one memory-cliff micro-batch — needed because the
         #: Python DataSource API lacks Trigger.AvailableNow (Spark
-        #: WARNs and falls back to single-batch execution). Both are
-        #: commit-granular; maxFilesPerTrigger is a soft cap (the
-        #: batch closes at the first commit boundary at or above it).
+        #: WARNs and falls back to single-batch execution). All three
+        #: are commit-granular; maxFilesPerTrigger and
+        #: maxBytesPerTrigger are soft caps (the batch closes at the
+        #: first commit boundary at or above the budget; bytes cost
+        #: one planner-FS stat per candidate file, only when set).
         self.max_versions = (
             int(options.get("maxversionspertrigger", 0)) or None
         )
         self.max_files = int(options.get("maxfilespertrigger", 0)) or None
+        self.max_bytes = int(options.get("maxbytespertrigger", 0)) or None
 
     # -- offsets ---------------------------------------------------
     def initialOffset(self) -> dict:
@@ -704,7 +724,10 @@ class TxTableStreamReader(DataSourceStreamReader):
             cur = min(cur, since + self.max_versions)
         # stop before a pending multi commit: cap the offset there so
         # partitions() never spans an unresolved transaction
-        _, capped = view.change_files(since, cur, max_files=self.max_files)
+        _, capped = view.change_files(
+            since, cur, max_files=self.max_files,
+            max_bytes=self.max_bytes,
+        )
         base = {v for v, _ in view.commits()}
         # capped can trail cur only due to a pending multi or because
         # nothing new exists; never regress below a prior offset

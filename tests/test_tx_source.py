@@ -703,3 +703,45 @@ def test_fsspec_planner_fs_claimer_write_path(spark, tmp_path):
     finally:
         _SCHEME_FS.pop("s3", None)
         _CLAIMERS.pop("s3", None)
+
+
+def test_max_bytes_per_trigger_soft_cap(spark, tmp_path):
+    """maxBytesPerTrigger (Delta's twin bound, round 15 late) closes
+    the batch at the first commit boundary at or above the byte
+    budget — commit-granular like the files/versions bounds, priced
+    by one planner-FS stat per candidate file only when the option
+    is set (the log records no sizes)."""
+    import glob
+    import os
+
+    t = str(tmp_path / "t")
+    for i in range(4):  # 4 single-file commits of similar size
+        tx_write(
+            spark.range(i * 9, (i + 1) * 9).coalesce(1).select("id"), t
+        )
+    sizes = sorted(
+        os.path.getsize(p) for p in glob.glob(f"{t}/data/*.parquet")
+    )
+    register_tx_source(spark)
+    batches = []
+
+    def sink(df, bid):
+        batches.append(df.count())
+
+    # a 1-byte budget: every commit's first file crosses it, so each
+    # batch is exactly one commit (the soft cap includes the crossing
+    # commit — Delta's maxBytesPerTrigger rule)
+    assert sizes[0] > 1
+    q = (
+        spark.readStream.format("txtable").option("path", t)
+        .option("maxBytesPerTrigger", "1").load()
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # budget just over one file -> exactly one commit per batch
+    assert [n for n in batches if n] == [9, 9, 9, 9]
