@@ -645,7 +645,11 @@ def _history_views(spark, sql: str) -> str:
             return m.group(0)
         from .txlog import tx_detail, tx_files
 
-        view = f"{name}__{kind}"
+        # reserved-prefix view name: a REGISTERED table may legally be
+        # called '<name>__files', and clobbering its snapshot view
+        # would silently redirect reads of that table to the metadata
+        # frame (round 15 review)
+        view = f"__tx_meta_{name}__{kind}"
         frame = (
             _history_frame(spark, _TABLES[name])
             if kind == "history"

@@ -3415,9 +3415,12 @@ def tx_files(
             size = -1
         # directory names carry hive-ESCAPED values (%XX for Spark's
         # escape set): report the unescaped value, the same form the
-        # typed read path and the stats record (ADVICE r14)
+        # typed read path and the stats record (ADVICE r14). Keys
+        # unescape too — Spark escapes the field NAME half of the
+        # segment the same way, and spec_at compares these against
+        # raw spec field names (round 15 review)
         part = {
-            k: unquote(v)
+            unquote(k): unquote(v)
             for k, v in (
                 seg.split("=", 1)
                 for seg in af.rsplit("/data/", 1)[-1].split("/")[:-1]

@@ -1033,26 +1033,6 @@ def _staged_cast(t, schema_json: str, phys: dict):
     return pa.table(cols, names=t.column_names)
 
 
-def _constraint_violations(table, expr: str) -> int:
-    """Rows of the Arrow ``table`` where the CHECK ``expr`` IS FALSE —
-    SQL CHECK semantics, NULL passes, matching the engine's
-    ``txlog._check_constraints`` (its ``eqNullSafe(False)`` arm).
-    Evaluated vectorized and zero-copy by duckdb: the sink's
-    pure-python lifecycle has no SparkSession, and duckdb speaks
-    enough ANSI SQL for CHECK predicates (a constraint it cannot
-    parse refuses at sink construction, never mid-stream)."""
-    import duckdb
-
-    con = duckdb.connect()
-    try:
-        con.register("__sink_batch", table)
-        return con.execute(
-            f"SELECT count(*) FROM __sink_batch WHERE ({expr}) IS FALSE"
-        ).fetchone()[0]
-    finally:
-        con.close()
-
-
 def _check_staged_batch(table, constraints: "dict[str, str]", path: str):
     """Evaluate EVERY CHECK constraint over a staged Arrow batch in
     ONE duckdb connection (register once, one vectorized scan per
@@ -1086,8 +1066,55 @@ def _check_staged_batch(table, constraints: "dict[str, str]", path: str):
             ),
             None,
         )
-        if tz and _re.fullmatch(r"[\w/+:-]+", tz):
-            con.execute(f"SET TimeZone='{tz}'")
+        if tz:
+            # duckdb accepts only ICU zone names — whole-hour offset
+            # forms ('+08:00', what Spark stamps for an offset session
+            # tz) map to the sign-INVERTED Etc/GMT zones (Etc/GMT-8 ==
+            # UTC+8, POSIX convention)
+            m = _re.fullmatch(r"([+-])(\d{2}):00", tz)
+            duck_tz = (
+                "UTC"
+                if m and int(m.group(2)) == 0
+                else (
+                    f"Etc/GMT"
+                    f"{'-' if m.group(1) == '+' else '+'}"
+                    f"{int(m.group(2))}"
+                )
+                if m
+                else tz
+            )
+            try:
+                if not _re.fullmatch(r"[\w/+-]+", duck_tz):
+                    raise ValueError(f"unsafe tz string {duck_tz!r}")
+                con.execute(f"SET TimeZone='{duck_tz}'")
+            except Exception as err:
+                # can't pin the session tz: refuse LOUDLY if any
+                # constraint can see a timestamp column (evaluating it
+                # in duckdb's host-default tz would be a silently
+                # wrong CHECK verdict — fail closed); tz is irrelevant
+                # to the rest, so they proceed
+                ts_cols = [
+                    f.name
+                    for f in table.schema
+                    if pa.types.is_timestamp(f.type)
+                ]
+                hot = {
+                    n: e
+                    for n, e in constraints.items()
+                    if any(
+                        _re.search(rf"\b{_re.escape(c)}\b", e)
+                        for c in ts_cols
+                    )
+                }
+                if hot:
+                    raise ValueError(
+                        f"CHECK constraint(s) {sorted(hot)} on table "
+                        f"{path} reference timestamp columns, but the "
+                        f"session timezone {tz!r} has no duckdb ICU "
+                        f"equivalent ({err}); run the session in a "
+                        "named timezone (e.g. 'UTC') or enforce these "
+                        "upstream"
+                    ) from err
         con.register("__sink_batch", table)
         for n, e in sorted(constraints.items()):
             try:
@@ -1211,9 +1238,10 @@ class TxTableStreamWriter(DataSourceStreamArrowWriter):
         ]
         if self.constraints:
             # dry-run each CHECK expression against an empty batch of
-            # the stream's schema NOW: a constraint the validator
-            # cannot evaluate refuses at construction, never after
-            # files are staged
+            # the stream's schema NOW, through the SAME evaluator the
+            # per-batch path uses (one set of semantics — round 15
+            # review): a constraint the validator cannot evaluate
+            # refuses at construction, never after files are staged
             from pyspark.sql.pandas.types import to_arrow_schema
             from pyspark.sql.types import StructType
 
@@ -1222,7 +1250,7 @@ class TxTableStreamWriter(DataSourceStreamArrowWriter):
             ).empty_table()
             for n, e in sorted(self.constraints.items()):
                 try:
-                    _constraint_violations(empty, e)
+                    _check_staged_batch(empty, {n: e}, self.path)
                 except Exception as err:
                     raise ValueError(
                         f"txtable sink on {self.path}: CHECK "

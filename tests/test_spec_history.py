@@ -168,3 +168,21 @@ def test_legacy_seed_mismatched_layout_reports_null(spark, tmp_path):
     assert all(r.spec_id is None for r in a_files)
     # post-evolution files match the seed and resolve to it
     assert all(r.spec_id == 0 for r in b_files)
+
+
+def test_spec_at_unescapes_partition_field_names(spark, tmp_path):
+    """Round 15 review: an identity partition column whose NAME
+    contains a char in Spark's escape set writes dirs like
+    'a%23b=v' — the path cross-check must compare the UNESCAPED field
+    name against the spec, or every file on a correctly-tracked table
+    reads back NULL spec_id."""
+    from distributed_mapreduce__spark.sources.txlog import tx_files
+
+    t = str(tmp_path / "t")
+    df = spark.range(0, 8).select(
+        "id", (F.col("id") % 2).cast("string").alias("a#b")
+    )
+    tx_write(df, t, partition_by=["a#b"])
+    rows = tx_files(spark, t).collect()
+    assert rows and all(r.spec_id == 0 for r in rows)
+    assert all("a%23b=" in r.file for r in rows)

@@ -485,3 +485,59 @@ def test_sink_check_eval_error_refuses_named(spark, tmp_path):
     with pytest.raises(ValueError, match="tagnum"):
         w.write(_arrow_batches(spark, _df(spark, 0, 3, "x")))
     assert tx_read(spark, t).count() == 0
+
+
+def test_check_batch_offset_timezone_mapping_and_refusal(spark, tmp_path):
+    """Round 15 review: duckdb accepts only ICU zone names, but Spark
+    stamps Arrow batches with the raw session tz — '+08:00' style.
+    Whole-hour offsets map to the sign-inverted Etc/GMT zones; a tz
+    with no ICU equivalent refuses LOUDLY (fail-closed) only when a
+    constraint can actually see a timestamp column — the rest of the
+    constraints still evaluate."""
+    import datetime as dt
+
+    import pyarrow as pa
+
+    from distributed_mapreduce__spark.streaming.tx_source import (
+        _check_staged_batch,
+    )
+
+    def batch(tz, hh, mm):
+        # what Spark hands the sink: UTC INSTANTS stamped with the
+        # raw session tz string; here 23:00 session-local wall time =
+        # (23:00 - offset) UTC. Built instant-first (naive = UTC
+        # fields, then cast to the tz label) because pyarrow keeps an
+        # aware datetime's WALL fields when the target type carries a
+        # tz.
+        utc = dt.datetime(2024, 1, 1, 23, 0, 0) - dt.timedelta(
+            hours=hh, minutes=mm
+        )
+        return pa.table({
+            "id": pa.array([5], type=pa.int64()),
+            "ts": pa.array([utc], type=pa.timestamp("us")).cast(
+                pa.timestamp("us", tz=tz)
+            ),
+        })
+
+    # '+08:00' maps to Etc/GMT-8: the local wall-time hour is 23, so
+    # an hour-bound CHECK evaluates in session-local time, not host tz
+    _check_staged_batch(
+        batch("+08:00", 8, 0), {"late": "hour(ts) = 23"}, "t"
+    )
+    with pytest.raises(ValueError, match="late"):
+        _check_staged_batch(
+            batch("+08:00", 8, 0), {"late": "hour(ts) = 11"}, "t"
+        )
+    # half-hour offset: no ICU equivalent -> ts-referencing constraint
+    # refuses naming the tz; a non-ts constraint still evaluates
+    with pytest.raises(ValueError, match=r"\+05:30"):
+        _check_staged_batch(
+            batch("+05:30", 5, 30), {"late": "hour(ts) = 23"}, "t"
+        )
+    _check_staged_batch(
+        batch("+05:30", 5, 30), {"pos": "id > 0"}, "t"
+    )
+    with pytest.raises(ValueError, match="pos"):
+        _check_staged_batch(
+            batch("+05:30", 5, 30), {"pos": "id < 0"}, "t"
+        )

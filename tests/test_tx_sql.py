@@ -492,3 +492,22 @@ def test_files_and_detail_are_selectable_relations(spark, pair):
     # literal containing the reference is untouched
     lit = tx_sql(spark, "SELECT 't_sql$files' AS s").collect()[0].s
     assert lit == "t_sql$files"
+
+
+def test_metadata_view_name_cannot_clobber_registered_table(
+    spark, pair, tmp_path
+):
+    """Round 15 review: a registered table legally named
+    '<name>__files' must not be clobbered by the ``<name>$files``
+    rewrite's temp view — metadata views live under a reserved
+    prefix."""
+    other = str(tmp_path / "other")
+    tx_write(_df(spark).limit(7), other)
+    tx_register_table(spark, "t_sql__files", other)
+    row = tx_sql(
+        spark,
+        "SELECT (SELECT count(*) FROM t_sql__files) AS a, "
+        "(SELECT count(*) FROM t_sql$files) AS b",
+    ).collect()[0]
+    assert row.a == 7          # the registered TABLE, untouched
+    assert row.b == 4          # the metadata relation (4 files)
