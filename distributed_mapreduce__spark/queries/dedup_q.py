@@ -15,12 +15,9 @@ from pyspark.sql import functions as F
 
 from ..operators.dedup import (
     doc_shingles,
-    hashed_shingles,
     exact_dedup_groups,
     exact_jaccard,
-    lsh_bands,
-    lsh_candidate_pairs,
-    minhash_signatures,
+    lsh_verified_pairs,
     normalized_text,
     simhash16,
 )
@@ -161,17 +158,16 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     naive form ships shingle text (80-130 bytes at production 13-gram
     windows) — the dominant shuffle-volume term of fuzzy dedup at
     100 TB. Verification is exact Jaccard over the hashed sets
-    (identical values up to md5 collision)."""
+    (identical values up to md5 collision).
+
+    Since round 15 the whole pipeline evaluates the hashed-shingle
+    subtree ONCE (operators/dedup.lsh_verified_pairs: localCheckpoint'ed
+    distinct set + the size count folded into the signature
+    aggregation) — the naive composition re-ran the scan→explode→md5
+    chain four times, the query's dominant cost (measured 1.82 s →
+    1.14 s at sf0.1, bit-identical pairs; see lsh_verified_pairs' doc
+    for the 100 TB posture)."""
     docs = load_table(spark, sf_dir, "documents")
-    # The hashed-shingle subtree feeds signatures, both jaccard sides,
-    # and the size table; measured, recomputing it (parallel,
-    # ReusedExchange where plans align) beats persisting — blocking
-    # materialization cost more than it saved. At 100 TB, revisit with
-    # a disk-backed persist or an explicit intermediate table.
-    hs = hashed_shingles(doc_shingles(docs, distinct=False), distinct=False)
-    # signatures take the non-distinct stream: min() is duplicate-
-    # insensitive, so the distinct shuffle is pure cost there
-    cands = lsh_candidate_pairs(lsh_bands(minhash_signatures(hs)))
     # broadcast discipline once the corpus text is clearly past
     # broadcast territory: the PRE-explode scan estimate is the one
     # size Catalyst gets right here (zero extra jobs), and without the
@@ -189,9 +185,7 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )) > 16 * 1024 * 1024
     except Exception:
         big = True
-    return exact_jaccard(
-        hs.distinct(), pairs=cands, key="hm", big_corpus=big
-    ).filter(F.col("jaccard") >= 0.5)
+    return lsh_verified_pairs(docs, 0.5, big_corpus=big)
 
 
 _NGRAM_JACCARD_ORACLE = f"""

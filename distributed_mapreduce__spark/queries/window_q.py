@@ -39,8 +39,22 @@ from ..sources.tables import load_table
 )
 def topk_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E5: top-3 revenue parts within each brand. Aggregate first (shrinks
-    to one row per part), then window over the small aggregate."""
-    li = load_table(spark, sf_dir, "lineitem")
+    to one row per part), then window over the small aggregate.
+
+    The fact side is projected to the 3 consumed columns and hash-spread
+    on l_partkey before the broadcast join: the single-row-group fixture
+    scan is ONE task, so the per-row decimal disc_price (the dominant
+    cost) would otherwise run serially in the partial-aggregate stage.
+    No-op at real scale; bit-identical result (order-independent decimal
+    sum) — measured 1.39 s → 0.69 s (guide §2.4/§2.5)."""
+    from ..plans.partitioning import spread
+
+    li = spread(
+        load_table(spark, sf_dir, "lineitem").select(
+            "l_partkey", "l_extendedprice", "l_discount"
+        ),
+        by=["l_partkey"],
+    )
     part = load_table(spark, sf_dir, "part")
     per_part = (
         li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))

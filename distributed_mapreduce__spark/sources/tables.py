@@ -84,8 +84,50 @@ def events_ts_type(path: str) -> tuple[str, bool]:
     return getattr(typ, "unit", "us"), getattr(typ, "tz", None) is not None
 
 
+def footer_schema(path: str):
+    """Spark read schema from ONE driver-side pyarrow footer read, or
+    None when the footer can't be mapped (caller falls back to Spark's
+    inference).
+
+    Schema inference (`spark.read.parquet` without a schema) runs a
+    whole Spark JOB to read footers — ~85-100 ms per call even for a
+    5-row dimension table, and the bench's timed region constructs
+    every query fresh each pass (guide §1: measure first — this was
+    ~2 s/pass across the 18 headline queries). A pyarrow footer read
+    is ~0.3 ms and `from_arrow_schema(prefer_timestamp_ntz=True)`
+    reproduces Spark 4's parquet inference exactly — parity asserted
+    for every fixture table × SF in tests/test_tables.py. At 100 TB
+    the same move is "pass the catalog schema": inference over a
+    million-file table is a driver-side listing + footer job you never
+    want in a query path.
+    """
+    try:
+        import pyarrow.parquet as _pq
+        from pyspark.sql.pandas.types import from_arrow_schema
+
+        f = path
+        if os.path.isdir(path):
+            import glob as _glob
+
+            found = sorted(
+                _glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+            )
+            if not found:
+                return None
+            f = found[0]
+        return from_arrow_schema(
+            _pq.ParquetFile(f).schema_arrow, prefer_timestamp_ntz=True
+        )
+    except Exception:
+        return None
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table: ``{sf_dir}/{name}.parquet``.
+
+    The read schema comes from :func:`footer_schema` (one pyarrow
+    footer read) instead of Spark's inference job — identical schema,
+    ~85 ms less driver time per call (see footer_schema's doc).
 
     When ``events.ts`` is parquet TIMESTAMP(NANOS) — which Spark's
     schema inference rejects (PARQUET_TYPE_ILLEGAL) — an explicit read
@@ -107,10 +149,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             return df.withColumn(
                 "ts", F.timestamp_micros(F.expr("ts div 1000"))
             )
-        return spark.read.parquet(path).withColumn(
+        sch = footer_schema(path)
+        reader = spark.read.schema(sch) if sch is not None else spark.read
+        return reader.parquet(path).withColumn(
             "ts", F.col("ts").cast("timestamp")
         )
-    return spark.read.parquet(path)
+    sch = footer_schema(path)
+    reader = spark.read.schema(sch) if sch is not None else spark.read
+    return reader.parquet(path)
 
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:

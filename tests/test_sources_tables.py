@@ -78,3 +78,32 @@ def test_events_ts_micros_match_raw_footer_values(spark, sf_dir):
     assert got
     for k, v in got.items():
         assert want[k] == v
+
+
+def test_footer_schema_matches_spark_inference(spark, sf_dir):
+    """footer_schema (pyarrow footer → from_arrow_schema) must reproduce
+    Spark's own parquet inference EXACTLY for every fixture table —
+    load_table passes it as an explicit read schema to skip the
+    per-read inference job (round-15 optimization), so any divergence
+    would silently change column types under every query."""
+    import os
+
+    from distributed_mapreduce__spark.sources.tables import (
+        TABLE_NAMES,
+        footer_schema,
+    )
+
+    for name in TABLE_NAMES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        got = footer_schema(path)
+        assert got is not None, name
+        want = spark.read.format("parquet").load(path).schema
+        assert got == want, (name, got.simpleString(), want.simpleString())
+
+
+def test_footer_schema_unreadable_returns_none(tmp_path):
+    from distributed_mapreduce__spark.sources.tables import footer_schema
+
+    assert footer_schema(str(tmp_path / "nope.parquet")) is None
+    (tmp_path / "empty").mkdir()
+    assert footer_schema(str(tmp_path / "empty")) is None
