@@ -106,7 +106,7 @@ def semantic_dup_pairs(
         a.join(b, "cell")
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn(
-            "cos", dot_fold(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
+            "cos", dot_fold("_va", "_vb") / (F.col("_na") * F.col("_nb"))
         )
         .filter(F.col("cos") >= F.lit(threshold))
         .select("id_a", "id_b", "cos")

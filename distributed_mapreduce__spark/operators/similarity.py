@@ -159,8 +159,21 @@ def topk(
     )
 
 
-def dot_fold(a: Column, b: Column) -> Column:
-    """Σ a[i]·b[i] as a left fold in double (deterministic, portable)."""
+def dot_fold(a: "Column | str", b: "Column | str") -> Column:
+    """Σ a[i]·b[i] as a left fold in double (deterministic, portable).
+
+    Pass column NAMES where possible: the string form parses as ONE
+    SQL expression (a single py4j roundtrip) where the Column/lambda
+    form costs ~25 roundtrips of higher-order-function plumbing —
+    ~0.1 s of driver time per query construction across the similarity
+    family (round-15 guide §1 measurement). Identical expression tree
+    either way (pinned by the oracle hashes)."""
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(
+            f"aggregate(zip_with(`{a}`, `{b}`, (x, y) -> "
+            "cast(x as double) * cast(y as double)), "
+            "cast(0.0 as double), (acc, x) -> acc + x)"
+        )
     prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
     return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
 
@@ -173,8 +186,7 @@ def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     per-row compute that must parallelize."""
     from ..plans.partitioning import spread
 
-    v = F.col(vec_col)
-    return spread(df).withColumn("vnorm", F.sqrt(dot_fold(v, v)))
+    return spread(df).withColumn("vnorm", F.sqrt(dot_fold(vec_col, vec_col)))
 
 
 def hyperplanes(spark, n_planes: int = N_PLANES, dim: int = 64) -> DataFrame:
@@ -203,7 +215,7 @@ def lsh_buckets(
     scored = vectors.join(F.broadcast(planes)).select(
         "vec_id",
         "plane",
-        (dot_fold(F.col(vec_col), F.col("r")) > 0).cast("int").alias("bit"),
+        (dot_fold(vec_col, "r") > 0).cast("int").alias("bit"),
     )
     return scored.groupBy("vec_id").agg(
         F.sum(F.expr("shiftleft(bit, plane)")).cast("long").alias("bucket")
@@ -228,7 +240,7 @@ def banded_lsh_buckets(
         "vec_id",
         (F.col("plane") / planes_per_band).cast("int").alias("band"),
         (F.col("plane") % planes_per_band).alias("slot"),
-        (dot_fold(F.col(vec_col), F.col("r")) > 0).cast("int").alias("bit"),
+        (dot_fold(vec_col, "r") > 0).cast("int").alias("bit"),
     )
     return scored.groupBy("vec_id", "band").agg(
         F.sum(F.expr("shiftleft(bit, slot)")).cast("long").alias("bucket")
@@ -261,7 +273,7 @@ def cosine_topk(
         .select(
             "query_id",
             "neighbor_id",
-            (dot_fold(F.col("q_vec"), F.col("c_vec")) / (F.col("q_norm") * F.col("c_norm"))).alias("sim"),
+            (dot_fold("q_vec", "c_vec") / (F.col("q_norm") * F.col("c_norm"))).alias("sim"),
         )
     )
     return top_k_per_group(
@@ -435,7 +447,7 @@ def lsh_topk(
             "query_id",
             "neighbor_id",
             (
-                dot_fold(F.col("q_vec"), F.col("c_vec"))
+                dot_fold("q_vec", "c_vec")
                 / (F.col("q_norm") * F.col("c_norm"))
             ).alias("sim"),
         )
@@ -514,7 +526,7 @@ def ivf_topk(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
             (
-                dot_fold(F.col("q_vec"), F.col(vec_col))
+                dot_fold("q_vec", vec_col)
                 / (F.col("q_norm") * F.col("vnorm"))
             ).alias("sim"),
         )
@@ -543,7 +555,7 @@ def cosine_pairs_above(
         .select(
             "id_a",
             "id_b",
-            (dot_fold(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias("sim"),
+            (dot_fold("va", "vb") / (F.col("na") * F.col("nb"))).alias("sim"),
         )
         .filter(F.col("sim") >= threshold)
     )

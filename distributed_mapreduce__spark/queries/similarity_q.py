@@ -395,7 +395,7 @@ def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "id_a",
             "id_b",
-            (dot_fold(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb_"))).alias("sim"),
+            (dot_fold("va", "vb") / (F.col("na") * F.col("nb_"))).alias("sim"),
         )
         .filter(F.col("sim") >= 0.9)
     )

@@ -145,7 +145,7 @@ def topk_against_index(
             "query_id",
             "neighbor_id",
             F.try_divide(
-                dot_fold(F.col("q_vec"), F.col("n_vec")),
+                dot_fold("q_vec", "n_vec"),
                 F.col("q_norm") * F.col("n_norm"),
             ).alias("score"),
         )
