@@ -124,8 +124,20 @@ def _position_col(col: Column, m: int, i: int) -> Column:
     return md5_long(col, seed=i) % F.lit(m)
 
 
+#: Values one fold task should own before the build fans out: below
+#: this, python-worker task startup dominates the md5 hashing itself
+#: (measured at a 26k-item build: 32 fold tasks 1.9 s vs ONE task
+#: 0.49 s on the same cached input — guide §4.5's amortization logic
+#: applied to task count).
+BUILD_ITEMS_PER_TASK = 200_000
+
+
 def bloom_build(
-    df: DataFrame, col: Column | str, m: int, k: int
+    df: DataFrame,
+    col: Column | str,
+    m: int,
+    k: int,
+    n_items_hint: int | None = None,
 ) -> BloomFilter:
     """Fold ``col``'s values into an m-bit Bloom filter.
 
@@ -137,22 +149,46 @@ def bloom_build(
     driver-side fold anywhere in the family. The value strings never
     move; only bitsets do. NULLs are skipped (NULL is not a member of
     anything).
+
+    ``n_items_hint`` (the caller usually just counted the values to
+    size ``m``) picks the fold parallelism: ~one task per
+    :data:`BUILD_ITEMS_PER_TASK` values, so an eval-set-sized build is
+    ONE task (and skips the or-merge stage entirely) while a 10⁸-item
+    blocklist still fans out to :data:`BUILD_PARTITIONS` tasks.
     """
     if m % 64 != 0:
         raise ValueError(f"m must be a multiple of 64, got {m}")
     c = F.col(col) if isinstance(col, str) else col
     vals = df.select(c.cast("string").alias("v")).filter(F.col("v").isNotNull())
-    if vals.rdd.getNumPartitions() > BUILD_PARTITIONS:
+    if n_items_hint is not None:
+        parts = max(
+            1, min(BUILD_PARTITIONS, math.ceil(n_items_hint / BUILD_ITEMS_PER_TASK))
+        )
+        if vals.rdd.getNumPartitions() > parts:
+            vals = vals.coalesce(parts)
+    elif vals.rdd.getNumPartitions() > BUILD_PARTITIONS:
         vals = vals.coalesce(BUILD_PARTITIONS)
 
     n_words = m // 64
 
     def fold(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Batch the bit-sets: collect all positions of a batch first,
+        # then one vectorized scatter-OR — per-element numpy scalar |=
+        # cost ~2 µs each and dominated the build (guide §4.2).
         words = np.zeros(n_words, dtype=np.uint64)
         for batch in batches:
-            for v in batch["v"]:
-                for pos in _positions_py(v, m, k):
-                    words[pos >> 6] |= np.uint64(1 << (pos & 63))
+            pos = [
+                p
+                for v in batch["v"]
+                for p in _positions_py(v, m, k)
+            ]
+            if pos:
+                arr = np.asarray(pos, dtype=np.int64)
+                np.bitwise_or.at(
+                    words,
+                    arr >> 6,
+                    np.uint64(1) << (arr & 63).astype(np.uint64),
+                )
         yield pd.DataFrame({"words": [words.astype("<u8").tobytes()]})
 
     def or_fold(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -162,12 +198,12 @@ def bloom_build(
                 merged |= np.frombuffer(raw, dtype="<u8").astype(np.uint64)
         yield pd.DataFrame({"words": [merged.astype("<u8").tobytes()]})
 
-    rows = (
-        vals.mapInPandas(fold, schema="words binary")
-        .coalesce(1)
-        .mapInPandas(or_fold, schema="words binary")
-        .collect()
-    )
+    folded = vals.mapInPandas(fold, schema="words binary")
+    if vals.rdd.getNumPartitions() > 1:
+        # >1 partials: OR them executor-side so the driver still
+        # receives exactly one filter-sized row
+        folded = folded.coalesce(1).mapInPandas(or_fold, schema="words binary")
+    rows = folded.collect()
     if not rows:  # zero input partitions → empty filter
         return BloomFilter(m=m, k=k, words=np.zeros(n_words, dtype=np.uint64))
     merged = np.frombuffer(rows[0]["words"], dtype="<u8").astype(np.uint64)
@@ -210,9 +246,11 @@ def _probe_sql(
     # int64 view of the uint64 words: getbit reads bit positions
     # directly, so the sign of the stored long never matters (and the
     # DuckDB replay's arithmetic (word >> b) & 1 agrees for b < 64).
-    words = F.array(
-        *[F.lit(int(w)) for w in bf.words.astype("<u8").view("<i8")]
-    )
+    # ONE array literal (single py4j call): the per-word
+    # F.array(*[F.lit(w) ...]) form cost one gateway roundtrip per
+    # 64-bit word — ~2.4 s of driver time for a 26k-item filter's 3876
+    # words (guide §1 measurement, round 15). Same Literal plan node.
+    words = F.lit([int(w) for w in bf.words.astype("<u8").view("<i8")])
     tests = []
     for i in range(bf.k):
         pos = _position_col(s, bf.m, i)
@@ -236,7 +274,10 @@ def _probe_arrow(
 
     def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         m, k, raw = wb.value
-        words = np.frombuffer(raw, dtype="<u8").astype(np.uint64)
+        # plain Python ints: indexing a numpy uint64 array yields numpy
+        # scalars whose per-test shift/mask cost ~2 µs each; a list of
+        # ints keeps the k bit-tests in fast native-int ops (guide §4.2)
+        words = np.frombuffer(raw, dtype="<u8").tolist()
         for batch in batches:
             out = []
             for v in batch[name]:
@@ -245,7 +286,7 @@ def _probe_arrow(
                     continue
                 ok = True
                 for pos in _positions_py(v, m, k):
-                    if not (int(words[pos >> 6]) >> (pos & 63)) & 1:
+                    if not (words[pos >> 6] >> (pos & 63)) & 1:
                         ok = False
                         break
                 out.append(ok)
@@ -301,7 +342,7 @@ def decontaminate_bloom(
     try:
         n_items = n_items_hint if n_items_hint is not None else eval_sh.count()
         m, k = bloom_parameters(max(n_items, 1), fpp)
-        bf = bloom_build(eval_sh, "shingle", m, k)
+        bf = bloom_build(eval_sh, "shingle", m, k, n_items_hint=n_items)
     finally:
         # release before returning the lazy plan: the eager consumers
         # (sizing count + bitset build) are done, and the verify join

@@ -68,14 +68,18 @@ def synthesize_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     def gen(batches):
         import pandas as pd
 
+        # Iterate plain column arrays, not pdf.iterrows(): building a
+        # pandas Series per row cost ~2-3 ms each — the dominant term of
+        # every multimodal op at fixture scale (guide §4.2: keep the
+        # per-row Python work to the minimum the logic needs).
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
-                did = int(r["doc_id"])
+            for did, text in zip(pdf["doc_id"].values, pdf["text"].values):
+                did = int(did)
                 kind = ("image", "audio", "video")[did % 3]
                 w, h = 16 + did % 17, 16 + did % 13
                 n_frames = 1 if kind != "video" else 4 + did % 5
-                seed = hashlib.md5(str(r["text"]).encode()).digest()
+                seed = hashlib.md5(str(text).encode()).digest()
                 need = w * h * n_frames
                 payload = (seed * (need // len(seed) + 1))[:need]
                 rows.append(
@@ -146,12 +150,18 @@ def extract_features(media: DataFrame) -> DataFrame:
         import numpy as np
         import pandas as pd
 
+        # Column-array iteration, not pdf.iterrows() — see
+        # synthesize_media's gen for the measured why (guide §4.2).
         for pdf in batches:
             out = []
-            for _, r in pdf.iterrows():
-                meta = r["meta"]
+            for media_id, kind, payload, meta in zip(
+                pdf["media_id"].values,
+                pdf["kind"].values,
+                pdf["payload"].values,
+                pdf["meta"].values,
+            ):
                 grid = _fake_decode(
-                    r["payload"], int(meta["width"]), int(meta["height"])
+                    payload, int(meta["width"]), int(meta["height"])
                 )
                 vals = grid.astype(np.int64).ravel()
                 n = int(vals.size)
@@ -165,9 +175,9 @@ def extract_features(media: DataFrame) -> DataFrame:
                     mean = std = float("nan")
                 out.append(
                     {
-                        "media_id": r["media_id"],
-                        "kind": r["kind"],
-                        "n_bytes": len(r["payload"]),
+                        "media_id": media_id,
+                        "kind": kind,
+                        "n_bytes": len(payload),
                         "mean_val": mean,
                         "std_val": std,
                         "histogram": [c / n if n else 0.0 for c in counts.tolist()],
@@ -189,20 +199,26 @@ def resize_images(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
         import numpy as np
         import pandas as pd
 
+        # Column-array iteration, not pdf.iterrows() — see
+        # synthesize_media's gen for the measured why (guide §4.2).
         for pdf in batches:
             out = []
-            for _, r in pdf.iterrows():
-                if r["kind"] != "image":
+            for media_id, kind, payload, meta in zip(
+                pdf["media_id"].values,
+                pdf["kind"].values,
+                pdf["payload"].values,
+                pdf["meta"].values,
+            ):
+                if kind != "image":
                     continue
-                meta = r["meta"]
                 w, h = int(meta["width"]), int(meta["height"])
-                grid = _fake_decode(r["payload"], w, h)
+                grid = _fake_decode(payload, w, h)
                 yi = (np.arange(out_h) * h // out_h).astype(int)
                 xi = (np.arange(out_w) * w // out_w).astype(int)
                 resized = grid[np.ix_(yi, xi)]
                 out.append(
                     {
-                        "media_id": r["media_id"],
+                        "media_id": media_id,
                         "out_w": out_w,
                         "out_h": out_h,
                         "pixels": resized.tobytes(),
@@ -225,21 +241,27 @@ def sample_frames(media: DataFrame, every_k: int = 2) -> DataFrame:
     def op(batches):
         import pandas as pd
 
+        # Column-array iteration, not pdf.iterrows() — see
+        # synthesize_media's gen for the measured why (guide §4.2).
         for pdf in batches:
             out = []
-            for _, r in pdf.iterrows():
-                if r["kind"] != "video":
+            for media_id, kind, payload, meta in zip(
+                pdf["media_id"].values,
+                pdf["kind"].values,
+                pdf["payload"].values,
+                pdf["meta"].values,
+            ):
+                if kind != "video":
                     continue
-                meta = r["meta"]
                 w, h, n = int(meta["width"]), int(meta["height"]), int(meta["n_frames"])
                 fsize = w * h
                 for idx in range(0, n, every_k):
                     out.append(
                         {
-                            "media_id": r["media_id"],
+                            "media_id": media_id,
                             "frame_idx": idx,
                             "frame_payload": bytes(
-                                r["payload"][idx * fsize : (idx + 1) * fsize]
+                                payload[idx * fsize : (idx + 1) * fsize]
                             ),
                         }
                     )
@@ -356,16 +378,23 @@ def transcode(media: DataFrame, target_format: str) -> DataFrame:
     def op(batches):
         import pandas as pd
 
+        # Column-array iteration, not pdf.iterrows() — see
+        # synthesize_media's gen for the measured why (guide §4.2).
         for pdf in batches:
             out = []
-            for _, r in pdf.iterrows():
-                meta = dict(r["meta"])
-                raw = _codec_decode(r["payload"], str(meta.get("format")))
+            for media_id, kind, payload, meta in zip(
+                pdf["media_id"].values,
+                pdf["kind"].values,
+                pdf["payload"].values,
+                pdf["meta"].values,
+            ):
+                meta = dict(meta)
+                raw = _codec_decode(payload, str(meta.get("format")))
                 meta["format"] = target_format
                 out.append(
                     {
-                        "media_id": r["media_id"],
-                        "kind": r["kind"],
+                        "media_id": media_id,
+                        "kind": kind,
                         "payload": _codec_encode(raw, target_format),
                         "meta": meta,
                     }
@@ -392,11 +421,18 @@ def _transcode_pil(media: DataFrame, target_format: str) -> DataFrame:
         import pandas as pd
 
         Image = _pil_image()
+        # Column-array iteration, not pdf.iterrows() — see
+        # synthesize_media's gen for the measured why (guide §4.2).
         for pdf in batches:
             out = []
-            for _, r in pdf.iterrows():
-                meta = dict(r["meta"])
-                img = Image.open(io.BytesIO(bytes(r["payload"])))
+            for media_id, kind, payload, meta in zip(
+                pdf["media_id"].values,
+                pdf["kind"].values,
+                pdf["payload"].values,
+                pdf["meta"].values,
+            ):
+                meta = dict(meta)
+                img = Image.open(io.BytesIO(bytes(payload)))
                 if pil_fmt == "JPEG" and img.mode not in ("RGB", "L"):
                     img = img.convert("RGB")
                 buf = io.BytesIO()
@@ -406,8 +442,8 @@ def _transcode_pil(media: DataFrame, target_format: str) -> DataFrame:
                 meta["height"] = img.height
                 out.append(
                     {
-                        "media_id": r["media_id"],
-                        "kind": r["kind"],
+                        "media_id": media_id,
+                        "kind": kind,
                         "payload": buf.getvalue(),
                         "meta": meta,
                     }
@@ -487,16 +523,21 @@ def phash_media(
     def op(batches):
         import pandas as pd
 
+        # Column-array iteration, not pdf.iterrows() — see
+        # synthesize_media's gen for the measured why (guide §4.2).
         for pdf in batches:
             out = []
-            for _, r in pdf.iterrows():
-                meta = r["meta"]
+            for media_id, payload, meta in zip(
+                pdf["media_id"].values,
+                pdf["payload"].values,
+                pdf["meta"].values,
+            ):
                 grid = _fake_decode(
-                    r["payload"], int(meta["width"]), int(meta["height"])
+                    payload, int(meta["width"]), int(meta["height"])
                 )
                 out.append(
                     {
-                        "media_id": r["media_id"],
+                        "media_id": media_id,
                         "phash": _dhash_bits(grid, hash_size),
                     }
                 )

@@ -255,13 +255,20 @@ def hashed_doc_vectors(
 
     # tf inlined rather than via term_frequencies: the doc-length join
     # that function carries is dead weight here (idf smoothing needs
-    # only df), and dropping it removes two shuffles from the plan
+    # only df), and dropping it removes two shuffles from the plan.
+    # localCheckpoint: tf feeds BOTH the weight rows and the document-
+    # frequency aggregate, and without it the tokenize→count subtree
+    # evaluated twice (round-15 stage metrics: the two partial-agg
+    # stages were the operator's top cost). One evaluation, one stored
+    # (doc, term, tf) table — the train-once shape a production TF-IDF
+    # build materializes anyway.
     tf = (
         spread(docs)
         .select("doc_id", F.explode(_tokens(col)).alias("term"))
         .filter(F.col("term") != "")
         .groupBy("doc_id", "term")
         .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=False)
     )
     dfreq = doc_frequencies(tf)
     n = docs.agg(F.count("*").alias("n_docs"))
@@ -287,22 +294,42 @@ def hashed_doc_vectors(
             (sign * w).alias("w"),
         )
     )
+    # Explicit hash repartition by doc_id before the per-doc collapse
+    # (round 15): groupBy(doc_id) then sees its required distribution
+    # and runs as ONE complete aggregate — same exchange count, but
+    # the rows cross it raw instead of map-partially-aggregated.
+    # Two reasons: (a) AQE coalesces the small post-shuffle side of
+    # the partial→final split to ONE task at fixture scale, putting
+    # the whole dim-wide merge + densify + normalize on a single core
+    # (round-15 stage metrics; measured 4.0 s → 1.5 s end to end,
+    # identical values); (b) at scale the rows arrive TERM-clustered
+    # from the idf join, so each mapper holds few terms per doc and
+    # the partial buffers (dim doubles per doc per mapper) outweigh
+    # the raw (doc_id, b, w) rows they replace — partial aggregation
+    # compresses nothing on this key distribution.
+    rows = rows.repartition(
+        docs.sparkSession.sparkContext.defaultParallelism, "doc_id"
+    )
     if dim <= _DENSE_AGG_MAX_DIM:
         # one shuffle: dim conditional sums in a single per-doc
-        # HashAggregate (map-side combine collapses each mapper's
-        # contribution to dim doubles per doc before the exchange) —
-        # measured 18% faster than the two-stage collapse at sf0.1,
-        # identical values (round 9)
+        # HashAggregate — measured 18% faster than the two-stage
+        # collapse at sf0.1, identical values (round 9).
+        # one F.expr per conditional sum (a single SQL parse each)
+        # instead of dim F.when Column trees — same CASE expression,
+        # ~6x less driver plan-construction time at dim=64 (guide §1)
         sums = rows.groupBy("doc_id").agg(
             *[
-                F.sum(
-                    F.when(F.col("b") == i, F.col("w")).otherwise(F.lit(0.0))
+                F.expr(
+                    f"sum(CASE WHEN b = {i} THEN w ELSE cast(0.0 as double) END)"
                 ).alias(f"_c{i}")
                 for i in range(dim)
             ]
         )
         dense = sums.select(
-            "doc_id", F.array(*[F.col(f"_c{i}") for i in range(dim)]).alias("v")
+            "doc_id",
+            F.expr("array(" + ", ".join(f"_c{i}" for i in range(dim)) + ")").alias(
+                "v"
+            ),
         )
     else:
         # wide-dim fallback: dim aggregate buffers would bloat codegen,

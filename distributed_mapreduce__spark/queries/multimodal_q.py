@@ -87,8 +87,14 @@ def multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer bin counts (engine-portable scalar); mean/std follow
     extract_features' pinned-op-order contract, which the DuckDB oracle
     replays from the md5 byte cycle. tests/test_multimodal.py holds the
-    per-operator behavioral assertions."""
-    media = synthesize_media(spark, sf_dir)
+    per-operator behavioral assertions.
+
+    The synthesized media frame is localCheckpoint'ed (computed once
+    per run, inside the query): both branches — features and frame
+    sampling — consume it, and without the checkpoint each re-runs the
+    whole synthesis mapInPandas over the corpus (guide §5: cut lineage
+    when two consumers would recompute an expensive Python stage)."""
+    media = synthesize_media(spark, sf_dir).localCheckpoint(eager=False)
     feats = extract_features(media)
     frames = sample_frames(media, every_k=2)
     frame_stats = frames.groupBy("media_id").agg(

@@ -714,8 +714,22 @@ def approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     checked result carries the exact values plus within-tolerance
     booleans each engine computes over its OWN sketch (15% for HLL,
     10% for the median — both far outside the documented error bounds);
-    tests/test_approx_tolerance.py pins the tighter bound locally."""
-    li = load_table(spark, sf_dir, "lineitem")
+    tests/test_approx_tolerance.py pins the tighter bound locally.
+
+    Projected to the 3 consumed columns and hash-spread on l_partkey
+    before the aggregate: the exact percentile / count-distinct update
+    phase over the single-row-group fixture scan was ONE serial task
+    (measured 6.1 s → 1.6 s; identical output — exact aggregates are
+    partition-independent, the sketch booleans sit far inside their
+    tolerance bands). No-op at real scale (guide §2.4/§2.5)."""
+    from ..plans.partitioning import spread
+
+    li = spread(
+        load_table(spark, sf_dir, "lineitem").select(
+            "l_returnflag", "l_partkey", "l_extendedprice"
+        ),
+        by=["l_partkey"],
+    )
     exact_parts = F.countDistinct("l_partkey")
     approx_parts = F.approx_count_distinct("l_partkey")
     exact_med = F.percentile("l_extendedprice", F.lit(0.5))
