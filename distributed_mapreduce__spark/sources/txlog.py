@@ -3840,6 +3840,43 @@ def _multi_key_bounds(
     }
 
 
+def _merge_source_profile(
+    df: DataFrame, keys_l: "list[str]"
+) -> "tuple[dict[str, tuple], bool, bool]":
+    """({key: (lo, hi)}, has_null_key, has_dup_key) in ONE Spark job.
+
+    The unconditional merge prepare ran three separate probes over the
+    checkpointed source — a NULL-key filter, a duplicate-key groupBy,
+    and the :func:`_multi_key_bounds` aggregation (round-15 job audit:
+    3 of the upsert's ~11 jobs, i.e. three full passes over the
+    materialized source at scale). One aggregation answers all three:
+    per-key min/max/non-null-count, count(*), and an exact
+    count-distinct over the key tuple — duplicates exist iff
+    n_distinct < n_rows (evaluated only when no key is NULL, which
+    errors first, matching the old probe order)."""
+    from pyspark.sql import functions as F
+
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for i, k in enumerate(keys_l):
+        aggs.append(F.min(F.col(f"`{k}`")).alias(f"__lo_{i}"))
+        aggs.append(F.max(F.col(f"`{k}`")).alias(f"__hi_{i}"))
+        aggs.append(F.count(F.col(f"`{k}`")).alias(f"__nn_{i}"))
+    aggs.append(
+        F.countDistinct(*[F.col(f"`{k}`") for k in keys_l]).alias("__nd")
+    )
+    row = df.agg(*aggs).collect()[0]
+    n = row["__n"]
+    has_null = any(row[f"__nn_{i}"] < n for i in range(len(keys_l)))
+    # countDistinct drops rows with any NULL key; only meaningful when
+    # has_null is False (callers raise on NULL keys before dup keys)
+    has_dup = (not has_null) and row["__nd"] < n
+    bounds = {
+        k: (_json_stat(row[f"__lo_{i}"]), _json_stat(row[f"__hi_{i}"]))
+        for i, k in enumerate(keys_l)
+    }
+    return bounds, has_null, has_dup
+
+
 def _files_overlapping_keys(
     spark,
     path: str,
@@ -4099,14 +4136,13 @@ def _prepare_merge(
     # lost mid-job; Spark recomputes from the persisted RDD lineage's
     # replication or fails the job loudly — never silently wrong.)
     updates = updates.localCheckpoint(eager=True)
-    dup = updates.groupBy(*keys_l).count().filter("count > 1").limit(1)
-    null_cond = None
-    for k in keys_l:
-        c = F.col(k).isNull()
-        null_cond = c if null_cond is None else (null_cond | c)
-    if updates.filter(null_cond).limit(1).count():
+    # null probe + dup probe + key bounds in ONE aggregation job over
+    # the checkpointed source (see _merge_source_profile — this was 3
+    # jobs / 3 source passes)
+    bounds, has_null, has_dup = _merge_source_profile(updates, keys_l)
+    if has_null:
         raise ValueError(f"updates carry NULL {keys_l}")
-    if dup.count():
+    if has_dup:
         raise ValueError(f"updates carry duplicate {keys_l} rows")
     if snap is None:
         snap = _replay(spark, path)
@@ -4134,7 +4170,7 @@ def _prepare_merge(
     # stay logical. Multi-key pruning INTERSECTS: a file can hold a
     # matching row only if it overlaps EVERY key column's range.
     pm = _phys_map(snap.schema)
-    bounds = _multi_key_bounds(updates, keys_l)  # all keys, ONE job
+    # bounds already computed by the combined profile job above
     touched, specs = files, []
     for k in keys_l:
         lo, hi = bounds[k]
