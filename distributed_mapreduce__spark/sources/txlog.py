@@ -3809,22 +3809,11 @@ def _footer_min_max(local_path: str, col: str):
     return None if lo is None else (lo, hi)
 
 
-def _key_bounds(keys: DataFrame, key_col: str):
-    """(lo, hi) of ``key_col`` in JSON-stat form; (None, None) for an
-    empty frame (min/max of zero rows is NULL)."""
-    from pyspark.sql import functions as F
-
-    bounds = keys.agg(
-        F.min(key_col).alias("lo"), F.max(key_col).alias("hi")
-    ).collect()[0]
-    return _json_stat(bounds["lo"]), _json_stat(bounds["hi"])
-
-
 def _multi_key_bounds(
     df: DataFrame, keys_l: "list[str]"
 ) -> "dict[str, tuple]":
     """{key: (lo, hi)} for EVERY key column in ONE Spark job — the
-    merge prepares used to call :func:`_key_bounds` once per key
+    merge prepares used to run one bounds aggregation per key
     column, re-executing a non-trivial source plan K times (VERDICT
     r14 defect 1). (None, None) per key for an empty frame."""
     from pyspark.sql import functions as F
@@ -5551,7 +5540,17 @@ def tx_delete(
 
     if mode not in ("copy_on_write", "merge_on_read"):
         raise ValueError(f"mode must be copy_on_write|merge_on_read, got {mode!r}")
-    if keys.filter(F.col(key_col).isNull()).limit(1).count():
+    # NULL probe + key bounds in ONE aggregation job (the NULL filter
+    # and the later _key_bounds call were two separate passes over the
+    # keys frame — round-15 job audit, same consolidation as the merge
+    # prepare's _merge_source_profile)
+    _kprof = keys.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.count(F.col(key_col)).alias("__nn"),
+        F.min(F.col(key_col)).alias("__lo"),
+        F.max(F.col(key_col)).alias("__hi"),
+    ).collect()[0]
+    if _kprof["__nn"] < _kprof["__n"]:
         raise ValueError(f"keys carry NULL {key_col}")
     snap = _replay(spark, path)  # also the existence check
     _check_writer_features(snap.properties, path)
@@ -5590,7 +5589,7 @@ def tx_delete(
 
         return _commit_with_retries(spark, path, fs, build, txn, 20)
     files, snap_version = sorted(snap.eps), snap.version
-    lo, hi = _key_bounds(keys, key_col)
+    lo, hi = _json_stat(_kprof["__lo"]), _json_stat(_kprof["__hi"])
     phys_key = _phys_map(snap.schema).get(key_col, key_col)
     touched = _files_overlapping_keys(
         spark, path, files, lo, hi, phys_key, snap
