@@ -33,6 +33,14 @@ box never goes idle the artifact is stamped "contended": true and
 from a run with contended=false. Compare bench numbers like-for-like on
 idle boxes only.
 
+Round 16 adds the contended-run GUARD (additions only): a timed pass
+that finishes contended is re-run after a fresh idle wait, up to
+$SPARK_GRAFT_BENCH_RUN_RETRIES times (default 1); a run that stays
+contended is stamped "invalid": true in the artifact AND the stdout
+line, so cross-round PERF comparisons can refuse poisoned totals
+instead of ingesting them (rounds 14 and 15 both shipped contended
+32-core headline numbers).
+
 Mid-run contention is detected two ways (contended_stamp, unit-tested):
 the 1-min loadavg sampled before each query against IDLE_LOAD_HI, and —
 because loadavg carries the bench's OWN bursts, letting an outside ramp
@@ -96,6 +104,15 @@ PROFILE_TABLES = {
 
 
 IDLE_LOAD = float(os.environ.get("SPARK_GRAFT_BENCH_IDLE_LOAD", "2.0"))
+
+#: Round-16 contended-run guard (VERDICT r15 #3): when the finished
+#: timing pass comes out contended, re-run the WHOLE timed section up
+#: to this many extra times (waiting for idle in between) before
+#: giving up; a run that stays contended is stamped "invalid": true so
+#: PERF comparisons stop ingesting poisoned totals. Additions-only:
+#: the one-line JSON contract, the timed methodology, and every
+#: existing field are unchanged.
+RUN_RETRIES = int(os.environ.get("SPARK_GRAFT_BENCH_RUN_RETRIES", "1"))
 
 #: Mid-run contention threshold for the 1-min load sampled after each
 #: query. Calibrated round 9 on the current kernel: three bench runs
@@ -184,6 +201,19 @@ def contended_stamp(
     return False, None
 
 
+def validity_stamp(contended: bool, attempts: int) -> dict:
+    """Artifact fields for the contended-run guard — pure, unit-tested
+    (tests/test_bench_stamp.py). A run that is still contended after
+    its bounded retries carries an explicit ``"invalid": true`` so
+    downstream PERF comparisons can refuse the total instead of
+    silently ingesting load noise (rounds 14/15 both shipped poisoned
+    32-core headline totals)."""
+    out: dict = {"timed_attempts": attempts}
+    if contended:
+        out["invalid"] = True
+    return out
+
+
 def wait_for_idle() -> float:
     """Block until the 1-min load drops below IDLE_LOAD (or retries run
     out); returns the final load. Progress goes to stderr so stdout
@@ -240,39 +270,60 @@ def main() -> None:
     # Warm the JVM + parquet footers once so timings measure the queries.
     lookup[names[0]](spark, sf_dir).count()
 
-    timings: dict[str, float] = {}
-    q_load: dict[str, float] = {}
-    q_busy: dict[str, float] = {}
-    q_spread: dict[str, float] = {}
-
     def rel_spread(xs: list) -> float:
         med = statistics.median(xs)
         return (max(xs) - min(xs)) / med if med > 0 else 0.0
 
-    for name in names:
-        q_load[name] = round(os.getloadavg()[0], 2)
-        q_busy[name] = round(outside_busy(), 2)
-        samples = []
-        for _ in range(PASSES):
-            t0 = time.perf_counter()
-            df = lookup[name](spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            samples.append(time.perf_counter() - t0)
-        # an outlier pass (GC, a load spike) blows the spread — buy it
-        # back with bounded extra passes before taking the median
-        extra = 0
-        while (
-            len(samples) >= 3
-            and rel_spread(samples) > SPREAD_BOUND
-            and extra < EXTRA_PASSES
-        ):
-            t0 = time.perf_counter()
-            df = lookup[name](spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            samples.append(time.perf_counter() - t0)
-            extra += 1
-        timings[name] = round(statistics.median(samples), 3)
-        q_spread[name] = round(rel_spread(samples), 3)
+    def time_queries():
+        """One full timed pass over the headline set — 3-pass medians
+        with bounded extra passes, the same methodology every round."""
+        timings: dict[str, float] = {}
+        q_load: dict[str, float] = {}
+        q_busy: dict[str, float] = {}
+        q_spread: dict[str, float] = {}
+        for name in names:
+            q_load[name] = round(os.getloadavg()[0], 2)
+            q_busy[name] = round(outside_busy(), 2)
+            samples = []
+            for _ in range(PASSES):
+                t0 = time.perf_counter()
+                df = lookup[name](spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+                samples.append(time.perf_counter() - t0)
+            # an outlier pass (GC, a load spike) blows the spread — buy
+            # it back with bounded extra passes before taking the median
+            extra = 0
+            while (
+                len(samples) >= 3
+                and rel_spread(samples) > SPREAD_BOUND
+                and extra < EXTRA_PASSES
+            ):
+                t0 = time.perf_counter()
+                df = lookup[name](spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+                samples.append(time.perf_counter() - t0)
+                extra += 1
+            timings[name] = round(statistics.median(samples), 3)
+            q_spread[name] = round(rel_spread(samples), 3)
+        return timings, q_load, q_busy, q_spread
+
+    # contended-run guard (round 16): a timed pass that comes out
+    # contended is re-run after a fresh idle wait (bounded); a run that
+    # stays contended carries an explicit invalid stamp
+    attempts = 0
+    while True:
+        attempts += 1
+        timings, q_load, q_busy, q_spread = time_queries()
+        contended, load_note = contended_stamp(load_start, q_load, q_busy)
+        if not contended or attempts > RUN_RETRIES:
+            break
+        print(
+            f"bench: timed pass {attempts} contended ({load_note}) — "
+            f"waiting for idle and re-running "
+            f"({attempts}/{RUN_RETRIES} retries used)",
+            file=sys.stderr,
+        )
+        load_start = wait_for_idle()
 
     # Round-6 operator families (WARC-era additions: substring dedup,
     # BPE, ANN index, PageRank, Bloom decontamination, JL projection,
@@ -301,11 +352,11 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     load_end = os.getloadavg()[0]
-    # contended covers the WHOLE run: idle-wait exhausted at start, OR
-    # outside load ramping past what the bench itself generates at any
-    # per-query loadavg sample, OR the between-query /proc/stat probe
-    # catching outside CPUs busy while the bench itself was quiescent
-    contended, load_note = contended_stamp(load_start, q_load, q_busy)
+    # contended covers the WHOLE final timed pass: idle-wait exhausted
+    # at start, OR outside load ramping past what the bench itself
+    # generates at any per-query loadavg sample, OR the between-query
+    # /proc/stat probe catching outside CPUs busy while the bench
+    # itself was quiescent (stamp computed inside the retry loop above)
     out = {
         "metric": "headline_queries_total",
         "value": total,
@@ -321,6 +372,7 @@ def main() -> None:
         "profile_sidecars": profiled,
         "contended": contended,
     }
+    out.update(validity_stamp(contended, attempts))
     if new_ops:
         out["new_ops"] = new_ops
         out["new_ops_total"] = round(sum(new_ops.values()), 3)
@@ -348,6 +400,8 @@ def main() -> None:
     }
     if new_ops:
         headline["new_ops_total"] = out["new_ops_total"]
+    if out.get("invalid"):
+        headline["invalid"] = True
     print(json.dumps(headline))
     spark.stop()
 

@@ -155,6 +155,13 @@ def bloom_build(
     :data:`BUILD_ITEMS_PER_TASK` values, so an eval-set-sized build is
     ONE task (and skips the or-merge stage entirely) while a 10⁸-item
     blocklist still fans out to :data:`BUILD_PARTITIONS` tasks.
+
+    CONTRACT (ADVICE r15): the hint must be an actual measured count
+    of the values — every in-repo caller passes the count it already
+    ran to size ``m``. An undersized ESTIMATE (hint 1k, actual 10⁸)
+    stays correct but coalesces the dominant md5 fold onto one task;
+    pass None when no exact count is at hand and the fold keeps the
+    input's own parallelism (capped at :data:`BUILD_PARTITIONS`).
     """
     if m % 64 != 0:
         raise ValueError(f"m must be a multiple of 64, got {m}")

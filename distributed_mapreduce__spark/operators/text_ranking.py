@@ -307,6 +307,13 @@ def hashed_doc_vectors(
     # the partial buffers (dim doubles per doc per mapper) outweigh
     # the raw (doc_id, b, w) rows they replace — partial aggregation
     # compresses nothing on this key distribution.
+    # FP-order note (ADVICE r15): the repartition changes which rows
+    # each double-precision CASE-sum combines and in what order; FP
+    # addition is non-associative, so bit-identity across partition
+    # counts is an EMPIRICAL property here (verified at sf0.1, sf1,
+    # and CPUS=8), not a structural guarantee. If the weighting scheme
+    # changes, re-verify — or accumulate in a scaled-integer domain if
+    # bit-exactness must hold under arbitrary parallelism.
     rows = rows.repartition(
         docs.sparkSession.sparkContext.defaultParallelism, "doc_id"
     )

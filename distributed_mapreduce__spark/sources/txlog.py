@@ -1990,6 +1990,125 @@ def _json_stat(v):
     return str(v)
 
 
+#: footer-stat exactness guards (round 16, VERDICT r15 #5): logical
+#: types whose parquet footer min/max provably equals Spark's own
+#: min/max aggregate over the file. Everything else falls back to the
+#: grouped Spark job: INT96 timestamps carry no stats at all, INT64
+#: timestamps render tz-shifted, decimals are not extractable through
+#: pyarrow, and exotic logical types are unaudited.
+_FOOTER_STAT_LOGICAL_OK = ("NONE", "STRING", "DATE", "INT")
+
+
+def _footer_row_counts(path: str, files: list[str]) -> "dict[str, int] | None":
+    """PHYSICAL row count per staged file from the parquet FOOTERS the
+    write job just produced — num_rows is exact footer metadata with
+    no caveats, so the post-write counting job (_count_rows_per_file)
+    is pure duplication on local paths. Returns None when any file is
+    not plainly readable driver-side (remote scheme) — caller falls
+    back to the Spark job. Guide §1.2 via VERDICT r15 #5: ride the
+    write's own statistics instead of re-reading what it wrote."""
+    try:
+        import pyarrow.parquet as _pq
+
+        out: "dict[str, int]" = {}
+        for f in files:
+            p = _abs(path, f)
+            if "://" in p or p.startswith("file:"):
+                return None
+            out[f] = _pq.ParquetFile(p).metadata.num_rows
+        return out
+    except Exception:
+        return None
+
+
+def _footer_minmax(
+    path: str, files: list[str], cols: "list[str]"
+) -> "dict[str, dict[str, list]] | None":
+    """Per-file [min, max] for ``cols`` from the staged parquet
+    FOOTERS — the statistics the write job itself recorded — or None
+    whenever exactness is not PROVABLE for every (file, column), in
+    which case the caller falls back to the grouped Spark job
+    (_collect_stats' original path). The guards, each verified against
+    Spark-written files (tests/test_txlog_footer_stats.py):
+
+    - logical type must be in :data:`_FOOTER_STAT_LOGICAL_OK` and the
+      physical type must not be INT96 (no stats at all);
+    - a row group with values must carry has_min_max (parquet-mr OMITS
+      binary stats beyond its size cap rather than truncating them;
+      an all-null group legitimately has none and contributes None,
+      exactly like Spark's min/max over an all-null file);
+    - string extremes longer than 1 KiB fall back (paranoia against a
+      writer configured to truncate footer stats — nothing in this
+      engine does, and omission is the default behavior);
+    - float/double extremes of NaN or ±0.0 fall back: parquet writers
+      conservatively WIDEN zero bounds (min +0.0 → -0.0, max -0.0 →
+      +0.0) and NaN handling is writer-defined, while Spark's
+      aggregate is exact.
+
+    Values come back as the same python types Spark's collect() hands
+    _json_stat (int/str/float/bool/datetime.date), so the recorded
+    commit JSON is byte-identical either way."""
+    import math as _math
+
+    try:
+        import pyarrow.parquet as _pq
+
+        out: "dict[str, dict[str, list]]" = {}
+        for f in files:
+            p = _abs(path, f)
+            if "://" in p or p.startswith("file:"):
+                return None
+            md = _pq.ParquetFile(p).metadata
+            if md.num_rows == 0:
+                # a zero-row part file never reaches the fallback
+                # job's groupBy either — keep the key set identical
+                continue
+            leaf = {
+                md.schema.column(j).path: j for j in range(md.num_columns)
+            }
+            ent: dict[str, list] = {}
+            for c in cols:
+                j = leaf.get(c)
+                if j is None:
+                    return None  # not in file bytes: let the job rule
+                sc = md.schema.column(j)
+                logical = str(sc.logical_type.type).upper()
+                if (
+                    sc.physical_type == "INT96"
+                    or logical not in _FOOTER_STAT_LOGICAL_OK
+                ):
+                    return None
+                lo = hi = None
+                for i in range(md.num_row_groups):
+                    ch = md.row_group(i).column(j)
+                    if ch.num_values == 0:
+                        continue
+                    st = ch.statistics
+                    if st is None or not st.has_null_count:
+                        return None
+                    if st.null_count == md.row_group(i).num_rows:
+                        continue  # all-null group: no extremes
+                    if not st.has_min_max:
+                        return None
+                    mn, mx = st.min, st.max
+                    for v in (mn, mx):
+                        if isinstance(v, bytes):
+                            return None  # undecoded binary: unaudited
+                        if isinstance(v, str) and len(v) > 1024:
+                            return None
+                        if isinstance(v, float) and (
+                            _math.isnan(v) or v == 0.0
+                        ):
+                            return None
+                    lo = mn if lo is None or mn < lo else lo
+                    hi = mx if hi is None or mx > hi else hi
+                ent[c] = [lo, hi]
+            out["data/" + p.rsplit("/data/", 1)[-1]] = ent
+        return out
+    except Exception:
+        return None
+
+
 def _collect_stats(
     spark, path: str, files: list[str], cols, snap: "_Snapshot | None" = None
 ) -> dict[str, dict[str, list]]:
@@ -2020,6 +2139,22 @@ def _collect_stats(
         data_cols.add(pf.source)
     aggs = []
     cols = sorted(data_cols)
+    # round 16 (VERDICT r15 #5): for unpartitioned commits, ride the
+    # write job's own footer statistics instead of a post-write Spark
+    # job over the staged bytes — exactness-guarded per (file, col),
+    # any doubt falls back to the job below. Partitioned layouts keep
+    # the job: identity partition values live in directory names, and
+    # _reader_for owns their reconstruction.
+    if snap is None:
+        foot = _footer_minmax(path, files, cols)
+        if foot is not None:
+            return {
+                f: {
+                    c: [_json_stat(ent[c][0]), _json_stat(ent[c][1])]
+                    for c in cols
+                }
+                for f, ent in foot.items()
+            }
     for c in cols:
         aggs.append(F.min(c).alias(f"__lo_{c}"))
         aggs.append(F.max(c).alias(f"__hi_{c}"))
@@ -5842,7 +5977,16 @@ def _count_rows_per_file(
     a parquet scan is metadata-cheap — no column bytes decode).
     ``base + row_index`` must cover every physical row, so DV-hidden
     rows count too. Attribution via the UUID basename, the
-    :func:`_pos_name_map` rule."""
+    :func:`_pos_name_map` rule.
+
+    Round 16 (VERDICT r15 #5): the counts come from the staged files'
+    own FOOTERS when they are plainly readable driver-side — num_rows
+    is exact parquet metadata, so the counting job was pure
+    duplication of what the write already recorded; the Spark job
+    below remains the fallback for remote schemes."""
+    fast = _footer_row_counts(path, files)
+    if fast is not None:
+        return fast
     from pyspark.sql import functions as F
 
     base_map: "dict[str, str]" = {}

@@ -103,6 +103,15 @@ def intra_batch_dedup(
 
     if verify not in ("estimate", "exact"):
         raise ValueError(f"verify must be estimate|exact, got {verify!r}")
+    # a micro-batch arrives as one-or-few commit files => one-or-few
+    # scan partitions, which serializes the batch's expensive pass
+    # (shingle explode x 16 minhash seeds) onto one core (round-16
+    # job audit: every stage of the tick ran 1 task). Hash-spread on
+    # doc_id first — no-op at real scale where a batch has many
+    # splits (guide §2.4/§2.5; plans/partitioning.spread).
+    from ..plans.partitioning import spread
+
+    batch = spread(batch, by=["doc_id"])
     sig_cols = [f"mh{s}" for s in range(N_SEEDS)]
     idx = dedup_index(batch)
     # exact: min doc_id per normalized-text hash survives

@@ -4,11 +4,14 @@ documented error bounds (HLL++ rsd default 5%; percentile_approx with
 
 from __future__ import annotations
 
+import pytest
+
 from distributed_mapreduce__spark import registry
 
 registry.load_all()
 
 
+@pytest.mark.slow  # round-16 tier: driver-window default excludes it
 def test_sketches_within_tolerance(spark, sf_dir):
     """The registered query emits within-tolerance booleans (so the
     oracle can check them cross-engine); locally also pin the tighter

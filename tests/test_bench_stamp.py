@@ -64,3 +64,30 @@ def test_busy_threshold_is_exclusive_below():
         load_start=0.0, query_loads={"q": 2.0}, query_busys={"q": 3.0}
     )
     assert ok2
+
+
+# ---- round-16 contended-run guard (bench.validity_stamp) ------------
+
+
+def test_validity_stamp_clean_run_has_no_invalid():
+    from bench import validity_stamp
+
+    out = validity_stamp(contended=False, attempts=1)
+    assert out == {"timed_attempts": 1}
+    assert "invalid" not in out
+
+
+def test_validity_stamp_contended_run_is_invalid():
+    from bench import validity_stamp
+
+    out = validity_stamp(contended=True, attempts=2)
+    assert out["invalid"] is True
+    assert out["timed_attempts"] == 2
+
+
+def test_validity_stamp_retry_that_recovered_is_valid():
+    # second attempt came out clean: attempts recorded, no invalid flag
+    from bench import validity_stamp
+
+    out = validity_stamp(contended=False, attempts=2)
+    assert out == {"timed_attempts": 2}

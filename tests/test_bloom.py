@@ -154,6 +154,7 @@ def test_sql_guard_and_auto_routing(spark):
         bloom_probe(df, "v", big, method="nope")
 
 
+@pytest.mark.slow  # round-16 tier: driver-window default excludes it
 def test_decontaminate_bloom_equals_exact_scan(spark):
     """The front-door contract: Bloom only prunes — output is
     bit-identical to ngram_contamination on the real corpus."""

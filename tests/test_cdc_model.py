@@ -32,6 +32,10 @@ from distributed_mapreduce__spark.streaming.table_stream import (
     pipe_available_now,
 )
 
+#: slow tier (round 16): excluded from the driver-window default
+#: run; the full suite (pytest -m "") runs and is logged every round.
+pytestmark = __import__("pytest").mark.slow
+
 N_OPS = 24
 KEYSPACE = 50
 

@@ -50,6 +50,7 @@ def test_foreach_sink_exactly_once_across_restart(spark, tmp_path):
     assert n_second == n_first  # no duplicates after restart
 
 
+@pytest.mark.slow  # round-16 tier: driver-window default excludes it
 def test_watermark_drops_late_data(spark, tmp_path):
     """An event older than the watermark must not resurrect an
     already-EMITTED window in append mode.

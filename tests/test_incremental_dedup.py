@@ -5,6 +5,8 @@ the fixture corpus."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from distributed_mapreduce__spark.operators.dedup import (
@@ -172,6 +174,7 @@ def test_near_dup_pairs_front_door(spark):
         near_dup_pairs(docs, strategy="simhashish")
 
 
+@pytest.mark.slow  # round-16 tier: driver-window default excludes it
 def test_dedup_pipe_over_txlog_feed_matches_single_batch(spark, tmp_path):
     """Round 10 capstone composition: the exactly-once dedup pipe over
     the txlog change feed. Ingesting the corpus as two id-ordered ACID

@@ -288,6 +288,7 @@ def test_merge_cdf_change_types(spark, tmp_path):
     assert "_row_id" not in df.columns
 
 
+@pytest.mark.slow  # round-16 tier: driver-window default excludes it
 def test_merge_cdf_id_complete_on_tracked_tables(spark, tmp_path):
     t = str(tmp_path / "t")
     _tbl(spark, t, n=6)

@@ -13,6 +13,10 @@ from distributed_mapreduce__spark.operators.graph import (
     pagerank,
 )
 
+#: slow tier (round 16): excluded from the driver-window default
+#: run; the full suite (pytest -m "") runs and is logged every round.
+pytestmark = __import__("pytest").mark.slow
+
 D = 0.85
 TOL = 1e-9
 

@@ -3,6 +3,8 @@ planted-nulls check that the null accounting is right."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from distributed_mapreduce__spark.operators.profile import profile_table
@@ -112,6 +114,7 @@ def test_profile_sidecar_feeds_front_doors(spark, tmp_path):
     )
 
 
+@pytest.mark.slow  # round-16 tier: driver-window default excludes it
 def test_env_pointed_sidecars_drive_registered_front_doors(spark, tmp_path, monkeypatch):
     """The bench wiring (VERDICT r5 item 7): profiles written per table
     under $SPARK_GRAFT_PROFILE_DIR make every auto-routed registered

@@ -6,6 +6,8 @@ appends, merge-on-read deletes, and crash-replay."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from distributed_mapreduce__spark.operators.timeseries import (
@@ -75,6 +77,7 @@ def test_retract_nets_out_and_zero_windows_vanish(spark, tmp_path):
     } == expect
 
 
+@pytest.mark.slow  # round-16 tier: driver-window default excludes it
 def test_view_maintains_through_appends_and_deletes(spark, tmp_path):
     table = str(tmp_path / "ingest")
     store = str(tmp_path / "view")
@@ -136,6 +139,7 @@ def test_view_crash_replay_is_idempotent(spark, tmp_path):
     assert _view(spark, store) == before
 
 
+@pytest.mark.slow  # round-16 tier: driver-window default excludes it
 def test_view_maintains_through_merges_and_cow_deletes(spark, tmp_path):
     """Round 10: the view survives the ROUTINE upsert path. A tx_merge
     folds update pre-images negated and post-images + inserts positive

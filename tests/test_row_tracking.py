@@ -220,6 +220,7 @@ def _id_map_cols(spark, path):
     }
 
 
+@pytest.mark.slow  # round-16 tier: driver-window default excludes it
 def test_checkpoint_and_vacuum_keep_bases(spark, tracked, tmp_path):
     from distributed_mapreduce__spark.sources.txlog import (
         _write_checkpoint,
@@ -319,6 +320,7 @@ def test_id_scan_prunes_like_tx_read(spark, tmp_path):
     assert len(hit.inputFiles()) == 1  # only the middle commit's file
 
 
+@pytest.mark.slow  # round-16 tier: driver-window default excludes it
 def test_cdc_feed_keyed_on_row_ids(spark, tmp_path):
     """tx_changes_cdf(with_row_ids=True): the change feed keyed on
     STABLE ids. A consumer maintaining {id: row} from the frames alone

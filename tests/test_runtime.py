@@ -8,6 +8,8 @@ injected task failures still yields the correct result.
 
 from __future__ import annotations
 
+import pytest
+
 import json
 import subprocess
 import sys
@@ -45,6 +47,7 @@ print("RETRY_OK", total)
 """
 
 
+@pytest.mark.slow  # round-16 tier: driver-window default excludes it
 def test_task_retry_yields_exact_result():
     proc = subprocess.run(
         [sys.executable, "-c", FAULT_INJECTION_JOB],

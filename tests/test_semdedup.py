@@ -14,6 +14,10 @@ from distributed_mapreduce__spark.operators.semdedup import (
     semantic_dup_pairs,
 )
 
+#: slow tier (round 16): excluded from the driver-window default
+#: run; the full suite (pytest -m "") runs and is logged every round.
+pytestmark = __import__("pytest").mark.slow
+
 N_GROUPS = 12  # planted duplicate groups of 3 (ids g*100, +1, +2)
 N_UNIQUE = 300
 

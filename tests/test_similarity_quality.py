@@ -20,6 +20,10 @@ from distributed_mapreduce__spark.queries.similarity_q import (
 
 registry.load_all()
 
+#: slow tier (round 16): excluded from the driver-window default
+#: run; the full suite (pytest -m "") runs and is logged every round.
+pytestmark = __import__("pytest").mark.slow
+
 SF = "/root/testdata/sf0.001"
 
 

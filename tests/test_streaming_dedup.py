@@ -4,6 +4,8 @@ the memory sink like the other streaming parity tests."""
 
 from __future__ import annotations
 
+import pytest
+
 import json
 
 from pyspark.sql import functions as F
@@ -66,6 +68,7 @@ def _wc_text(seed: str, n: int = 40) -> str:
     return " ".join(words)
 
 
+@pytest.mark.slow  # round-16 tier: driver-window default excludes it
 def test_stream_incremental_dedup_end_to_end(spark, tmp_path):
     """The production curation shape: three micro-batches arrive; exact
     and NEAR duplicates — both within a batch and against PRIOR batches
@@ -177,6 +180,7 @@ def _planted_batch(spark):
     )
 
 
+@pytest.mark.slow  # round-16 tier: driver-window default excludes it
 def test_exact_verify_precision_recall_gate(spark):
     """VERDICT r10 #5: verify='exact' makes the intra-batch near-dup
     drop estimator-noise-free — its drop set is EXACTLY the banded
@@ -266,6 +270,7 @@ def test_dedup_pipe_exact_verify_end_to_end(spark, tmp_path):
     assert {i * 10 + 2 for i in range(8)} <= kept  # low variants survive
 
 
+@pytest.mark.slow  # round-16 tier: driver-window default excludes it
 def test_tx_dedup_table_in_place(spark, tmp_path):
     """tx_dedup_table: the pipe's decision procedure over a table
     snapshot, losers erased as a deletion vector — zero rewrites."""

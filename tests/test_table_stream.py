@@ -317,6 +317,7 @@ def test_cdf_yields_merge_pre_and_post_images(spark, tmp_path):
     assert got2 == {(100, "insert"), (101, "insert")}
 
 
+@pytest.mark.slow  # round-16 tier: driver-window default excludes it
 def test_cdc_pipe_replicates_merge_exactly_once(spark, tmp_path):
     """The r9 #1 gap closed: a routine MERGE on the source replicates
     to the sink (delete-then-append under per-version txn ids) instead

@@ -14,6 +14,10 @@ from pyspark.sql import functions as F
 from distributed_mapreduce__spark.operators.corpus import build_training_set
 from distributed_mapreduce__spark.sources.tables import load_table
 
+#: slow tier (round 16): excluded from the driver-window default
+#: run; the full suite (pytest -m "") runs and is logged every round.
+pytestmark = __import__("pytest").mark.slow
+
 SF = "/root/testdata/sf0.001"
 
 #: gentle line-cleaning for the synthetic fixture corpus (tiny

@@ -47,6 +47,7 @@ def _arrow_batches(spark, df):
     return iter(pa.Table.from_pandas(pdf).to_batches())
 
 
+@pytest.mark.slow  # round-16 tier: driver-window default excludes it
 def test_readstream_to_writestream_end_to_end(spark, tmp_path):
     register_tx_source(spark)
     src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
@@ -321,6 +322,7 @@ def test_sink_transform_partitioned_table(spark, tmp_path):
         assert ent["ts"][0][:10] == ent["_p_days_ts"][0]
 
 
+@pytest.mark.slow  # round-16 tier: driver-window default excludes it
 def test_sink_placement_parity_with_engine(spark, tmp_path):
     """_sink_place_val is the byte-exact twin of txlog._transform_expr:
     the same rows written by tx_write and by the sink land in the SAME

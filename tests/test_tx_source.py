@@ -165,6 +165,7 @@ def test_batch_reader_snapshot_and_time_travel(spark, tmp_path):
     assert old.count() == v0_rows
 
 
+@pytest.mark.slow  # round-16 tier: driver-window default excludes it
 def test_batch_reader_applies_deletion_vectors(spark, tmp_path):
     from distributed_mapreduce__spark.sources.txlog import tx_update
 
@@ -195,6 +196,7 @@ def test_batch_reader_refuses_equality_tombstones(spark, tmp_path):
         spark.read.format("txtable").option("path", t).load().count()
 
 
+@pytest.mark.slow  # round-16 tier: driver-window default excludes it
 def test_logview_replay_parity_over_randomized_history(spark, tmp_path):
     """VERDICT r12 #4: _LogView reimplements the _replay fold in pure
     python (the DataSource planning lifecycle has no SparkSession), so
@@ -458,6 +460,7 @@ def test_with_row_ids_stream_carries_stable_ids(spark, tmp_path):
         q2.stop()
 
 
+@pytest.mark.slow  # round-16 tier: driver-window default excludes it
 def test_max_versions_per_trigger_bounds_backlog(spark, tmp_path):
     """Round 15 (VERDICT r14 #4): a k-commit backlog drains in
     ceil(k/n) micro-batches under maxVersionsPerTrigger=n — no more

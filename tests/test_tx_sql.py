@@ -423,6 +423,7 @@ def test_time_travel_ref_inside_literal_survives(spark, pair):
     assert n0 == 0
 
 
+@pytest.mark.slow  # round-16 tier: driver-window default excludes it
 def test_history_is_selectable_relation(spark, pair):
     """Round 15 (VERDICT r14 #6): <name>$history composes in SELECT —
     filter by version, aggregate, and feed subqueries."""

@@ -24,6 +24,10 @@ from distributed_mapreduce__spark.sources.txlog import (
     tx_write,
 )
 
+#: slow tier (round 16): excluded from the driver-window default
+#: run; the full suite (pytest -m "") runs and is logged every round.
+pytestmark = __import__("pytest").mark.slow
+
 N_OPS = 36
 KEYSPACE = 60
 

@@ -80,6 +80,7 @@ def test_update_settles_like_a_delete(spark, table):
     assert _replay(spark, table).dv == []
 
 
+@pytest.mark.slow  # round-16 tier: driver-window default excludes it
 def test_update_cow_parity_and_dv_refusal(spark, tmp_path):
     a, b = str(tmp_path / "a"), str(tmp_path / "b")
     for t in (a, b):
@@ -175,6 +176,7 @@ def test_update_on_column_mapped_table(spark, table):
     assert out.filter("bucket_v = 3").count() == 0
 
 
+@pytest.mark.slow  # round-16 tier: driver-window default excludes it
 def test_update_stacks_on_live_delete_dv(spark, table):
     tx_delete_where(spark, table, "v = 9")
     tx_update(spark, table, "v = 3", {"v": "v + 100"})
@@ -187,6 +189,7 @@ def test_update_stacks_on_live_delete_dv(spark, table):
     assert tx_read(spark, table).filter("v = 104").count() == 100
 
 
+@pytest.mark.slow  # round-16 tier: driver-window default excludes it
 def test_update_replicates_through_cdc_pipe(spark, tmp_path):
     """An UPDATE's cdf frame (pre+post images) drives the pipe's
     delete-then-append upsert: the replica converges to the source —
@@ -236,6 +239,7 @@ def test_update_conflicts_with_concurrent_overlapping_dv(
         tx_update(spark, table, "v = 3", {"tag": "'updated'"})
 
 
+@pytest.mark.slow  # round-16 tier: driver-window default excludes it
 def test_update_commutes_with_disjoint_concurrent_dv(
     spark, tmp_path, monkeypatch
 ):

@@ -19,6 +19,10 @@ from distributed_mapreduce__spark.operators.urls import (
 )
 from distributed_mapreduce__spark.sources.tables import load_table
 
+#: slow tier (round 16): excluded from the driver-window default
+#: run; the full suite (pytest -m "") runs and is logged every round.
+pytestmark = __import__("pytest").mark.slow
+
 SF = "/root/testdata/sf0.01"
 
 PLANTED = [
