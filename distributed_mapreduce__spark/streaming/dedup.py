@@ -103,15 +103,13 @@ def intra_batch_dedup(
 
     if verify not in ("estimate", "exact"):
         raise ValueError(f"verify must be estimate|exact, got {verify!r}")
-    # a micro-batch arrives as one-or-few commit files => one-or-few
-    # scan partitions, which serializes the batch's expensive pass
-    # (shingle explode x 16 minhash seeds) onto one core (round-16
-    # job audit: every stage of the tick ran 1 task). Hash-spread on
-    # doc_id first — no-op at real scale where a batch has many
-    # splits (guide §2.4/§2.5; plans/partitioning.spread).
-    from ..plans.partitioning import spread
-
-    batch = spread(batch, by=["doc_id"])
+    # NOT widened (round-16, measured): a micro-batch arrives as
+    # one-or-few scan partitions and the tick's stages run 1 task —
+    # but hash-spreading the batch on doc_id made the 2-tick pipe
+    # SLOWER (12.5 -> 15.5 s at sf0.1): per-tick cost is dominated by
+    # ~40 tiny AQE stage-jobs whose scheduling overhead a 32-way
+    # widen multiplies, not by the serial minhash compute. At real
+    # scale a batch has many splits and arrives wide on its own.
     sig_cols = [f"mh{s}" for s in range(N_SEEDS)]
     idx = dedup_index(batch)
     # exact: min doc_id per normalized-text hash survives
@@ -119,8 +117,11 @@ def intra_batch_dedup(
     idx = idx.join(keep_exact.select("doc_id"), "doc_id")
     if with_index:
         # one materialization serves the near-dup pass AND every
-        # downstream signature consumer (~160 B/doc)
-        idx = idx.localCheckpoint()
+        # downstream signature consumer (~160 B/doc). Lazy (round 16):
+        # it materializes inside clean_idx's own checkpoint job below
+        # instead of as a separate driver barrier — same sharing, one
+        # fewer blocking job per tick.
+        idx = idx.localCheckpoint(eager=False)
     # near: banded candidates (a < b), score ≥ t drops the LARGER id
     pairs = lsh_candidate_pairs(lsh_bands(idx.filter(F.col("mh0").isNotNull())))
     if verify == "exact":
@@ -147,12 +148,21 @@ def intra_batch_dedup(
             .select(F.col("doc_b").alias("doc_id"))
             .distinct()
         )
-    clean = batch.join(idx.select("doc_id"), "doc_id").join(
-        near_drop, "doc_id", "left_anti"
-    )
     if not with_index:
-        return clean
-    clean_idx = idx.join(near_drop, "doc_id", "left_anti")
+        return batch.join(idx.select("doc_id"), "doc_id").join(
+            near_drop, "doc_id", "left_anti"
+        )
+    # round 16 (tick phase audit): clean_idx's near-drop chain (band
+    # explode -> candidate self-join -> signature verify) was evaluated
+    # TWICE per tick — once under the survivors checkpoint (22 jobs)
+    # and again by the index-append write (13 jobs). Checkpoint the
+    # per-doc SURVIVOR INDEX itself (~160 B/doc) and derive `clean`
+    # from it: the chain now runs exactly once, and both downstream
+    # writes join two materialized tables. Same rows either way —
+    # clean == batch restricted to exact-survivors minus near-dropped
+    # == batch semi-joined on clean_idx's doc_ids.
+    clean_idx = idx.join(near_drop, "doc_id", "left_anti").localCheckpoint()
+    clean = batch.join(clean_idx.select("doc_id"), "doc_id")
     return clean, clean_idx
 
 
