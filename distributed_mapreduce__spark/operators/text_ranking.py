@@ -279,6 +279,20 @@ def hashed_doc_vectors(
     sign = F.when(
         md5_long(F.col("term"), seed=seed + 1) % 2 == 0, F.lit(1.0)
     ).otherwise(F.lit(-1.0))
+    # bucket and sign depend only on the TERM, so they are computed
+    # once per VOCABULARY row on the dfreq side and delivered by the
+    # join the plan already pays — instead of two md5 chains per
+    # (doc, term) row (round 16, VERDICT r15 #6: the remaining ~40% of
+    # this operator's executor time was md5 over the pair table; the
+    # vocabulary is orders of magnitude smaller at every scale).
+    # Identical values per row → bit-identical vectors (oracle +
+    # tests/test_hash_vectors.py pin it).
+    dfreq = dfreq.select(
+        "term",
+        "df",
+        (md5_long(F.col("term"), seed=seed) % F.lit(dim)).alias("__b"),
+        sign.alias("__sgn"),
+    )
     rows = (
         # dfreq is vocabulary-sized (one row per distinct term):
         # UNHINTED join — AQE broadcasts when the vocabulary is
@@ -290,8 +304,8 @@ def hashed_doc_vectors(
         .join(F.broadcast(n))
         .select(
             "doc_id",
-            (md5_long(F.col("term"), seed=seed) % F.lit(dim)).alias("b"),
-            (sign * w).alias("w"),
+            F.col("__b").alias("b"),
+            (F.col("__sgn") * w).alias("w"),
         )
     )
     # Explicit hash repartition by doc_id before the per-doc collapse
