@@ -127,18 +127,50 @@ def fuzzy_key_join(
     # common prefix of a string SET is the common prefix of its
     # lexicographic min and max (any key sorts between them, so it
     # shares every char they agree on); the common suffix is the same
-    # computation over reversed keys. One driver-side row.
-    allk = lraw if self_join else lraw.unionAll(rraw.toDF("lkey"))
-    stats = allk.agg(
-        F.min("lkey"),
-        F.max("lkey"),
-        F.min(F.reverse("lkey")),
-        F.max(F.reverse("lkey")),
-        F.min(F.length("lkey")),
-    ).first()
-    pre = os.path.commonprefix([stats[0] or "", stats[1] or ""])
-    suf = os.path.commonprefix([stats[2] or "", stats[3] or ""])[::-1]
-    min_len = stats[4] or 0
+    # computation over reversed keys. One driver-side row per side —
+    # the per-side min LENGTH also answers the short-core fallback
+    # gate below, replacing what used to be two probe jobs.
+    def affix_stats(keys: DataFrame, side: str):
+        return keys.agg(
+            F.min(side),
+            F.max(side),
+            F.min(F.reverse(side)),
+            F.max(F.reverse(side)),
+            F.min(F.length(side)),
+        ).first()
+
+    lstat = affix_stats(lraw, "lkey")
+    rstat = lstat if self_join else affix_stats(rraw, "rkey")
+    # union affixes = the common part of the two per-side affixes
+    pre = os.path.commonprefix(
+        [
+            os.path.commonprefix([lstat[0] or "", lstat[1] or ""]),
+            os.path.commonprefix([rstat[0] or "", rstat[1] or ""]),
+        ]
+        if lstat[0] is not None and rstat[0] is not None
+        else [
+            os.path.commonprefix([s[0] or "", s[1] or ""])
+            for s in (lstat, rstat)
+            if s[0] is not None
+        ]
+        or [""]
+    )
+    suf = os.path.commonprefix(
+        [
+            os.path.commonprefix([lstat[2] or "", lstat[3] or ""]),
+            os.path.commonprefix([rstat[2] or "", rstat[3] or ""]),
+        ]
+        if lstat[2] is not None and rstat[2] is not None
+        else [
+            os.path.commonprefix([s[2] or "", s[3] or ""])
+            for s in (lstat, rstat)
+            if s[2] is not None
+        ]
+        or [""]
+    )[::-1]
+    min_len = min(
+        (s[4] for s in (lstat, rstat) if s[4] is not None), default=0
+    )
     # never let prefix+suffix overlap inside the shortest key (a
     # truncated common suffix is still a common suffix)
     suf = suf[max(0, len(pre) + len(suf) - min_len):]
@@ -205,11 +237,19 @@ def fuzzy_key_join(
     # +-d length band and let the verify decide. Alphabet-bounded tiny.
     short_max = qq * (d - 1) + 1
     if short_max >= 1:
-        ls = lkeys.filter(F.length("lkey") <= short_max)
-        rs = rkeys.filter(F.length("rkey") <= short_max)
-        # two tiny probe jobs gate the fallback so inputs WITHOUT
-        # short keys (the normal case) keep a cartesian-free plan
-        if ls.first() is not None or rs.first() is not None:
+        # the gate rides the affix aggregation already paid: a side
+        # has short CORES iff its min key length minus the global
+        # affixes is <= short_max (core length = key length - |pre| -
+        # |suf| for every key). Inputs WITHOUT short cores (the normal
+        # case) keep a cartesian-free plan, now with zero probe jobs.
+        trim = len(pre) + len(suf)
+        has_short = any(
+            s[4] is not None and s[4] - trim <= short_max
+            for s in (lstat, rstat)
+        )
+        if has_short:
+            ls = lkeys.filter(F.length("lkey") <= short_max)
+            rs = rkeys.filter(F.length("rkey") <= short_max)
             lband = lkeys.filter(F.length("lkey") <= short_max + d)
             rband = rkeys.filter(F.length("rkey") <= short_max + d)
             cands = cands.unionByName(ls.crossJoin(rband)).unionByName(
