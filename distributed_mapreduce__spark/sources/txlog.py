@@ -5748,6 +5748,11 @@ def tx_delete(
         )
     key_set = keys.select(key_col).distinct()
     old = _read_table_files(spark, path, touched, snap)
+    if cdf and not _row_tracking_on(snap.properties):
+        # round 16 (guide §1.2): with CDF on (and no id-scan), the
+        # touched-file read feeds both the survivor rewrite and the
+        # CDF delete frame — one materialization serves both
+        old = old.localCheckpoint(eager=False)
     survivors = old.join(key_set, key_col, "left_anti")
     extra = None
     if cdf:
@@ -6487,19 +6492,24 @@ def tx_delete_where(
     cond = F.expr(condition)
     matched = scan.filter(cond)  # IS TRUE: NULLs survive
     if mode == "merge_on_read":
+        # round 16 (guide §1.2): one evaluation of the matched set
+        # serves the DV stage, the target list and the CDF delete
+        # frame (the frame previously re-scanned the target files and
+        # semi-joined the sidecar read-back; the predicate is
+        # deterministic over this snapshot, the assumption the old
+        # independent evaluations already made)
+        matched = matched.localCheckpoint(eager=False)
         sidecars = _stage_dv(matched.select("_file", "_pos"), path)
-        placed = spark.read.parquet(*[_abs(path, f) for f in sidecars])
         targets = sorted(
-            r[0] for r in placed.select("_file").distinct().collect()
+            r[0]
+            for r in matched.select("_file").distinct().collect()
         )
         if not targets:
             return _dv_empty_delete(spark, path, snap, txn, cdf)
         cdf_files = None
         if cdf:
             deleted = (
-                _scan_files(spark, path, snap, targets, with_pos=True)
-                .join(F.broadcast(placed), ["_file", "_pos"], "semi")
-                .drop("_file", "_pos")
+                matched.drop("_file", "_pos")
                 .withColumn("_change_type", F.lit("delete"))
             )
             cdf_files = _stage_cdf(_to_physical(deleted, snap.schema), path)
@@ -6512,6 +6522,10 @@ def tx_delete_where(
     if not touched:
         return _dv_empty_delete(spark, path, snap, txn, cdf)
     old = _read_table_files(spark, path, touched, snap)
+    if cdf:
+        # round 16: survivor rewrite + CDF delete frame share one
+        # materialization of the touched-file read
+        old = old.localCheckpoint(eager=False)
     survivors = old.filter(~F.coalesce(cond, F.lit(False)))
     extra = None
     if cdf:
@@ -6784,12 +6798,22 @@ def tx_update(
             f"tx_update assignments change column types {retyped}; "
             "cast the expression back to the column's type"
         )
-    _check_constraints(updated, snap.properties, path, "tx_update")
     if mode == "merge_on_read":
+        # round 16 (guide §1.2): the matched-row set fed FOUR separate
+        # evaluations of the pruned-file scan — the DV position stage,
+        # the post-image data write, the CDF pre-image (via a sidecar
+        # read-back + semi-join re-scan) and the CDF post-image.
+        # Checkpoint it once (per-run intermediate; the predicate is
+        # deterministic over this snapshot, the same assumption the
+        # old independent re-evaluations already made) and derive all
+        # four from the materialized rows.
+        matched = matched.localCheckpoint(eager=False)
+        updated = _assign(matched.drop("_file", "_pos"))
+        _check_constraints(updated, snap.properties, path, "tx_update")
         sidecars = _stage_dv(matched.select("_file", "_pos"), path)
-        placed = spark.read.parquet(*[_abs(path, f) for f in sidecars])
         targets = sorted(
-            r[0] for r in placed.select("_file").distinct().collect()
+            r[0]
+            for r in matched.select("_file").distinct().collect()
         )
         if not targets:
             return _dv_empty_delete(spark, path, snap, txn, cdf, "update")
@@ -6799,9 +6823,7 @@ def tx_update(
         cdf_files = None
         if cdf:
             pre = (
-                _scan_files(spark, path, snap, targets, with_pos=True)
-                .join(F.broadcast(placed), ["_file", "_pos"], "semi")
-                .drop("_file", "_pos")
+                matched.drop("_file", "_pos")
                 .withColumn("_change_type", F.lit("update_preimage"))
             )
             post = updated.withColumn(
@@ -6819,12 +6841,18 @@ def tx_update(
                 updated, props, path, "tx_update"
             ),
         )
+    _check_constraints(updated, snap.properties, path, "tx_update")
     touched = sorted(
         r[0] for r in matched.select("_file").distinct().collect()
     )
     if not touched:
         return _dv_empty_delete(spark, path, snap, txn, cdf, "update")
     old = _read_table_files(spark, path, touched, snap)
+    if cdf:
+        # round 16: with CDF on, the touched-file read fed THREE
+        # evaluations (full rewrite, pre-image, post-image) — one
+        # materialization serves all three (per-run intermediate)
+        old = old.localCheckpoint(eager=False)
     hit = F.coalesce(cond, F.lit(False))
     rewritten = old.select(
         *[
